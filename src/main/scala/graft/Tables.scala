@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All engine queries take a scale-factor directory and read parquet
+  * from it — scans are vectorized, column-pruned and filter-pushed by
+  * Catalyst, so the same code path works unchanged from sf0.001 to a
+  * 100 TB lake (partition count follows file splits via
+  * `spark.sql.files.maxPartitionBytes`).
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
+      // read as a timestamp. Read the raw int64 nanos and rebase to a
+      // µs TimestampType — floor division, bit-identical to DuckDB's
+      // `ts::TIMESTAMP` truncation that every oracle uses.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+}

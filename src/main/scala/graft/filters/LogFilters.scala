@@ -1,0 +1,56 @@
+package graft.filters
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's filter cascade re-expressed as composable Column
+  * predicates (reference: `access_log.clj:62-93`, `collector.clj:87`,
+  * `viz.cljs:24-27`).
+  *
+  * All predicates are stateless codegen'd expressions; Catalyst fuses
+  * the whole cascade with the parse into one generated function, and
+  * pushes what it can into the scan.
+  */
+object LogFilters {
+
+  /** F4 — HTTP success only. The reference compares the *string*
+    * `"200"` (`access_log.clj:83`); we keep that semantic. */
+  def ok(status: Column): Column = status === "200"
+
+  /** F5 — strip the `/wb/` prefix, split the remaining path on `/`,
+    * percent-decode each segment. Decode happens AFTER the split —
+    * same order as the reference (`access_log.clj:84-86`) — so an
+    * encoded `%2F` inside a lemma cannot create path segments. */
+  def pathSegments(uri: Column): Column =
+    transform(split(substring(uri, 5, Int.MaxValue), "/"), s => url_decode(s))
+
+  /** Head of the decoded path = candidate lemma. */
+  def lemmaOf(segments: Column): Column = element_at(segments, 1)
+
+  /** F6 — lemma validity (`access_log.clj:66-68`). */
+  def validLemma(lemma: Column): Column =
+    length(lemma) > 0 && !startswith(lemma, lit("["))
+
+  /** F7 — main dictionary only: exactly one path segment whose head is
+    * not a sub-dictionary page (`access_log.clj:70-72`). */
+  val SubDictionaries: Seq[String] =
+    Seq("dwb", "dwb2", "etymwb", "wdg", "index", "Wörterbuch")
+
+  def mainDictOnly(segments: Column): Column =
+    size(segments) === 1 && !lemmaOf(segments).isin(SubDictionaries: _*)
+
+  /** F8 — bot user-agent filter. The reference compiles a large
+    * case-insensitive alternation once at load (`access_log.clj:62-64`);
+    * here the pattern is a fold-time literal so codegen compiles the
+    * matcher once per task. Kept RE2-safe (no lookaround) so the
+    * DuckDB oracle can share it verbatim. */
+  val BotPattern: String =
+    "(?i)(bot|crawler|crawling|spider|slurp|curl|wget|python-requests|" +
+      "httpclient|okhttp|scrapy|archiver|indexer|fetcher|monitoring|" +
+      "scanner|preview|headless|phantomjs|facebookexternalhit)"
+
+  def isBot(userAgent: Column): Column = userAgent.rlike(BotPattern)
+
+  /** F11 — sink column-width guard (`collector.clj:87`). */
+  def fitsDb(lemma: Column): Column = length(lemma) < 128
+}

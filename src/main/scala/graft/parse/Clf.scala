@@ -1,0 +1,63 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Apache combined-log-format parsing as pure Catalyst column
+  * expressions.
+  *
+  * Reference behavior: `access_log.clj:33-60` (one regex with capture
+  * groups → field record), `access_log.clj:49-54` (CLF timestamp with
+  * zone offset → UTC instant), `access_log.clj:80,92-93` (any parse
+  * failure drops the row, never fails the stream).
+  *
+  * Spark-first design: each field is a `regexp_extract` over a shared
+  * literal pattern — Catalyst common-subexpression elimination keeps a
+  * single compiled matcher per generated stage, and the whole parse
+  * fuses with up/downstream filters into one WholeStageCodegen span.
+  * Non-matching lines yield null fields (PERMISSIVE semantics), so
+  * F10 error tolerance is a final `isNotNull` filter, not a try/catch.
+  */
+object Clf {
+
+  /** Combined log format, RE2-safe (no lookaround) so the DuckDB
+    * oracle can run the *identical* pattern. ident/user/protocol are
+    * non-capturing (DuckDB regexp_extract only addresses groups 0–9).
+    * Groups: 1 ip, 2 timestamp, 3 method, 4 uri, 5 status, 6 size,
+    * 7 referrer, 8 user agent. */
+  val Pattern: String =
+    "^(\\S+) (?:\\S+) (?:\\S+) \\[([^\\]]+)\\] \"(\\w+) (\\S+) (?:[^\"]*)\" (\\d{3}) (\\d+|-) \"([^\"]*)\" \"([^\"]*)\"$"
+
+  /** CLF timestamp layout, e.g. `08/Dec/2024:23:00:18 +0100`. */
+  val TsFormat: String = "dd/MMM/yyyy:HH:mm:ss Z"
+
+  /** F1 — cheap substring prefilter, applied BEFORE any regex work
+    * (reference: `access_log.clj:16-31,81,113`). Catalyst keeps the
+    * authored cheap-first conjunct order, so this short-circuits the
+    * expensive parse for the ~99% of lines that are not dictionary
+    * page views. */
+  def prefilter(line: Column): Column =
+    line.contains("GET /wb/") && !line.contains("GET /wb/typeahead")
+
+  /** One capture group, null on miss ('' is what regexp_extract
+    * returns for a non-match). */
+  private def g(line: Column, i: Int): Column = {
+    val x = regexp_extract(line, Pattern, i)
+    when(x =!= "", x)
+  }
+
+  /** F2 + F3 — project a line column into the 9-field access-log
+    * schema (SURVEY.md §1.2a). */
+  def parse(df: DataFrame, lineCol: String = "line"): DataFrame = {
+    val l = col(lineCol)
+    df.select(
+      g(l, 1).as("ip"),
+      to_timestamp(g(l, 2), TsFormat).as("ts"),
+      g(l, 3).as("method"),
+      g(l, 4).as("uri"),
+      g(l, 5).as("status"),
+      g(l, 6).cast("long").as("size"),
+      g(l, 7).as("referrer"),
+      g(l, 8).as("user_agent"))
+  }
+}

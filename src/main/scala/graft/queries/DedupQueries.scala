@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+import graft.queries.Q.t
+
+/** Training-data deduplication over `documents`:
+  *
+  *  - exact (hash-groupBy on a content fingerprint — never ship the
+  *    full text through the shuffle);
+  *  - n-gram Jaccard (inverted-index self-join; the *verification*
+  *    path — quadratic in bucket size, so at 100 TB it runs only on
+  *    LSH candidates);
+  *  - MinHash + LSH banding (the *scale* path: k=32 portable hashes,
+  *    8 bands × 4 rows; candidate generation is a single equi-join on
+  *    (band, band_hash) — linear shuffle, no all-pairs anywhere);
+  *  - SimHash signatures + Hamming-distance pairs.
+  *
+  * All four are oracle-checked against DuckDB bit-for-bit thanks to
+  * the md5-derived portable hash family (graft.functions.PortableHash).
+  */
+object DedupQueries {
+
+  private val K = 32 // minhash signature length
+  private val B = 8  // LSH bands
+  private val R = K / B // rows per band
+  private val NGram = 3
+  private val SimBits = 32
+
+  // ------------------------------------------------------------- shingling
+
+  /** (doc_id, lang, sh) — distinct word n-gram shingles per document.
+    * Guarded for short docs (Spark's 2-arg `sequence(1, n)` would
+    * count *down* for n<1). */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val shingleArr = when(size(ws) >= NGram,
+      array_distinct(transform(sequence(lit(1), size(ws) - (NGram - 1)),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), col("lang"), explode(shingleArr).as("sh"))
+  }
+
+  /** DuckDB twin of shingleRows as CTE text (ws → sh). */
+  private val shingleCtes: String =
+    """ws AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+      |        FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, lang,
+      |         unnest(CASE WHEN len(w) >= 3
+      |                THEN list_transform(generate_series(1, len(w) - 2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |                ELSE [] END) AS sh
+      |       FROM ws)""".stripMargin
+
+  // ----------------------------------------------------------- exact dedup
+
+  private val qExact = Q("q_dedup_exact",
+    """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (s, d) =>
+    // Group by the 16-byte fingerprint, not the document body: at
+    // 100 TB the shuffle carries hashes, not texts.
+    t(s, d, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy(col("keep_id"))
+  }
+
+  // -------------------------------------------------- exact n-gram Jaccard
+
+  private val qNgram = Q("q_dedup_ngram",
+    s"""WITH $shingleCtes,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS ai, b.doc_id AS bi, count(*) AS c
+       |  FROM sh a JOIN sh b
+       |    ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ai AS a_id, bi AS b_id,
+       |  round(c / (x.n + y.n - c), 4) AS jac
+       |FROM pairs JOIN cnt x ON ai = x.doc_id JOIN cnt y ON bi = y.doc_id
+       |WHERE c / (x.n + y.n - c) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sh = shingleRows(t(s, d, "documents"))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.select(col("doc_id").as("ai"), col("lang"), col("sh"))
+      .join(sh.select(col("doc_id").as("bi"), col("lang").as("lb"), col("sh").as("sb")),
+        col("sh") === col("sb") && col("lang") === col("lb") && col("ai") < col("bi"))
+      .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("c"))
+    val jac = col("c") / (col("na") + col("nb") - col("c"))
+    pairs
+      .join(broadcast(cnt.select(col("doc_id").as("ai"), col("n").as("na"))), "ai")
+      .join(broadcast(cnt.select(col("doc_id").as("bi"), col("n").as("nb"))), "bi")
+      .where(jac >= 0.5)
+      .select(col("ai").as("a_id"), col("bi").as("b_id"), round(jac, 4).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // --------------------------------------------------------- MinHash + LSH
+
+  private def minhashSignature(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(t(s, d, "documents")).select(col("doc_id"), col("sh"))
+    val h0 = (md5Long(col("sh")) % P).as("h0")
+    val aggs = (0 until K).map(i => min(family(col("h0"), i)).as(s"m$i"))
+    sh.select(col("doc_id"), h0)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def minhashSigSql: String = {
+    val h0 = s"(${md5LongSql("sh")} % $P)"
+    val mins = (0 until K)
+      .map(i => s"min(${familySql("h0", i)}) AS m$i").mkString(",\n         ")
+    s"""h AS (SELECT doc_id, $h0 AS h0 FROM sh),
+       |sig AS (SELECT doc_id,
+       |         $mins
+       |        FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandHash(j: Int): Column =
+    md5(concat_ws(",", (0 until R).map(r => col(s"m${j * R + r}").cast("string")): _*))
+
+  private def bandHashSql(j: Int): String = {
+    val parts = (0 until R).map(r => s"m${j * R + r}::VARCHAR").mkString(" || ',' || ")
+    s"md5($parts)"
+  }
+
+  private val qMinhash = Q("q_dedup_minhash",
+    s"""WITH $shingleCtes,
+       |$minhashSigSql,
+       |bx AS (
+       |${(0 until B).map(j =>
+          s"  SELECT doc_id, $j AS band, ${bandHashSql(j)} AS bh FROM sig")
+          .mkString("\n  UNION ALL\n")}
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(count(*) AS BIGINT) AS n_bands
+       |FROM bx a JOIN bx b
+       |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val sig = minhashSignature(s, d)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until B).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"),
+        col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** Distinct unigram tokens per doc with their portable digest. */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .select(col("doc_id"), col("lang"), md5Long(col("tok")).as("h"))
+
+  private def simhashOf(s: SparkSession, d: String): DataFrame = {
+    val bitSums = (0 until SimBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val sig = (0 until SimBits).map(b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokenRows(t(s, d, "documents"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("lang"), sig.as("simhash"))
+  }
+
+  private def simhashCtes: String = {
+    val sums = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n          ")
+    val sig = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""tk AS (SELECT DISTINCT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+       |       FROM documents),
+       |th AS (SELECT doc_id, lang, ${md5LongSql("tok")} AS h FROM tk),
+       |bs AS (SELECT doc_id, lang,
+       |          $sums
+       |       FROM th GROUP BY doc_id, lang),
+       |sg AS (SELECT doc_id, lang, CAST($sig AS BIGINT) AS simhash FROM bs)""".stripMargin
+  }
+
+  private val qSimhash = Q("q_dedup_simhash",
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    simhashOf(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+  }
+
+  private val qSimhashPairs = Q("q_dedup_simhash_pairs",
+    s"""WITH $simhashCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sig = simhashOf(s, d)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    sig.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
+      .join(sig.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+        col("simhash").as("sb")),
+        col("lang") === col("lb") && col("a_id") < col("b_id"))
+      .where(ham <= 6)
+      .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qSimhashPairs)
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash.md5Long
+import graft.queries.Q.t
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors):
+  *
+  *  - `q_dedup_embed` — embedding-cosine near-duplicate pairs, blocked
+  *    by `label` (the blocking key is what keeps this linear-ish at
+  *    scale: candidates never cross blocks);
+  *  - `q_knn_brute` — exact brute-force cosine top-k for a query set
+  *    (the correctness baseline; O(|Q|·N), broadcast the query side);
+  *  - `q_knn_lsh` — random-hyperplane LSH bucketing (the scale path:
+  *    each vector hashes to a bucket; candidate generation is an
+  *    equi-join on the bucket key). Spark-only: the plane matrix is a
+  *    deterministic literal, but the semantics aren't portably
+  *    SQL-expressible, so correctness is spec-checked against
+  *    `q_knn_brute` recall instead.
+  *
+  * Dot products are computed left-to-right in double on both engines
+  * (`aggregate(zip_with(...))` ≙ DuckDB `list_dot_product` over
+  * `DOUBLE[]`), so cosine values compare bit-for-bit.
+  */
+object SimilarityQueries {
+
+  /** Left-to-right double dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** vec_id, label, v (double), n2 = ||v||² */
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    val v = asDouble(col("embedding"))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+  }
+
+  private def cosine(va: Column, vb: Column, n2a: Column, n2b: Column): Column =
+    dot(va, vb) / (sqrt(n2a) * sqrt(n2b))
+
+  private val vectorsCte: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |       FROM embeddings)""".stripMargin
+
+  private val qDedupEmbed = Q("q_dedup_embed",
+    s"""WITH $vectorsCte
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 4) AS sim
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val cos = cosine(col("va"), col("vb"), col("na"), col("nb"))
+    e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"), col("n2").as("na"))
+      .join(e.select(col("vec_id").as("b_id"), col("label").as("lb"),
+        col("v").as("vb"), col("n2").as("nb")),
+        col("label") === col("lb") && col("a_id") < col("b_id"))
+      .where(cos >= 0.4)
+      .select(col("a_id"), col("b_id"), round(cos, 4).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val qKnnBrute = Q("q_knn_brute",
+    s"""WITH $vectorsCte,
+       |qs AS (SELECT * FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+       |               c.vec_id) AS rn
+       |  FROM qs q JOIN e c ON q.vec_id <> c.vec_id)
+       |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(cos, 6) AS sim
+       |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val cos = cosine(col("qv"), col("v"), col("qn"), col("n2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    // Broadcast the (small) query side; the corpus streams through —
+    // no shuffle of the corpus at any scale.
+    e.join(broadcast(qs), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix (seeded, engine-side
+    * literal — no data dependence). */
+  private[graft] val Planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(16, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** 16-bit random-hyperplane bucket for a double-vector column. */
+  private[graft] def lshBucket(v: Column): Column =
+    (0 until 16).map { j =>
+      val plane = array(Planes(j).map(lit(_)): _*)
+      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private val qKnnLsh = Q.sparkOnly("q_knn_lsh") { (s, d) =>
+    val e = vectors(s, d).withColumn("bucket", lshBucket(col("v")))
+    val cos = cosine(col("qv"), col("v"), col("qn"), col("n2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    e.join(broadcast(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("n2").as("qn"), col("bucket").as("qb"))),
+      col("q_id") =!= col("vec_id") && col("bucket") === col("qb"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val all: Seq[Q] = Seq(qDedupEmbed, qKnnBrute, qKnnLsh)
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.t
+
+/** Training-data text analysis over the `documents` table: language
+  * ID (word-gram marker heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex classes), document fingerprinting.
+  *
+  * All pure per-row column expressions — at 100 TB these fuse into the
+  * scan stage with zero shuffles (the final orderBy exists only for
+  * oracle hashing).
+  */
+object TextQueries {
+
+  private def words(c: Column): Column = split(lower(c), " ")
+
+  private def countIn(ws: Column, set: Seq[String]): Column =
+    size(filter(ws, w => w.isin(set.map(lit(_)): _*)))
+
+  private val EnMarkers = Seq("the", "a", "of", "and")
+  private val DeMarkers = Seq("der", "die", "das", "und")
+
+  private val qLangid = Q("q_text_langid",
+    """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |           FROM documents)
+      |SELECT doc_id, lang,
+      |  CAST(len(list_filter(ws, x -> x IN ('the','a','of','and'))) AS INT) AS en_score,
+      |  CAST(len(list_filter(ws, x -> x IN ('der','die','das','und'))) AS INT) AS de_score,
+      |  CASE WHEN len(list_filter(ws, x -> x IN ('der','die','das','und')))
+      |            > len(list_filter(ws, x -> x IN ('the','a','of','and'))) THEN 'de'
+      |       WHEN len(list_filter(ws, x -> x IN ('the','a','of','and'))) > 0 THEN 'en'
+      |       ELSE 'und' END AS predicted
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    val en = countIn(ws, EnMarkers)
+    val de = countIn(ws, DeMarkers)
+    t(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      en.as("en_score"), de.as("de_score"),
+      when(de > en, "de").when(en > 0, "en").otherwise("und").as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qQuality = Q("q_text_quality",
+    """WITH w AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_words,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / CAST(len(ws) AS DOUBLE), 4) AS avg_word_len,
+      |  round(CAST(len(list_filter(ws, x -> x IN ('the','a','of','and')))
+      |             AS DOUBLE) / CAST(len(ws) AS DOUBLE), 4) AS stop_ratio,
+      |  CASE WHEN len(ws) BETWEEN 20 AND 500
+      |        AND len(list_filter(ws, x -> x IN ('the','a','of','and'))) > 0
+      |       THEN 'good' ELSE 'poor' END AS quality
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    val nw = size(ws)
+    val stops = countIn(ws, EnMarkers)
+    t(s, d, "documents").select(
+      col("doc_id"),
+      nw.as("n_words"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double")
+        / nw.cast("double"), 4).as("avg_word_len"),
+      round(stops.cast("double") / nw.cast("double"), 4).as("stop_ratio"),
+      when(nw.between(20, 500) && stops > 0, "good").otherwise("poor").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qTokens = Q("q_text_tokens",
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+      |    AS re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Portable fingerprint: md5 over whitespace-normalized text — the
+    * exact-dedup key that survives reformatting. */
+  private val qFingerprint = Q("q_text_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint)
+}
