@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Flagship
+import graft.streaming.StreamingFlagship
+
+/** End-to-end streaming drive (verification aid): synthesizes the
+  * sf0.001 access log into text files (simulating log rotation), runs
+  * the streaming flagship over the directory with a parquet
+  * foreachBatch sink, then compares row count with the batch result.
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val sf = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("graft-stream").toString
+    val logDir = s"$base/logs"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(logDir))
+
+    // "log rotation": three files appearing in the watched directory
+    val lines = Flagship.synthLog(Tables(spark, sf, "events")).as[String].collect()
+    lines.grouped(400).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(s"$logDir/access.log.$i"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+
+    val dim = Flagship.dimension(Tables(spark, sf, "events"))
+    val q = StreamingFlagship.startParquetSink(
+      StreamingFlagship.enriched(StreamingFlagship.readLines(spark, logDir, 1), dim),
+      outDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir).count()
+    val batch = Flagship(spark, sf).count()
+    println(s"STREAMED_ROWS=$streamed BATCH_ROWS=$batch MATCH=${streamed == batch}")
+    spark.stop()
+  }
+}

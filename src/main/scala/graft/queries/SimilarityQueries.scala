@@ -97,15 +97,18 @@ object SimilarityQueries {
   }
 
   /** Deterministic ±1 random-hyperplane matrix (seeded, engine-side
-    * literal — no data dependence). */
+    * literal — no data dependence). 8 planes → 256 buckets: sized so
+    * expected bucket occupancy N/2^bits stays useful at this corpus
+    * scale; a production build sizes bits ~ log2(N/target_bucket). */
+  private[graft] val LshBits = 8
   private[graft] val Planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(16, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(LshBits, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** 16-bit random-hyperplane bucket for a double-vector column. */
+  /** Random-hyperplane bucket for a double-vector column. */
   private[graft] def lshBucket(v: Column): Column =
-    (0 until 16).map { j =>
+    (0 until LshBits).map { j =>
       val plane = array(Planes(j).map(lit(_)): _*)
       when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

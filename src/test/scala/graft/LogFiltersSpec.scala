@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.filters.LogFilters._
+
+class LogFiltersSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def lemmas(uris: String*): Seq[String] =
+    uris.toDF("uri")
+      .select(pathSegments(col("uri")).as("segs"))
+      .where(mainDictOnly(col("segs")))
+      .select(lemmaOf(col("segs")))
+      .as[String].collect().toSeq
+
+  test("path split + decode: decode happens after split (F5)") {
+    assert(lemmas("/wb/obskur") == Seq("obskur"))
+    assert(lemmas("/wb/Bl%C3%A4tter") == Seq("Blätter"))
+    // an encoded slash must NOT create a path segment
+    assert(lemmas("/wb/a%2Fb") == Seq("a/b"))
+  }
+
+  test("sub-dictionary pages and deep paths are dropped (F7)") {
+    assert(lemmas("/wb/dwb", "/wb/wdg", "/wb/etymwb", "/wb/a/b").isEmpty)
+    assert(lemmas("/wb/dwbx") == Seq("dwbx")) // prefix alone is fine
+  }
+
+  test("lemma validity (F6) and db width guard (F11)") {
+    val df = Seq("", "[x", "ok", "a" * 127, "a" * 128).toDF("lemma")
+    val kept = df.where(validLemma(col("lemma")) && fitsDb(col("lemma")))
+      .as[String].collect().toSeq
+    assert(kept == Seq("ok", "a" * 127))
+  }
+
+  test("bot filter matches case-insensitively (F8)") {
+    val bots = Seq("Googlebot/2.1", "curl/8.0", "SCRAPY", "my-CRAWLER 1.0")
+    val humans = Seq("Mozilla/5.0 (X11; Linux) Firefox/120.0", "Opera/9.80")
+    val df = (bots ++ humans).toDF("ua")
+    assert(df.where(isBot(col("ua"))).count() == bots.size)
+    assert(df.where(!isBot(col("ua"))).count() == humans.size)
+  }
+
+  test("status filter compares the string form like the reference (F4)") {
+    val kept = Seq("200", "404", "500", "201").toDF("status")
+      .where(ok(col("status"))).count()
+    assert(kept == 1)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("brute-force knn: ranks are 1..5 per query, sims non-increasing") {
+    import spark.implicits._
+    val rows = run("q_knn_brute")
+      .select("q_id", "rn", "sim").as[(Long, Int, Double)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to g.length))
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("LSH knn returns a subset of candidates with correct local ranking") {
+    import spark.implicits._
+    val brute = run("q_knn_brute")
+      .select("q_id", "n_id", "sim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val lsh = run("q_knn_lsh")
+      .select("q_id", "n_id", "sim").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH should return some same-bucket neighbors")
+    // any LSH hit that also appears in the brute top-5 must carry the
+    // identical similarity (same cosine implementation)
+    lsh.foreach { case (q, n, s) =>
+      brute.get(q).flatMap(_.get(n)).foreach(bs => assert(math.abs(bs - s) < 1e-9))
+    }
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    import spark.implicits._
+    val pairs = run("q_dedup_embed")
+      .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 0.4 })
+  }
+}

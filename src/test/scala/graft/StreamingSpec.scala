@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Flagship
+import graft.streaming.{RateSampler, StreamingFlagship}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  private lazy val lines: Seq[String] =
+    Flagship.synthLog(Tables(spark, Sf, "events")).as[String].collect().toSeq
+
+  test("streaming flagship equals batch flagship on identical input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val dim = Flagship.dimension(Tables(spark, Sf, "events"))
+    val q = StreamingFlagship
+      .enriched(mem.toDF.withColumnRenamed("value", "line"), dim)
+      .writeStream.format("memory").queryName("flagship_stream")
+      .outputMode("append").start()
+    try {
+      lines.grouped(2000).foreach { g => mem.addData(g); q.processAllAvailable() }
+      val streamed = spark.table("flagship_stream")
+        .select("lemma", "ts", "freq", "first_user")
+      val batch = Flagship(spark, Sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
+  test("watermarked minute counts emit closed windows (A2 analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingFlagship
+      .minuteCounts(mem.toDF.toDF("ts", "lemma"))
+      .writeStream.format("memory").queryName("meter")
+      .outputMode("append").start()
+    try {
+      def t(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+      mem.addData((t(0, 10), "a"), (t(0, 40), "b"), (t(1, 5), "c"))
+      q.processAllAvailable()
+      // advance watermark far past the first windows
+      mem.addData((t(30, 0), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("meter").as[(Timestamp, Long)].collect().toMap
+      assert(rows(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
+      assert(rows(Timestamp.valueOf("2024-01-01 10:01:00")) == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful throttle delivers at most one event per interval and drops the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[RateSampler.Keyed]
+    val out = RateSampler.throttle(spark, mem.toDS(), epm = 6) // 10 s interval
+    val q = out.writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+    try {
+      def ev(s: Int, l: String) =
+        RateSampler.Keyed("sub1", Timestamp.valueOf(f"2024-01-01 00:00:$s%02d"), l)
+      mem.addData(ev(0, "a"), ev(3, "b"), ev(9, "c"), ev(10, "d"), ev(25, "e"))
+      q.processAllAvailable()
+      val got = spark.table("throttled").as[RateSampler.Keyed]
+        .collect().map(_.lemma).toSeq.sorted
+      // a at t=0 emits; b,c inside 10s dropped; d at t=10 emits; e at t=25 emits
+      assert(got == Seq("a", "d", "e"))
+    } finally q.stop()
+  }
+
+  test("latest-event-wins bucket sampling keeps exactly one row per bucket") {
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
+      (Timestamp.valueOf("2024-01-01 00:00:59"), "b"),
+      (Timestamp.valueOf("2024-01-01 00:01:30"), "c")).toDF("ts", "lemma")
+    val out = RateSampler.lastPerBucket(df, epm = 1)
+      .select("lemma").as[String].collect().toSet
+    assert(out == Set("b", "c"))
+  }
+}
