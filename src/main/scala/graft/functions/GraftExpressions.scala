@@ -1,0 +1,176 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot paths.
+  *
+  * Preference order per SURVEY.md §7: compose built-ins first; drop to
+  * a custom `Expression` only where the built-ins are structurally
+  * slow. Two such spots exist:
+  *
+  *  - vector math over `array<double>`: the higher-order-function
+  *    formulation (`aggregate(zip_with(...))`) evaluates a lambda
+  *    interpreter per element; [[CosineSim]] runs a primitive loop
+  *    inside whole-stage codegen, with the SAME left-to-right
+  *    accumulation order, so results stay bit-identical to the HOF
+  *    form and the DuckDB oracle;
+  *
+  *  - CLF parsing: 8 independent `regexp_extract` calls re-match the
+  *    same regex per field; [[ClfParse]] matches once and returns the
+  *    whole struct (null on non-match — F10 semantics preserved).
+  */
+object GraftExpressions {
+
+  /** cosine(a, b) — one-pass dot/(√na·√nb), left-to-right. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double dot = 0.0, na = 0.0, nb = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  double xv = $a.getDouble(i);
+           |  double yv = $b.getDouble(i);
+           |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+           |}
+           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** One-pass combined-log-format parse: string → struct of the 8
+    * captured fields (all strings; null struct on non-match). The
+    * compiled pattern is instantiated once per task, not per row.
+    * Regex semantics identical to graft.parse.Clf.Pattern (shared
+    * constant), so the DuckDB oracle twin is unchanged. */
+  case class ClfParse(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override val dataType: DataType = StructType(
+      Seq("ip", "ts_raw", "method", "uri", "status", "size_raw", "referrer",
+        "user_agent").map(StructField(_, StringType, nullable = true)))
+
+    @transient private lazy val pattern: Pattern =
+      Pattern.compile(graft.parse.Clf.Pattern)
+
+    override def nullSafeEval(v: Any): Any = {
+      val m = pattern.matcher(v.toString)
+      if (!m.matches()) null
+      else {
+        val out = new Array[Any](8)
+        var i = 0
+        while (i < 8) {
+          val g = m.group(i + 1)
+          out(i) = if (g == null) null else UTF8String.fromString(g)
+          i += 1
+        }
+        InternalRow.fromSeq(out.toIndexedSeq)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Word n-gram shingles: string → array<string>. Single pass,
+    * no per-element lambda interpretation (the
+    * `transform(sequence(...))` HOF formulation costs ~15µs/shingle
+    * interpreted; this is ~100ns). Splitting keeps empty fields like
+    * Spark's `split(col, " ")` / DuckDB's `string_split`, so results
+    * are identical to the declarative form the oracle uses.
+    * `dedup=true` de-duplicates within the document (order-preserving,
+    * ≙ `array_distinct`). */
+  case class Shingles(child: Expression, n: Int, dedup: Boolean)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.toString
+      // split on ' ' keeping all (also trailing) empty fields
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || s.charAt(i) == ' ') {
+          words += s.substring(start, i)
+          start = i + 1
+        }
+        i += 1
+      }
+      val m = words.length - (n - 1)
+      if (m <= 0) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = if (dedup) new java.util.LinkedHashSet[String](m * 2) else null
+        val plain = if (dedup) null else new Array[Any](m)
+        val sb = new java.lang.StringBuilder(64)
+        var j = 0
+        while (j < m) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(j + k))
+            k += 1
+          }
+          if (dedup) seen.add(sb.toString): Unit
+          else plain(j) = UTF8String.fromString(sb.toString)
+          j += 1
+        }
+        if (!dedup) new GenericArrayData(plain)
+        else {
+          val arr = new Array[Any](seen.size)
+          val it = seen.iterator()
+          var x = 0
+          while (it.hasNext) { arr(x) = UTF8String.fromString(it.next()); x += 1 }
+          new GenericArrayData(arr)
+        }
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------- Column wrappers
+
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
+  def clf_parse(line: Column): Column =
+    bridge.column(ClfParse(bridge.expression(line)))
+
+  def shingles(text: Column, n: Int, dedup: Boolean): Column =
+    bridge.column(Shingles(bridge.expression(text), n, dedup))
+}

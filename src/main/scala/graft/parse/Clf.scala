@@ -39,25 +39,21 @@ object Clf {
   def prefilter(line: Column): Column =
     line.contains("GET /wb/") && !line.contains("GET /wb/typeahead")
 
-  /** One capture group, null on miss ('' is what regexp_extract
-    * returns for a non-match). */
-  private def g(line: Column, i: Int): Column = {
-    val x = regexp_extract(line, Pattern, i)
-    when(x =!= "", x)
-  }
-
   /** F2 + F3 — project a line column into the 9-field access-log
-    * schema (SURVEY.md §1.2a). */
-  def parse(df: DataFrame, lineCol: String = "line"): DataFrame = {
-    val l = col(lineCol)
-    df.select(
-      g(l, 1).as("ip"),
-      to_timestamp(g(l, 2), TsFormat).as("ts"),
-      g(l, 3).as("method"),
-      g(l, 4).as("uri"),
-      g(l, 5).as("status"),
-      g(l, 6).cast("long").as("size"),
-      g(l, 7).as("referrer"),
-      g(l, 8).as("user_agent"))
-  }
+    * schema (SURVEY.md §1.2a). One regex match per line via the
+    * native [[graft.functions.GraftExpressions.ClfParse]] expression
+    * (8 separate `regexp_extract`s would re-match the pattern per
+    * field); a non-matching line yields a null struct → null fields,
+    * preserving F10 drop semantics. */
+  def parse(df: DataFrame, lineCol: String = "line"): DataFrame =
+    df.select(graft.functions.GraftExpressions.clf_parse(col(lineCol)).as("_p"))
+      .select(
+        col("_p.ip").as("ip"),
+        to_timestamp(col("_p.ts_raw"), TsFormat).as("ts"),
+        col("_p.method").as("method"),
+        col("_p.uri").as("uri"),
+        col("_p.status").as("status"),
+        col("_p.size_raw").cast("long").as("size"),
+        col("_p.referrer").as("referrer"),
+        col("_p.user_agent").as("user_agent"))
 }

@@ -31,18 +31,14 @@ object DedupQueries {
 
   // ------------------------------------------------------------- shingling
 
-  /** (doc_id, lang, sh) — distinct word n-gram shingles per document.
-    * Guarded for short docs (Spark's 2-arg `sequence(1, n)` would
-    * count *down* for n<1). */
-  private def shingleRows(docs: DataFrame): DataFrame = {
-    val ws = split(lower(col("text")), " ")
-    val shingleArr = when(size(ws) >= NGram,
-      array_distinct(transform(sequence(lit(1), size(ws) - (NGram - 1)),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), col("lang"), explode(shingleArr).as("sh"))
-  }
+  /** (doc_id, lang, sh) — distinct word n-gram shingles per document,
+    * via the native one-pass Shingles expression (the declarative
+    * `transform(sequence(...))` form costs ~15µs/shingle in the
+    * lambda interpreter — it dominated the whole query). */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(graft.functions.GraftExpressions.shingles(
+        lower(col("text")), NGram, dedup = true)).as("sh"))
 
   /** DuckDB twin of shingleRows as CTE text (ws → sh). */
   private val shingleCtes: String =
@@ -84,7 +80,14 @@ object DedupQueries {
        |FROM pairs JOIN cnt x ON ai = x.doc_id JOIN cnt y ON bi = y.doc_id
        |WHERE c / (x.n + y.n - c) >= 0.5
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    // Materialize the shingle set once — a plain self-join would
+    // recompute the split/transform/explode subtree on both sides —
+    // and join on a 64-bit shingle hash so the exchanges carry longs,
+    // not strings (engine-side only; counts are identical to the
+    // oracle's string join up to 2^-64-probability collisions).
     val sh = shingleRows(t(s, d, "documents"))
+      .select(col("doc_id"), col("lang"), xxhash64(col("sh")).as("sh"))
+      .localCheckpoint()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("ai"), col("lang"), col("sh"))
       .join(sh.select(col("doc_id").as("bi"), col("lang").as("lb"), col("sh").as("sb")),
@@ -101,11 +104,19 @@ object DedupQueries {
 
   // --------------------------------------------------------- MinHash + LSH
 
+  /** Raw (non-distinct) shingles: min() is idempotent over
+    * duplicates, so MinHash needs no dedup — this drops the distinct
+    * shuffle AND moves the string→int hash before the aggregation, so
+    * only (doc_id, h0: long) ever reaches the exchange. At 100 TB the
+    * per-doc shingle strings never leave the scan stage. */
   private def minhashSignature(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(t(s, d, "documents")).select(col("doc_id"), col("sh"))
     val h0 = (md5Long(col("sh")) % P).as("h0")
     val aggs = (0 until K).map(i => min(family(col("h0"), i)).as(s"m$i"))
-    sh.select(col("doc_id"), h0)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingles(
+          lower(col("text")), NGram, dedup = false)).as("sh"))
+      .select(col("doc_id"), h0)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -142,10 +153,13 @@ object DedupQueries {
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val sig = minhashSignature(s, d)
+    // Materialize band hashes once before the self-join (the signature
+    // subtree — shingle + 32 hash-min aggs — is the expensive part).
     val bands = sig.select(col("doc_id"),
       explode(array((0 until B).map(j =>
         struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .localCheckpoint()
     bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"),
         col("bh").as("bh2")),
@@ -206,7 +220,7 @@ object DedupQueries {
        |FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val sig = simhashOf(s, d)
+    val sig = simhashOf(s, d).localCheckpoint() // reused on both join sides
     val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
     sig.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
       .join(sig.select(col("doc_id").as("b_id"), col("lang").as("lb"),

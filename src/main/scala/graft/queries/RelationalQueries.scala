@@ -399,6 +399,28 @@ object RelationalQueries {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  private val qCube = Q("q_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** HLL sketch — engine-specific bits, so no cross-engine oracle;
+    * accuracy is spec-checked against the exact distinct count. */
+  private val qApproxDistinct = Q.sparkOnly("q_approx_count_distinct") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_dp"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------- windows
 
   private val wCust = Window.partitionBy(col("o_custkey"))
@@ -489,7 +511,7 @@ object RelationalQueries {
     qFilterNotnull, qStringTrunc, qStringFuncs, qDateFuncs, qMathFuncs,
     qCondCoalesce, qToJson, qFromJson,
     qJoinLeft, qJoinBroadcast, qDimJoin, qJoinSemi, qJoinAnti,
-    qAgg, qArgminGroup, qCount, qCountDistinct, qRollup,
+    qAgg, qArgminGroup, qCount, qCountDistinct, qRollup, qCube, qApproxDistinct,
     qWindowRownum, qWindowLag, qWindowFrame,
     qSort, qTopk, qLimit, qUnion)
 }

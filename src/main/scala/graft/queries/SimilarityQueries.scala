@@ -28,22 +28,23 @@ import graft.queries.Q.t
   */
 object SimilarityQueries {
 
-  /** Left-to-right double dot product of two array<double> columns. */
+  /** Left-to-right double dot product of two array<double> columns
+    * (HOF form — used for plane projections; pair cosines use the
+    * native codegen expression instead). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** vec_id, label, v (double), n2 = ||v||² */
-  private def vectors(s: SparkSession, d: String): DataFrame = {
-    val v = asDouble(col("embedding"))
+  /** vec_id, label, v (double). */
+  private def vectors(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
-      .select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
-  }
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
 
-  private def cosine(va: Column, vb: Column, n2a: Column, n2b: Column): Column =
-    dot(va, vb) / (sqrt(n2a) * sqrt(n2b))
+  /** Native one-pass cosine — same l→r accumulation as the oracle's
+    * list_dot_product/sqrt composition, so values stay bit-identical. */
+  private def cosine(va: Column, vb: Column): Column =
+    graft.functions.GraftExpressions.cosine_sim(va, vb)
 
   private val vectorsCte: String =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -58,10 +59,9 @@ object SimilarityQueries {
        |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
-    val cos = cosine(col("va"), col("vb"), col("na"), col("nb"))
-    e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"), col("n2").as("na"))
-      .join(e.select(col("vec_id").as("b_id"), col("label").as("lb"),
-        col("v").as("vb"), col("n2").as("nb")),
+    val cos = cosine(col("va"), col("vb"))
+    e.select(col("vec_id").as("a_id"), col("label"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("b_id"), col("label").as("lb"), col("v").as("vb")),
         col("label") === col("lb") && col("a_id") < col("b_id"))
       .where(cos >= 0.4)
       .select(col("a_id"), col("b_id"), round(cos, 4).as("sim"))
@@ -82,8 +82,8 @@ object SimilarityQueries {
        |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
     val qs = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
-    val cos = cosine(col("qv"), col("v"), col("qn"), col("n2"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cos = cosine(col("qv"), col("v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     // Broadcast the (small) query side; the corpus streams through —
     // no shuffle of the corpus at any scale.
@@ -115,11 +115,10 @@ object SimilarityQueries {
 
   private val qKnnLsh = Q.sparkOnly("q_knn_lsh") { (s, d) =>
     val e = vectors(s, d).withColumn("bucket", lshBucket(col("v")))
-    val cos = cosine(col("qv"), col("v"), col("qn"), col("n2"))
+    val cos = cosine(col("qv"), col("v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     e.join(broadcast(e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("n2").as("qn"), col("bucket").as("qb"))),
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qb"))),
       col("q_id") =!= col("vec_id") && col("bucket") === col("qb"))
       .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
       .withColumn("rn", row_number().over(w))

@@ -43,8 +43,19 @@ object StreamingFlagship {
   def toJsonl(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
-  /** A2 analog — per-minute throughput meter as a watermarked
-    * tumbling-window count (late data beyond 10 min dropped). */
+  /** A2 analog (plan-level) — the reference's Dropwizard meters
+    * (`metrics.clj:6-18`) as zero-cost `observe` metrics: counts are
+    * collected by the running query per micro-batch and surfaced via
+    * `StreamingQueryListener`/`lastProgress.observedMetrics`, without
+    * adding any operator to the data plane. */
+  def metered(requests: DataFrame): DataFrame =
+    requests.observe("wb_page_requests",
+      count(lit(1)).as("events"),
+      approx_count_distinct(col("lemma")).as("distinct_lemmata"))
+
+  /** A2 analog (data-plane) — per-minute throughput meter as a
+    * watermarked tumbling-window count (late data beyond 10 min
+    * dropped). */
   def minuteCounts(requests: DataFrame): DataFrame =
     requests
       .withWatermark("ts", "10 minutes")

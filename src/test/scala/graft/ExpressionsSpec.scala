@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftExpressions._
+import graft.queries.SimilarityQueries
+
+class ExpressionsSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  test("Shingles expression equals the declarative transform(sequence(...)) form") {
+    val docs = Tables(spark, Sf, "documents").limit(200)
+    val ws = split(lower(col("text")), " ")
+    val declarative = docs.select(col("doc_id"),
+      explode(when(size(ws) >= 3,
+        array_distinct(transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2)))))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+    val native = docs.select(col("doc_id"),
+      explode(shingles(lower(col("text")), 3, dedup = true)).as("sh"))
+    assert(native.exceptAll(declarative).count() == 0)
+    assert(declarative.exceptAll(native).count() == 0)
+  }
+
+  test("Shingles handles short and empty inputs") {
+    val out = Seq("", "one", "a b", "a b c", "a b c d")
+      .toDF("t").select(shingles(col("t"), 3, dedup = false).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq(), Seq(), Seq(), Seq("a b c"), Seq("a b c", "b c d")))
+  }
+
+  test("CosineSim equals the HOF aggregate/zip_with formulation bit-for-bit") {
+    val e = Tables(spark, Sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("ai"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("bi"), col("v").as("vb"))
+    val pairs = a.join(b, col("ai") < col("bi"))
+    val hofDot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofN = (v: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val cmp = pairs.select(
+      cosine_sim(col("va"), col("vb")).as("native"),
+      (hofDot / (sqrt(hofN(col("va"))) * sqrt(hofN(col("vb"))))).as("hof"))
+    assert(cmp.where(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("ClfParse equals per-field regexp_extract") {
+    import graft.parse.Clf
+    val lines = graft.pipeline.Flagship
+      .synthLog(Tables(spark, Sf, "events")).limit(2000)
+    def g(i: Int) = {
+      val x = regexp_extract(col("line"), Clf.Pattern, i)
+      when(x =!= "", x)
+    }
+    val declarative = lines.select(g(1).as("ip"), g(4).as("uri"), g(5).as("status"),
+      g(8).as("user_agent"))
+    val native = Clf.parse(lines).select("ip", "uri", "status", "user_agent")
+    assert(native.exceptAll(declarative).count() == 0)
+    assert(declarative.exceptAll(native).count() == 0)
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("q_approx_count_distinct")(spark, Sf)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("dp"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05)
+    }
+  }
+}
