@@ -46,6 +46,23 @@ object StreamDemo {
     val streamed = spark.read.parquet(outDir).count()
     val batch = Flagship(spark, sf).count()
     println(s"STREAMED_ROWS=$streamed BATCH_ROWS=$batch MATCH=${streamed == batch}")
+
+    // Second drive: the custom DSv2 replay source (graft.sources) at a
+    // bounded rate through the same pipeline into a memory sink.
+    val one = s"$base/all.log"
+    Files.write(Paths.get(one), lines.mkString("\n").getBytes("UTF-8"))
+    val rq = StreamingFlagship.enriched(
+      spark.readStream.format("graft.sources.ReplayLines")
+        .option("path", one).option("linesPerTrigger", "250").load()
+        .withColumnRenamed("value", "line"),
+      dim)
+      .writeStream.format("memory").queryName("replay_demo")
+      .outputMode("append").start()
+    rq.processAllAvailable()
+    val replayed = spark.table("replay_demo").count()
+    val batches = rq.recentProgress.length
+    rq.stop()
+    println(s"REPLAYED_ROWS=$replayed OVER_BATCHES=$batches MATCH=${replayed == batch}")
     spark.stop()
   }
 }
