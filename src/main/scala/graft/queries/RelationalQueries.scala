@@ -322,6 +322,19 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Skew-resistant salted join (graft.operators.SkewJoin) — the
+    * oracle is the PLAIN join: salting must be a pure physical
+    * rewrite with identical results. */
+  private val qJoinSalted = Q("q_join_salted",
+    """SELECT o.o_orderkey, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    val customer = t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    graft.operators.SkewJoin.salted(t(s, d, "orders"), customer, "o_custkey", salt = 8)
+      .select(col("o_orderkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ----------------------------------------------------------- aggregations
 
   private val qAgg = Q("q_agg",
@@ -510,7 +523,7 @@ object RelationalQueries {
     qFilterPrefix, qFilterIsin, qFilterRlike, qMalformedDrop, qFilterLen,
     qFilterNotnull, qStringTrunc, qStringFuncs, qDateFuncs, qMathFuncs,
     qCondCoalesce, qToJson, qFromJson,
-    qJoinLeft, qJoinBroadcast, qDimJoin, qJoinSemi, qJoinAnti,
+    qJoinLeft, qJoinBroadcast, qDimJoin, qJoinSemi, qJoinAnti, qJoinSalted,
     qAgg, qArgminGroup, qCount, qCountDistinct, qRollup, qCube, qApproxDistinct,
     qWindowRownum, qWindowLag, qWindowFrame,
     qSort, qTopk, qLimit, qUnion)

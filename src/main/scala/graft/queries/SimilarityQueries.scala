@@ -128,5 +128,46 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(qDedupEmbed, qKnnBrute, qKnnLsh)
+  /** IVF-style ANN (second scale path): a coarse quantizer of C=16
+    * deterministic centroids (the first C corpus vectors — a stand-in
+    * for k-means training) partitions the corpus into inverted lists;
+    * queries probe their nprobe=2 nearest lists only. Candidate
+    * generation is an equi-join on `list`, so the corpus is scanned
+    * once to assign and once per probe hit — never all-pairs. At
+    * cluster scale the assignment table is the thing you persist and
+    * bucket by `list`. Spark-only (spec-checked recall vs brute). */
+  private val qKnnIvf = Q.sparkOnly("q_knn_ivf") { (s, d) =>
+    val C = 16
+    val nprobe = 2
+    val e = vectors(s, d)
+    val cents = broadcast(e.where(col("vec_id") < C)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val simToCent = cosine(col("v"), col("cv"))
+    // inverted-list assignment: nearest centroid per corpus vector
+    val assigned = e.crossJoin(cents)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("cent_id"), simToCent).as("list"),
+        first(col("v")).as("v"))
+    // queries probe their nprobe nearest lists
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("cent_id"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(cents)
+      .withColumn("qc", cosine(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("list"))
+    val cos = cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    assigned.join(broadcast(probes), Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val all: Seq[Q] = Seq(qDedupEmbed, qKnnBrute, qKnnLsh, qKnnIvf)
 }

@@ -63,6 +63,16 @@ object StreamingFlagship {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("minute"), col("n"))
 
+  /** Streaming deduplication with bounded state: drop events with a
+    * duplicate (lemma, ts) within the watermark horizon — the
+    * streaming form of exact dedup (state is evicted once the
+    * watermark passes, so memory stays O(events-per-horizon), not
+    * O(stream)). */
+  def dedupedRequests(requests: DataFrame): DataFrame =
+    requests
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("lemma", "ts")
+
   /** K3 analog — micro-batched append sink with epoch-id idempotence
     * (the reference's 128-row tx batching + retry maps to Spark's
     * exactly-once foreachBatch + task retries). For JDBC targets the

@@ -37,6 +37,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF knn: valid per-query rankings and non-trivial recall vs brute") {
+    import spark.implicits._
+    val brute = run("q_knn_brute")
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = run("q_knn_ivf")
+      .select("q_id", "n_id", "rn").as[(Long, Long, Int)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+    val recall = ivf.map(r => (r._1, r._2)).count(brute.contains).toDouble / brute.size
+    assert(recall > 0.1, s"IVF recall vs brute was $recall")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     import spark.implicits._
     val pairs = run("q_dedup_embed")

@@ -73,6 +73,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingFlagship
+      .dedupedRequests(mem.toDF.toDF("ts", "lemma"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((t0, "a"), (t0, "a"), (t0, "b"))
+      q.processAllAvailable()
+      mem.addData((t0, "a")) // still within horizon → dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
   test("latest-event-wins bucket sampling keeps exactly one row per bucket") {
     val df = Seq(
       (Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
