@@ -163,6 +163,43 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** F5 in one pass: `/wb/<path>` → struct(nseg, lemma) where lemma
+    * is the percent-decoded head segment. Split happens BEFORE decode
+    * (reference order, `access_log.clj:84-86`), so an encoded `%2F`
+    * cannot create segments. Decode matches Spark's `url_decode`
+    * (java.net.URLDecoder, UTF-8). Null on decode failure — F10. */
+  case class UriLemma(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override val dataType: DataType = StructType(Seq(
+      StructField("nseg", IntegerType, nullable = false),
+      StructField("lemma", StringType, nullable = true)))
+
+    override def nullSafeEval(v: Any): Any = {
+      val uri = v.toString
+      val rest = if (uri.length >= 4) uri.substring(4) else ""
+      var nseg = 1
+      var i = 0
+      var firstEnd = -1
+      while (i < rest.length) {
+        if (rest.charAt(i) == '/') {
+          if (firstEnd < 0) firstEnd = i
+          nseg += 1
+        }
+        i += 1
+      }
+      val head = if (firstEnd < 0) rest else rest.substring(0, firstEnd)
+      val lemma =
+        try UTF8String.fromString(
+          java.net.URLDecoder.decode(head, java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: IllegalArgumentException => null }
+      InternalRow(nseg, lemma)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -173,4 +210,7 @@ object GraftExpressions {
 
   def shingles(text: Column, n: Int, dedup: Boolean): Column =
     bridge.column(Shingles(bridge.expression(text), n, dedup))
+
+  def uri_lemma(uri: Column): Column =
+    bridge.column(UriLemma(bridge.expression(uri)))
 }

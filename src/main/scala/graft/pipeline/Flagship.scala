@@ -61,10 +61,12 @@ object Flagship {
       .where(Clf.prefilter(col("line")))
       .transform(Clf.parse(_))
       .where(ok(col("status")))
-      .withColumn("segs", pathSegments(col("uri")))
-      .withColumn("lemma", lemmaOf(col("segs")))
+      // F5 via the native one-pass UriLemma expression (split before
+      // decode, like the declarative pathSegments form it replaces)
+      .withColumn("_u", graft.functions.GraftExpressions.uri_lemma(col("uri")))
+      .withColumn("lemma", col("_u.lemma"))
       .where(validLemma(col("lemma")))
-      .where(mainDictOnly(col("segs")))
+      .where(col("_u.nseg") === 1 && !col("lemma").isin(SubDictionaries: _*))
       .where(!isBot(col("user_agent")))
       .where(fitsDb(col("lemma")))
       .where(col("ts").isNotNull) // F10: malformed rows drop, never fail

@@ -63,6 +63,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(declarative.exceptAll(native).count() == 0)
   }
 
+  test("UriLemma equals the declarative split+url_decode form") {
+    import graft.filters.LogFilters
+    val uris = Seq("/wb/obskur", "/wb/Bl%C3%A4tter", "/wb/a%2Fb", "/wb/",
+      "/wb/a/b", "/wb/dwb/x", "/wb/x/", "/wb/%5Bbad").toDF("uri")
+    val declarative = uris.select(
+      size(LogFilters.pathSegments(col("uri"))).as("nseg"),
+      LogFilters.lemmaOf(LogFilters.pathSegments(col("uri"))).as("lemma"))
+    val native = uris.select(uri_lemma(col("uri")).as("u"))
+      .select(col("u.nseg").as("nseg"), col("u.lemma").as("lemma"))
+    assert(native.exceptAll(declarative).count() == 0)
+    assert(declarative.exceptAll(native).count() == 0)
+  }
+
+  test("UriLemma drops (nulls) undecodable lemmata instead of failing (F10)") {
+    val out = Seq("/wb/bad%GG").toDF("uri")
+      .select(uri_lemma(col("uri")).as("u")).select("u.lemma")
+      .collect()
+    assert(out(0).isNullAt(0))
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     import spark.implicits._
     val approx = SparkEntry.queries("q_approx_count_distinct")(spark, Sf)
