@@ -19,6 +19,11 @@ object Smoke {
     df.show(5, truncate = false)
     println("QUERIES=" + SparkEntry.queries.size +
       " ORACLES=" + SparkEntry.oracleSql.size)
+    val lines = graft.pipeline.Flagship.synthLog(
+      Tables(spark, "/root/testdata/sf0.001", "events"))
+    println("KEPT=" + graft.pipeline.Flagship.logToRequests(lines).count() +
+      " REJECTED=" + graft.pipeline.Flagship.rejectedLines(lines).count() +
+      " TOTAL=" + lines.count())
     spark.stop()
   }
 }

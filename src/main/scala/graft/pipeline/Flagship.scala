@@ -73,6 +73,28 @@ object Flagship {
       .select(col("ts"), col("lemma"))
   }
 
+  /** F10 side output — the lines the cascade REJECTED (parse failures
+    * and filtered rows), for a quarantine sink. The reference logs
+    * these at debug and drops them (`access_log.clj:92-93`); at scale
+    * you want them queryable. The keep-predicate is one boolean
+    * expression over the raw line (null-safe: unparseable ⇒ rejected),
+    * so this is a single scan with no join. */
+  def rejectedLines(lines: DataFrame): DataFrame = {
+    import LogFilters._
+    import graft.functions.GraftExpressions.{clf_parse, uri_lemma}
+    val p = clf_parse(col("line"))
+    val u = uri_lemma(p.getField("uri"))
+    val lemma = u.getField("lemma")
+    val keep = Clf.prefilter(col("line")) &&
+      ok(p.getField("status")) &&
+      to_timestamp(p.getField("ts_raw"), Clf.TsFormat).isNotNull &&
+      validLemma(lemma) &&
+      u.getField("nseg") === 1 && !lemma.isin(SubDictionaries: _*) &&
+      !isBot(p.getField("user_agent")) &&
+      fitsDb(lemma)
+    lines.where(!coalesce(keep, lit(false)))
+  }
+
   /** The lemma dimension, pre-aggregated build-side (A1 analog) —
     * kept small by construction, always broadcastable. */
   def dimension(events: DataFrame): DataFrame =

@@ -30,6 +30,15 @@ class FlagshipSpec extends AnyFunSuite {
     assert(en.where(col("freq").isNull).count() == 0)
   }
 
+  test("rejected side output partitions the input: kept + rejected = total") {
+    val lines = Flagship.synthLog(Tables(spark, Sf, "events"))
+    val total = lines.count()
+    val kept = Flagship.logToRequests(lines).count()
+    val rejected = Flagship.rejectedLines(lines).count()
+    assert(kept + rejected == total)
+    assert(rejected > 0)
+  }
+
   test("flagship plan broadcasts the dimension and keeps the fact side shuffle-free pre-sort") {
     val plan = result.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
