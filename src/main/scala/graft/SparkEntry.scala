@@ -18,6 +18,7 @@ object SparkEntry {
   def all: Seq[Q] =
     Seq(Q("q_flagship", Flagship.oracle)((s, d) => Flagship(s, d))) ++
       RelationalQueries.all ++
+      ExtendedQueries.all ++
       TimeQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++

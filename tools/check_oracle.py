@@ -22,8 +22,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    if v is None:
+        return None
     if isinstance(v, float) and math.isnan(v):
         return None
+    try:
+        import pandas as pd
+        if not isinstance(v, (list, tuple)) and pd.isna(v):
+            return None  # NaT and friends
+    except (TypeError, ValueError):
+        pass
     return v
 
 
