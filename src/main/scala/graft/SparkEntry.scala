@@ -19,6 +19,7 @@ object SparkEntry {
     Seq(Q("q_flagship", Flagship.oracle)((s, d) => Flagship(s, d))) ++
       RelationalQueries.all ++
       ExtendedQueries.all ++
+      TpchQueries.all ++
       TimeQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.Q.t
+
+/** Canonical TPC-H-shaped analytics over the star schema — the
+  * workload class a 100 TB deployment actually runs. All monetary
+  * aggregates go through DECIMAL(18,4) (exact, partition-order-free);
+  * dates are parameterized against the synthetic data's range.
+  *
+  * Plan shapes to note at scale: Q3/Q5 join fact→dims with the small
+  * dims broadcast, so the only fact shuffle is the final group-by;
+  * Q6 is a pure scan-filter-aggregate (one stage + one exchange for
+  * the singleton result); Q1 is scan + hash-agg.
+  */
+object TpchQueries {
+
+  private val dec = DecimalType(18, 4)
+
+  // Exact decimal arithmetic for Q1: the raw columns are true
+  // 2-decimal values (double→decimal cast is unambiguous), and all
+  // arithmetic stays in decimal, so no engine ever rounds a
+  // many-digit double. The output keeps scale 6 — casting the
+  // 6-decimal charge down to 4 would hit tie values where Spark
+  // rounds HALF_UP but DuckDB rounds half-even.
+  private val q1 = Q("q_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,6)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,6)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |       AS DECIMAL(30,6)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+      |       AS DECIMAL(30,6)) AS sum_charge,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val out = DecimalType(30, 6)
+    val price = col("l_extendedprice").cast(DecimalType(12, 2))
+    val one = lit(1).cast(DecimalType(3, 2))
+    val disc1 = one - col("l_discount").cast(DecimalType(4, 2))
+    val tax1 = one + col("l_tax").cast(DecimalType(4, 2))
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(12, 2))).cast(out).as("sum_qty"),
+        sum(price).cast(out).as("sum_base_price"),
+        sum(price * disc1).cast(out).as("sum_disc_price"),
+        sum(price * disc1 * tax1).cast(out).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q3 = Q("q_tpch_q3",
+    """SELECT l.l_orderkey,
+      |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |       AS DECIMAL(18,4)) AS revenue,
+      |  o.o_orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast(dec).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q5 = Q("q_tpch_q5",
+    """SELECT n.n_name,
+      |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |       AS DECIMAL(18,4)) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin) { (s, d) =>
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").where(col("r_name") === "ASIA")
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast(dec).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q6 = Q("q_tpch_q6",
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+      |       AS DECIMAL(18,4)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast(dec))
+        .cast(dec).as("revenue"))
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6)
+}

@@ -74,11 +74,9 @@ def main(sf_dir, out_dir):
                 w, g = norm(w), norm(g)
                 if w is None and g is None:
                     continue
+                # exact compare, including floats — the driver hashes
+                # values, so any bit drift is a real failure
                 eq = (w == g)
-                if not eq and isinstance(w, float) and isinstance(g, float):
-                    eq = abs(w - g) <= 1e-9 * max(1.0, abs(w))
-                    if eq:
-                        print(f"WARN {name}: {c}[{i}] float drift {w!r} vs {g!r}")
                 if not eq:
                     bad = f"{c}[{i}]: want={w!r} got={g!r}"
                     break
