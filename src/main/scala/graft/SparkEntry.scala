@@ -20,6 +20,7 @@ object SparkEntry {
       RelationalQueries.all ++
       ExtendedQueries.all ++
       TpchQueries.all ++
+      SketchQueries.all ++
       TimeQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++

@@ -1,0 +1,68 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CountMin, PortableHash}
+import graft.queries.Q.t
+
+/** Sketch aggregates. `q_sketch_cms` builds a Count-Min sketch over
+  * all document tokens via the custom typed Aggregator
+  * (graft.functions.CountMin) and reports term-frequency estimates
+  * for a fixed probe list. The DuckDB oracle rebuilds the identical
+  * d×w counter matrix in SQL with the same portable hash family —
+  * additive counters make the sketch merge-order-independent, so the
+  * comparison is exact. */
+object SketchQueries {
+
+  private val ProbeWords = Seq("spark", "data", "the", "join", "vector", "zzz_absent")
+
+  /** Driver-side twin of PortableHash.md5Long ∘ (% P). */
+  private def digest(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % PortableHash.P
+  }
+
+  private val qCms = Q("q_sketch_cms", {
+    val rows = (0 until CountMin.D).map { i =>
+      val b = s"((${PortableHash.aCoef(i)} * h0 + ${PortableHash.bCoef(i)}) % ${PortableHash.P}) % ${CountMin.W}"
+      s"SELECT $i AS i, $b AS b, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 2"
+    }.mkString("\n  UNION ALL\n  ")
+    val probes = ProbeWords.sorted.map { w =>
+      val h0 = digest(w)
+      val ests = (0 until CountMin.D).map { i =>
+        s"coalesce((SELECT n FROM c WHERE i = $i AND b = ${CountMin.bucket(h0, i)}), CAST(0 AS BIGINT))"
+      }.mkString(",\n    ")
+      s"SELECT '$w' AS word, least(\n    $ests) AS est"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |h AS (SELECT (${PortableHash.md5LongSql("w")} % ${PortableHash.P}) AS h0 FROM tok),
+       |c AS (
+       |  $rows
+       |)
+       |$probes
+       |ORDER BY word""".stripMargin
+  }) { (s, d) =>
+    val toks = t(s, d, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .select((PortableHash.md5Long(col("w")) % PortableHash.P).as("h0"))
+    val cms = udaf(new CountMin.CmsAggregator)
+    val sk = toks.agg(cms(col("h0")).as("sk"))
+    val probes = ProbeWords.sorted.map { w =>
+      val h0 = digest(w)
+      val est = (0 until CountMin.D)
+        .map(i => element_at(col("sk"), i * CountMin.W + CountMin.bucket(h0, i) + 1))
+        .reduce(least(_, _))
+      struct(lit(w).as("word"), est.as("est"))
+    }
+    sk.select(explode(array(probes: _*)).as("p"))
+      .select(col("p.word").as("word"), col("p.est").as("est"))
+      .orderBy(col("word"))
+  }
+
+  val all: Seq[Q] = Seq(qCms)
+}
