@@ -21,10 +21,13 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
       // read as a timestamp. Read the raw int64 nanos and rebase to a
       // µs TimestampType — floor division, bit-identical to DuckDB's
-      // `ts::TIMESTAMP` truncation that every oracle uses.
+      // `ts::TIMESTAMP` truncation that every oracle uses. (Guarded on
+      // the actual type so µs-timestamp replicas load unchanged.)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
