@@ -43,6 +43,12 @@ object StreamingFlagship {
   def toJsonl(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
+  /** K1 analog — SSE framing (`http.clj:96-97`): `data: {json}\n\n`.
+    * The serving layer proper is out of engine scope; the frame
+    * column is what a push gateway flushes per event. */
+  def toSse(df: DataFrame): DataFrame =
+    toJsonl(df).select(concat(lit("data: "), col("value"), lit("\n\n")).as("frame"))
+
   /** A2 analog (plan-level) — the reference's Dropwizard meters
     * (`metrics.clj:6-18`) as zero-cost `observe` metrics: counts are
     * collected by the running query per micro-batch and surfaced via
