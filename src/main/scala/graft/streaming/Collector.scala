@@ -18,26 +18,37 @@ import org.apache.spark.sql.types._
   */
 object Collector {
 
-  /** Wire schema of an enriched event (SURVEY.md §1.2d) — declared,
-    * with absent keys surfacing as nulls. */
+  /** Wire schema of an enriched event — field names exactly as the
+    * reference serializes them (hyphenated keyword keys, observed
+    * live shape in SURVEY.md §1.2d: `lemma-type`, `form-type`,
+    * `article-type`). Absent keys surface as nulls. */
   val WireSchema: StructType = StructType(Seq(
     StructField("timestamp", StringType),
     StructField("lemma", StringType),
     StructField("hidx", IntegerType),
-    StructField("lemma_type", StringType),
-    StructField("form_type", StringType),
-    StructField("article_type", StringType),
+    StructField("lemma-type", StringType),
+    StructField("form-type", StringType),
+    StructField("article-type", StringType),
     StructField("source", StringType),
     StructField("date", StringType)))
 
-  /** JSONL line column → typed event columns (PERMISSIVE: malformed
-    * JSON yields a null struct and is dropped, F10). */
+  /** JSONL line column → typed event columns, renamed to the engine's
+    * underscore convention. PERMISSIVE semantics: malformed JSON
+    * yields a row of all-null fields, so the required-field checks on
+    * timestamp/lemma are what actually drop it (F10). */
   def decode(jsonl: DataFrame, lineCol: String = "value"): DataFrame =
     jsonl
       .select(from_json(col(lineCol), WireSchema).as("e"))
-      .where(col("e").isNotNull && col("e.timestamp").isNotNull &&
-        col("e.lemma").isNotNull)
-      .select(col("e.*"))
+      .where(col("e.timestamp").isNotNull && col("e.lemma").isNotNull)
+      .select(
+        col("e.timestamp").as("timestamp"),
+        col("e.lemma").as("lemma"),
+        col("e.hidx").as("hidx"),
+        col("e.`lemma-type`").as("lemma_type"),
+        col("e.`form-type`").as("form_type"),
+        col("e.`article-type`").as("article_type"),
+        col("e.source").as("source"),
+        col("e.date").as("date"))
 
   /** The `event->db` projection (`collector.clj:79-88`): ISO instant →
     * timestamp, `lemma#hidx` concat when a homograph index is present,
@@ -55,14 +66,7 @@ object Collector {
       .where(col("ts").isNotNull && length(col("lemma")) < 128)
   }
 
-  /** K3 — the append sink; for JDBC swap the body for
-    * `batch.write.option("batchsize", 128).jdbc(url, table, props)`. */
+  /** K3 — the epoch-idempotent append sink (shared, see Sinks). */
   def start(decoded: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
-    toDbRows(decoded).writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.write.mode("append").parquet(outDir): Unit
-      }
-      .start()
+    Sinks.appendParquet(toDbRows(decoded), outDir, checkpoint)
 }

@@ -79,18 +79,9 @@ object StreamingFlagship {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("lemma", "ts")
 
-  /** K3 analog — micro-batched append sink with epoch-id idempotence
-    * (the reference's 128-row tx batching + retry maps to Spark's
-    * exactly-once foreachBatch + task retries). For JDBC targets the
-    * body becomes `batch.write.option("batchsize", 128).jdbc(...)`. */
+  /** K3 analog — epoch-idempotent micro-batched append (see Sinks). */
   def startParquetSink(enriched: DataFrame, outDir: String,
       checkpoint: String): StreamingQuery =
-    enriched.writeStream
-      .outputMode("append")
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        batch.write.mode("append").parquet(outDir): Unit
-      }
-      .start()
+    Sinks.appendParquet(enriched, outDir, checkpoint,
+      Some(Trigger.ProcessingTime("1 second")))
 }
