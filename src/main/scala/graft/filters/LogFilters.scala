@@ -17,12 +17,20 @@ object LogFilters {
     * `"200"` (`access_log.clj:83`); we keep that semantic. */
   def ok(status: Column): Column = status === "200"
 
-  /** F5 — strip the `/wb/` prefix, split the remaining path on `/`,
-    * percent-decode each segment. Decode happens AFTER the split —
-    * same order as the reference (`access_log.clj:84-86`) — so an
-    * encoded `%2F` inside a lemma cannot create path segments. */
-  def pathSegments(uri: Column): Column =
-    transform(split(substring(uri, 5, Int.MaxValue), "/"), s => url_decode(s))
+  /** F5 — take the URI *path* (query/fragment stripped, as the
+    * reference's URI parse does), strip the `/wb/` prefix, split on
+    * `/` dropping trailing empty segments (clojure str/split
+    * semantics), percent-decode each segment. Decode happens AFTER
+    * the split — same order as the reference (`access_log.clj:84-86`)
+    * — so an encoded `%2F` cannot create path segments; '+' is
+    * protected (the reference decodes %XX only, not form encoding);
+    * malformed escapes null out (F10) via try_url_decode. */
+  def pathSegments(uri: Column): Column = {
+    val path = regexp_replace(uri, "[?#].*", "")
+    val rest = regexp_replace(substring(path, 5, Int.MaxValue), "/+$", "")
+    transform(split(rest, "/"),
+      s => try_url_decode(regexp_replace(s, "\\+", "%2B")))
+  }
 
   /** Head of the decoded path = candidate lemma. */
   def lemmaOf(segments: Column): Column = element_at(segments, 1)

@@ -77,6 +77,11 @@ object GraftExpressions {
   case class ClfParse(child: Expression)
       extends UnaryExpression with CodegenFallback {
 
+    // Returns null for grammar-rejected lines even when the input
+    // column is non-nullable — without this override the optimizer
+    // constant-folds isNull checks away and garbage rows survive.
+    override def nullable: Boolean = true
+
     override val dataType: DataType = StructType(
       Seq("ip", "ts_raw", "method", "uri", "status", "size_raw", "referrer",
         "user_agent").map(StructField(_, StringType, nullable = true)))
@@ -177,7 +182,20 @@ object GraftExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val uri = v.toString
-      val rest = if (uri.length >= 4) uri.substring(4) else ""
+      // the reference parses the URI and takes only its :path
+      // (access_log.clj:84) — query string and fragment never reach
+      // the lemma
+      val qMark = {
+        val q = uri.indexOf('?'); val h = uri.indexOf('#')
+        if (q < 0) h else if (h < 0) q else math.min(q, h)
+      }
+      val pathOnly = if (qMark < 0) uri else uri.substring(0, qMark)
+      var rest = if (pathOnly.length >= 4) pathOnly.substring(4) else ""
+      // clojure's str/split drops trailing empty segments — a
+      // trailing '/' must not count as an extra path segment
+      var end = rest.length
+      while (end > 0 && rest.charAt(end - 1) == '/') end -= 1
+      rest = rest.substring(0, end)
       var nseg = 1
       var i = 0
       var firstEnd = -1
@@ -190,8 +208,10 @@ object GraftExpressions {
       }
       val head = if (firstEnd < 0) rest else rest.substring(0, firstEnd)
       val lemma =
-        try UTF8String.fromString(
-          java.net.URLDecoder.decode(head, java.nio.charset.StandardCharsets.UTF_8))
+        // percent-decode ONLY (%XX): the reference's decode leaves '+'
+        // intact, unlike URLDecoder's form-encoding rules
+        try UTF8String.fromString(java.net.URLDecoder.decode(
+          head.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8))
         catch { case _: IllegalArgumentException => null }
       InternalRow(nseg, lemma)
     }

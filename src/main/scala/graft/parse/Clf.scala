@@ -49,11 +49,14 @@ object Clf {
     df.select(graft.functions.GraftExpressions.clf_parse(col(lineCol)).as("_p"))
       .select(
         col("_p.ip").as("ip"),
-        to_timestamp(col("_p.ts_raw"), TsFormat).as("ts"),
+        // try_* variants: under Spark 4's default ANSI mode the plain
+        // forms THROW on a malformed timestamp or a '-' size, killing
+        // the job — F10 demands such rows null out and drop instead.
+        try_to_timestamp(col("_p.ts_raw"), lit(TsFormat)).as("ts"),
         col("_p.method").as("method"),
         col("_p.uri").as("uri"),
         col("_p.status").as("status"),
-        col("_p.size_raw").cast("long").as("size"),
+        expr("try_cast(_p.size_raw AS BIGINT)").as("size"),
         col("_p.referrer").as("referrer"),
         col("_p.user_agent").as("user_agent"))
 }

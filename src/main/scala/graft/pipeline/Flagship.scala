@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.parse.Clf
 import graft.filters.LogFilters
-import graft.dim.Dimension
 
 /** The flagship query — the reference's whole batch pipeline
   * (`server.clj:37-48` `log->edn`): scan → filter cascade → project →
@@ -154,8 +153,8 @@ decoded AS (
   SELECT
     strptime(ts_raw, '%d/%b/%Y:%H:%M:%S %z')::TIMESTAMP AS ts,
     status, user_agent,
-    len(string_split(substr(uri, 5), '/')) AS nseg,
-    replace(replace(string_split(substr(uri, 5), '/')[1],
+    len(string_split(rtrim(regexp_replace(substr(uri, 5), '[?#].*', ''), '/'), '/')) AS nseg,
+    replace(replace(string_split(rtrim(regexp_replace(substr(uri, 5), '[?#].*', ''), '/'), '/')[1],
                     '%C3%A4', 'ä'), '%5B', '[') AS lemma
   FROM parsed),
 wpr AS (

@@ -67,13 +67,19 @@ object RelationalQueries {
   }
 
   private val qSplitDecode = Q("q_split_decode",
+    // Spark decodes a %-escaped string built from a sanitized token
+    // (sanitizing keeps the decode total even if future data carries
+    // '%'/'+' in tokens); the oracle mirrors with literal replaces
+    // since DuckDB 1.0 has no url_decode.
     """SELECT doc_id, string_split(text, ' ')[1] AS head,
-      |  'w ' || string_split(text, ' ')[1] AS decoded
+      |  'w ' || regexp_replace(string_split(text, ' ')[1], '[^a-zA-Z0-9]', '', 'g')
+      |       || 'ä' AS decoded
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val head = element_at(split(col("text"), " "), 1)
+    val safe = regexp_replace(head, "[^a-zA-Z0-9]", "")
     t(s, d, "documents")
       .select(col("doc_id"), head.as("head"),
-        url_decode(concat(lit("w%20"), head)).as("decoded"))
+        url_decode(concat(lit("w%20"), safe, lit("%C3%A4"))).as("decoded"))
       .orderBy(col("doc_id"))
   }
 
@@ -360,22 +366,30 @@ object RelationalQueries {
 
   private val qArgminGroup = Q("q_argmin_group",
     // l_linenumber is NOT unique within an order in the testdata, so
-    // the argmin order is made total by folding the payload key into
-    // it (same determinism fix as the homograph dedup, SURVEY.md §7.5).
-    """SELECT l_orderkey,
-      |  min_by(l_partkey, l_linenumber::BIGINT * 100000000 + l_partkey)
-      |    AS first_part,
-      |  max_by(l_partkey, l_linenumber::BIGINT * 100000000 + l_partkey)
-      |    AS last_part,
-      |  CAST(count(*) AS BIGINT) AS n
-      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
-    val ord = col("l_linenumber").cast("long") * 100000000L + col("l_partkey")
+    // the argmin is made total in two exact stages: min/max partkey
+    // per (order, linenumber), then argmin/argmax over the now-unique
+    // linenumber. True lexicographic (linenumber, partkey) order —
+    // no arithmetic key folding, which would overflow its digit
+    // budget once partkeys reach 1e8 at large scale factors.
+    """WITH m AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+      |SELECT l_orderkey,
+      |  min_by(pmin, l_linenumber) AS first_part,
+      |  max_by(pmax, l_linenumber) AS last_part,
+      |  CAST(sum(c) AS BIGINT) AS n
+      |FROM m GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
     t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+        count(lit(1)).as("c"))
       .groupBy(col("l_orderkey"))
       .agg(
-        min_by(col("l_partkey"), ord).as("first_part"),
-        max_by(col("l_partkey"), ord).as("last_part"),
-        count(lit(1)).as("n"))
+        min_by(col("pmin"), col("l_linenumber")).as("first_part"),
+        max_by(col("pmax"), col("l_linenumber")).as("last_part"),
+        sum(col("c")).cast("long").as("n"))
       .orderBy(col("l_orderkey"))
   }
 

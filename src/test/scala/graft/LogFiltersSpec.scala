@@ -21,6 +21,13 @@ class LogFiltersSpec extends AnyFunSuite {
     assert(lemmas("/wb/Bl%C3%A4tter") == Seq("Blätter"))
     // an encoded slash must NOT create a path segment
     assert(lemmas("/wb/a%2Fb") == Seq("a/b"))
+    // query string and fragment never reach the lemma (reference
+    // takes the parsed URI's :path)
+    assert(lemmas("/wb/Haus?edited=1", "/wb/Baum#top") == Seq("Haus", "Baum"))
+    // trailing slash is not an extra segment (clojure split semantics)
+    assert(lemmas("/wb/Haus/") == Seq("Haus"))
+    // '+' is a literal, not form-encoded space
+    assert(lemmas("/wb/C%2B%2B", "/wb/a+b") == Seq("C++", "a+b"))
   }
 
   test("sub-dictionary pages and deep paths are dropped (F7)") {
