@@ -170,6 +170,69 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The full production dedup pipeline in one query — the shape that
+    * runs at 100 TB: (1) MinHash-LSH candidate generation (linear
+    * equi-join on band hashes — never all-pairs), (2) exact Jaccard
+    * verification computed ONLY on candidate pairs, (3) keep/drop
+    * resolution (drop the higher id, keep its smallest verified
+    * partner; the standard single-pass approximation of connected
+    * components). */
+  private val qDedupPipeline = Q("q_dedup_pipeline",
+    s"""WITH $shingleCtes,
+       |$minhashSigSql,
+       |bx AS (
+       |${(0 until B).map(j =>
+          s"  SELECT doc_id, $j AS band, ${bandHashSql(j)} AS bh FROM sig")
+          .mkString("\n  UNION ALL\n")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+       |  FROM bx a JOIN bx b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.ai, c.bi, count(*) AS cc
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.ai
+       |  JOIN sh s2 ON s2.doc_id = c.bi AND s2.sh = s1.sh
+       |  GROUP BY c.ai, c.bi),
+       |verified AS (
+       |  SELECT ai, bi, cc / (x.n + y.n - cc) AS jac
+       |  FROM common JOIN cnt x ON ai = x.doc_id JOIN cnt y ON bi = y.doc_id
+       |  WHERE cc / (x.n + y.n - cc) >= 0.5)
+       |SELECT bi AS drop_id, CAST(min(ai) AS BIGINT) AS keep_id,
+       |  round(max(jac), 4) AS jac
+       |FROM verified GROUP BY bi ORDER BY drop_id""".stripMargin) { (s, d) =>
+    val sig = minhashSignature(s, d)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until B).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .localCheckpoint()
+    val cand = bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
+        col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("ai") < col("bi"))
+      .select(col("ai"), col("bi")).distinct()
+    val sh = shingleRows(t(s, d, "documents"))
+      .select(col("doc_id"), col("sh")).localCheckpoint()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("ai"), col("sh").as("sha")), "ai")
+      .join(sh.select(col("doc_id").as("bi2"), col("sh").as("shb")),
+        col("bi") === col("bi2") && col("sha") === col("shb"))
+      .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("cc"))
+    val jac = col("cc") / (col("na") + col("nb") - col("cc"))
+    common
+      .join(broadcast(cnt.select(col("doc_id").as("ai"), col("n").as("na"))), "ai")
+      .join(broadcast(cnt.select(col("doc_id").as("bi"), col("n").as("nb"))), "bi")
+      .where(jac >= 0.5)
+      .groupBy(col("bi").as("drop_id"))
+      .agg(min(col("ai")).cast("long").as("keep_id"), round(max(jac), 4).as("jac"))
+      .orderBy(col("drop_id"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Distinct unigram tokens per doc with their portable digest. */
@@ -231,5 +294,6 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qSimhash, qSimhashPairs)
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline,
+    qSimhash, qSimhashPairs)
 }

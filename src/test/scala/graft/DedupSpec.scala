@@ -26,6 +26,27 @@ class DedupSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- cand).size} of ${exact.size} true pairs")
   }
 
+  test("dedup pipeline verdicts: keep < drop, verified similarity, keepers never dropped") {
+    import spark.implicits._
+    val verdicts = run("q_dedup_pipeline")
+      .as[(Long, Long, Double)].collect()
+    assert(verdicts.nonEmpty)
+    val dropped = verdicts.map(_._1).toSet
+    verdicts.foreach { case (drop, keep, jac) =>
+      assert(keep < drop)
+      assert(jac >= 0.5)
+    }
+    // a keeper may not itself be dropped unless it was dropped in favor
+    // of an even smaller id — the chain must terminate at an undropped id
+    val keepOf = verdicts.map(v => v._1 -> v._2).toMap
+    verdicts.foreach { case (_, keep, _) =>
+      var k = keep
+      var hops = 0
+      while (dropped.contains(k) && hops < 100) { k = keepOf(k); hops += 1 }
+      assert(hops < 100, "keep chain did not terminate")
+    }
+  }
+
   test("simhash: planted near-duplicates sit within small Hamming distance") {
     import spark.implicits._
     val exact = run("q_dedup_ngram")
