@@ -3,12 +3,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: dump formatted physical plans for plan-shape audits. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions","8")
-      .config("spark.sql.adaptive.enabled","true")
-      .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local("8", "ERROR")
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     args.headOption match {
       case Some(names) => names.split(",").foreach { n =>

@@ -12,15 +12,8 @@ import graft.pipeline.Flagship
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "8m") // keep 32 cores busy on small files
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local(logLevel = "ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m") // keep cores busy on small files
     args.foreach { dir =>
       val ev = Tables(spark, dir, "events")
       val n = ev.count()

@@ -67,7 +67,9 @@ object MediaPipeline {
 
   /** Deterministic frame-sample analog: pick every k-th byte-block
     * offset — the plumbing shape of video frame sampling. */
-  def frameOffsets(nBytes: Int, frameSize: Int, everyK: Int): Seq[Int] =
-    (0 until nBytes / math.max(frameSize, 1) by math.max(everyK, 1))
-      .map(_ * frameSize)
+  def frameOffsets(nBytes: Int, frameSize: Int, everyK: Int): Seq[Int] = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    require(everyK > 0, s"everyK must be positive, got $everyK")
+    (0 until nBytes / frameSize by everyK).map(_ * frameSize)
+  }
 }

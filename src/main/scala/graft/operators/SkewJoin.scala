@@ -23,6 +23,11 @@ object SkewJoin {
   def salted(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit `salt` null-padded rows per
+    // unmatched dim key (the dim side is replicated per bucket)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"salted join supports fact-preserving join types only, got $joinType")
     val f = fact.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
     val d = dim.withColumn("_salt", explode(array((0 until salt).map(lit(_)): _*)))
     f.join(d, Seq(key, "_salt"), joinType).drop("_salt")

@@ -57,12 +57,15 @@ object Collector {
     val lemmaKey = when(col("hidx").isNotNull,
       concat(col("lemma"), lit("#"), col("hidx").cast("string")))
       .otherwise(col("lemma"))
+    // try_* forms: under ANSI mode plain casts THROW on a malformed
+    // wire value, taking down the stream — F10 demands drop-not-fail
+    // (same hazard class as Clf.parse).
     events.select(
-      col("timestamp").cast(TimestampType).as("ts"),
+      try_to_timestamp(col("timestamp")).as("ts"),
       lemmaKey.as("lemma"),
       col("article_type"),
       col("source").as("article_source"),
-      to_date(col("date")).as("article_date"))
+      expr("try_cast(date AS DATE)").as("article_date"))
       .where(col("ts").isNotNull && length(col("lemma")) < 128)
   }
 

@@ -30,19 +30,26 @@ object RateSampler {
   case class Keyed(key: String, ts: Timestamp, lemma: String)
   case class LastEmit(var micros: Long)
 
-  /** Latest-event-wins sampling per event-time bucket. */
+  /** Latest-event-wins sampling per event-time bucket. Bucket width is
+    * ceil(60s/epm) so at most epm events survive any 60 s span; the
+    * winner is picked by a TOTAL order (ts, then the full row) — a
+    * bare max_by over ts would be partition-order-dependent on ties
+    * (the nondeterminism class SURVEY §7.5 bans). */
   def lastPerBucket(requests: DataFrame, epm: Int): DataFrame = {
-    val bucketMillis = math.max(60000 / epm, 1)
+    require(epm > 0, s"epm must be positive, got $epm")
+    val bucketMillis = (60000L + epm - 1) / epm
+    val payload = struct(requests.columns.map(col): _*)
     requests
       .groupBy(window(col("ts"), s"$bucketMillis milliseconds"))
-      .agg(max_by(struct(requests.columns.map(col): _*), col("ts")).as("_e"))
+      .agg(max_by(payload, struct(col("ts"), payload)).as("_e"))
       .select(requests.columns.map(c => col("_e." + c)): _*)
   }
 
   /** Stateful drop-not-queue throttle, keyed by subscriber. */
   def throttle(spark: SparkSession, events: Dataset[Keyed], epm: Int): Dataset[Keyed] = {
+    require(epm > 0, s"epm must be positive, got $epm")
     import spark.implicits._
-    val intervalMicros = 60000000L / epm
+    val intervalMicros = (60000000L + epm - 1) / epm
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
