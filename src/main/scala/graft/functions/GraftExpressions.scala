@@ -220,6 +220,40 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode NFC normalization — the canonical-form step of a text
+    * cleaning pipeline (DuckDB twin: `nfc_normalize`). */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        v.toString, java.text.Normalizer.Form.NFC))
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Accent stripping via NFD + combining-mark removal (DuckDB twin:
+    * `strip_accents`). */
+  case class StripAccents(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val nfd = java.text.Normalizer.normalize(
+        v.toString, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(nfd.length)
+      var i = 0
+      while (i < nfd.length) {
+        val c = nfd.charAt(i)
+        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c): Unit
+        i += 1
+      }
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        sb.toString, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -233,4 +267,10 @@ object GraftExpressions {
 
   def uri_lemma(uri: Column): Column =
     bridge.column(UriLemma(bridge.expression(uri)))
+
+  def nfc_normalize(s: Column): Column =
+    bridge.column(NfcNormalize(bridge.expression(s)))
+
+  def strip_accents(s: Column): Column =
+    bridge.column(StripAccents(bridge.expression(s)))
 }

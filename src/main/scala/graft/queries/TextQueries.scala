@@ -96,5 +96,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint)
+  /** Unicode cleaning: NFC canonicalization + accent stripping over a
+    * text sample with genuine combining characters (the corpus is
+    * ASCII, so an accented suffix is appended to exercise the
+    * semantics on every row). */
+  private val qNormalize = Q("q_text_normalize",
+    """SELECT doc_id,
+      |  nfc_normalize(substr(text, 1, 20) || ' Ba' || chr(776) || 'ume') AS norm,
+      |  strip_accents(substr(text, 1, 20) || ' Bäume café') AS plain
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.GraftExpressions.{nfc_normalize, strip_accents}
+    t(s, d, "documents").select(
+      col("doc_id"),
+      nfc_normalize(concat(substring(col("text"), 1, 20),
+        lit(" Bäume"))).as("norm"),
+      strip_accents(concat(substring(col("text"), 1, 20),
+        lit(" Bäume café"))).as("plain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize)
 }

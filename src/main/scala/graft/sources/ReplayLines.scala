@@ -70,18 +70,35 @@ private[sources] case class LineOffset(line: Long) extends Offset {
   override def json(): String = line.toString
 }
 
-private[sources] case class LineRange(path: String, start: Long, end: Long)
-  extends InputPartition
+private[sources] case class LineRange(path: String, start: Long, end: Long,
+    byteStart: Long) extends InputPartition
 
 private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private lazy val total: Long = {
-    var n = 0L
-    val reader = Files.newBufferedReader(Paths.get(path), StandardCharsets.UTF_8)
-    try { while (reader.readLine() != null) n += 1 } finally reader.close()
-    n
+  /** Byte offset of each line start (one O(n) scan at stream start) —
+    * partition readers seek directly instead of re-reading the file
+    * from line 0 every batch, which would make a full replay
+    * O(n²/linesPerTrigger). */
+  private lazy val lineStarts: Array[Long] = {
+    val starts = scala.collection.mutable.ArrayBuffer(0L)
+    val in = new java.io.BufferedInputStream(
+      Files.newInputStream(Paths.get(path)), 1 << 16)
+    try {
+      var pos = 0L
+      var b = in.read()
+      while (b >= 0) {
+        pos += 1
+        if (b == '\n') starts += pos
+        b = in.read()
+      }
+      // drop the phantom start after a trailing newline
+      if (starts.last == pos && pos > 0) starts.dropRightInPlace(1)
+    } finally in.close()
+    starts.toArray
   }
+
+  private lazy val total: Long = lineStarts.length.toLong
 
   override def initialOffset(): Offset = LineOffset(0L)
   override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
@@ -108,20 +125,23 @@ private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int
     val s = start.asInstanceOf[LineOffset].line
     val e = end.asInstanceOf[LineOffset].line
     if (e <= s) Array.empty
-    else Array(LineRange(path, s, e)) // one partition per admitted slice
+    // one partition per admitted slice, carrying its byte position so
+    // the reader seeks instead of scanning from the top of the file
+    else Array(LineRange(path, s, e, lineStarts(s.toInt)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {
-      val LineRange(p, s, e) = partition.asInstanceOf[LineRange]
+      val LineRange(p, s, e, byteStart) = partition.asInstanceOf[LineRange]
       new PartitionReader[InternalRow] {
-        private val reader =
-          Files.newBufferedReader(Paths.get(p), StandardCharsets.UTF_8)
-        private var pos = 0L
+        private val channel = java.nio.channels.FileChannel
+          .open(Paths.get(p), java.nio.file.StandardOpenOption.READ)
+        channel.position(byteStart): Unit
+        private val reader = new java.io.BufferedReader(
+          java.nio.channels.Channels.newReader(channel, StandardCharsets.UTF_8),
+          1 << 16)
+        private var pos = s
         private var current: String = _
-        // skip to the slice start (fixture replay — files are small;
-        // a production cursor source would seek natively)
-        while (pos < s && reader.readLine() != null) pos += 1
         override def next(): Boolean = {
           if (pos >= e) false
           else {

@@ -73,6 +73,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("observe() meters surface per-batch counts without touching the data plane (A2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = StreamingFlagship
+      .metered(mem.toDF.toDF("ts", "lemma"))
+      .writeStream.format("memory").queryName("metered_out")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((t0, "a"), (t0, "b"), (t0, "a"))
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("wb_page_requests"))).last
+      assert(m.getAs[Long]("events") == 3L)
+      assert(m.getAs[Long]("distinct_lemmata") == 2L)
+      // the meter added no columns and dropped no rows
+      assert(spark.table("metered_out").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
