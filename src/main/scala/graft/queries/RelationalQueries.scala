@@ -448,6 +448,47 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Median — the one portable quantile: both engines average the two
+    * middle values at p=0.5 (higher quantiles interpolate differently
+    * between Spark's percentile and DuckDB's quantile_cont, verified
+    * 7.4 vs 7.3 on the same input, so they are NOT oracle-pairable). */
+  private val qMedian = Q("q_median",
+    """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("med"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Moment statistics via exact decimal sums: built-in stddev_samp
+    * accumulates in streaming float (Welford) whose result depends on
+    * partition order; summing x and x² as DECIMAL is exact and
+    * order-free, then one identical double formula on both engines
+    * gives bit-equal variance/stddev. */
+  private val qStatsAgg = Q("q_stats_agg",
+    """WITH s AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS s2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(s1 / n, 4) AS mean,
+      |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS sd
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val agged = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("s1"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(24, 4)))
+          .cast("double").as("s2"))
+    agged.select(col("l_returnflag"), col("n"),
+      round(col("s1") / col("n"), 4).as("mean"),
+      round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4)
+        .as("sd"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------- windows
 
   private val wCust = Window.partitionBy(col("o_custkey"))
@@ -539,6 +580,7 @@ object RelationalQueries {
     qCondCoalesce, qToJson, qFromJson,
     qJoinLeft, qJoinBroadcast, qDimJoin, qJoinSemi, qJoinAnti, qJoinSalted,
     qAgg, qArgminGroup, qCount, qCountDistinct, qRollup, qCube, qApproxDistinct,
+    qMedian, qStatsAgg,
     qWindowRownum, qWindowLag, qWindowFrame,
     qSort, qTopk, qLimit, qUnion)
 }
