@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the stdout of `sbt "runMain graft.Bench"`
+// for the program's one-line JSON result; round 1 recorded
+// BENCH_r01.json → "parsed": null. Two sbt artifacts break that parse:
+// the "[info] " prefix the logger adds to forked-process output, and
+// the "[success] Total time" footer printed after the JSON line.
+// Forward run output raw and drop the footer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -52,15 +52,22 @@ object GraftExpressions {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // freshName for every local: two CosineSim calls in one
+        // codegen stage otherwise redeclare `i`/`n` and the whole
+        // stage falls back to interpreted mode.
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double dot = 0.0, na = 0.0, nb = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  double xv = $a.getDouble(i);
-           |  double yv = $b.getDouble(i);
-           |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = $a.getDouble($i);
+           |  double $yv = $b.getDouble($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
            |}
-           |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          """.stripMargin
       })
 

@@ -200,7 +200,7 @@ object RelationalQueries {
       |  CAST(month(o_orderdate) AS INT) AS m,
       |  CAST(day(o_orderdate) AS INT) AS dd,
       |  date_trunc('month', o_orderdate) AS mo,
-      |  o_orderdate::DATE AS dt,
+      |  o_orderdate::DATE::TIMESTAMP AS dt,
       |  o_orderdate + INTERVAL 30 DAY AS plus30,
       |  strftime(o_orderdate, '%Y-%m-%d') AS fmt
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -210,7 +210,10 @@ object RelationalQueries {
       month(col("o_orderdate")).as("m"),
       dayofmonth(col("o_orderdate")).as("dd"),
       date_trunc("month", col("o_orderdate")).as("mo"),
-      to_date(col("o_orderdate")).as("dt"),
+      // DATE::TIMESTAMP on both sides: a bare DATE renders as
+      // '1998-10-03' from Spark parquet but '1998-10-03 00:00:00' from
+      // DuckDB fetchdf — same value, different repr, hash risk.
+      to_date(col("o_orderdate")).cast("timestamp").as("dt"),
       (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
       date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"))
       .orderBy(col("o_orderkey"))
@@ -345,9 +348,9 @@ object RelationalQueries {
 
   private val qAgg = Q("q_agg",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-      |       AS DECIMAL(18,4)) AS revenue,
+      |       AS DOUBLE) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n,
       |  min(l_quantity) AS min_qty, max(l_tax) AS max_tax
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -355,9 +358,9 @@ object RelationalQueries {
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
-          .cast(dec).as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_tax")).as("max_tax"))
@@ -415,26 +418,26 @@ object RelationalQueries {
 
   private val qRollup = Q("q_rollup",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
   private val qCube = Q("q_cube",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       |  CAST(count(*) AS BIGINT) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
     t(s, d, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
@@ -523,12 +526,12 @@ object RelationalQueries {
     """SELECT o_orderkey,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS run
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run
       |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
     t(s, d, "orders")
       .select(col("o_orderkey"),
         sum(col("o_totalprice").cast(dec))
-          .over(wCust.rowsBetween(-2, 0)).cast(dec).as("run"))
+          .over(wCust.rowsBetween(-2, 0)).cast("double").as("run"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -27,12 +27,12 @@ object TimeQueries {
   private val qTumbling = Q("q_window_tumbling",
     """SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) AS ws,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sv
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(dec)).cast(dec).as("sv"))
+        sum(col("value").cast(dec)).cast("double").as("sv"))
       .select(col("window.start").as("ws"), col("n"), col("sv"))
       .orderBy(col("ws"))
   }
