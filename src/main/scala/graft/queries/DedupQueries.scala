@@ -170,15 +170,11 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** The full production dedup pipeline in one query — the shape that
-    * runs at 100 TB: (1) MinHash-LSH candidate generation (linear
-    * equi-join on band hashes — never all-pairs), (2) exact Jaccard
-    * verification computed ONLY on candidate pairs, (3) keep/drop
-    * resolution (drop the higher id, keep its smallest verified
-    * partner; the standard single-pass approximation of connected
-    * components). */
-  private val qDedupPipeline = Q("q_dedup_pipeline",
-    s"""WITH $shingleCtes,
+  /** DuckDB CTE chain ending in `verified(ai, bi, jac)` — the
+    * LSH-candidate → exact-Jaccard-verified near-duplicate pair set
+    * shared by `q_dedup_pipeline` and `q_dedup_cc`. */
+  private def verifiedCtes: String =
+    s"""$shingleCtes,
        |$minhashSigSql,
        |bx AS (
        |${(0 until B).map(j =>
@@ -199,10 +195,10 @@ object DedupQueries {
        |verified AS (
        |  SELECT ai, bi, cc / (x.n + y.n - cc) AS jac
        |  FROM common JOIN cnt x ON ai = x.doc_id JOIN cnt y ON bi = y.doc_id
-       |  WHERE cc / (x.n + y.n - cc) >= 0.5)
-       |SELECT bi AS drop_id, CAST(min(ai) AS BIGINT) AS keep_id,
-       |  round(max(jac), 4) AS jac
-       |FROM verified GROUP BY bi ORDER BY drop_id""".stripMargin) { (s, d) =>
+       |  WHERE cc / (x.n + y.n - cc) >= 0.5)""".stripMargin
+
+  /** Spark twin of [[verifiedCtes]]: DataFrame of (ai, bi, jac). */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignature(s, d)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until B).map(j =>
@@ -228,9 +224,74 @@ object DedupQueries {
       .join(broadcast(cnt.select(col("doc_id").as("ai"), col("n").as("na"))), "ai")
       .join(broadcast(cnt.select(col("doc_id").as("bi"), col("n").as("nb"))), "bi")
       .where(jac >= 0.5)
+      .select(col("ai"), col("bi"), jac.as("jac"))
+  }
+
+  /** The full production dedup pipeline in one query — the shape that
+    * runs at 100 TB: (1) MinHash-LSH candidate generation (linear
+    * equi-join on band hashes — never all-pairs), (2) exact Jaccard
+    * verification computed ONLY on candidate pairs, (3) keep/drop
+    * resolution (drop the higher id, keep its smallest verified
+    * partner; the standard single-pass approximation of connected
+    * components — `q_dedup_cc` is the exact version). */
+  private val qDedupPipeline = Q("q_dedup_pipeline",
+    s"""WITH $verifiedCtes
+       |SELECT bi AS drop_id, CAST(min(ai) AS BIGINT) AS keep_id,
+       |  round(max(jac), 4) AS jac
+       |FROM verified GROUP BY bi ORDER BY drop_id""".stripMargin) { (s, d) =>
+    verifiedPairs(s, d)
       .groupBy(col("bi").as("drop_id"))
-      .agg(min(col("ai")).cast("long").as("keep_id"), round(max(jac), 4).as("jac"))
+      .agg(min(col("ai")).cast("long").as("keep_id"), round(max(col("jac")), 4).as("jac"))
       .orderBy(col("drop_id"))
+  }
+
+  /** Exact duplicate-cluster resolution: connected components over the
+    * verified near-duplicate pair graph, each document labelled with
+    * the smallest doc_id in its component (the canonical "keeper").
+    *
+    * Spark side: iterative min-label propagation — labels start as the
+    * node's own id and each round take the min over neighbours; the
+    * loop is a per-round shuffle join on the (tiny, pair-level) edge
+    * set, NOT over the corpus, and converges in ≤ graph-diameter
+    * rounds (near-dup clusters are shallow; `localCheckpoint` per
+    * round cuts the growing lineage). At 100 TB the edge set after
+    * verification is orders of magnitude smaller than the corpus, so
+    * the loop's shuffles are negligible next to the one-shot candidate
+    * generation. DuckDB twin: recursive transitive closure + min. */
+  private val qDedupCc = Q("q_dedup_cc",
+    s"""WITH RECURSIVE $verifiedCtes,
+       |e2 AS (SELECT ai AS s, bi AS t FROM verified
+       |       UNION ALL SELECT bi, ai FROM verified),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM e2
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s),
+       |lbl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |        FROM reach GROUP BY s)
+       |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+       |FROM lbl ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).localCheckpoint()
+    val bi = edges.select(col("ai").as("src"), col("bi").as("dst"))
+      .union(edges.select(col("bi").as("src"), col("ai").as("dst")))
+      .localCheckpoint()
+    var labels = bi.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = bi.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nxt"))
+      val stepped = next.select(col("id"), col("nxt").as("lbl"),
+        (col("nxt") =!= col("lbl")).cast("long").as("moved"))
+        .localCheckpoint()
+      changed = stepped.agg(coalesce(sum(col("moved")), lit(0L))).head().getLong(0)
+      labels = stepped.select(col("id"), col("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").cast("long").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -294,6 +355,6 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline,
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupCc,
     qSimhash, qSimhashPairs)
 }

@@ -17,10 +17,11 @@ import graft.queries.Q.t
   *    (the correctness baseline; O(|Q|·N), broadcast the query side);
   *  - `q_knn_lsh` — random-hyperplane LSH bucketing (the scale path:
   *    each vector hashes to a bucket; candidate generation is an
-  *    equi-join on the bucket key). Spark-only: the plane matrix is a
-  *    deterministic literal, but the semantics aren't portably
-  *    SQL-expressible, so correctness is spec-checked against
-  *    `q_knn_brute` recall instead.
+  *    equi-join on the bucket key); the plane matrix is a
+  *    deterministic literal that embeds in the oracle SQL, so buckets
+  *    and results are oracle-checked bit-for-bit;
+  *  - `q_knn_ivf` — inverted-file ANN with deterministic centroids,
+  *    likewise fully oracle-checked.
   *
   * Dot products are computed left-to-right in double on both engines
   * (`aggregate(zip_with(...))` ≙ DuckDB `list_dot_product` over
@@ -113,7 +114,30 @@ object SimilarityQueries {
       when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private val qKnnLsh = Q.sparkOnly("q_knn_lsh") { (s, d) =>
+  /** DuckDB twin of [[lshBucket]]: the plane matrix is a deterministic
+    * literal, so it embeds directly in the oracle SQL; the projection
+    * is the same left-to-right double dot product both sides, so the
+    * sign — hence the bucket — is bit-identical. */
+  private def lshBucketSql(v: String): String =
+    (0 until LshBits).map { j =>
+      val plane = Planes(j).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+      s"(CASE WHEN list_dot_product($v, [$plane]::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val qKnnLsh = Q("q_knn_lsh",
+    s"""WITH $vectorsCte,
+       |b AS (SELECT vec_id, v, n2, ${lshBucketSql("v")} AS bucket FROM e),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, bucket AS qb
+       |       FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id AS n_id,
+       |    list_dot_product(q.qv, c.v) / (sqrt(q.qn2) * sqrt(c.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY list_dot_product(q.qv, c.v) / (sqrt(q.qn2) * sqrt(c.n2)) DESC,
+       |               c.vec_id) AS rn
+       |  FROM qs q JOIN b c ON c.bucket = q.qb AND c.vec_id <> q.q_id)
+       |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(cos, 6) AS sim
+       |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     val e = vectors(s, d).withColumn("bucket", lshBucket(col("v")))
     val cos = cosine(col("qv"), col("v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -135,19 +159,51 @@ object SimilarityQueries {
     * generation is an equi-join on `list`, so the corpus is scanned
     * once to assign and once per probe hit — never all-pairs. At
     * cluster scale the assignment table is the thing you persist and
-    * bucket by `list`. Spark-only (spec-checked recall vs brute). */
-  private val qKnnIvf = Q.sparkOnly("q_knn_ivf") { (s, d) =>
-    val C = 16
-    val nprobe = 2
+    * bucket by `list`. Assignment/probe ranking is row_number with a
+    * cent_id tiebreak (deterministic on both engines, unlike max_by
+    * under cosine ties), which is what makes the oracle exact. */
+  private val IvfC = 16
+  private val IvfNprobe = 2
+
+  private val qKnnIvf = Q("q_knn_ivf",
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
+       |          FROM e WHERE vec_id < $IvfC),
+       |asg AS (
+       |  SELECT vec_id, v, n2, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, v, n2, cent_id AS list FROM asg WHERE arn = 1),
+       |prb AS (
+       |  SELECT e.vec_id AS q_id, e.v AS qv, e.n2 AS qn2, cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, cv) / (sqrt(e.n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS pr
+       |  FROM e CROSS JOIN cents WHERE e.vec_id < 10),
+       |probes AS (SELECT q_id, qv, qn2, cent_id AS list FROM prb WHERE pr <= $IvfNprobe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    list_dot_product(p.qv, a.v) / (sqrt(p.qn2) * sqrt(a.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY list_dot_product(p.qv, a.v) / (sqrt(p.qn2) * sqrt(a.n2)) DESC,
+       |               a.vec_id) AS rn
+       |  FROM probes p JOIN assigned a ON a.list = p.list AND a.vec_id <> p.q_id)
+       |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(cos, 6) AS sim
+       |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
-    val cents = broadcast(e.where(col("vec_id") < C)
+    val cents = broadcast(e.where(col("vec_id") < IvfC)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val simToCent = cosine(col("v"), col("cv"))
     // inverted-list assignment: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
     val assigned = e.crossJoin(cents)
-      .groupBy(col("vec_id"), col("label"))
-      .agg(max_by(col("cent_id"), simToCent).as("list"),
-        first(col("v")).as("v"))
+      .withColumn("cs", simToCent)
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("list"))
     // queries probe their nprobe nearest lists
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("cent_id"))
     val probes = e.where(col("vec_id") < 10)
@@ -155,7 +211,7 @@ object SimilarityQueries {
       .crossJoin(cents)
       .withColumn("qc", cosine(col("qv"), col("cv")))
       .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= nprobe)
+      .where(col("pr") <= IvfNprobe)
       .select(col("q_id"), col("qv"), col("cent_id").as("list"))
     val cos = cosine(col("qv"), col("v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

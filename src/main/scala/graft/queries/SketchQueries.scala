@@ -64,5 +64,52 @@ object SketchQueries {
       .orderBy(col("word"))
   }
 
-  val all: Seq[Q] = Seq(qCms)
+  /** KMV (k-minimum-values) distinct-count sketch — the
+    * oracle-checkable counterpart to `q_approx_count_distinct` (HLL
+    * bits are engine-specific; KMV over the portable md5 hash family
+    * is bit-identical across engines). Estimator: with h uniform on
+    * [0, P) and h_(k) the k-th smallest distinct hash in the group,
+    * D̂ = (k−1)·P / h_(k). Scale shape: hash → per-group distinct →
+    * one shuffle; the k-th order statistic via window row_number (at
+    * 100 TB you'd keep a bounded k-heap per partition with a typed
+    * Aggregator — the estimate is identical, this is the declarative
+    * form). Group cardinalities here (≫ k) make the estimator
+    * well-defined at every test SF. */
+  private val KmvK = 32
+
+  private val qKmv = Q("q_sketch_kmv",
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    (${PortableHash.md5LongSql("l_partkey::VARCHAR")} % ${PortableHash.P}) AS h
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM h),
+       |x AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS dp
+       |      FROM h GROUP BY l_returnflag)
+       |SELECT r.l_returnflag,
+       |  CAST(${KmvK - 1} AS DOUBLE) * ${PortableHash.P} / r.h AS est,
+       |  x.dp
+       |FROM r JOIN x ON r.l_returnflag = x.l_returnflag
+       |WHERE r.rn = $KmvK
+       |ORDER BY r.l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
+      .distinct()
+    val hs = h.localCheckpoint() // hashed once, read twice (kth + exact)
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    val kth = hs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === KmvK)
+      .select(col("l_returnflag"),
+        (lit((KmvK - 1).toDouble) * lit(PortableHash.P) / col("h")).as("est"))
+    val exact = hs.groupBy(col("l_returnflag")).agg(count(lit(1)).as("dp"))
+    kth.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("est"), col("dp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(qCms, qKmv)
 }

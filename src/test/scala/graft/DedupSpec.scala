@@ -47,6 +47,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: labels are fixpoint minima of the verified pair graph") {
+    import spark.implicits._
+    val labels = run("q_dedup_cc").as[(Long, Long)].collect().toMap
+    // rebuild the edge set independently from the pipeline verdicts
+    val edges = run("q_dedup_pipeline")
+      .select("drop_id", "keep_id").as[(Long, Long)].collect()
+    assert(labels.nonEmpty)
+    // every labelled node's cluster id is itself a node with that label
+    labels.values.foreach(c => assert(labels.get(c).contains(c),
+      s"cluster root $c must be labelled with itself"))
+    // labels are consistent across every verified edge (drop/keep are
+    // endpoints of verified pairs, so they must share a component)
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) crosses clusters")
+    }
+    // the label is never larger than the node id (min-of-component)
+    labels.foreach { case (n, c) => assert(c <= n) }
+  }
+
+  test("KMV sketch estimates distinct counts within coarse relative error") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_sketch_kmv")(spark, Sf)
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, est, exact) =>
+      assert(exact > 32, s"group $flag must exceed k for the estimator")
+      val rel = math.abs(est - exact) / exact
+      // k=32 gives ~1/sqrt(k-1) ≈ 18% std error; 3σ bound
+      assert(rel < 0.55, s"group $flag: est=$est exact=$exact rel=$rel")
+    }
+  }
+
   test("simhash: planted near-duplicates sit within small Hamming distance") {
     import spark.implicits._
     val exact = run("q_dedup_ngram")
