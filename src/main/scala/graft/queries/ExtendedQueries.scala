@@ -98,5 +98,103 @@ object ExtendedQueries {
       .orderBy(col("day"))
   }
 
-  val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot)
+  /** Full ranking-function family over one deterministic per-partition
+    * total order (o_totalprice DESC, o_orderkey breaks ties — rank()
+    * over a non-total order would be partition-order-dependent).
+    * percent_rank/cume_dist are double-valued but both engines derive
+    * them from the same integer rank/count arithmetic, so bits match. */
+  private val qWindowRank = Q("q_window_rank",
+    """SELECT o_orderkey,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("int").as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** first/last/nth value navigation over an explicit full frame —
+    * last_value under the default frame (CURRENT ROW upper bound) is
+    * the classic window-function footgun; the UNBOUNDED FOLLOWING
+    * frame is stated explicitly on both engines. */
+  private val qWindowFirstLast = Q("q_window_firstlast",
+    """SELECT o_orderkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      first(col("o_totalprice")).over(w).as("first_price"),
+      last(col("o_totalprice")).over(w).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Array column construction and manipulation. The collected list is
+    * sorted (collect order is partition-order-dependent in ANY
+    * distributed engine — sort_array ≙ list_sort makes it canonical)
+    * and the array OUTPUT is serialized to a string: array-typed
+    * result cells render differently across parquet readers, the same
+    * hashing trap as decimals. */
+  private val qArrayFuncs = Q("q_array_funcs",
+    """SELECT l_orderkey,
+      |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+      |  CAST(len(list(l_linenumber)) AS INT) AS n,
+      |  CAST(list_contains(list(l_linenumber), 3) AS BOOLEAN) AS has3,
+      |  CAST(list_sort(list(l_linenumber))[1] AS INT) AS first_line
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    val arr = sort_array(collect_list(col("l_linenumber")))
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(arr, ",").as("lines"),
+        size(collect_list(col("l_linenumber"))).cast("int").as("n"),
+        array_contains(collect_list(col("l_linenumber")), 3).as("has3"),
+        element_at(arr, 1).cast("int").as("first_line"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Set operations (§2.8 marks them absent in the reference):
+    * INTERSECT = customers with both open and finished orders,
+    * EXCEPT = customers with only open orders. Tagged and unioned so
+    * one result exercises both. */
+  private val qSetOps = Q("q_set_ops",
+    """WITH o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      |f AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'both' AS tag, k FROM (SELECT k FROM o INTERSECT SELECT k FROM f)
+      |UNION ALL
+      |SELECT 'only_open' AS tag, k FROM (SELECT k FROM o EXCEPT SELECT k FROM f)
+      |ORDER BY tag, k""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    val o = orders.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k")).distinct()
+    val f = orders.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k")).distinct()
+    o.intersect(f).select(lit("both").as("tag"), col("k"))
+      .unionByName(o.except(f).select(lit("only_open").as("tag"), col("k")))
+      .orderBy(col("tag"), col("k"))
+  }
+
+  val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
+    qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps)
 }

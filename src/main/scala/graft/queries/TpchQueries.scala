@@ -130,5 +130,49 @@ object TpchQueries {
         .cast("double").as("revenue"))
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6)
+  private val q10 = Q("q_tpch_q10",
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue,
+      |  n.n_name
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Promo-revenue ratio. Both operand sums are exact decimals cast to
+    * double, and the 100·a/b arithmetic is written in the same
+    * left-to-right order on both engines, so the quotient is
+    * bit-identical. */
+  private val q14 = Q("q_tpch_q14",
+    """SELECT (100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+      |  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE))
+      |  / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |         AS DOUBLE) AS promo_revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin) { (s, d) =>
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast(dec))).cast("double")
+          / sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q14)
 }
