@@ -100,8 +100,20 @@ object SketchQueries {
         (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
       .distinct()
     val hs = h.localCheckpoint() // hashed once, read twice (kth + exact)
+    // Two-stage k-th order statistic: the group key has only a handful
+    // of distinct values, so a single window over it would funnel every
+    // distinct hash through 3 tasks at 100 TB. Stage 1 keeps the k
+    // smallest per (group, salt) in parallel; stage 2 ranks the ≤
+    // k·salts survivors per group — identical k-th smallest, no
+    // bottleneck. (The salt is derived from the hash itself:
+    // deterministic, uniform.)
+    val Salts = 64
+    val wSalt = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(col("h"))
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
-    val kth = hs.withColumn("rn", row_number().over(w))
+    val kth = hs.withColumn("salt", pmod(col("h"), lit(Salts)))
+      .withColumn("srn", row_number().over(wSalt))
+      .where(col("srn") <= KmvK)
+      .withColumn("rn", row_number().over(w))
       .where(col("rn") === KmvK)
       .select(col("l_returnflag"),
         (lit((KmvK - 1).toDouble) * lit(PortableHash.P) / col("h")).as("est"))
