@@ -21,6 +21,7 @@ object SparkEntry {
       ExtendedQueries.all ++
       TpchQueries.all ++
       SketchQueries.all ++
+      StatsQueries.all ++
       TimeQueries.all ++
       TextQueries.all ++
       DedupQueries.all ++

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.queries.Q.t
+
+/** Statistical analytics beyond the basic moment aggregates
+  * (q_stats_agg): exact rank-selected quantiles, correlation /
+  * covariance from exact decimal moments, and histogram binning.
+  *
+  * The portability rule throughout (see q_median's caveat): engines
+  * interpolate percentiles differently, so the only cross-engine-exact
+  * quantile is RANK SELECTION — pick the value at position
+  * ceil(p·n) of the sorted group, no interpolation. Likewise corr/cov
+  * are never computed by the engines' float accumulators (order-
+  * dependent); they are derived from exact decimal sums in one
+  * identically-ordered double expression on both sides.
+  */
+object StatsQueries {
+
+  /** Exact p25/p50/p75 per group by rank selection. Scale note: the
+    * window partitions by the 3-value group key; at 100 TB this uses
+    * the same salted two-stage top-k as q_sketch_kmv (values ≤ the
+    * per-salt p75 rank survive stage 1) — the single-window form here
+    * is the declarative statement of the semantics. */
+  private val qQuantile = Q("q_quantile_exact",
+    """WITH r AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN l_quantity END) AS p25,
+      |  min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN l_quantity END) AS p50,
+      |  min(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN l_quantity END) AS p75
+      |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wn = Window.partitionBy(col("l_returnflag"))
+    def sel(p: Double) =
+      min(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("l_quantity")))
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wn).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(sel(0.25).as("p25"), sel(0.50).as("p50"), sel(0.75).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Pearson correlation + population covariance of (quantity, price)
+    * per group, from exact decimal sums — the engines' own corr/covar
+    * accumulate doubles in partition order (nondeterministic across
+    * runs, let alone engines). n·Σxy − Σx·Σy etc. are evaluated in
+    * ONE identically-ordered double expression on both sides, so the
+    * result bits match. Plan shape: a single hash-agg pass (six
+    * partial-aggregable sums), no second scan. */
+  private val qCorrCov = Q("q_corr_cov",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS sxy,
+      |    sum(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS sx2,
+      |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS sy2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_pop,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val d2 = DecimalType(18, 2)
+    val d4 = DecimalType(24, 4)
+    val m = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(d2)).as("sx"),
+        sum(col("l_extendedprice").cast(d2)).as("sy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(d4)).as("sxy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(d4)).as("sx2"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(d4)).as("sy2"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sx2 = col("sx2").cast("double"); val sy2 = col("sy2").cast("double")
+    val num = nD * sxy - sx * sy
+    m.select(col("l_returnflag"),
+      (num / (nD * nD)).as("cov_pop"),
+      (num / (sqrt(nD * sx2 - sx * sx) * sqrt(nD * sy2 - sy * sy))).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Histogram binning by floor division (DuckDB 1.0 has no
+    * width_bucket; floor(x/w) is the same partition and portable).
+    * Bin ids and counts are integers — nothing float-sensitive. */
+  private val qHist = Q("q_hist",
+    """SELECT CAST(floor(l_extendedprice / 10000) AS INT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bin"))
+  }
+
+  /** Explicit GROUPING SETS beyond rollup/cube — the ((a,b),(b),())
+    * lattice is not a rollup prefix chain, so it exercises the
+    * general-form expand operator (Spark 4 `groupingSets` API). */
+  private val qGroupingSets = Q("q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets)
+}

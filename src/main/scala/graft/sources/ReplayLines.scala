@@ -29,10 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * Swapping the file for a socket/HTTP cursor changes only the
   * partition reader.
   *
+  * With `ratePerSecond` set, admission is additionally paced against
+  * the wall clock — the reference's fixture replay cadence
+  * (`dev/user.clj:14-26` replays 1 line/s via `util.clj:6-11`): a
+  * trigger may only admit up to ⌊elapsed·rate⌋ lines since stream
+  * start, so a fast trigger loop idles instead of draining the file.
+  *
   * Usage:
   * {{{
   * spark.readStream.format("graft.sources.ReplayLines")
-  *   .option("path", file).option("linesPerTrigger", "500").load()
+  *   .option("path", file).option("linesPerTrigger", "500")
+  *   .option("ratePerSecond", "100")   // optional wall-clock pacing
+  *   .load()
   * }}}
   */
 class ReplayLines extends TableProvider {
@@ -42,14 +50,30 @@ class ReplayLines extends TableProvider {
       properties: JMap[String, String]): Table =
     new ReplayTable(new CaseInsensitiveStringMap(properties).get("path"),
       new CaseInsensitiveStringMap(properties)
-        .getInt("linesPerTrigger", 1000))
+        .getInt("linesPerTrigger", 1000),
+      new CaseInsensitiveStringMap(properties)
+        .getDouble("ratePerSecond", 0.0))
 }
 
 object ReplayLines {
   val Schema: StructType = StructType(Seq(StructField("line", StringType)))
+
+  /** Pure pacing rule (unit-tested without a clock): the next end
+    * offset given the engine's start offset, the file size, the
+    * per-trigger cap, the pacing rate (≤ 0 = unpaced), and elapsed
+    * wall seconds. Never moves backwards; never passes EOF. */
+  def pacedTarget(start: Long, total: Long, linesPerTrigger: Int,
+      ratePerSecond: Double, elapsedSec: Double): Long = {
+    val byTrigger = start + linesPerTrigger
+    val byRate =
+      if (ratePerSecond <= 0) Long.MaxValue
+      else math.floor(elapsedSec * ratePerSecond).toLong
+    math.min(total, math.max(start, math.min(byTrigger, byRate)))
+  }
 }
 
-private[sources] class ReplayTable(path: String, linesPerTrigger: Int)
+private[sources] class ReplayTable(path: String, linesPerTrigger: Int,
+    ratePerSecond: Double)
     extends Table with SupportsRead {
   require(path != null, "option 'path' is required")
   override def name(): String = s"replay($path)"
@@ -61,7 +85,7 @@ private[sources] class ReplayTable(path: String, linesPerTrigger: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = ReplayLines.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ReplayMicroBatchStream(path, linesPerTrigger)
+          new ReplayMicroBatchStream(path, linesPerTrigger, ratePerSecond)
       }
     }
 }
@@ -73,8 +97,13 @@ private[sources] case class LineOffset(line: Long) extends Offset {
 private[sources] case class LineRange(path: String, start: Long, end: Long,
     byteStart: Long) extends InputPartition
 
-private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int)
+private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int,
+    ratePerSecond: Double = 0.0)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Wall-clock epoch for pacing — set when the stream is created
+    * (restart restarts the cadence, like the reference's dev replay). */
+  private val startNanos: Long = System.nanoTime()
 
   /** Byte offset of each line start (one O(n) scan at stream start) —
     * partition readers seek directly instead of re-reading the file
@@ -112,7 +141,8 @@ private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LineOffset].line
-    LineOffset(math.min(s + linesPerTrigger, total))
+    LineOffset(ReplayLines.pacedTarget(s, total, linesPerTrigger,
+      ratePerSecond, (System.nanoTime() - startNanos) / 1e9))
   }
 
   override def reportLatestOffset(): Offset = LineOffset(total)

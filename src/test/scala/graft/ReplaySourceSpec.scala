@@ -37,4 +37,34 @@ class ReplaySourceSpec extends AnyFunSuite {
       assert(q.recentProgress.map(_.numInputRows).sum == lines.length)
     } finally q.stop()
   }
+
+  test("pacing rule: monotone, EOF-capped, trigger-capped, wall-clock-capped") {
+    import graft.sources.ReplayLines.pacedTarget
+    // unpaced: trigger cap only
+    assert(pacedTarget(0, 1000, 300, 0.0, 99.0) == 300)
+    assert(pacedTarget(900, 1000, 300, 0.0, 99.0) == 1000) // EOF cap
+    // paced: elapsed*rate bounds admission
+    assert(pacedTarget(0, 1000, 300, 10.0, 5.0) == 50)    // 5s * 10/s
+    assert(pacedTarget(0, 1000, 300, 10.0, 60.0) == 300)  // trigger cap wins
+    assert(pacedTarget(40, 1000, 300, 10.0, 3.0) == 40)   // never backwards
+    assert(pacedTarget(0, 20, 300, 10.0, 60.0) == 20)     // EOF under pacing
+  }
+
+  test("rate-paced replay drains the whole file while honoring per-trigger caps") {
+    val f = Files.createTempFile("paced", ".log")
+    Files.write(f, (1 to 50).map(i => s"line$i").mkString("\n").getBytes("UTF-8"))
+    val stream = spark.readStream
+      .format("graft.sources.ReplayLines")
+      .option("path", f.toString)
+      .option("linesPerTrigger", "10")
+      .option("ratePerSecond", "100000") // fast enough to not stall the test
+      .load()
+    val q = stream.writeStream.format("memory").queryName("paced")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paced").count() == 50)
+      assert(q.recentProgress.forall(_.numInputRows <= 10))
+    } finally q.stop()
+  }
 }
