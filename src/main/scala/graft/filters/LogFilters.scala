@@ -57,7 +57,12 @@ object LogFilters {
       "httpclient|okhttp|scrapy|archiver|indexer|fetcher|monitoring|" +
       "scanner|preview|headless|phantomjs|facebookexternalhit)"
 
-  def isBot(userAgent: Column): Column = userAgent.rlike(BotPattern)
+  /** Per-task memoized match (graft.functions.GraftExpressions
+    * .MemoRLike): user-agent cardinality is thousands against billions
+    * of rows, so the alternation runs once per distinct value per
+    * executor instead of once per row. Behavior ≡ `rlike`. */
+  def isBot(userAgent: Column): Column =
+    graft.functions.GraftExpressions.memo_rlike(userAgent, BotPattern)
 
   /** F11 — sink column-width guard (`collector.clj:87`). */
   def fitsDb(lemma: Column): Column = length(lemma) < 128

@@ -89,6 +89,15 @@ object GraftExpressions {
     // constant-folds isNull checks away and garbage rows survive.
     override def nullable: Boolean = true
 
+    // PURE function, deliberately flagged nondeterministic: this is an
+    // optimizer fence (the ScalaUDF.asNondeterministic technique), not
+    // a semantics statement. Without it, predicate pushdown through
+    // the parse projection substitutes the alias into every downstream
+    // filter — the flagship plan evaluated this regex 9× per row.
+    // With the fence, filters stay above the projection and the line
+    // is matched exactly once.
+    override lazy val deterministic: Boolean = false
+
     override val dataType: DataType = StructType(
       Seq("ip", "ts_raw", "method", "uri", "status", "size_raw", "referrer",
         "user_agent").map(StructField(_, StringType, nullable = true)))
@@ -183,6 +192,10 @@ object GraftExpressions {
   case class UriLemma(child: Expression)
       extends UnaryExpression with CodegenFallback {
 
+    // Same optimizer fence as ClfParse — the flagship plan held 6
+    // inlined copies of this expression before it.
+    override lazy val deterministic: Boolean = false
+
     override val dataType: DataType = StructType(Seq(
       StructField("nseg", IntegerType, nullable = false),
       StructField("lemma", StringType, nullable = true)))
@@ -221,6 +234,41 @@ object GraftExpressions {
           head.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8))
         catch { case _: IllegalArgumentException => null }
       InternalRow(nseg, lemma)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `rlike` with per-task memoization over the INPUT VALUE — for
+    * low-cardinality string columns matched against expensive
+    * patterns (the F8 bot filter: a large alternation over a
+    * user-agent column whose distinct count is thousands while row
+    * count is billions). Each executor evaluates the regex once per
+    * distinct value and answers the rest from a bounded concurrent
+    * map; semantics are identical to `rlike(pattern)` (unanchored
+    * find), which the flagship oracle and ExpressionsSpec both pin.
+    * Cache is capped — past the cap it degrades gracefully to plain
+    * matching (no eviction churn, no unbounded memory). */
+  case class MemoRLike(child: Expression, pattern: String)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = BooleanType
+
+    @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    private val MaxEntries = 1 << 16
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.toString
+      val hit = cache.get(s)
+      if (hit != null) hit.booleanValue()
+      else {
+        val m = compiled.matcher(s).find()
+        if (cache.size < MaxEntries) cache.put(s, java.lang.Boolean.valueOf(m)): Unit
+        m
+      }
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -274,6 +322,9 @@ object GraftExpressions {
 
   def uri_lemma(uri: Column): Column =
     bridge.column(UriLemma(bridge.expression(uri)))
+
+  def memo_rlike(s: Column, pattern: String): Column =
+    bridge.column(MemoRLike(bridge.expression(s), pattern))
 
   def nfc_normalize(s: Column): Column =
     bridge.column(NfcNormalize(bridge.expression(s)))

@@ -83,6 +83,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out(0).isNullAt(0))
   }
 
+  test("MemoRLike equals rlike on the bot pattern, nulls included") {
+    import graft.filters.LogFilters.BotPattern
+    val uas = Seq(
+      Some("Googlebot/2.1 (+http://www.google.com/bot.html)"),
+      Some("Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/120.0"),
+      Some("curl/8.4.0"), Some("CURL/8"), Some("weird Spider v1"),
+      Some(""), Some("bot"), Some("abbots"), // substring 'bot' inside a word still matches rlike
+      None, Some("python-requests/2"), Some("x" * 500))
+    val df = uas.toDF("ua")
+    // memoized vs built-in, row by row (repeat rows to exercise the cache)
+    val big = df.union(df).union(df)
+    val got = big.select(
+      memo_rlike(col("ua"), BotPattern).as("memo"),
+      col("ua").rlike(BotPattern).as("builtin")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getBoolean(0) == r.getBoolean(1))
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact") {
     import spark.implicits._
     val approx = SparkEntry.queries("q_approx_count_distinct")(spark, Sf)
