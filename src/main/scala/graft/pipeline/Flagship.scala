@@ -81,17 +81,21 @@ object Flagship {
   def rejectedLines(lines: DataFrame): DataFrame = {
     import LogFilters._
     import graft.functions.GraftExpressions.{clf_parse, uri_lemma}
-    val p = clf_parse(col("line"))
-    val u = uri_lemma(p.getField("uri"))
-    val lemma = u.getField("lemma")
+    // Parse and decompose in projections (each fenced expression
+    // evaluates once per row); the keep-predicate then tests plain
+    // attributes. Same single-scan no-join shape as before.
+    val p = lines
+      .select(col("line"), clf_parse(col("line")).as("_p"))
+      .select(col("line"), col("_p"), uri_lemma(col("_p.uri")).as("_u"))
+    val lemma = col("_u.lemma")
     val keep = Clf.prefilter(col("line")) &&
-      ok(p.getField("status")) &&
-      to_timestamp(p.getField("ts_raw"), Clf.TsFormat).isNotNull &&
+      ok(col("_p.status")) &&
+      to_timestamp(col("_p.ts_raw"), Clf.TsFormat).isNotNull &&
       validLemma(lemma) &&
-      u.getField("nseg") === 1 && !lemma.isin(SubDictionaries: _*) &&
-      !isBot(p.getField("user_agent")) &&
+      col("_u.nseg") === 1 && !lemma.isin(SubDictionaries: _*) &&
+      !isBot(col("_p.user_agent")) &&
       fitsDb(lemma)
-    lines.where(!coalesce(keep, lit(false)))
+    p.where(!coalesce(keep, lit(false))).select(col("line"))
   }
 
   /** The lemma dimension, pre-aggregated build-side (A1 analog) —

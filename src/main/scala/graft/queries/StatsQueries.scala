@@ -129,5 +129,24 @@ object StatsQueries {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
-  val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets)
+  /** Deterministic 10% sample by key hash — the scale-correct sampling
+    * operator: `df.sample()` draws from a per-partition RNG
+    * (irreproducible across engines, runs, and repartitionings),
+    * whereas hashing the stable key is reproducible everywhere, keeps
+    * all rows of a key together, and needs no coordination. The same
+    * portable md5 family as the sketches. */
+  private val qSampleHash = Q("q_sample_hash",
+    s"""SELECT event_id, event_type FROM events
+       |WHERE (${graft.functions.PortableHash.md5LongSql("event_id::VARCHAR")}
+       |       % ${graft.functions.PortableHash.P}) % 100 < 10
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.functions.PortableHash
+    t(s, d, "events")
+      .where((PortableHash.md5Long(col("event_id").cast("string"))
+        % PortableHash.P % 100) < 10)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets, qSampleHash)
 }
