@@ -331,6 +331,29 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full-outer: every supplier and every customer nation-bucketed
+    * aggregate survives, matched or not — the join type where both
+    * sides can null out. Aggregated first so both inputs are small
+    * keyed tables (a raw full-outer of two fact tables is the
+    * anti-pattern; at scale you full-outer RESULTS, not facts). */
+  private val qJoinFull = Q("q_join_full",
+    """WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+      |           FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+      |      FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nk""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = t(s, d, "supplier").groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nk"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nk"))
+  }
+
   /** Skew-resistant salted join (graft.operators.SkewJoin) — the
     * oracle is the PLAIN join: salting must be a pure physical
     * rewrite with identical results. */
@@ -581,7 +604,8 @@ object RelationalQueries {
     qFilterPrefix, qFilterIsin, qFilterRlike, qMalformedDrop, qFilterLen,
     qFilterNotnull, qStringTrunc, qStringFuncs, qDateFuncs, qMathFuncs,
     qCondCoalesce, qToJson, qFromJson,
-    qJoinLeft, qJoinBroadcast, qDimJoin, qJoinSemi, qJoinAnti, qJoinSalted,
+    qJoinLeft, qJoinBroadcast, qDimJoin, qJoinSemi, qJoinAnti, qJoinFull,
+    qJoinSalted,
     qAgg, qArgminGroup, qCount, qCountDistinct, qRollup, qCube, qApproxDistinct,
     qMedian, qStatsAgg,
     qWindowRownum, qWindowLag, qWindowFrame,

@@ -120,7 +120,10 @@ object SimilarityQueries {
     * sign — hence the bucket — is bit-identical. */
   private def lshBucketSql(v: String): String =
     (0 until LshBits).map { j =>
-      val plane = Planes(j).map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+      // render the ACTUAL plane values (single source of truth with
+      // lshBucket) — re-deriving them here would silently diverge if
+      // the planes ever stop being exactly ±1
+      val plane = Planes(j).map(_.toString).mkString(",")
       s"(CASE WHEN list_dot_product($v, [$plane]::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 

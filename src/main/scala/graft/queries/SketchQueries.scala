@@ -95,11 +95,13 @@ object SketchQueries {
        |WHERE r.rn = $KmvK
        |ORDER BY r.l_returnflag""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val h = t(s, d, "lineitem")
+    // read twice (kth + exact) from the plan as-is: the hash+distinct
+    // recompute is cheaper than an eager checkpoint, and the scan
+    // stays visible to the plan audit
+    val hs = t(s, d, "lineitem")
       .select(col("l_returnflag"),
         (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
       .distinct()
-    val hs = h.localCheckpoint() // hashed once, read twice (kth + exact)
     // Two-stage k-th order statistic: the group key has only a handful
     // of distinct values, so a single window over it would funnel every
     // distinct hash through 3 tasks at 100 TB. Stage 1 keeps the k

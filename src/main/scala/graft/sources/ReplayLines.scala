@@ -47,27 +47,31 @@ class ReplayLines extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ReplayLines.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new ReplayTable(new CaseInsensitiveStringMap(properties).get("path"),
-      new CaseInsensitiveStringMap(properties)
-        .getInt("linesPerTrigger", 1000),
-      new CaseInsensitiveStringMap(properties)
-        .getDouble("ratePerSecond", 0.0))
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ReplayTable(opts.get("path"),
+      opts.getInt("linesPerTrigger", 1000),
+      opts.getDouble("ratePerSecond", 0.0))
+  }
 }
 
 object ReplayLines {
   val Schema: StructType = StructType(Seq(StructField("line", StringType)))
 
   /** Pure pacing rule (unit-tested without a clock): the next end
-    * offset given the engine's start offset, the file size, the
-    * per-trigger cap, the pacing rate (≤ 0 = unpaced), and elapsed
-    * wall seconds. Never moves backwards; never passes EOF. */
-  def pacedTarget(start: Long, total: Long, linesPerTrigger: Int,
+    * offset given the engine's start offset, the PACING BASE (the
+    * offset the stream instance started from — after a checkpoint
+    * restart that is the committed offset, so the cadence resumes
+    * there instead of stalling start/rate seconds against line 0),
+    * the file size, the per-trigger cap, the pacing rate (≤ 0 =
+    * unpaced), and elapsed wall seconds. Never moves backwards; never
+    * passes EOF. */
+  def pacedTarget(start: Long, base: Long, total: Long, linesPerTrigger: Int,
       ratePerSecond: Double, elapsedSec: Double): Long = {
     val byTrigger = start + linesPerTrigger
     val byRate =
       if (ratePerSecond <= 0) Long.MaxValue
-      else math.floor(elapsedSec * ratePerSecond).toLong
+      else base + math.floor(elapsedSec * ratePerSecond).toLong
     math.min(total, math.max(start, math.min(byTrigger, byRate)))
   }
 }
@@ -101,9 +105,12 @@ private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int
     ratePerSecond: Double = 0.0)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  /** Wall-clock epoch for pacing — set when the stream is created
-    * (restart restarts the cadence, like the reference's dev replay). */
+  /** Wall-clock epoch for pacing — set when the stream is created —
+    * and the offset the cadence is measured FROM (the first start
+    * offset the engine hands us, i.e. the committed offset after a
+    * checkpoint restart). */
   private val startNanos: Long = System.nanoTime()
+  @volatile private var paceBase: Long = -1L
 
   /** Byte offset of each line start (one O(n) scan at stream start) —
     * partition readers seek directly instead of re-reading the file
@@ -141,7 +148,8 @@ private[sources] class ReplayMicroBatchStream(path: String, linesPerTrigger: Int
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LineOffset].line
-    LineOffset(ReplayLines.pacedTarget(s, total, linesPerTrigger,
+    if (paceBase < 0) paceBase = s
+    LineOffset(ReplayLines.pacedTarget(s, paceBase, total, linesPerTrigger,
       ratePerSecond, (System.nanoTime() - startNanos) / 1e9))
   }
 

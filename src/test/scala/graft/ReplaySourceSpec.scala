@@ -41,13 +41,16 @@ class ReplaySourceSpec extends AnyFunSuite {
   test("pacing rule: monotone, EOF-capped, trigger-capped, wall-clock-capped") {
     import graft.sources.ReplayLines.pacedTarget
     // unpaced: trigger cap only
-    assert(pacedTarget(0, 1000, 300, 0.0, 99.0) == 300)
-    assert(pacedTarget(900, 1000, 300, 0.0, 99.0) == 1000) // EOF cap
-    // paced: elapsed*rate bounds admission
-    assert(pacedTarget(0, 1000, 300, 10.0, 5.0) == 50)    // 5s * 10/s
-    assert(pacedTarget(0, 1000, 300, 10.0, 60.0) == 300)  // trigger cap wins
-    assert(pacedTarget(40, 1000, 300, 10.0, 3.0) == 40)   // never backwards
-    assert(pacedTarget(0, 20, 300, 10.0, 60.0) == 20)     // EOF under pacing
+    assert(pacedTarget(0, 0, 1000, 300, 0.0, 99.0) == 300)
+    assert(pacedTarget(900, 0, 1000, 300, 0.0, 99.0) == 1000) // EOF cap
+    // paced: base + elapsed*rate bounds admission
+    assert(pacedTarget(0, 0, 1000, 300, 10.0, 5.0) == 50)    // 5s * 10/s
+    assert(pacedTarget(0, 0, 1000, 300, 10.0, 60.0) == 300)  // trigger cap wins
+    assert(pacedTarget(40, 0, 1000, 300, 10.0, 3.0) == 40)   // never backwards
+    assert(pacedTarget(0, 0, 20, 300, 10.0, 60.0) == 20)     // EOF under pacing
+    // checkpoint restart: cadence resumes from the committed offset,
+    // not from line 0 (a base of 0 would stall 360s here)
+    assert(pacedTarget(3600, 3600, 10000, 300, 10.0, 5.0) == 3650)
   }
 
   test("rate-paced replay drains the whole file while honoring per-trigger caps") {

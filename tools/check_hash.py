@@ -23,8 +23,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(v):
     # Emulate a naive str()-based hasher over pandas cells.
-    if v is None or v != v:  # None or NaN
+    if v is None:
         return "<null>"
+    try:
+        if v != v:  # NaN
+            return "<null>"
+    except ValueError:  # array-valued cell: elementwise compare is ambiguous
+        return str(list(v))
     return str(v)
 
 
