@@ -271,26 +271,8 @@ object DedupQueries {
        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
        |FROM lbl ORDER BY doc_id""".stripMargin) { (s, d) =>
     val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).localCheckpoint()
-    val bi = edges.select(col("ai").as("src"), col("bi").as("dst"))
-      .union(edges.select(col("bi").as("src"), col("ai").as("dst")))
-      .localCheckpoint()
-    var labels = bi.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = bi.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nxt"))
-      val stepped = next.select(col("id"), col("nxt").as("lbl"),
-        (col("nxt") =!= col("lbl")).cast("long").as("moved"))
-        .localCheckpoint()
-      changed = stepped.agg(coalesce(sum(col("moved")), lit(0L))).head().getLong(0)
-      labels = stepped.select(col("id"), col("lbl"))
-    }
-    labels.select(col("id").as("doc_id"), col("lbl").cast("long").as("cluster_id"))
+    graft.operators.ConnectedComponents.resolve(edges)
+      .select(col("id").as("doc_id"), col("lbl").cast("long").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

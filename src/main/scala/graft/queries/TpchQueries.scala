@@ -174,5 +174,53 @@ object TpchQueries {
           / sum(rev).cast("double")).as("promo_revenue"))
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q14)
+  /** Q13: distribution of orders-per-customer (customers with zero
+    * orders included via the left join). Two aggregations: per-customer
+    * count, then count-of-counts — the classic double group-by. */
+  private val q13 = Q("q_tpch_q13",
+    """WITH c AS (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM c GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q18: large-volume orders — orders whose total quantity exceeds a
+    * threshold, with their customer. Quantity sums are exact decimals
+    * (threshold compare included) projected as DOUBLE. The HAVING-
+    * style filter runs on the aggregated (small) side before the
+    * dimension joins. */
+  private val q18 = Q("q_tpch_q18",
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      |  CAST(b.sum_qty AS DOUBLE) AS sum_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin) { (s, d) =>
+    val d2 = DecimalType(18, 2)
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(d2)).as("sum_qty_dec"))
+      .where(col("sum_qty_dec") > lit(180).cast(d2))
+    big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("sum_qty_dec").cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q13, q14, q18)
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Reference union-find, driver-side. */
+  private def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("min-label propagation equals union-find on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val got = ConnectedComponents.resolve(edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        got == ufLabels(edges)
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("chain graph converges to the minimum endpoint") {
+    // worst diameter for label propagation: a path 9-8-...-0
+    val chain = (0L until 9L).map(i => (i + 1, i))
+    val got = ConnectedComponents.resolve(chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 10 && got.values.forall(_ == 0L))
+  }
+}
