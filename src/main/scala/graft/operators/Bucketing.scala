@@ -16,19 +16,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed table. */
+  /** Write `df` as a bucketed managed table. Drops any prior table AND
+    * its warehouse directory first: a managed-table location left by a
+    * previous session (whose in-memory catalog is gone) would
+    * otherwise fail the write with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — exchange-free
-    * when bucket counts match. */
+    * when bucket counts match. The merge hint keeps the planner on
+    * sort-merge (a broadcast pick would ignore the bucketing and hide
+    * the zero-exchange property this operator exists for). */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
-    spark.table(left).join(spark.table(right), key)
+    spark.table(left).hint("merge").join(spark.table(right), key)
 }

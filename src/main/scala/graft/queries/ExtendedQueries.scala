@@ -195,6 +195,63 @@ object ExtendedQueries {
       .orderBy(col("tag"), col("k"))
   }
 
+  /** UDTF-with-ordinality analog: posexplode keeps each element's
+    * position — the operator a tokenizer pipeline needs to preserve
+    * token order through the explode. (DuckDB twin: unnest +
+    * generate_subscripts, 1-based → aligned to Spark's 0-based pos.) */
+  private val qExplodePos = Q("q_explode_pos",
+    """SELECT doc_id,
+      |  CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos,
+      |  unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE doc_id < 20
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    t(s, d, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"), col("word"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** RANGE window frame (value-based, vs q_window_frame's ROWS):
+    * peers within $2000 of the current order's price count toward the
+    * frame — the frame bound is a VALUE offset, so ties and unevenly
+    * spaced keys behave differently from ROWS. */
+  private val qWindowRange = Q("q_window_range",
+    """SELECT o_orderkey,
+      |  CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |    RANGE BETWEEN 2000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cheaper
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .selectExpr("o_orderkey",
+        """CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+          |  RANGE BETWEEN 2000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cheaper""".stripMargin)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Bucketed co-located join (operators.Bucketing): both sides are
+    * WRITTEN hash-bucketed+sorted on the join key, so the join plans
+    * with zero exchanges — the shuffle is paid once at write time and
+    * amortized over every later join. The oracle is the PLAIN join:
+    * bucketing must be a pure physical rewrite. (The write runs per
+    * invocation here; in production the bucketed table is the stored
+    * fact table.) */
+  private val qJoinBucketed = Q("q_join_bucketed",
+    """SELECT o.o_orderkey, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    import graft.operators.Bucketing
+    Bucketing.writeBucketed(
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+      "bq_orders", "o_custkey", 8)
+    Bucketing.writeBucketed(
+      t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
+      "bq_customer", "o_custkey", 8)
+    Bucketing.colocatedJoin(s, "bq_orders", "bq_customer", "o_custkey")
+      .select(col("o_orderkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
-    qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps)
+    qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
+    qExplodePos, qWindowRange, qJoinBucketed)
 }
