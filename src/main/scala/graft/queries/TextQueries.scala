@@ -115,5 +115,35 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize)
+  /** Language-model-style n-gram frequency table: top bigrams with
+    * counts and corpus share. Shuffle shape at 100 TB: the bigram
+    * string never leaves the scan stage un-aggregated — explode feeds
+    * a map-side partial count, and only (bigram, partial_n) pairs hit
+    * the exchange. Top-k is TakeOrdered, not a full sort. */
+  private val qBigrams = Q("q_text_bigrams",
+    """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(CASE WHEN len(ws) >= 2
+      |        THEN list_transform(generate_series(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1])
+      |        ELSE [] END) AS bigram
+      |      FROM w),
+      |c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bigram),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT bigram, n, CAST(n AS DOUBLE) / total AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY n DESC, bigram LIMIT 25""".stripMargin) { (s, d) =>
+    val bigrams = t(s, d, "documents")
+      .select(explode(graft.functions.GraftExpressions.shingles(
+        lower(col("text")), 2, dedup = false)).as("bigram"))
+    val counts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("long").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bigram"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+  }
+
+  val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
+    qBigrams)
 }

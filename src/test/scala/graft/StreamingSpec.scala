@@ -110,6 +110,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows close after the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sessions = mem.toDF.toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("session_window.start").as("start"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      // two events 10 min apart = one session; a third 2 hours later
+      // both advances the watermark past the first session's gap
+      // (closing it) and opens a new session
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "u1"),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), "u1"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "u1"))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_stream")
+        .as[(String, Timestamp, Long)].collect()
+      assert(closed.toSeq == Seq(
+        ("u1", Timestamp.valueOf("2024-01-01 10:00:00"), 2L)),
+        s"exactly the first session must be emitted closed, got ${closed.toSeq}")
+    } finally q.stop()
+  }
+
   test("latest-event-wins bucket sampling keeps exactly one row per bucket") {
     val df = Seq(
       (Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
