@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Sessions.local()
+    // ERROR-level logging: the driver parses the final stdout line as
+    // JSON, so nothing may print after it (shutdown WARNs included).
+    val spark = Sessions.local(logLevel = "ERROR")
     // Warm-up pass at the smallest SF: absorbs JIT + codegen compile
     // so the timed pass measures steady-state throughput.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
