@@ -135,7 +135,11 @@ object TextQueries {
     val bigrams = t(s, d, "documents")
       .select(explode(graft.functions.GraftExpressions.shingles(
         lower(col("text")), 2, dedup = false)).as("bigram"))
+    // materialize the (vocabulary-sized) count table once — total is
+    // derived from it AND it feeds the crossJoin, so without the
+    // checkpoint the corpus scan + explode + groupBy would run twice
     val counts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val total = counts.agg(sum(col("n")).cast("long").as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("bigram"), col("n"),

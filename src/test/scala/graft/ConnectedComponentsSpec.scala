@@ -27,10 +27,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val genEdges = for {
       n <- Gen.choose(2, 30)
       m <- Gen.choose(1, 40)
+      // b is drawn from n-1 values and shifted past a — no filter, no
+      // discard blowup at small n (a `b if b != a` filter discards
+      // (2/3)^40 of samples at n=2 and can make ScalaCheck give up)
       edges <- Gen.listOfN(m, for {
         a <- Gen.choose(0L, n.toLong)
-        b <- Gen.choose(0L, n.toLong) if a != b
-      } yield (a, b))
+        b0 <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, if (b0 >= a) b0 + 1 else b0))
     } yield edges
     val prop = Prop.forAll(genEdges) { edges =>
       edges.isEmpty || {

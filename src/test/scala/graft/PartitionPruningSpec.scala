@@ -7,36 +7,54 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** At 100 TB the events table is laid out partitioned by date; a
   * time-bounded query must touch only the matching directories. This
-  * pins that property: the physical plan carries the predicate as a
-  * PartitionFilter and the scan reads only the selected partition's
-  * rows.
+  * pins that property: the physical plan carries the day predicate as
+  * a PartitionFilter and the scan reads only that partition's files.
   */
 class PartitionPruningSpec extends AnyFunSuite {
   import TestSpark.{spark, Sf}
 
   test("date-partitioned layout prunes non-matching partitions at the scan") {
     val dir = Files.createTempDirectory("events_bydate").toString
-    Tables(spark, Sf, "events")
-      .withColumn("day", to_date(col("ts")))
-      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    try {
+      Tables(spark, Sf, "events")
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
 
-    val days = spark.read.parquet(dir).select("day").distinct().count()
-    assert(days > 1, "need multiple partitions for the test to mean anything")
+      val all = spark.read.parquet(dir)
+      val days = all.select("day").distinct().count()
+      assert(days > 1, "need multiple partitions for the test to mean anything")
 
-    val firstDay = spark.read.parquet(dir)
-      .agg(min(col("day"))).head().getDate(0)
-    val q = spark.read.parquet(dir).where(col("day") === lit(firstDay))
+      val firstDay = all.agg(min(col("day"))).head().getDate(0)
+      val q = spark.read.parquet(dir).where(col("day") === lit(firstDay))
 
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["),
-      "scan must carry the day predicate as a partition filter")
-    assert(!plan.replaceAll("(?s)PartitionFilters: \\[[^\\]]*\\]", "")
-      .contains("PushedFilters: [IsNotNull(day)"),
-      "day predicate must not degrade to a data filter")
+      // the predicate must appear INSIDE the partition-filter list
+      // (an empty "PartitionFilters: []" must not satisfy the check)
+      val plan = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+        s"day predicate missing from PartitionFilters in:\n$plan")
 
-    // the pruned read returns exactly that day's rows
-    val expected = Tables(spark, Sf, "events")
-      .where(to_date(col("ts")) === lit(firstDay)).count()
-    assert(q.count() == expected)
+      // execute the PROBED plan instance itself (q.count() would build
+      // a separate QueryExecution whose metrics we can't reach), then
+      // read its scan metrics: pruning is physical — strictly fewer
+      // files than the layout holds. (DataFrame.inputFiles is
+      // pre-pruning, so it cannot serve as the probe.)
+      val exec = q.queryExecution.executedPlan
+      val rows = exec.executeCollect().length
+      val expected = Tables(spark, Sf, "events")
+        .where(to_date(col("ts")) === lit(firstDay)).count()
+      assert(rows == expected)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scan = exec.collect { case f: FileSourceScanExec => f }.head
+      val filesRead = scan.metrics("numFiles").value
+      assert(filesRead > 0 && filesRead < all.inputFiles.length,
+        s"pruned scan read $filesRead files of ${all.inputFiles.length}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
   }
 }
