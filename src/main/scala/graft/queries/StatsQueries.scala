@@ -52,8 +52,12 @@ object StatsQueries {
     * per group, from exact decimal sums — the engines' own corr/covar
     * accumulate doubles in partition order (nondeterministic across
     * runs, let alone engines). n·Σxy − Σx·Σy etc. are evaluated in
-    * ONE identically-ordered double expression on both sides, so the
-    * result bits match. Plan shape: a single hash-agg pass (six
+    * ONE identically-ordered double expression on both sides. The
+    * squared-price sums carry unscaled decimal values past 2^53, where
+    * the decimal→double cast itself double-rounds differently across
+    * engines (1-ulp divergence observed at sf0.001) — so the OUTPUTS
+    * are rounded to 6 decimals, the same convention as the kNN
+    * cosines. Plan shape: a single hash-agg pass (six
     * partial-aggregable sums), no second scan. */
   private val qCorrCov = Q("q_corr_cov",
     """WITH m AS (
@@ -66,11 +70,11 @@ object StatsQueries {
       |    sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS sy2
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov_pop,
-      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov_pop,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |       * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val d2 = DecimalType(18, 2)
     val d4 = DecimalType(24, 4)
@@ -89,8 +93,8 @@ object StatsQueries {
     val sx2 = col("sx2").cast("double"); val sy2 = col("sy2").cast("double")
     val num = nD * sxy - sx * sy
     m.select(col("l_returnflag"),
-      (num / (nD * nD)).as("cov_pop"),
-      (num / (sqrt(nD * sx2 - sx * sx) * sqrt(nD * sy2 - sy * sy))).as("corr"))
+      round(num / (nD * nD), 6).as("cov_pop"),
+      round(num / (sqrt(nD * sx2 - sx * sx) * sqrt(nD * sy2 - sy * sy)), 6).as("corr"))
       .orderBy(col("l_returnflag"))
   }
 
