@@ -53,4 +53,31 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.size == 10 && got.values.forall(_ == 0L))
   }
+
+  test("alternating large/small-star equals union-find on random graphs") {
+    val genEdges = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(1, 35)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b0 <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, if (b0 >= a) b0 + 1 else b0))
+    } yield edges
+    val prop = Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val got = ConnectedComponents.resolveAlternating(edges.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        got == ufLabels(edges)
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("alternating variant handles the adversarial long chain") {
+    val chain = (0L until 40L).map(i => (i + 1, i))
+    val got = ConnectedComponents.resolveAlternating(chain.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
 }
