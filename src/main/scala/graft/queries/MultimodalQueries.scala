@@ -30,5 +30,20 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qMeta)
+  /** The partition-local batch-decode path (MediaPipeline
+    * .extractFeatures over mapPartitions — the Scala analog of a
+    * mapInPandas decode stage): binary payloads → typed feature rows.
+    * Spark-only: the stub decoder's byte loop isn't worth a SQL twin;
+    * MultimodalSpec pins exact feature values instead, and the driver
+    * records the rows-only check. */
+  private val qFeatures = Q.sparkOnly("q_multimodal_features") { (s, d) =>
+    import graft.multimodal.MediaPipeline
+    MediaPipeline.extractFeatures(s, MediaPipeline.toMedia(t(s, d, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        round(col("brightness"), 6).as("brightness"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qMeta, qFeatures)
 }
