@@ -251,7 +251,32 @@ object ExtendedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Top-k per group (vs q_topk's global TakeOrdered): rank inside
+    * each partition, keep k — the per-key shortlist shape (top
+    * documents per language, top products per category). The filter
+    * on row_number lets Spark's WindowGroupLimit push the limit into
+    * the sort, so each group materializes only k rows. */
+  private val qTopkPerGroup = Q("q_topk_per_group",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("int").as("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
-    qExplodePos, qWindowRange, qJoinBucketed)
+    qExplodePos, qWindowRange, qJoinBucketed, qTopkPerGroup)
 }
