@@ -39,10 +39,14 @@ object ConnectedComponents {
     * minimum id in O(log n) rounds REGARDLESS of graph diameter —
     * [[resolve]]'s plain label propagation needs diameter rounds, so
     * this is the variant for adversarial (long-chain) graphs at scale.
-    * Per round: two grouped aggregations over the edge list, nothing
-    * quadratic. Termination: the canonical (undirected, deduped) edge
-    * set is unchanged — checked via a count + join, and the star
-    * property then gives labels directly.
+    * Per round: two grouped-min aggregations (partial-aggregable — a
+    * high-degree hub combines map-side, never buffered the way a
+    * window over its neighborhood would be) each joined back on the
+    * already-partitioned key, nothing quadratic. Termination: the
+    * canonical (undirected, deduped) edge set is unchanged — checked
+    * via a count + join, and the star property then gives labels
+    * directly. Superseded per-round checkpoints are unpersisted so
+    * block-manager storage stays O(current edge set), not O(rounds).
     *
     * Equivalence with [[resolve]] is property-tested against a
     * union-find reference on random graphs. */
@@ -61,26 +65,29 @@ object ConnectedComponents {
       .localCheckpoint()
     var stable = false
     while (!stable) {
-      // large-star over the bidirectional neighbor list
+      // large-star over the bidirectional neighbor list: per-u minimum
+      // via grouped agg (map-side combinable), joined back on the
+      // group key — both sides arrive hash-partitioned on u
       val nbrs = e.select(col("lo").as("u"), col("hi").as("v"))
         .union(e.select(col("hi").as("u"), col("lo").as("v")))
-      val withMin = nbrs.withColumn("m",
-        min(least(col("v"), col("u")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
-      val large = withMin.where(col("v") > col("u"))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val large = nbrs.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
       val afterLarge = canon(large).localCheckpoint()
       // small-star over the contracted edges
       val nbrs2 = afterLarge.select(col("hi").as("u"), col("lo").as("v"))
-      val withMin2 = nbrs2.withColumn("m",
-        min(least(col("v"), col("u")))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+      val mins2 = nbrs2.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      val withMin2 = nbrs2.join(mins2, "u")
       val small = withMin2
         .select(col("v").as("src"), col("m").as("dst"))
-        .union(withMin2.select(col("u").as("src"), col("m").as("dst")))
+        .union(mins2.select(col("u").as("src"), col("m").as("dst")))
       val next = canon(small).localCheckpoint()
       stable = next.count() == e.count() &&
         next.join(e, Seq("lo", "hi"), "left_anti").isEmpty
+      e.unpersist()
+      afterLarge.unpersist()
       e = next
     }
     // star graphs: every hi links directly to its component minimum
@@ -113,6 +120,7 @@ object ConnectedComponents {
         (col("nxt") =!= col("lbl")).cast("long").as("moved"))
         .localCheckpoint()
       changed = stepped.agg(coalesce(sum(col("moved")), lit(0L))).head().getLong(0)
+      labels.unpersist() // superseded checkpoint — free its blocks
       labels = stepped.select(col("id"), col("lbl"))
     }
     labels
