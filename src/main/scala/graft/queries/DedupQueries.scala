@@ -258,7 +258,7 @@ object DedupQueries {
     * verification is orders of magnitude smaller than the corpus, so
     * the loop's shuffles are negligible next to the one-shot candidate
     * generation. DuckDB twin: recursive transitive closure + min. */
-  private val qDedupCc = Q("q_dedup_cc",
+  private val ccOracle: String =
     s"""WITH RECURSIVE $verifiedCtes,
        |e2 AS (SELECT ai AS s, bi AS t FROM verified
        |       UNION ALL SELECT bi, ai FROM verified),
@@ -269,12 +269,24 @@ object DedupQueries {
        |lbl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
        |        FROM reach GROUP BY s)
        |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
-       |FROM lbl ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM lbl ORDER BY doc_id""".stripMargin
+
+  private def ccQuery(resolver: DataFrame => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
     val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).localCheckpoint()
-    graft.operators.ConnectedComponents.resolve(edges)
+    resolver(edges)
       .select(col("id").as("doc_id"), col("lbl").cast("long").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  private val qDedupCc = Q("q_dedup_cc", ccOracle)(
+    ccQuery(graft.operators.ConnectedComponents.resolve))
+
+  /** Same clusters via the diameter-independent alternating
+    * large/small-star algorithm — both CC variants are held to the
+    * identical recursive-closure oracle. */
+  private val qDedupCcStar = Q("q_dedup_cc_star", ccOracle)(
+    ccQuery(graft.operators.ConnectedComponents.resolveAlternating))
 
   // ---------------------------------------------------------------- SimHash
 
@@ -338,5 +350,5 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupCc,
-    qSimhash, qSimhashPairs)
+    qDedupCcStar, qSimhash, qSimhashPairs)
 }
