@@ -28,6 +28,16 @@ object PortableHash {
   def family(h0: Column, i: Int): Column =
     (lit(aCoef(i)) * h0 + lit(bCoef(i))) % P
 
+  /** JVM-side twin of `md5Long(col) % P` — for driver-side probe
+    * values (sketch bucket precomputation) and JVM-state streaming
+    * sketches that must agree with the SQL form bit-for-bit. */
+  def digestOf(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
+  }
+
   /** DuckDB-side twins (string fragments for oracle SQL). */
   def md5LongSql(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"

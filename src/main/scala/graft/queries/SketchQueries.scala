@@ -1,8 +1,5 @@
 package graft.queries
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CountMin, PortableHash}
@@ -20,12 +17,7 @@ object SketchQueries {
   private val ProbeWords = Seq("spark", "data", "the", "join", "vector", "zzz_absent")
 
   /** Driver-side twin of PortableHash.md5Long ∘ (% P). */
-  private def digest(s: String): Long = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % PortableHash.P
-  }
+  private def digest(s: String): Long = PortableHash.digestOf(s)
 
   private val qCms = Q("q_sketch_cms", {
     val rows = (0 until CountMin.D).map { i =>
