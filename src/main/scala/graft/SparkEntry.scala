@@ -14,9 +14,36 @@ import graft.queries._
   */
 object SparkEntry {
 
+  /** Hourly top-3 lemmata over the enriched flagship stream — the
+    * dashboard aggregate a livestream deployment serves from the
+    * pipeline's output (composite: full parse/filter/enrich cascade →
+    * event-time bucketing → per-key shortlist). */
+  private val flagshipHourlyTop = Q("q_flagship_hourly_top",
+    s"""WITH f AS (${Flagship.oracle}),
+       |c AS (SELECT date_trunc('hour', ts) AS h, lemma,
+       |        CAST(count(*) AS BIGINT) AS n
+       |      FROM f GROUP BY 1, 2),
+       |r AS (SELECT h, lemma, n,
+       |        row_number() OVER (PARTITION BY h ORDER BY n DESC, lemma) AS rn
+       |      FROM c)
+       |SELECT h, lemma, n, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= 3 ORDER BY h, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("h")).orderBy(col("n").desc, col("lemma"))
+    Flagship(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("lemma"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("h"), col("lemma"), col("n"), col("rn").cast("int").as("rn"))
+      .orderBy(col("h"), col("rn"))
+  }
+
   /** All engine queries, grouped by module. */
   def all: Seq[Q] =
-    Seq(Q("q_flagship", Flagship.oracle)((s, d) => Flagship(s, d))) ++
+    Seq(Q("q_flagship", Flagship.oracle)((s, d) => Flagship(s, d)),
+      flagshipHourlyTop) ++
       RelationalQueries.all ++
       ExtendedQueries.all ++
       TpchQueries.all ++
