@@ -12,7 +12,6 @@ import org.apache.spark.sql.functions._
 object CcScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(logLevel = "ERROR")
-    import spark.implicits._
     import graft.operators.ConnectedComponents._
 
     def timed[T](name: String)(f: => T): T = {
@@ -39,11 +38,17 @@ object CcScaleProbe {
       (graft.functions.PortableHash.md5Long(concat(col("id").cast("string"), lit("x"))) % n).as("dst"))
       .where(col("src") =!= col("dst"))
       .localCheckpoint()
+    // materialize the full label assignment INSIDE the timer — without
+    // the checkpoint the final nodes⋈labels join would lazily run in
+    // the untimed comparison counts and skew the variant comparison
     val a = timed(s"alternating random n=$n m=$m")(
-      resolveAlternating(rand).withColumnRenamed("lbl", "la"))
+      resolveAlternating(rand).withColumnRenamed("lbl", "la").localCheckpoint())
     val b = timed(s"propagation random n=$n m=$m")(
-      resolve(rand).withColumnRenamed("lbl", "lb"))
-    val diff = a.join(b, "id").where(col("la") =!= col("lb")).count()
+      resolve(rand).withColumnRenamed("lbl", "lb").localCheckpoint())
+    // full-outer: a node missing from either side counts as a diff
+    val diff = a.join(b, Seq("id"), "full_outer")
+      .where(col("la").isNull || col("lb").isNull || col("la") =!= col("lb"))
+      .count()
     val comps = a.select(col("la")).distinct().count()
     println(s"CCSCALE random components=$comps labelDiffs=$diff ok=${diff == 0}")
     spark.stop()

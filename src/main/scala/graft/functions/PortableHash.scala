@@ -28,14 +28,28 @@ object PortableHash {
   def family(h0: Column, i: Int): Column =
     (lit(aCoef(i)) * h0 + lit(bCoef(i))) % P
 
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** JVM-side twin of `md5Long(col) % P` — for driver-side probe
     * values (sketch bucket precomputation) and JVM-state streaming
-    * sketches that must agree with the SQL form bit-for-bit. */
+    * sketches that must agree with the SQL form bit-for-bit. Hot-path
+    * safe: thread-local digest instance, and the 60-bit value (the
+    * first 15 hex chars ≡ the top 60 bits of the digest) is derived
+    * numerically from the first 8 bytes instead of formatting and
+    * re-parsing hex. Equivalence with the hex-parse form is spec-pinned
+    * (PortableHashSpec). */
   def digestOf(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
+    val md = mdLocal.get()
+    md.reset()
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (b(i) & 0xffL); i += 1 }
+    (top >>> 4) % P
   }
 
   /** DuckDB-side twins (string fragments for oracle SQL). */

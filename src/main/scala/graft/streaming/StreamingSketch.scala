@@ -27,30 +27,47 @@ object StreamingSketch {
   case class KmvEstimate(key: String, est: Double, nSeen: Int)
 
   /** events: (key, rawValue) pairs; emits one estimate per updated key
-    * per micro-batch (Update output mode downstream). */
+    * per micro-batch (Update output mode downstream).
+    *
+    * `idleTimeout` bounds the KEY dimension of the state store: a key
+    * with no arrivals for that long has its sketch evicted (processing-
+    * time timeout, nothing emitted on eviction). Without it — the
+    * default — state is O(k) per key but O(keys) total, which is only
+    * viable when the key domain is bounded (the q_sketch_kmv analog:
+    * a handful of group values). Pass a timeout for unbounded/churning
+    * key domains. */
   def kmvDistinct(spark: SparkSession, events: Dataset[(String, Long)],
-      k: Int): Dataset[KmvEstimate] = {
+      k: Int, idleTimeout: Option[String] = None): Dataset[KmvEstimate] = {
     import spark.implicits._
     require(k >= 2, s"k must be >= 2, got $k")
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (key: String, it: Iterator[(String, Long)], state: GroupState[KmvState]) => {
-          val mins = scala.collection.mutable.TreeSet.empty[Long]
-          state.getOption.foreach(s => mins ++= s.mins)
-          it.foreach { case (_, raw) =>
-            val h = PortableHash.digestOf(raw.toString)
-            if (mins.size < k) mins += h
-            else if (h < mins.last && !mins.contains(h)) {
-              mins += h
-              mins -= mins.last
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val mins = scala.collection.mutable.TreeSet.empty[Long]
+            state.getOption.foreach(s => mins ++= s.mins)
+            it.foreach { case (_, raw) =>
+              val h = PortableHash.digestOf(raw.toString)
+              if (mins.size < k) mins += h
+              else if (h < mins.last && !mins.contains(h)) {
+                mins += h
+                mins -= mins.last
+              }
             }
+            state.update(KmvState(mins.toArray))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            val est =
+              if (mins.size < k) mins.size.toDouble // fewer distincts than k: exact
+              else (k - 1).toDouble * PortableHash.P / mins.last
+            Iterator.single(KmvEstimate(key, est, mins.size))
           }
-          state.update(KmvState(mins.toArray))
-          val est =
-            if (mins.size < k) mins.size.toDouble // fewer distincts than k: exact
-            else (k - 1).toDouble * PortableHash.P / mins.last
-          KmvEstimate(key, est, mins.size)
         })
   }
 }

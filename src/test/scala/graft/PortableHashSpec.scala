@@ -10,6 +10,22 @@ class PortableHashSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("digestOf (numeric path) equals the hex-parse form and the SQL md5Long % P") {
+    def hexForm(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % PortableHash.P
+    }
+    val samples = Seq("", "a", "lemma", "Bäume", "x" * 300) ++
+      (0 until 200).map(i => s"w$i")
+    samples.foreach(s => assert(PortableHash.digestOf(s) == hexForm(s), s))
+    // and against the Spark SQL expression itself
+    val df = samples.toDF("s")
+      .select((PortableHash.md5Long(org.apache.spark.sql.functions.col("s"))
+        % PortableHash.P).as("h"))
+    assert(df.as[Long].collect().toSeq == samples.map(PortableHash.digestOf))
+  }
+
   test("md5Long is deterministic, non-negative, and < 2^60") {
     val vals = Seq("a", "b", "obskur", "", "ä-umlaut").toDF("s")
       .select(PortableHash.md5Long(org.apache.spark.sql.functions.col("s")))
