@@ -117,5 +117,53 @@ object SketchQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[Q] = Seq(qCms, qKmv)
+  /** Histogram quantile sketch — approximate quantiles from ONE
+    * aggregation pass (fixed-width bins + linear interpolation inside
+    * the selected bin), no global sort and no per-group window over
+    * raw rows: the scan reduces map-side to ≤ nbins counters. This is
+    * the portable counterpart to t-digest/GK sketches (whose internals
+    * are engine-specific): integer bin counts are exact on both
+    * engines and the interpolation arithmetic is written in the same
+    * operand order, so estimates compare bit-for-bit (modulo the
+    * standard round-6 convention). Complements q_quantile_exact, which
+    * is exact but pays a sort. */
+  private val HqBinW = 2000
+  private val qHistQ = Q("q_sketch_histq",
+    s"""WITH b AS (
+       |  SELECT CAST(floor(l_extendedprice / $HqBinW) AS BIGINT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lineitem GROUP BY 1),
+       |c AS (SELECT bin, n,
+       |        sum(n) OVER (ORDER BY bin) AS cum,
+       |        sum(n) OVER () AS total
+       |      FROM b),
+       |q AS (SELECT 0.5 AS p UNION ALL SELECT 0.9 UNION ALL SELECT 0.99),
+       |sel AS (
+       |  SELECT q.p, c.bin, c.n, c.cum, c.total,
+       |    row_number() OVER (PARTITION BY q.p ORDER BY c.bin) AS rn
+       |  FROM q JOIN c ON c.cum >= q.p * c.total)
+       |SELECT p,
+       |  round(bin * $HqBinW + $HqBinW * (p * total - (cum - n)) / n, 6) AS est
+       |FROM sel WHERE rn = 1 ORDER BY p""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bins = t(s, d, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / HqBinW).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val c = bins
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("bin"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    import s.implicits._
+    val ps = Seq(0.5, 0.9, 0.99).toDF("p")
+    val w = Window.partitionBy(col("p")).orderBy(col("bin"))
+    ps.join(c, col("cum") >= col("p") * col("total"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("p"),
+        round(col("bin") * HqBinW +
+          lit(HqBinW) * (col("p") * col("total") - (col("cum") - col("n"))) / col("n"),
+          6).as("est"))
+      .orderBy(col("p"))
+  }
+
+  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ)
 }

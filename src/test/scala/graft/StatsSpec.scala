@@ -35,6 +35,18 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram quantile sketch lands within one bin width of the exact quantile") {
+    import spark.implicits._
+    val ests = run("q_sketch_histq").as[(Double, Double)].collect().toMap
+    val prices = Tables(spark, Sf, "lineitem")
+      .select("l_extendedprice").as[Double].collect().sorted
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val exact = prices(math.ceil(p * prices.length).toInt - 1)
+      assert(math.abs(ests(p) - exact) <= 2000.0,
+        s"p=$p est=${ests(p)} exact=$exact")
+    }
+  }
+
   test("histogram bins partition the table") {
     import spark.implicits._
     val rows = run("q_hist").as[(Int, Long, Double, Double)].collect()
