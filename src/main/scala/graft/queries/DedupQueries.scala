@@ -331,6 +331,30 @@ object DedupQueries {
     simhashOf(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
   }
 
+  /** Pigeonhole segmentation of the signature for Hamming-banded
+    * candidate generation (the simhash counterpart of LSH banding,
+    * public technique: Manku/Jain/Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3): split the 32-bit
+    * signature into `HamSegs` = `HamMax`+1 contiguous segments — a
+    * pair at Hamming distance ≤ `HamMax` has its ≤ `HamMax` differing
+    * bits in at most `HamMax` segments, so AT LEAST ONE segment is
+    * bit-identical. Candidate generation is therefore an exact-recall
+    * equi-join on (segment index, segment value): linear-ish in true
+    * near-dup density, never all-pairs. */
+  private val HamMax = 6
+  private val HamSegs = HamMax + 1
+  private val SegBounds: Seq[(Int, Int)] = { // (bit offset, width) per segment
+    val base = SimBits / HamSegs
+    val extra = SimBits % HamSegs // first `extra` segments get one bit more
+    val widths = (0 until HamSegs).map(j => base + (if (j < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).init.zip(widths)
+  }
+
+  private def segmentValue(sig: Column, j: Int): Column = {
+    val (off, w) = SegBounds(j)
+    shiftright(sig, off).bitwiseAND(lit((1L << w) - 1))
+  }
+
   private val qSimhashPairs = Q("q_dedup_simhash_pairs",
     s"""WITH $simhashCtes
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -338,13 +362,29 @@ object DedupQueries {
        |FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    // Engine side: pigeonhole-banded candidates + exact verify — the
+    // SAME output as the oracle's declarative all-pairs formulation
+    // (banding is lossless at hamming ≤ HamMax by construction), with
+    // the quadratic-per-lang self-join replaced by an equi-join on
+    // (seg, seg value, lang). The signature travels with each banded
+    // row (one long), so verification needs no join back.
     val sig = simhashOf(s, d).localCheckpoint() // reused on both join sides
+    val seg = explode(array((0 until HamSegs).map(j =>
+      struct(lit(j).as("seg"), segmentValue(col("simhash"), j).as("sv"))): _*))
+    val bands = sig.select(col("doc_id"), col("lang"), col("simhash"), seg.as("b"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("b.seg").as("seg"), col("b.sv").as("sv"))
+    val cand = bands
+      .select(col("doc_id").as("a_id"), col("lang"), col("seg"), col("sv"),
+        col("simhash").as("sa"))
+      .join(bands.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+        col("seg").as("seg2"), col("sv").as("sv2"), col("simhash").as("sb")),
+        col("seg") === col("seg2") && col("sv") === col("sv2") &&
+          col("lang") === col("lb") && col("a_id") < col("b_id"))
+      // a pair matching in k segments appears k times — dedup before verify
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
     val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
-    sig.select(col("doc_id").as("a_id"), col("lang"), col("simhash").as("sa"))
-      .join(sig.select(col("doc_id").as("b_id"), col("lang").as("lb"),
-        col("simhash").as("sb")),
-        col("lang") === col("lb") && col("a_id") < col("b_id"))
-      .where(ham <= 6)
+    cand.where(ham <= HamMax)
       .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -10,9 +10,11 @@ import graft.queries.Q.t
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors):
   *
-  *  - `q_dedup_embed` — embedding-cosine near-duplicate pairs, blocked
-  *    by `label` (the blocking key is what keeps this linear-ish at
-  *    scale: candidates never cross blocks);
+  *  - `q_dedup_embed` — EXACT embedding-cosine near-duplicate pairs
+  *    within a `label` block (full-recall verification semantics);
+  *  - `q_dedup_embed_lsh` — the scale path: banded random-hyperplane
+  *    candidate generation (equi-join, never all-pairs) + exact-cosine
+  *    verify, with the oracle running the identical banding;
   *  - `q_knn_brute` — exact brute-force cosine top-k for a query set
   *    (the correctness baseline; O(|Q|·N), broadcast the query side);
   *  - `q_knn_lsh` — random-hyperplane LSH bucketing (the scale path:
@@ -52,6 +54,23 @@ object SimilarityQueries {
       |        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
       |       FROM embeddings)""".stripMargin
 
+  /** EXACT near-duplicate pairs (cos ≥ 0.4) within a `label` block —
+    * the full-recall VERIFICATION semantics, deliberately all-pairs
+    * per block.
+    *
+    * Why this cannot be LSH-blocked without changing the answer: the
+    * qualifying pairs in this corpus sit at sim 0.40–0.51 (measured:
+    * min 0.4006 at sf0.1), i.e. angle ≈ 60–66°, where the per-plane
+    * sign-agreement probability is only ~0.63 — a single 8-plane
+    * bucket join would retain ~0.63⁸ ≈ 2.5% of true pairs, and NO
+    * hyperplane banding has recall 1 at a fixed cosine threshold
+    * (exact dense similarity join is inherently quadratic in the
+    * block). So the exact form stays all-pairs-within-block and is
+    * the candidate-verification kernel; the 100 TB path is
+    * `q_dedup_embed_lsh` below, where BOTH engine and oracle run the
+    * same banded candidate generation and the scale shape is an
+    * equi-join — use it when approximate recall (documented curve) is
+    * acceptable, or feed ITS candidates through THIS verify. */
   private val qDedupEmbed = Q("q_dedup_embed",
     s"""WITH $vectorsCte
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -66,6 +85,83 @@ object SimilarityQueries {
         col("label") === col("lb") && col("a_id") < col("b_id"))
       .where(cos >= 0.4)
       .select(col("a_id"), col("b_id"), round(cos, 4).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---------------------------------------------- banded-LSH near-dup pairs
+
+  /** Deterministic ±1 planes for the dedup bands: `DedupBands` bands
+    * of `DedupRows` hyperplanes each (OR-of-ANDs amplification, the
+    * standard LSH banding construction). Literals, so they embed in
+    * the oracle SQL — engine and oracle compute IDENTICAL candidate
+    * sets, making the banded query exact-by-construction against its
+    * own contract (candidate recall vs the exact query follows the
+    * 1−(1−p^r)^b curve, p = 1 − θ/π). */
+  private[graft] val DedupBands = 8
+  private[graft] val DedupRows = 4
+  private[graft] val DedupPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(DedupBands * DedupRows, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** 4-bit band value: sign pattern of the band's planes. */
+  private def bandValue(v: Column, j: Int): Column =
+    (0 until DedupRows).map { r =>
+      val plane = array(DedupPlanes(j * DedupRows + r).map(lit(_)): _*)
+      when(dot(v, plane) >= 0, lit(1L << r)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bandValueSql(v: String, j: Int): String =
+    (0 until DedupRows).map { r =>
+      val plane = DedupPlanes(j * DedupRows + r).map(_.toString).mkString(",")
+      s"(CASE WHEN list_dot_product($v, [$plane]::DOUBLE[]) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The 100 TB near-dup shape: banded-LSH candidate generation (an
+    * equi-join on (label, band, band value) — linear-ish in true
+    * near-dup density, never all-pairs) followed by exact-cosine
+    * verification on candidates only. The oracle runs the identical
+    * banding (planes are literals in the SQL), so the result is
+    * hash-checked end to end. At p≈0.66 (sim 0.47) the candidate
+    * recall vs `q_dedup_embed` is 1−(1−0.66⁴)^8 ≈ 0.80 — the
+    * production trade dial is (bands, rows): more bands → recall,
+    * more rows → pruning. */
+  private val qDedupEmbedLsh = Q("q_dedup_embed_lsh",
+    s"""WITH $vectorsCte,
+       |bx AS (
+       |${(0 until DedupBands).map(j =>
+          s"  SELECT vec_id, label, $j AS band, ${bandValueSql("v", j)} AS bv FROM e")
+          .mkString("\n  UNION ALL\n")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ai, b.vec_id AS bi
+       |  FROM bx a JOIN bx b
+       |    ON a.label = b.label AND a.band = b.band AND a.bv = b.bv
+       |   AND a.vec_id < b.vec_id)
+       |SELECT c.ai AS a_id, c.bi AS b_id,
+       |  round(list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)), 4) AS sim
+       |FROM cand c JOIN e a ON a.vec_id = c.ai JOIN e b ON b.vec_id = c.bi
+       |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d).localCheckpoint() // banded twice + verified against
+    val bands = e.select(col("vec_id"), col("label"),
+      explode(array((0 until DedupBands).map(j =>
+        struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
+      .select(col("vec_id"), col("label"), col("b.band").as("band"), col("b.bv").as("bv"))
+    // a pair colliding in k bands appears k times — dedup ids only
+    // (cheap longs), then join the vectors back for the verify
+    val cand = bands.select(col("vec_id").as("ai"), col("label"), col("band"), col("bv"))
+      .join(bands.select(col("vec_id").as("bi"), col("label").as("lb"),
+        col("band").as("band2"), col("bv").as("bv2")),
+        col("label") === col("lb") && col("band") === col("band2") &&
+          col("bv") === col("bv2") && col("ai") < col("bi"))
+      .select(col("ai"), col("bi")).distinct()
+    val cos = cosine(col("va"), col("vb"))
+    cand
+      .join(e.select(col("vec_id").as("ai"), col("v").as("va")), "ai")
+      .join(e.select(col("vec_id").as("bi"), col("v").as("vb")), "bi")
+      .where(cos >= 0.4)
+      .select(col("ai").as("a_id"), col("bi").as("b_id"), round(cos, 4).as("sim"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -228,5 +324,5 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(qDedupEmbed, qKnnBrute, qKnnLsh, qKnnIvf)
+  val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf)
 }
