@@ -47,11 +47,17 @@ object LogFilters {
   def mainDictOnly(segments: Column): Column =
     size(segments) === 1 && !lemmaOf(segments).isin(SubDictionaries: _*)
 
-  /** F8 — bot user-agent filter. The reference compiles a large
-    * case-insensitive alternation once at load (`access_log.clj:62-64`);
-    * here the pattern is a fold-time literal so codegen compiles the
-    * matcher once per task. Kept RE2-safe (no lookaround) so the
-    * DuckDB oracle can share it verbatim. */
+  /** F8 — bot user-agent filter, full reference fidelity: all 173
+    * patterns (lookarounds included) joined into one alternation and
+    * matched unanchored against the raw user-agent, exactly as the
+    * reference compiles and applies them (`bot-patterns.txt:1-173`,
+    * `access_log.clj:62-64,74-76`). See [[BotPatterns]].
+    *
+    * The oracle twin CANNOT run this pattern (DuckDB's RE2 has no
+    * lookaround), so oracle SQL uses the RE2-safe [[BotPattern]]
+    * subset; BotPatternsSpec pins that both classifiers agree on
+    * every user-agent the flagship synthesizer emits, which is what
+    * keeps the flagship oracle exact. */
   val BotPattern: String =
     "(?i)(bot|crawler|crawling|spider|slurp|curl|wget|python-requests|" +
       "httpclient|okhttp|scrapy|archiver|indexer|fetcher|monitoring|" +
@@ -59,10 +65,10 @@ object LogFilters {
 
   /** Per-task memoized match (graft.functions.GraftExpressions
     * .MemoRLike): user-agent cardinality is thousands against billions
-    * of rows, so the alternation runs once per distinct value per
-    * executor instead of once per row. Behavior ≡ `rlike`. */
+    * of rows, so the 173-term alternation runs once per distinct value
+    * per executor instead of once per row. Behavior ≡ `rlike`. */
   def isBot(userAgent: Column): Column =
-    graft.functions.GraftExpressions.memo_rlike(userAgent, BotPattern)
+    graft.functions.GraftExpressions.memo_rlike(userAgent, BotPatterns.Joined)
 
   /** F11 — sink column-width guard (`collector.clj:87`). */
   def fitsDb(lemma: Column): Column = length(lemma) < 128

@@ -264,11 +264,13 @@ object GraftExpressions {
       val s = v.toString
       val hit = cache.get(s)
       if (hit != null) hit.booleanValue()
-      else {
-        val m = compiled.matcher(s).find()
-        if (cache.size < MaxEntries) cache.put(s, java.lang.Boolean.valueOf(m)): Unit
-        m
-      }
+      // computeIfAbsent keeps the check-then-insert atomic under task
+      // concurrency (overshoot bounded to in-flight threads); memory
+      // worst case stays MaxEntries × UA length per expression instance
+      else if (cache.size < MaxEntries)
+        cache.computeIfAbsent(s,
+          k => java.lang.Boolean.valueOf(compiled.matcher(k).find())).booleanValue()
+      else compiled.matcher(s).find()
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -42,9 +42,18 @@ class LogFiltersSpec extends AnyFunSuite {
     assert(kept == Seq("ok", "a" * 127))
   }
 
-  test("bot filter matches case-insensitively (F8)") {
-    val bots = Seq("Googlebot/2.1", "curl/8.0", "SCRAPY", "my-CRAWLER 1.0")
-    val humans = Seq("Mozilla/5.0 (X11; Linux) Firefox/120.0", "Opera/9.80")
+  test("bot filter applies the raw case-sensitive 173-pattern list (F8)") {
+    // The reference compiles the lowercase patterns WITHOUT (?i) and
+    // re-finds against the raw UA (`access_log.clj:62-64,74-76`).
+    // "SCRAPY"/"Opera/9.80" still classify as bots via the generic
+    // bare-tool-agent pattern (`^[\w\s...]+(/version)?$`), not via a
+    // case-folded "scrapy" — real browser UAs carry ';' or ',' that
+    // break that character class. Deeper lookaround coverage lives in
+    // BotPatternsSpec.
+    val bots = Seq("Googlebot/2.1", "curl/8.0", "SCRAPY", "my-CRAWLER 1.0", "Opera/9.80")
+    val humans = Seq(
+      "Mozilla/5.0 (X11; Linux) Firefox/120.0",
+      "Opera/9.80 (Windows NT 6.1; WOW64) Presto/2.12.388 Version/12.16")
     val df = (bots ++ humans).toDF("ua")
     assert(df.where(isBot(col("ua"))).count() == bots.size)
     assert(df.where(!isBot(col("ua"))).count() == humans.size)
