@@ -17,7 +17,14 @@ object SparkEntry {
   /** Hourly top-3 lemmata over the enriched flagship stream — the
     * dashboard aggregate a livestream deployment serves from the
     * pipeline's output (composite: full parse/filter/enrich cascade →
-    * event-time bucketing → per-key shortlist). */
+    * event-time bucketing → per-key shortlist).
+    *
+    * Skew shape at scale: `h` (hours) is low-cardinality, but the
+    * `rn <= 3` filter makes Catalyst plan a two-stage shortlist —
+    * `WindowGroupLimit(Partial)` trims every upstream partition to its
+    * own per-hour top-3 BEFORE the `h`-exchange, so the skewed key
+    * receives ≤ 3 × partitions rows, not the hour's full lemma set
+    * (verified in PLANS.md). */
   private val flagshipHourlyTop = Q("q_flagship_hourly_top",
     s"""WITH f AS (${Flagship.oracle}),
        |c AS (SELECT date_trunc('hour', ts) AS h, lemma,

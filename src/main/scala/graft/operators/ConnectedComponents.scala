@@ -43,8 +43,9 @@ object ConnectedComponents {
     * high-degree hub combines map-side, never buffered the way a
     * window over its neighborhood would be) each joined back on the
     * already-partitioned key, nothing quadratic. Termination: the
-    * canonical (undirected, deduped) edge set is unchanged — checked
-    * via a count + join, and the star property then gives labels
+    * canonical (undirected, deduped) edge set is unchanged — one
+    * symmetric-difference probe (full-outer + limit-1), a single
+    * Spark action per round; the star property then gives labels
     * directly. Superseded per-round checkpoints are unpersisted so
     * block-manager storage stays O(current edge set), not O(rounds).
     *
@@ -84,8 +85,15 @@ object ConnectedComponents {
         .select(col("v").as("src"), col("m").as("dst"))
         .union(mins2.select(col("u").as("src"), col("m").as("dst")))
       val next = canon(small).localCheckpoint()
-      stable = next.count() == e.count() &&
-        next.join(e, Seq("lo", "hi"), "left_anti").isEmpty
+      // termination = symmetric difference empty, probed with ONE
+      // action: full-outer join with presence markers, limit-1 scan
+      // for any one-sided row (both sets are canonical + deduped, so
+      // set equality is exactly "no one-sided row")
+      stable = next.select(col("lo"), col("hi"), lit(1).as("in_next"))
+        .join(e.select(col("lo"), col("hi"), lit(1).as("in_prev")),
+          Seq("lo", "hi"), "full_outer")
+        .where(col("in_next").isNull || col("in_prev").isNull)
+        .isEmpty
       e.unpersist()
       afterLarge.unpersist()
       e = next
