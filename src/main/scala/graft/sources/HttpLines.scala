@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.io.{BufferedReader, IOException, InputStreamReader}
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S2 — HTTP long-poll JSONL source with the reference's transport
+  * semantics (`collector.clj:39-74`):
+  *
+  *  - 5 s connect/read timeouts and a client User-Agent
+  *    (`collector.clj:41-45`);
+  *  - on orderly EOF the server closed the long poll → reconnect
+  *    immediately (`collector.clj:60-68`, the outer loop);
+  *  - on IOException retry with exponential backoff, 3 s base doubling
+  *    to a 60 s cap (`collector.clj:47-53`), reset after a successful
+  *    read;
+  *  - optional `limit`: stop after N lines total (`collector.clj:57`).
+  *
+  * Architecture = the reference's: ONE driver-side reader thread feeds
+  * a bounded buffer (its core.async channel), and consumers drain it.
+  * Here the consumer is the micro-batch engine: offsets are cumulative
+  * line counts, each trigger admits at most `linesPerTrigger` buffered
+  * lines (T3 admission control), and committed prefixes are freed.
+  * Admitted lines ship INSIDE the InputPartition: an HTTP long-poll
+  * cannot seek back, so executors must not re-fetch — the per-trigger
+  * cap bounds partition payload. Within a run the offset log gives
+  * exactly-once; across a cold restart an un-buffered long poll is
+  * at-most-once, exactly like the reference's sliding-buffer channel
+  * (`collector.clj:128`, drop-not-queue under backpressure).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft.sources.HttpLines")
+  *   .option("url", "http://host:port/events")
+  *   .option("linesPerTrigger", "500")
+  *   .option("limit", "10000")          // optional
+  *   .load()
+  * }}}
+  */
+class HttpLines extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HttpLines.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new HttpTable(HttpConfig(
+      url = opts.get("url"),
+      linesPerTrigger = opts.getInt("linesPerTrigger", 1000),
+      limit = opts.getLong("limit", 0L),
+      connectTimeoutMs = opts.getInt("connectTimeoutMs", 5000),
+      readTimeoutMs = opts.getInt("readTimeoutMs", 5000),
+      backoffBaseMs = opts.getLong("backoffBaseMs", 3000L),
+      backoffMaxMs = opts.getLong("backoffMaxMs", 60000L)))
+  }
+}
+
+object HttpLines {
+  val Schema: StructType = StructType(Seq(StructField("line", StringType)))
+
+  /** `collector.clj:53` (`delay-exp 3000` capped at 60000): delay
+    * before retry n (1-based) — base·2ⁿ⁻¹, capped. Pure, unit-tested:
+    * 3 s, 6 s, 12 s, 24 s, 48 s, 60 s, 60 s, … */
+  def backoffMs(attempt: Int, baseMs: Long, maxMs: Long): Long =
+    math.min(maxMs, baseMs * (1L << math.min(attempt - 1, 30)))
+}
+
+private[sources] case class HttpConfig(url: String, linesPerTrigger: Int,
+    limit: Long, connectTimeoutMs: Int, readTimeoutMs: Int,
+    backoffBaseMs: Long, backoffMaxMs: Long) {
+  require(url != null, "option 'url' is required")
+}
+
+private[sources] class HttpTable(cfg: HttpConfig) extends Table with SupportsRead {
+  override def name(): String = s"httpLines(${cfg.url})"
+  override def schema(): StructType = HttpLines.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = HttpLines.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new HttpMicroBatchStream(cfg)
+      }
+    }
+}
+
+/** The reference's reader thread (`retrieve-page-requests`): connect,
+  * drain lines, reconnect on EOF, back off on IOException, honor the
+  * line limit. Buffered lines are indexed by CUMULATIVE position;
+  * committed prefixes are dropped so memory is O(un-committed). */
+private[sources] final class HttpFetcher(cfg: HttpConfig) {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var baseIdx = 0L      // cumulative index of buf(0)
+  private var fetchedCount = 0L // total lines ever buffered
+  @volatile private var stopped = false
+  @volatile private var fatal: Throwable = _
+  /** connections opened (observable in tests: reconnect-on-EOF). */
+  @volatile var connections: Int = 0
+  /** IOException retries performed (observable in tests: backoff). */
+  @volatile var retries: Int = 0
+
+  private def limitReached: Boolean =
+    cfg.limit > 0 && fetchedCount >= cfg.limit
+
+  private val thread = new Thread(() => run(), s"http-lines(${cfg.url})")
+  thread.setDaemon(true)
+  thread.start()
+
+  private def run(): Unit = {
+    var attempt = 0
+    try {
+      while (!stopped && !limitReached) {
+        try {
+          val conn = URI.create(cfg.url).toURL.openConnection()
+            .asInstanceOf[HttpURLConnection]
+          conn.setConnectTimeout(cfg.connectTimeoutMs)
+          conn.setReadTimeout(cfg.readTimeoutMs)
+          conn.setRequestProperty("User-Agent", "graft-collector/0.0.0")
+          val reader = new BufferedReader(new InputStreamReader(
+            conn.getInputStream, StandardCharsets.UTF_8))
+          connections += 1
+          try {
+            var line = reader.readLine()
+            while (line != null && !stopped && !limitReached) {
+              attempt = 0 // a delivered line proves the link — reset backoff
+              synchronized { buf += line; fetchedCount += 1 }
+              line = reader.readLine()
+            }
+          } finally {
+            reader.close()
+            conn.disconnect()
+          }
+          // orderly EOF → loop reconnects immediately (collector.clj:66-68)
+        } catch {
+          case _: IOException if !stopped =>
+            attempt += 1
+            retries += 1
+            Thread.sleep(HttpLines.backoffMs(attempt,
+              cfg.backoffBaseMs, cfg.backoffMaxMs))
+        }
+      }
+    } catch {
+      case _: InterruptedException => () // stop() during backoff sleep
+      case t: Throwable => fatal = t
+    }
+  }
+
+  /** Re-anchor buffer position 0 at cumulative offset `to` — called
+    * once with the engine's first start offset, so that after a
+    * checkpoint restart the fresh connection's lines continue the
+    * committed offset sequence instead of aliasing offsets 0..n (the
+    * long poll cannot replay history; this is the reference's
+    * at-most-once restart, `collector.clj:128`). */
+  def rebase(to: Long): Unit = synchronized {
+    // lines already buffered (the thread starts at construction)
+    // simply re-index to to..to+n — they are fresh data continuing
+    // the committed sequence
+    if (to > baseIdx) baseIdx = to
+  }
+
+  /** Total lines available (cumulative offset space). */
+  def available: Long = synchronized {
+    if (fatal != null) throw new IllegalStateException("http fetcher died", fatal)
+    baseIdx + buf.length
+  }
+
+  /** Cumulative slice [from, until) — caller never asks outside the
+    * buffered window (engine offsets are monotone, prune respects
+    * commits). */
+  def slice(from: Long, until: Long): Array[String] = synchronized {
+    buf.slice((from - baseIdx).toInt, (until - baseIdx).toInt).toArray
+  }
+
+  /** Free committed prefix. */
+  def prune(upTo: Long): Unit = synchronized {
+    val n = (upTo - baseIdx).toInt
+    if (n > 0) { buf.dropInPlace(n); baseIdx = upTo }
+  }
+
+  def stop(): Unit = { stopped = true; thread.interrupt() }
+}
+
+private[sources] case class HttpSlice(lines: Array[String]) extends InputPartition
+
+private[sources] class HttpMicroBatchStream(cfg: HttpConfig)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val fetcher = new HttpFetcher(cfg)
+
+  override def initialOffset(): Offset = LineOffset(0L)
+  override def deserializeOffset(json: String): Offset = LineOffset(json.toLong)
+  override def commit(end: Offset): Unit =
+    fetcher.prune(end.asInstanceOf[LineOffset].line)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(cfg.linesPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LineOffset].line
+    if (!rebased) { fetcher.rebase(s); rebased = true }
+    LineOffset(math.max(s,
+      math.min(fetcher.available, s + cfg.linesPerTrigger)))
+  }
+  @volatile private var rebased = false
+
+  override def reportLatestOffset(): Offset = LineOffset(fetcher.available)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LineOffset].line
+    val e = end.asInstanceOf[LineOffset].line
+    if (e <= s) Array.empty
+    else Array(HttpSlice(fetcher.slice(s, e)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val lines = partition.asInstanceOf[HttpSlice].lines
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < lines.length }
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(lines(i)))
+        override def close(): Unit = ()
+      }
+    }
+
+  override def stop(): Unit = fetcher.stop()
+}
