@@ -47,10 +47,53 @@ object SparkEntry {
       .orderBy(col("h"), col("rn"))
   }
 
+  /** A1/`hidx` through the composite: the reference dimension carries
+    * an optional homograph index; loading reduces homographs to the
+    * FIRST one (min hidx, absent ≙ 0 — `wbdb.clj:17-28`) and the
+    * collector persists the `lemma#hidx` key (`collector.clj:84`).
+    * Here a homograph dimension is synthesized from `events` so BOTH
+    * tie-break paths are oracle-checked: non-`error` lemmata include a
+    * null-hidx record (wins as 0 → bare `lemma` key), `error` carries
+    * only indexed homographs (min hidx wins → `lemma#hidx` key). */
+  private val flagshipHidx = Q("q_flagship_hidx",
+    s"""WITH f AS (${Flagship.oracle}),
+       |hraw AS (
+       |  SELECT event_type AS lemma,
+       |         CASE WHEN event_id % 3 = 0 AND event_type <> 'error' THEN NULL
+       |              ELSE CAST(event_id % 3 + 1 AS INT) END AS hidx,
+       |         CAST(count(*) AS BIGINT) AS hfreq
+       |  FROM events GROUP BY 1, 2),
+       |hdim AS (
+       |  SELECT lemma, hidx, hfreq FROM hraw
+       |  QUALIFY row_number() OVER (PARTITION BY lemma ORDER BY coalesce(hidx, 0)) = 1)
+       |SELECT CASE WHEN d.hidx IS NOT NULL
+       |            THEN w.lemma || '#' || CAST(d.hidx AS VARCHAR)
+       |            ELSE w.lemma END AS lemma_key,
+       |       w.ts, d.hidx, d.hfreq
+       |FROM (SELECT lemma, ts FROM f) w LEFT JOIN hdim d USING (lemma)
+       |ORDER BY lemma_key, ts""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val events = Tables(s, d, "events")
+    val hidx = when(pmod(col("event_id"), lit(3)) === 0 && col("event_type") =!= "error",
+      lit(null).cast("int"))
+      .otherwise((pmod(col("event_id"), lit(3)) + 1).cast("int"))
+    val raw = events
+      .groupBy(col("event_type").as("lemma"), hidx.as("hidx"))
+      .agg(count(lit(1)).cast("long").as("hfreq"))
+    val dim = graft.dim.Dimension.dedupBy(raw, "lemma", "hidx")
+    val requests = Flagship.logToRequests(Flagship.synthLog(events))
+    val key = when(col("hidx").isNotNull,
+      concat(col("lemma"), lit("#"), col("hidx").cast("string")))
+      .otherwise(col("lemma"))
+    requests.join(broadcast(dim), Seq("lemma"), "left_outer")
+      .select(key.as("lemma_key"), col("ts"), col("hidx"), col("hfreq"))
+      .orderBy(col("lemma_key"), col("ts"))
+  }
+
   /** All engine queries, grouped by module. */
   def all: Seq[Q] =
     Seq(Q("q_flagship", Flagship.oracle)((s, d) => Flagship(s, d)),
-      flagshipHourlyTop) ++
+      flagshipHourlyTop, flagshipHidx) ++
       RelationalQueries.all ++
       ExtendedQueries.all ++
       TpchQueries.all ++
