@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,7 +13,6 @@ object Bench {
         try { fn(spark, warmDir).count(): Unit } catch { case _: Throwable => }
       }
     }
-    var failed = List.empty[String]
     // Two timed passes, min per query: this machine shows ~40%
     // run-to-run noise (scheduler/cache interference), and the min of
     // two runs is a far better estimate of the engine's actual cost
@@ -27,7 +25,6 @@ object Bench {
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
-            if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
@@ -44,11 +41,32 @@ object Bench {
       }
       k -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // "errors" means produced-no-valid-timing (failed BOTH passes);
+    // a query that failed one pass but succeeded the other keeps its
+    // success timing and is listed under "flaky" instead, so the two
+    // lists never overlap with "queries" semantics.
+    def oks(p: Map[String, (Double, Boolean)]) = p.collect { case (k, (_, true)) => k }.toSet
+    val anyOk = oks(p1) ++ oks(p2)
+    val ran = p1.keySet ++ p2.keySet
+    val errors = (ran -- anyOk).toSeq.sorted
+    val flaky = (anyOk -- (oks(p1) & oks(p2))).toSeq.sorted
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+    // Persist the FULL per-query table in-repo: the driver's
+    // BENCH_r0N.json keeps only a truncated stdout tail, which loses
+    // ~25 queries — a committed full table keeps regressions diffable.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/BENCH_full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent): Unit
+      java.nio.file.Files.write(p,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    } catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
+    println(json)
     spark.stop()
   }
 }

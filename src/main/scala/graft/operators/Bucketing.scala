@@ -22,6 +22,11 @@ object Bucketing {
     * otherwise fail the write with LOCATION_ALREADY_EXISTS. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
+    // the {warehouse.dir}/{name} location derivation below only holds
+    // for unqualified names in the default database — a qualified
+    // name would delete the wrong path before saveAsTable
+    require(!table.contains("."),
+      s"writeBucketed requires an unqualified default-database table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // Hadoop Path handles unencoded/odd warehouse URIs and recursive

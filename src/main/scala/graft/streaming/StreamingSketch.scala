@@ -23,8 +23,16 @@ import graft.functions.PortableHash
   */
 object StreamingSketch {
 
-  case class KmvState(mins: Array[Long])
-  case class KmvEstimate(key: String, est: Double, nSeen: Int)
+  case class KmvState(mins: Array[Long], generation: Int = 0)
+
+  /** `generation` counts sketch (re)starts for the key: 0 for a sketch
+    * that has seen the key's whole history, incremented each time an
+    * idle-timeout eviction was followed by new data (the sketch then
+    * restarts empty, and estimates cover only the post-eviction
+    * suffix). Consumers needing the batch-equivalence guarantee — the
+    * property StreamingSketchSpec pins for the no-timeout path — must
+    * check `generation == 0`. */
+  case class KmvEstimate(key: String, est: Double, nSeen: Int, generation: Int)
 
   /** events: (key, rawValue) pairs; emits one estimate per updated key
     * per micro-batch (Update output mode downstream).
@@ -48,9 +56,23 @@ object StreamingSketch {
       .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (key: String, it: Iterator[(String, Long)], state: GroupState[KmvState]) => {
           if (state.hasTimedOut) {
-            state.remove()
+            // two-phase eviction: drop the sketch but keep a tiny
+            // tombstone carrying the restart counter for one more TTL
+            // period, so data arriving shortly after an eviction is
+            // marked generation > 0 (not batch-equivalent) instead of
+            // silently posing as a full-history sketch; an idle
+            // tombstone is removed on its second timeout, after which
+            // a restart is indistinguishable from a fresh key (the
+            // unavoidable lossiness of TTL state — documented on
+            // KmvEstimate.generation)
+            val prior = state.getOption
+            if (prior.exists(_.mins.nonEmpty)) {
+              state.update(KmvState(Array.empty, prior.get.generation + 1))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            } else state.remove()
             Iterator.empty
           } else {
+            val generation = state.getOption.map(_.generation).getOrElse(0)
             val mins = scala.collection.mutable.TreeSet.empty[Long]
             state.getOption.foreach(s => mins ++= s.mins)
             it.foreach { case (_, raw) =>
@@ -61,12 +83,12 @@ object StreamingSketch {
                 mins -= mins.last
               }
             }
-            state.update(KmvState(mins.toArray))
+            state.update(KmvState(mins.toArray, generation))
             idleTimeout.foreach(state.setTimeoutDuration)
             val est =
               if (mins.size < k) mins.size.toDouble // fewer distincts than k: exact
               else (k - 1).toDouble * PortableHash.P / mins.last
-            Iterator.single(KmvEstimate(key, est, mins.size))
+            Iterator.single(KmvEstimate(key, est, mins.size, generation))
           }
         })
   }

@@ -32,8 +32,11 @@ class StreamingSketchSpec extends AnyFunSuite {
       mem.addData(batch2: _*)
       q.processAllAvailable()
       // last emitted estimate per key == batch KMV over the union
-      val last = spark.table("kmv_stream")
+      val all = spark.table("kmv_stream")
         .as[StreamingSketch.KmvEstimate].collect()
+      // no timeout → no evictions → every estimate is full-history
+      assert(all.forall(_.generation == 0))
+      val last = all
         .groupBy(_.key).map { case (key, rows) => key -> rows.last.est }
       assert(last("a") == batchKmv((1L to 80L), k))
       // 'b' has 9 distinct values (> k): estimator path
