@@ -34,7 +34,9 @@ object StreamingFlagship {
 
   /** Stream side of the pipeline: identical plan to batch. The
     * dimension is a *static* DataFrame — Spark re-evaluates it per
-    * micro-batch, which subsumes the reference's 12 h refresh (T5). */
+    * micro-batch, which refreshes like the reference's 12 h cycle
+    * (T5) but does NOT pin a version; for the reference's atomic-swap
+    * consistency guarantee use [[DimensionSnapshot]]. */
   def enriched(lines: DataFrame, dim: DataFrame): DataFrame =
     Flagship.enrich(Flagship.logToRequests(lines), dim)
 
