@@ -26,6 +26,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object WbJdbc {
 
+  /** Spark's built-in DerbyDialect maps StringType → CLOB, which makes
+    * the writer call `setNull(Types.CLOB)` for null string fields —
+    * Derby rejects that against the reference's VARCHAR columns. This
+    * dialect (registered once, takes precedence) restores VARCHAR
+    * semantics; other types fall back to the common JDBC mapping,
+    * which matches Derby for everything the fact/dimension schemas
+    * use (TIMESTAMP, DATE, INTEGER, BIGINT). */
+  private object DerbyVarcharDialect extends org.apache.spark.sql.jdbc.JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def getJDBCType(dt: org.apache.spark.sql.types.DataType)
+        : Option[org.apache.spark.sql.jdbc.JdbcType] = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(127)", java.sql.Types.VARCHAR))
+      case _ => None
+    }
+  }
+  org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(DerbyVarcharDialect)
+
   /** `wbdb.clj:34` — rows per round-trip on the dimension cursor. */
   val FetchSize = 1024
 
