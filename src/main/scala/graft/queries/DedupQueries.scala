@@ -374,17 +374,25 @@ object DedupQueries {
     val bands = sig.select(col("doc_id"), col("lang"), col("simhash"), seg.as("b"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         col("b.seg").as("seg"), col("b.sv").as("sv"))
-    val cand = bands
+    // a pair matching in k segments would surface k times; instead of
+    // a distinct() over the (large) candidate set, keep a candidate
+    // ONLY at its FIRST matching segment — a pure codegen filter (no
+    // earlier segment of the two signatures is bit-identical), so the
+    // verify+dedup stage costs zero exchanges
+    def segEq(j: Int): Column =
+      segmentValue(col("sa"), j) === segmentValue(col("sb"), j)
+    val earlierMatch = (0 until HamSegs - 1)
+      .map(j => col("seg") > j && segEq(j))
+      .reduce(_ || _)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    bands
       .select(col("doc_id").as("a_id"), col("lang"), col("seg"), col("sv"),
         col("simhash").as("sa"))
       .join(bands.select(col("doc_id").as("b_id"), col("lang").as("lb"),
         col("seg").as("seg2"), col("sv").as("sv2"), col("simhash").as("sb")),
         col("seg") === col("seg2") && col("sv") === col("sv2") &&
           col("lang") === col("lb") && col("a_id") < col("b_id"))
-      // a pair matching in k segments appears k times — dedup before verify
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb")).distinct()
-    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
-    cand.where(ham <= HamMax)
+      .where(ham <= HamMax && !earlierMatch)
       .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
