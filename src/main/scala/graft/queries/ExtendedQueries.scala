@@ -276,7 +276,54 @@ object ExtendedQueries {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** Unpivot/melt — the inverse of `q_pivot`: wide measure columns to
+    * long (key, metric, value) form, the reshape every
+    * feature-extraction pipeline needs before a per-metric groupBy.
+    * Pure per-row expansion (Spark plans an Expand node): no shuffle
+    * but the oracle sort, row count × #measures. */
+  private val qUnpivot = Q("q_unpivot",
+    """SELECT p_partkey, metric, value FROM (
+      |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+      |           p_retailprice FROM part)
+      |  ON p_size, p_retailprice INTO NAME metric VALUE value)
+      |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+
+  /** SQL-surface subqueries through the engine's parser/planner:
+    * a correlated scalar subquery (rewritten by Catalyst into a
+    * left-outer aggregate join) and a correlated EXISTS (rewritten
+    * into a left-semi join) in one statement — the declarative forms
+    * users write instead of hand-building `q_join_semi`/aggregate
+    * joins. Scale shape after rewrite: two broadcast-able aggregate
+    * joins keyed on the correlation key, no per-row subquery
+    * execution. */
+  private val qSqlSubquery = Q("q_subquery",
+    """SELECT c_custkey, c_name,
+      |  (SELECT max(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer").createOrReplaceTempView("customer")
+    t(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT c_custkey, c_name,
+      (SELECT max(o_totalprice) FROM orders o
+       WHERE o.o_custkey = c.c_custkey) AS max_price
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey""")
+  }
+
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
-    qExplodePos, qWindowRange, qJoinBucketed, qTopkPerGroup)
+    qExplodePos, qWindowRange, qJoinBucketed, qTopkPerGroup,
+    qUnpivot, qSqlSubquery)
 }

@@ -148,6 +148,103 @@ object TextQueries {
       .limit(25)
   }
 
+  /** Repetition-based quality rules (the Gopher repetition filters,
+    * public: Rae et al. 2021 §A1.1, adapted to an unpunctuated
+    * corpus): distinct-word ratio, most-frequent-word share, and
+    * duplicate-bigram ratio. All pure per-row array expressions — the
+    * per-row cost is O(distinct·words) with the tiny vocabularies
+    * typical of boilerplate (that being the point of the filter), and
+    * nothing shuffles except the oracle sort. */
+  private val qRepetition = Q("q_text_repetition",
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, ws,
+      |        CASE WHEN len(ws) >= 2
+      |          THEN list_transform(generate_series(1, len(ws) - 1),
+      |               i -> ws[i] || ' ' || ws[i+1])
+      |          ELSE [] END AS bs
+      |      FROM w)
+      |SELECT doc_id,
+      |  CAST(len(ws) AS INT) AS n_words,
+      |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS distinct_ratio,
+      |  round(CAST(list_max(list_transform(list_distinct(ws),
+      |          w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws), 4)
+      |    AS top_word_share,
+      |  round(1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs), 4)
+      |    AS dup_bigram_ratio,
+      |  CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) < 0.45 THEN 'repetitive'
+      |       ELSE 'ok' END AS verdict
+      |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    val bs = graft.functions.GraftExpressions.shingles(lower(col("text")), 2, dedup = false)
+    t(s, d, "documents")
+      .select(col("doc_id"), ws.as("ws"), bs.as("bs"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        round(size(array_distinct(col("ws"))).cast("double") / nWsOf("ws"), 4)
+          .as("distinct_ratio"),
+        round(array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), x => x === w)))).cast("double") / nWsOf("ws"), 4)
+          .as("top_word_share"),
+        round(lit(1.0) - size(array_distinct(col("bs"))).cast("double")
+          / size(col("bs")), 4).as("dup_bigram_ratio"),
+        when(size(array_distinct(col("ws"))).cast("double") / nWsOf("ws") < 0.45,
+          "repetitive").otherwise("ok").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def nWsOf(c: String): Column = size(col(c)).cast("double")
+
+  /** PII detection + redaction. The corpus is synthetic, so PII-like
+    * spans (email, IPv4, phone) are injected deterministically per
+    * doc_id residue — identically on both sides — then detected and
+    * redacted with RE2-safe patterns (shared verbatim by engine and
+    * oracle). Pure per-row expressions: at 100 TB this is a
+    * scan-stage rewrite with zero shuffles. */
+  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhoneRe = """\+\d[\d-]{7,}"""
+
+  private val qPii = Q("q_text_pii",
+    s"""WITH p AS (
+      |  SELECT doc_id, substr(text, 1, 40)
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || doc_id % 256 || '.7' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-01' || doc_id % 90 + 10 ELSE '' END
+      |    AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(regexp_matches(t, '$EmailRe') AS INT) AS has_email,
+      |  CAST(regexp_matches(t, '$Ipv4Re') AS INT) AS has_ip,
+      |  CAST(regexp_matches(t, '$PhoneRe') AS INT) AS has_phone,
+      |  regexp_replace(regexp_replace(regexp_replace(t,
+      |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+      |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+      |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val injected = concat(
+      substring(col("text"), 1, 40),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" contact u"), id.cast("string"), lit("@example.com")))
+        .otherwise(""),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit(" from 10.0."), pmod(id, lit(256)).cast("string"), lit(".7")))
+        .otherwise(""),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" call +1-555-01"), (pmod(id, lit(90)) + 10).cast("string")))
+        .otherwise(""))
+    t(s, d, "documents")
+      .select(id, injected.as("t"))
+      .select(id,
+        col("t").rlike(EmailRe).cast("int").as("has_email"),
+        col("t").rlike(Ipv4Re).cast("int").as("has_ip"),
+        col("t").rlike(PhoneRe).cast("int").as("has_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(EmailRe), lit("<EMAIL>")), lit(Ipv4Re), lit("<IP>")),
+          lit(PhoneRe), lit("<PHONE>")).as("redacted"))
+      .orderBy(id)
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
+    qRepetition, qPii,
     qBigrams)
 }
