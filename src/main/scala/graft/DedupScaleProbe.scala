@@ -13,15 +13,19 @@ object DedupScaleProbe {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     args.foreach { dir =>
       val nDocs = Tables(spark, dir, "documents").count()
-      Seq("q_dedup_minhash", "q_dedup_pipeline").foreach { q =>
-        val fn = SparkEntry.queries(q)
-        fn(spark, dir).count() // warm
-        val t0 = System.nanoTime()
-        val rows = fn(spark, dir).count()
-        val secs = (System.nanoTime() - t0) / 1e9
-        println(f"DEDUPSCALE dir=$dir%-24s q=$q%-18s docs=$nDocs%8d " +
-          f"out=$rows%7d time=$secs%6.2f s rate=${nDocs / secs}%,.0f docs/s")
-      }
+      // q_dedup_simhash_pairs output IS its candidate density (banded
+      // candidates post-verify): out growing ∝ true near-dup pairs —
+      // not ∝ docs² — is the banding working at scale
+      Seq("q_dedup_minhash", "q_dedup_pipeline", "q_dedup_simhash_pairs")
+        .foreach { q =>
+          val fn = SparkEntry.queries(q)
+          fn(spark, dir).count() // warm
+          val t0 = System.nanoTime()
+          val rows = fn(spark, dir).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"DEDUPSCALE dir=$dir%-24s q=$q%-22s docs=$nDocs%8d " +
+            f"out=$rows%8d time=$secs%6.2f s rate=${nDocs / secs}%,.0f docs/s")
+        }
     }
     spark.stop()
   }
