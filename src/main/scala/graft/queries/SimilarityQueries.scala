@@ -324,5 +324,33 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf)
+  /** Per-label centroid — the embedding aggregation that trains IVF
+    * coarse quantizers and powers class-prototype analyses. Long-form
+    * output (label, dim, value) keeps it portable. Exactness: float
+    * sums are not associative across partitions, so each element is
+    * summed as DECIMAL (order-independent) and only the final mean is
+    * cast to double and rounded ([[graft.functions.PortableHash]]
+    * stance). Scale shape: posexplode feeds a partial-aggregable
+    * (label, dim) groupBy — the exchange carries one decimal per
+    * (label, dim, partition), never raw vectors. */
+  private val qEmbedCentroid = Q("q_embed_centroid",
+    """WITH u AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |         unnest(embedding::DOUBLE[]) AS v
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS INT) AS dim,
+      |  round(CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS centroid
+      |FROM u GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).cast("int").as("dim"))
+      .agg(round(sum(col("v").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
+    qEmbedCentroid)
 }

@@ -244,7 +244,54 @@ object TextQueries {
       .orderBy(id)
   }
 
+  /** tf-idf with per-doc top terms. Shuffle shape at 100 TB: tokens
+    * aggregate map-side into (doc, term, n) — the only big exchange;
+    * document frequency is a vocabulary-sized aggregate of THAT table
+    * (no second corpus scan); the corpus size joins in as a broadcast
+    * scalar; and the per-doc top-3 plans as a WindowGroupLimit
+    * shortlist. The (doc, term, n) table is checkpointed because
+    * three downstream branches reuse it. */
+  private val qTfidf = Q("q_text_tfidf",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |            FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM tf GROUP BY 1),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+      |sc AS (SELECT t.doc_id, t.term, t.n, d.dfreq,
+      |         round((CAST(t.n AS DOUBLE) / l.len)
+      |               * ln(CAST(nd.nd AS DOUBLE) / d.dfreq), 4) AS tfidf
+      |       FROM tf t JOIN dl l USING (doc_id) JOIN dfq d USING (term) CROSS JOIN nd
+      |       WHERE t.doc_id < 50),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |         ORDER BY tfidf DESC, term) AS rn FROM sc)
+      |SELECT doc_id, term, n, dfreq, tfidf, CAST(rn AS INT) AS rn
+      |FROM rk WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused by dl, dfq, and the score join
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("n")).cast("long").as("len"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfreq"))
+    val nd = t(s, d, "documents").agg(count(lit(1)).cast("long").as("nd"))
+    val sc = tf.where(col("doc_id") < 50)
+      .join(dl, "doc_id")
+      .join(dfq, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"), col("n"), col("dfreq"),
+        round((col("n").cast("double") / col("len"))
+          * log(col("nd").cast("double") / col("dfreq")), 4).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    sc.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("n"), col("dfreq"), col("tfidf"),
+        col("rn").cast("int").as("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
-    qRepetition, qPii,
+    qRepetition, qPii, qTfidf,
     qBigrams)
 }
