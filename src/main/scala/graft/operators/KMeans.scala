@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over embedding columns — the trainer
+  * for the IVF coarse quantizer (`q_knn_ivf` ships deterministic
+  * literal centroids so it can be oracle-checked; production IVF
+  * learns them from the corpus with exactly this loop).
+  *
+  * Scale shape per iteration:
+  *
+  *  - ASSIGN is a pure per-row expression: the k centroids are plain
+  *    literals compiled into an `array_min` over (distance, index)
+  *    structs — whole-stage codegen, no broadcast variable, no UDF,
+  *    no shuffle;
+  *  - UPDATE is one partial-aggregable groupBy: `posexplode` feeds a
+  *    (cluster, dim) sum/count — the exchange carries k·dim doubles
+  *    per upstream partition, never vectors — followed by a k·dim-row
+  *    collect to the driver (the same driver-resident centroid state
+  *    every Lloyd implementation keeps);
+  *  - iteration state is k·dim doubles on the driver — nothing
+  *    iterative lives in executor memory, so lineage stays flat
+  *    (each round's plan references only literals + the input).
+  *
+  * Determinism: init takes the k smallest-id vectors (no RNG), sums
+  * run in double but cluster sizes at any realistic scale make the
+  * final argmin assignment stable; KMeansSpec property-checks the
+  * whole loop against an in-memory reference implementation.
+  */
+object KMeans {
+
+  /** @param vecs (id, v: array<double>) — `id` any orderable column
+    * @return (assignments (id, cluster), centroids, per-iteration WCSS) */
+  def fit(vecs: DataFrame, k: Int, maxIter: Int = 10, tol: Double = 1e-6)
+      : (DataFrame, Array[Array[Double]], Seq[Double]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val src = vecs.toDF("id", "v").localCheckpoint() // scanned every iteration
+    var centroids: Array[Array[Double]] = src.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
+    val wcss = Seq.newBuilder[Double]
+    var moved = Double.MaxValue
+    var iter = 0
+    var assigned: DataFrame = null
+    while (iter < maxIter && moved > tol) {
+      assigned = assign(src, centroids)
+      // one aggregation computes BOTH the new centroids and the
+      // objective: (cluster, dim) sums/counts + per-row distance sum
+      val stats = assigned
+        .select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
+          // d2 is per-row; counted once per row via dim 0 only
+          sum(when(col("dim") === 0, col("d2")).otherwise(0.0)).as("sd2"))
+        .collect()
+      wcss += stats.map(_.getAs[Double]("sd2")).sum
+      val next = Array.ofDim[Double](k, centroids(0).length)
+      val counts = Array.ofDim[Long](k)
+      stats.foreach { r =>
+        val c = r.getAs[Int]("cluster"); val d = r.getAs[Int]("dim")
+        next(c)(d) = r.getAs[Double]("sx")
+        counts(c) = r.getAs[Long]("n")
+      }
+      (0 until k).foreach { c =>
+        if (counts(c) > 0) (0 until next(c).length).foreach(d => next(c)(d) /= counts(c))
+        else next(c) = centroids(c) // empty cluster keeps its centroid
+      }
+      moved = (0 until k).map(c => sqDist(centroids(c), next(c))).max
+      centroids = next
+      iter += 1
+    }
+    (assign(src, centroids).select(col("id"), col("cluster")), centroids, wcss.result())
+  }
+
+  /** Per-row nearest-centroid assignment as a pure expression:
+    * array_min over (distance², index) structs — struct comparison is
+    * lexicographic, so ties break to the lower index, same as the
+    * reference loop in the spec. */
+  private def assign(src: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val dists: Seq[Column] = centroids.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      val lit_c = array(c.map(lit(_)): _*)
+      val d2 = aggregate(zip_with(col("v"), lit_c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(j).as("j"))
+    }
+    val best = array_min(array(dists: _*))
+    src.select(col("id"), col("v"),
+      best.getField("j").as("cluster"), best.getField("d2").as("d2"))
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+}
