@@ -152,5 +152,66 @@ object StatsQueries {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets, qSampleHash)
+  /** Single-pass data profiler (the Deequ-style table summary every
+    * ingest pipeline runs before training): per column — null count,
+    * exact distinct, min/max — emitted long-form. ONE scan: all
+    * aggregates compute in one grouped pass (Spark plans the multiple
+    * count-distincts via one Expand), and the long form is four
+    * projections of that single agg row, not four scans. */
+  private val qProfile = Q("q_profile",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(*) - count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS mn_key, CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+      |    count(*) - count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+      |    min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+      |    count(*) - count(o_orderdate) AS nn_dt, count(DISTINCT o_orderdate) AS nd_dt,
+      |    CAST(min(o_orderdate) AS VARCHAR) AS mn_dt, CAST(max(o_orderdate) AS VARCHAR) AS mx_dt,
+      |    count(*) - count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+      |    CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mn_tp,
+      |    CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mx_tp
+      |  FROM orders)
+      |SELECT col, CAST(n AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+      |FROM (
+      |  SELECT 'o_orderkey' AS col, n, nn_key AS n_null, nd_key AS n_distinct,
+      |         mn_key AS min_s, mx_key AS max_s FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n, nn_st, nd_st, mn_st, mx_st FROM a
+      |  UNION ALL SELECT 'o_orderdate', n, nn_dt, nd_dt, mn_dt, mx_dt FROM a
+      |  UNION ALL SELECT 'o_totalprice', n, nn_tp, nd_tp, mn_tp, mx_tp FROM a)
+      |ORDER BY col""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("o_orderkey"))).as("nn_key"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("string").as("mn_key"),
+      max(col("o_orderkey")).cast("string").as("mx_key"),
+      (count(lit(1)) - count(col("o_orderstatus"))).as("nn_st"),
+      countDistinct(col("o_orderstatus")).as("nd_st"),
+      min(col("o_orderstatus")).as("mn_st"),
+      max(col("o_orderstatus")).as("mx_st"),
+      (count(lit(1)) - count(col("o_orderdate"))).as("nn_dt"),
+      countDistinct(col("o_orderdate")).as("nd_dt"),
+      min(col("o_orderdate")).cast("string").as("mn_dt"),
+      max(col("o_orderdate")).cast("string").as("mx_dt"),
+      (count(lit(1)) - count(col("o_totalprice"))).as("nn_tp"),
+      countDistinct(col("o_totalprice")).as("nd_tp"),
+      round(min(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mn_tp"),
+      round(max(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mx_tp"))
+      .localCheckpoint() // one agg row, four projections below
+    def row(name: String, p: String) = a.select(
+      lit(name).as("col"), col("n").cast("long").as("n_rows"),
+      col(s"nn_$p").cast("long").as("n_null"),
+      col(s"nd_$p").cast("long").as("n_distinct"),
+      col(s"mn_$p").as("min_s"), col(s"mx_$p").as("max_s"))
+    row("o_orderkey", "key")
+      .union(row("o_orderstatus", "st"))
+      .union(row("o_orderdate", "dt"))
+      .union(row("o_totalprice", "tp"))
+      .orderBy(col("col"))
+  }
+
+  val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets, qSampleHash,
+    qProfile)
 }
