@@ -288,6 +288,61 @@ object DedupQueries {
   private val qDedupCcStar = Q("q_dedup_cc_star", ccOracle)(
     ccQuery(graft.operators.ConnectedComponents.resolveAlternating))
 
+  /** The dedup MANIFEST a corpus build actually ships: every document
+    * resolved to its near-dup cluster (singletons included), with the
+    * cluster's keeper chosen by QUALITY (most distinct words, ties to
+    * the smallest id) rather than the bare min-id rule — what a real
+    * pipeline does so the best representative survives. Composition:
+    * LSH-verified pairs → connected components (the diameter-
+    * independent star variant) → corpus left-join → per-cluster
+    * argmax. The per-cluster keeper rides the WindowGroupLimit
+    * shortlist; clusters are tiny by construction, the corpus join is
+    * keyed on doc_id. */
+  private val qDedupKeepBest = Q("q_dedup_keep_best",
+    s"""WITH RECURSIVE $verifiedCtes,
+       |e2 AS (SELECT ai AS s, bi AS t FROM verified
+       |       UNION ALL SELECT bi, ai FROM verified),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM e2
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s),
+       |lbl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |        FROM reach GROUP BY s),
+       |docs_q AS (SELECT doc_id,
+       |             CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS score
+       |           FROM documents),
+       |full_lbl AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |               d.score
+       |             FROM docs_q d LEFT JOIN lbl l USING (doc_id)),
+       |rk AS (SELECT *,
+       |         row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY score DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |       FROM full_lbl)
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id AS keep_id,
+       |       CAST(n_docs AS BIGINT) AS n_docs, score AS keep_score
+       |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).localCheckpoint()
+    val labels = graft.operators.ConnectedComponents.resolveAlternating(edges)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    val docsQ = t(s, d, "documents").select(col("doc_id"),
+      size(array_distinct(split(lower(col("text")), " "))).as("score"))
+    val full = docsQ.join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    full
+      .select(col("doc_id"), col("cluster_id"), col("score"),
+        row_number().over(w.orderBy(col("score").desc, col("doc_id"))).as("rn"),
+        count(lit(1)).over(w).as("n_docs"))
+      .where(col("rn") === 1)
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("doc_id").as("keep_id"), col("n_docs").cast("long").as("n_docs"),
+        col("score").as("keep_score"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Distinct unigram tokens per doc with their portable digest. */
@@ -397,6 +452,6 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupCc,
+  val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
     qDedupCcStar, qSimhash, qSimhashPairs)
 }
