@@ -32,14 +32,16 @@ object Bench {
       }
     val p1 = pass()
     val p2 = pass()
-    val results = p1.map { case (k, (t1, ok1)) =>
+    // a query with no successful pass has NO valid timing — it goes to
+    // "errors" only and contributes nothing to "queries"/"total"
+    val results = p1.flatMap { case (k, (t1, ok1)) =>
       val (t2, ok2) = p2.getOrElse(k, (t1, ok1))
-      val best = (ok1, ok2) match {
-        case (true, false) => t1
-        case (false, true) => t2
-        case _             => math.min(t1, t2)
+      (ok1, ok2) match {
+        case (true, false)  => Some(k -> t1)
+        case (false, true)  => Some(k -> t2)
+        case (true, true)   => Some(k -> math.min(t1, t2))
+        case (false, false) => None
       }
-      k -> best
     }
     // "errors" means produced-no-valid-timing (failed BOTH passes);
     // a query that failed one pass but succeeded the other keeps its

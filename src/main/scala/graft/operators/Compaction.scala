@@ -32,7 +32,10 @@ object Compaction {
     val df = spark.read.parquet(inDir)
     val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = df.inputFiles
-    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    // one recursive listing RPC, not one getFileStatus per file — at
+    // the 10k-small-files inputs this operator targets, per-file
+    // round-trips on the driver would dominate the whole job
+    val totalBytes = fs.getContentSummary(new Path(inDir)).getLength
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     import org.apache.spark.sql.functions.col
     val keys = sortKeys.map(col)

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Free the block-manager storage behind a superseded
+    * `localCheckpoint` frame (Dataset.unpersist only consults the
+    * CacheManager and is a silent no-op for local checkpoints). */
+  private def free(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(df): Unit
+
   /** Alternating large-star / small-star components — the
     * diameter-INDEPENDENT variant (public algorithm: Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14).
@@ -94,8 +100,10 @@ object ConnectedComponents {
           Seq("lo", "hi"), "full_outer")
         .where(col("in_next").isNull || col("in_prev").isNull)
         .isEmpty
-      e.unpersist()
-      afterLarge.unpersist()
+      // Dataset.unpersist is a no-op on localCheckpoint frames — free
+      // the superseded rounds' blocks through the bridge shim
+      free(e)
+      free(afterLarge)
       e = next
     }
     // star graphs: every hi links directly to its component minimum
@@ -128,7 +136,7 @@ object ConnectedComponents {
         (col("nxt") =!= col("lbl")).cast("long").as("moved"))
         .localCheckpoint()
       changed = stepped.agg(coalesce(sum(col("moved")), lit(0L))).head().getLong(0)
-      labels.unpersist() // superseded checkpoint — free its blocks
+      free(labels) // superseded checkpoint — free its blocks
       labels = stepped.select(col("id"), col("lbl"))
     }
     labels

@@ -169,8 +169,9 @@ object TextQueries {
       |  round(CAST(list_max(list_transform(list_distinct(ws),
       |          w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws), 4)
       |    AS top_word_share,
-      |  round(1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs), 4)
-      |    AS dup_bigram_ratio,
+      |  CASE WHEN len(bs) > 0
+      |       THEN round(1.0 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs), 4)
+      |       END AS dup_bigram_ratio,
       |  CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) < 0.45 THEN 'repetitive'
       |       ELSE 'ok' END AS verdict
       |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -185,8 +186,12 @@ object TextQueries {
         round(array_max(transform(array_distinct(col("ws")),
           w => size(filter(col("ws"), x => x === w)))).cast("double") / nWsOf("ws"), 4)
           .as("top_word_share"),
-        round(lit(1.0) - size(array_distinct(col("bs"))).cast("double")
-          / size(col("bs")), 4).as("dup_bigram_ratio"),
+        // guard the empty-bigram case explicitly: Spark's non-ANSI
+        // divide yields NULL on /0 while DuckDB yields NaN — a
+        // one-word doc would hash-diverge without the shared CASE
+        when(size(col("bs")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bs"))).cast("double")
+            / size(col("bs")), 4)).as("dup_bigram_ratio"),
         when(size(array_distinct(col("ws"))).cast("double") / nWsOf("ws") < 0.45,
           "repetitive").otherwise("ok").as("verdict"))
       .orderBy(col("doc_id"))

@@ -177,17 +177,23 @@ private[sources] final class HttpFetcher(cfg: HttpConfig) {
     baseIdx + buf.length
   }
 
-  /** Cumulative slice [from, until) — caller never asks outside the
-    * buffered window (engine offsets are monotone, prune respects
-    * commits). */
+  /** Cumulative slice [from, until) — offsets below the rebased
+    * window yield what fresh lines exist there (a replayed
+    * pre-restart batch maps onto fresh data, the documented
+    * at-most-once restart), never an aliased raw index. */
   def slice(from: Long, until: Long): Array[String] = synchronized {
-    buf.slice((from - baseIdx).toInt, (until - baseIdx).toInt).toArray
+    val lo = math.max(0L, from - baseIdx).toInt
+    val hi = math.max(0L, until - baseIdx).toInt
+    buf.slice(lo, hi).toArray
   }
 
-  /** Free committed prefix. */
+  /** Free committed prefix (clamped: a replayed commit may reference
+    * offsets beyond what the fresh connection has buffered). */
   def prune(upTo: Long): Unit = synchronized {
-    val n = (upTo - baseIdx).toInt
-    if (n > 0) { buf.dropInPlace(n); baseIdx = upTo }
+    if (upTo > baseIdx) {
+      buf.dropInPlace(math.min((upTo - baseIdx).toInt, buf.length))
+      baseIdx = upTo
+    }
   }
 
   def stop(): Unit = { stopped = true; thread.interrupt() }
@@ -224,6 +230,12 @@ private[sources] class HttpMicroBatchStream(cfg: HttpConfig)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LineOffset].line
+    // after a restart the engine may REPLAY a pending uncommitted
+    // batch before ever calling latestOffset — anchor the fresh
+    // buffer at that batch's start so its lines (and the commit that
+    // follows) line up with the replayed offsets instead of pruning
+    // unseen data
+    if (!rebased) { fetcher.rebase(s); rebased = true }
     val e = end.asInstanceOf[LineOffset].line
     if (e <= s) Array.empty
     else Array(HttpSlice(fetcher.slice(s, e)))

@@ -65,8 +65,11 @@ final class DimensionSnapshot(load: () => DataFrame) {
     current.set(next)
     // free the version superseded one refresh AGO; prev enters the
     // grace window (any batch pinned to it finishes well within one
-    // refresh period)
-    retiring.getAndSet(Some(prev.df)).foreach(_.unpersist())
+    // refresh period). Dataset.unpersist is a silent no-op on a local
+    // checkpoint (CacheManager never saw it) — release the RDD blocks
+    // directly via the bridge shim.
+    retiring.getAndSet(Some(prev.df))
+      .foreach(org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(_): Unit)
     next.version
   }
 

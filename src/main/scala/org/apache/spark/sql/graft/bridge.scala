@@ -11,4 +11,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Actually free the blocks behind a `localCheckpoint()`-ed frame.
+    * `Dataset.unpersist()` only consults the CacheManager, and a local
+    * checkpoint persists its RDD directly without registering there —
+    * so the public API call is a silent no-op and the blocks would
+    * otherwise live until driver GC. Returns false when the plan is
+    * not a materialized LogicalRDD. */
+  def freeLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+    rdds.foreach(_.unpersist(blocking = false))
+    rdds.nonEmpty
+  }
 }

@@ -30,6 +30,20 @@ class DimensionSnapshotSpec extends AnyFunSuite {
     assert(v0.count() == 2)
   }
 
+  test("superseded versions release their blocks (not just a CacheManager no-op)") {
+    var n = 1L
+    val snap = new DimensionSnapshot(() => {
+      n += 1; Seq(("a", n)).toDF("lemma", "freq")
+    })
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach(_ => snap.refresh())
+    // live = current + one grace-window version; everything older must
+    // have been unpersisted through the bridge (Dataset.unpersist
+    // alone would leave all 6 versions pinned)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2, s"leaked checkpoint blocks: $before -> $after")
+  }
+
   test("load failure during refresh keeps the working version") {
     var fail = false
     var rows = Seq(("a", 1L))
