@@ -222,5 +222,195 @@ object TpchQueries {
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q13, q14, q18)
+  /** Q7: volume shipping between two nations, by supplier-nation ×
+    * customer-nation × ship year. Both nation sides resolve through
+    * broadcast dims; the only fact-sized shuffle is the final 3-key
+    * group-by. Year extraction stays integer on both engines. */
+  private val q7 = Q("q_tpch_q7",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+      |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue
+      |FROM supplier s
+      |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val n1 = t(s, d, "nation").select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(s, d, "nation").select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8: national market share — NATION_1's share of ECONOMY-part
+    * revenue delivered into ASIA, per order year. The share ratio is
+    * computed in the identical left-to-right double form on both
+    * engines (same discipline as Q14). */
+  private val q8 = Q("q_tpch_q8",
+    """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+      |        THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+      |           AS DOUBLE) AS mkt_share
+      |FROM part p
+      |JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY CAST(year(o.o_orderdate) AS INT)
+      |ORDER BY o_year""".stripMargin) { (s, d) =>
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)
+    val p = t(s, d, "part").where(col("p_type") === "ECONOMY")
+    val n1 = t(s, d, "nation").select(
+      col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_rkey"))
+    val n2 = t(s, d, "nation").select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val r = t(s, d, "region").where(col("r_name") === "ASIA")
+    t(s, d, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(r), col("n1_rkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_1", rev)
+        .otherwise(lit(0).cast(dec))).cast("double")
+        / sum(rev).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q15: top supplier — the supplier(s) achieving the maximum quarter
+    * revenue. The revenue CTE is aggregated BEFORE the max-compare
+    * and the dimension join, so the scalar max and the equi-join both
+    * run over the (small) per-supplier aggregate, never the fact. */
+  private val q15 = Q("q_tpch_q15",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |      AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(broadcast(t(s, d, "supplier")), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q17 (adapted): small-quantity-order revenue — lineitems of one
+    * brand's small parts whose quantity is under 20% of that part's
+    * average. The testdata `part` has no `p_container`, so the second
+    * predicate is `p_size < 10` (same selectivity role; documented in
+    * TESTDATA.md). The per-part average is a fact-side aggregate
+    * joined back — at scale the agg output is |part|-sized, far under
+    * the fact, and broadcastable. */
+  private val q17 = Q("q_tpch_q17",
+    """WITH pq AS (
+      |  SELECT l_partkey, avg(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+      |  AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN pq ON pq.l_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#1' AND p.p_size < 10
+      |  AND l.l_quantity < 0.2 * pq.avg_qty""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part")
+      .where(col("p_brand") === "Brand#1" && col("p_size") < 10)
+    val pq = t(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    t(s, d, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(pq), col("l_partkey") === col("pq_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast(dec)).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** Q22 (adapted): global-sales opportunity — customers with
+    * above-average positive balance and no RECENT orders. Two testdata
+    * adaptations (documented in TESTDATA.md): `customer` has no
+    * `c_phone`, so the country-code grouping is `c_mktsegment`; every
+    * customer has ≥1 order, so the NOT EXISTS is scoped to the final
+    * data year (else the query is vacuously empty). Shapes exercised:
+    * scalar subquery (broadcast 1-row), anti-join against the
+    * date-filtered fact, small group-by. */
+  private val q22 = Q("q_tpch_q22",
+    """WITH avg_bal AS (
+      |  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c.c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      |FROM customer c, avg_bal
+      |WHERE c.c_acctbal > avg_bal.a
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+    val avgBal = t(s, d, "customer").where(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("a"))
+    t(s, d, "customer")
+      .join(broadcast(avgBal))
+      .where(col("c_acctbal") > col("a"))
+      .join(t(s, d, "orders")
+        .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec)).cast("double").as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q13, q14, q18,
+    q7, q8, q15, q17, q22)
 }
