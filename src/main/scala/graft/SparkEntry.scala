@@ -103,7 +103,8 @@ object SparkEntry {
       TextQueries.all ++
       DedupQueries.all ++
       SimilarityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

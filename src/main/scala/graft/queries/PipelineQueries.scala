@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, PortableHash}
+import graft.operators.PrefixSum
+import graft.queries.Q.t
+
+/** Training-data pipeline operators beyond per-document scoring — the
+  * corpus-level passes a 100 TB pretraining build runs between raw
+  * crawl and tokenizer: sequence packing, benchmark decontamination,
+  * stratified sampling, mixture re-weighting, incremental (cross-
+  * snapshot) dedup, and per-language quality quantile filtering.
+  *
+  * Reference scope note: the reference engine (dwds-livestream) stops
+  * at per-event enrichment; these are the extension surface SURVEY.md
+  * §2.12 calls for. All oracle twins follow the portability rules of
+  * `Q` (explicit total-order ORDER BY, identical aliases, integer or
+  * DECIMAL aggregates).
+  */
+object PipelineQueries {
+
+  /** Tokens-per-sequence budget for packing. */
+  private val SeqBudget = 512
+
+  /** Concat-and-chunk sequence packing: documents in doc_id order are
+    * laid head-to-tail and cut into `SeqBudget`-token sequences; a
+    * document belongs to the sequence its FIRST token lands in. The
+    * global running token count comes from [[PrefixSum.cumsum]] — one
+    * range shuffle + broadcast offsets, never a single-partition
+    * global window (see PrefixSum scaladoc for the scale argument).
+    * Output: per-sequence document count and token mass. */
+  private val qPackSequences = Q("q_pack_sequences",
+    s"""WITH tok AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, toks,
+       |    sum(toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM tok)
+       |SELECT CAST(floor((cum - toks) / $SeqBudget.0) AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents").select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    PrefixSum.cumsum(tok, "doc_id", "toks", 8, "cum")
+      .withColumn("seq_id",
+        floor((col("cum") - col("toks")) / lit(SeqBudget.toDouble)).cast("long"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word 3-gram with the held-out set (source `src0`), with the
+    * overlap count. The join key is the 60-bit portable shingle
+    * digest, so exchanges carry longs, never shingle strings; the
+    * benchmark side (distinct shingle hashes of the eval set — small
+    * by construction) broadcasts. This is the n-gram-overlap
+    * decontamination pass of public LLM data recipes (e.g. GPT-3
+    * appendix C / the Pile): candidate generation is an equi-join,
+    * never a scan of train×bench. */
+  private val qDecontaminate = Q("q_decontaminate",
+    """WITH ws AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      |        FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         unnest(CASE WHEN len(w) >= 3
+      |                THEN list_transform(generate_series(1, len(w) - 2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |                ELSE [] END) AS sh
+      |       FROM ws),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0')
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM sh t JOIN bench b ON t.sh = b.sh
+      |WHERE t.source <> 'src0'
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(GraftExpressions.shingles(lower(col("text")), 3, dedup = true))
+          .as("sh"))
+      .select(col("doc_id"), col("source"), PortableHash.md5Long(col("sh")).as("h"))
+    val bench = sh.where(col("source") === "src0").select(col("h")).distinct()
+    // shingles are per-doc distinct and bench is distinct, so each
+    // shared shingle joins exactly once: count(*) == distinct overlap
+    sh.where(col("source") =!= "src0")
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stratified (per-language) deterministic sampling: each language
+    * keeps a configured fraction, decided by a portable hash of the
+    * doc id — reproducible across engines and runs, no RNG state, and
+    * embarrassingly parallel (pure filter, zero shuffles before the
+    * presentation sort). The per-stratum rates model down-sampling
+    * over-represented languages in a corpus mix. */
+  private val qSampleStratified = Q("q_sample_stratified",
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 1000 <
+       |  CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 500
+       |            WHEN 'zh' THEN 400 ELSE 1000 END
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val h = PortableHash.md5Long(col("doc_id").cast("string")) % 1000
+    val rate = when(col("lang") === "en", 200)
+      .when(col("lang") === "de", 500)
+      .when(col("lang") === "zh", 400)
+      .otherwise(1000)
+    t(s, d, "documents")
+      .where(h < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixture re-weighting: integer up-sampling of under-represented
+    * sources (the epoch-multiplier mixing of public LLM recipes —
+    * e.g. repeating curated sources 2–3× per epoch). The explode is
+    * `sequence(1, wt)` — rows multiply at most ×3, no shuffle until
+    * the per-source rollup. Output compares pre/post document and
+    * token mass per source. */
+  private val qMixtureUpsample = Q("q_mixture_upsample",
+    """WITH w AS (SELECT source,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS toks,
+      |    CASE WHEN source IN ('src0','src1','src2') THEN 3
+      |         WHEN source IN ('src3','src4') THEN 2 ELSE 1 END AS wt
+      |  FROM documents),
+      |b AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_in
+      |      FROM w GROUP BY source),
+      |e AS (SELECT source, toks FROM w, unnest(generate_series(1, wt))),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_out,
+      |        CAST(sum(toks) AS BIGINT) AS tokens_out
+      |      FROM e GROUP BY source)
+      |SELECT b.source, b.docs_in, a.docs_out, a.tokens_out
+      |FROM b JOIN a ON b.source = a.source ORDER BY b.source""".stripMargin) { (s, d) =>
+    val base = t(s, d, "documents").select(col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"),
+      when(col("source").isin("src0", "src1", "src2"), 3)
+        .when(col("source").isin("src3", "src4"), 2)
+        .otherwise(1).as("wt"))
+    val before = base.groupBy(col("source")).agg(count(lit(1)).as("docs_in"))
+    val after = base
+      .select(col("source"), col("toks"),
+        explode(sequence(lit(1), col("wt"))).as("copy_n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_out"), sum(col("toks")).as("tokens_out"))
+    before.join(after, "source").orderBy(col("source"))
+  }
+
+  /** Incremental (cross-snapshot) dedup: documents of the NEW crawl
+    * batch (sources src10+) that do not duplicate the PRIOR corpus
+    * (src0–src9), by whitespace-normalized md5 fingerprint. The
+    * anti-join carries 16-byte hashes only — at 100 TB the prior
+    * corpus side is a fingerprint manifest, not the texts, and the
+    * join is a hash equi-join (broadcastable when the manifest of the
+    * prior snapshot fits, shuffled otherwise). */
+  private val qDedupIncremental = Q("q_dedup_incremental",
+    """WITH f AS (SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |prior AS (SELECT DISTINCT fp FROM f
+      |          WHERE regexp_matches(source, '^src[0-9]$'))
+      |SELECT doc_id, source FROM f
+      |WHERE NOT regexp_matches(source, '^src[0-9]$')
+      |  AND NOT EXISTS (SELECT 1 FROM prior p WHERE p.fp = f.fp)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val f = t(s, d, "documents").select(col("doc_id"), col("source"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val prior = f.where(col("source").rlike("^src[0-9]$"))
+      .select(col("fp")).distinct()
+    f.where(!col("source").rlike("^src[0-9]$"))
+      .join(broadcast(prior), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language quality quantile filter: keep each language's top
+    * half by token count (proxy quality score), EXACTLY — the
+    * "keep the top X% per stratum" pass of quality-driven corpus
+    * pruning.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY lang ORDER
+    * BY score)` windows the ENTIRE corpus by a handful of language
+    * keys — low-cardinality skew at 100 TB. Instead the quantile
+    * threshold is derived from the (lang, score) HISTOGRAM (corpus-
+    * scan → tiny agg), and the doc-level pass is a broadcast-join
+    * filter; only the boundary ties (docs exactly AT the threshold
+    * score) go through a window, and that window's input is the tie
+    * group alone. Same exact output as the oracle's declarative
+    * row_number form, no full-corpus window. */
+  private val qQualityQuantile = Q("q_quality_quantile",
+    """WITH tok AS (SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, toks,
+      |    row_number() OVER (PARTITION BY lang ORDER BY toks DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM tok)
+      |SELECT doc_id, lang, toks FROM r
+      |WHERE rn <= CAST(ceil(n / 2.0) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    // (lang, toks) histogram: |langs| × |distinct scores| rows — the
+    // windows below run over THIS, not the corpus.
+    val wDesc = Window.partitionBy(col("lang")).orderBy(col("toks").desc)
+    val wLang = Window.partitionBy(col("lang"))
+    val th = tok.groupBy(col("lang"), col("toks")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wDesc))
+      .withColumn("q", ceil(sum(col("cnt")).over(wLang) / lit(2.0)).cast("long"))
+      .where(col("cum") >= col("q") && col("cum") - col("cnt") < col("q"))
+      .select(col("lang"), col("toks").as("t_toks"),
+        (col("q") - (col("cum") - col("cnt"))).as("take"))
+    val keepAbove = tok.join(broadcast(th), Seq("lang"))
+      .where(col("toks") > col("t_toks"))
+    // boundary ties: only docs at exactly the threshold score reach
+    // this window — per-lang tie groups, not the corpus
+    val wTie = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val keepTies = tok.join(broadcast(th), Seq("lang"))
+      .where(col("toks") === col("t_toks"))
+      .withColumn("tie_rn", row_number().over(wTie))
+      .where(col("tie_rn") <= col("take"))
+    keepAbove.select(col("doc_id"), col("lang"), col("toks"))
+      .union(keepTies.select(col("doc_id"), col("lang"), col("toks")))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
+    qMixtureUpsample, qDedupIncremental, qQualityQuantile)
+}
