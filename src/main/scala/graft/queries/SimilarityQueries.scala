@@ -351,6 +351,119 @@ object SimilarityQueries {
       .orderBy(col("label"), col("dim"))
   }
 
+  // ------------------------------------------------- product quantization
+
+  private val PqM = 4 // subspaces
+  private val PqDsub = 16 // dims per subspace (4 × 16 = the 64-dim embedding)
+  private val PqK = 16 // codes per subspace; codebook = first PqK vectors
+
+  /** ANN by product quantization with asymmetric distance computation
+    * (public technique: Jégou/Douze/Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI'11). The embedding is split into
+    * `PqM` subspaces; each database vector is ENCODED as `PqM` small
+    * code ids (nearest codebook centroid per subspace by L2) — at
+    * 100 TB that is 4 bytes per vector instead of 512, and encoding is
+    * one linear scan against a broadcast codebook. Queries never touch
+    * database vectors: a per-query LUT of query-subvector × centroid
+    * dot products (|q|·PqM·PqK rows — tiny) broadcasts, and scoring a
+    * database vector is 4 LUT lookups + 3 adds on its codes, fully
+    * codegen. The approximate score ranks; exactness of the oracle
+    * compare comes from both engines summing the 4 LUT doubles in the
+    * same written order (same discipline as the cosine queries).
+    * Codebook = subvectors of the first `PqK` vectors (deterministic,
+    * data-independent choice — same rationale as the IVF centroids). */
+  private val qKnnPq = Q("q_knn_pq",
+    s"""WITH $vectorsCte,
+       |js AS (SELECT unnest([0,1,2,3]) AS j),
+       |sub AS (SELECT vec_id, j,
+       |          list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS xs
+       |        FROM e, js),
+       |csub AS (SELECT vec_id AS cent_id, j,
+       |           list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS cs,
+       |           list_dot_product(list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub),
+       |                            list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub)) AS cn2
+       |         FROM e, js WHERE vec_id < $PqK),
+       |dist AS (SELECT s.vec_id, s.j, c.cent_id,
+       |           c.cn2 - 2 * list_dot_product(s.xs, c.cs) AS dd
+       |         FROM sub s JOIN csub c ON s.j = c.j),
+       |code AS (SELECT vec_id, j, cent_id AS code FROM (
+       |           SELECT vec_id, j, cent_id,
+       |             row_number() OVER (PARTITION BY vec_id, j
+       |               ORDER BY dd, cent_id) AS rn
+       |           FROM dist) WHERE rn = 1),
+       |cw AS (SELECT vec_id,
+       |         max(CASE WHEN j = 0 THEN code END) AS c0,
+       |         max(CASE WHEN j = 1 THEN code END) AS c1,
+       |         max(CASE WHEN j = 2 THEN code END) AS c2,
+       |         max(CASE WHEN j = 3 THEN code END) AS c3
+       |       FROM code GROUP BY vec_id),
+       |lut AS (SELECT q.vec_id AS q_id, c.j, c.cent_id,
+       |          list_dot_product(list_slice(q.v, c.j*$PqDsub+1, c.j*$PqDsub+$PqDsub),
+       |                           c.cs) AS qdot
+       |        FROM e q JOIN csub c ON true WHERE q.vec_id < 10),
+       |scored AS (
+       |  SELECT l0.q_id, x.vec_id AS n_id,
+       |    l0.qdot + l1.qdot + l2.qdot + l3.qdot AS score
+       |  FROM cw x
+       |  JOIN lut l0 ON l0.j = 0 AND l0.cent_id = x.c0
+       |  JOIN lut l1 ON l1.q_id = l0.q_id AND l1.j = 1 AND l1.cent_id = x.c1
+       |  JOIN lut l2 ON l2.q_id = l0.q_id AND l2.j = 2 AND l2.cent_id = x.c2
+       |  JOIN lut l3 ON l3.q_id = l0.q_id AND l3.j = 3 AND l3.cent_id = x.c3
+       |  WHERE l0.q_id <> x.vec_id),
+       |rk AS (SELECT q_id, n_id, score,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, n_id) AS rn
+       |       FROM scored)
+       |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(score, 6) AS ascore
+       |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    def subspaces(src: DataFrame, idCol: String): DataFrame = src
+      .select(col(idCol), explode(array((0 until PqM).map(j =>
+        struct(lit(j).as("j"),
+          slice(col("v"), j * PqDsub + 1, PqDsub).as("xs"))): _*)).as("s"))
+      .select(col(idCol), col("s.j").as("j"), col("s.xs").as("xs"))
+    val sub = subspaces(e, "vec_id")
+    val csub = subspaces(e.where(col("vec_id") < PqK)
+      .withColumnRenamed("vec_id", "cent_id"), "cent_id")
+      .select(col("cent_id"), col("j"), col("xs").as("cs"),
+        dot(col("xs"), col("xs")).as("cn2"))
+    // encode: one scan of the corpus against the broadcast codebook
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd"), col("cent_id"))
+    val code = sub.join(broadcast(csub), "j")
+      .select(col("vec_id"), col("j"), col("cent_id"),
+        (col("cn2") - lit(2) * dot(col("xs"), col("cs"))).as("dd"))
+      .withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+    val cw = code.groupBy(col("vec_id")).agg(
+      max(when(col("j") === 0, col("cent_id"))).as("c0"),
+      max(when(col("j") === 1, col("cent_id"))).as("c1"),
+      max(when(col("j") === 2, col("cent_id"))).as("c2"),
+      max(when(col("j") === 3, col("cent_id"))).as("c3"))
+    // per-query LUT: |q| × PqM × PqK rows, broadcast to the scorers
+    val lut = subspaces(e.where(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id"), "q_id")
+      .join(broadcast(csub), "j")
+      .select(col("q_id"), col("j"), col("cent_id"),
+        dot(col("xs"), col("cs")).as("qdot"))
+    def lutJ(j: Int): DataFrame = lut.where(col("j") === j)
+      .select(col("q_id").as(s"q$j"), col("cent_id").as(s"k$j"),
+        col("qdot").as(s"d$j"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    cw.join(broadcast(lutJ(0)), col("c0") === col("k0"))
+      .join(broadcast(lutJ(1)), col("q0") === col("q1") && col("c1") === col("k1"))
+      .join(broadcast(lutJ(2)), col("q0") === col("q2") && col("c2") === col("k2"))
+      .join(broadcast(lutJ(3)), col("q0") === col("q3") && col("c3") === col("k3"))
+      .where(col("q0") =!= col("vec_id"))
+      .select(col("q0").as("q_id"), col("vec_id").as("n_id"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("score"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("score"), 6).as("ascore"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
-    qEmbedCentroid)
+    qEmbedCentroid, qKnnPq)
 }
