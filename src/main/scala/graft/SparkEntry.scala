@@ -104,7 +104,8 @@ object SparkEntry {
       DedupQueries.all ++
       SimilarityQueries.all ++
       MultimodalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      MaintenanceQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

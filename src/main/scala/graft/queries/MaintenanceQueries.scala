@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q.t
+
+/** Table-maintenance operators at query granularity: SCD-style
+  * dimension snapshot merge (the batch form of the reference's 12 h
+  * dimension refresh — `wbdb.clj:51-67` swaps a full re-scan; at
+  * warehouse scale the swap becomes a MERGE classifying each key) and
+  * Z-order layout statistics (the multi-column data-skipping layout;
+  * single-column range layout is `operators.Compaction`).
+  */
+object MaintenanceQueries {
+
+  /** Dimension snapshot merge: classify every entity of the NEW
+    * snapshot (latest state per user over all events) against the OLD
+    * snapshot (latest state as of the cut timestamp) as
+    * insert / update / unchanged — the Type-1 SCD merge a 12 h
+    * dimension refresh performs. Deletes cannot occur here (the new
+    * snapshot's key set is a superset by construction), so the full
+    * outer join degenerates to v2-left; the full-outer form is kept
+    * because a real CDC feed has deletes.
+    *
+    * Scale shape: both snapshots reduce events by user_id windows
+    * (high-cardinality partition key — no skew), and the merge is one
+    * equi-join on the entity key; nothing is driver-side. */
+  private val qDimMerge = Q("q_dim_merge",
+    """WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
+      |            FROM events),
+      |v1 AS (SELECT user_id, value FROM (
+      |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev WHERE ts < TIMESTAMP '2024-01-02') WHERE rn = 1),
+      |v2 AS (SELECT user_id, value FROM (
+      |    SELECT user_id, value, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1)
+      |SELECT coalesce(v2.user_id, v1.user_id) AS user_id,
+      |  CASE WHEN v1.user_id IS NULL THEN 'insert'
+      |       WHEN v2.value <> v1.value THEN 'update'
+      |       ELSE 'unchanged' END AS status,
+      |  v1.value AS old_value, v2.value AS new_value
+      |FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(src: org.apache.spark.sql.DataFrame, uid: String, v: String) = src
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id").as(uid), col("value").as(v))
+    val v1 = latest(ev.where(
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))),
+      "u1", "old_value")
+    val v2 = latest(ev, "u2", "new_value")
+    v1.join(v2, col("u1") === col("u2"), "full_outer")
+      .select(coalesce(col("u2"), col("u1")).as("user_id"),
+        when(col("u1").isNull, "insert")
+          .when(col("new_value") =!= col("old_value"), "update")
+          .otherwise("unchanged").as("status"),
+        col("old_value"), col("new_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Bits per dimension of the Z-curve (8 → 16-bit z-values). */
+  private val ZBits = 8
+
+  /** Z-order (Morton) bucketing statistics: interleave the low 8 bits
+    * of two join keys and bucket the curve into 16 ranges; the output
+    * min/max per bucket shows the property Z-layout exists for — each
+    * curve range bounds BOTH dimensions, so files written in z order
+    * carry tight per-file min/max on every z'd column and parquet
+    * row-group skipping prunes on any of them (the multi-column
+    * generalization of `operators.Compaction`'s single-key range
+    * layout; public technique per the Delta/Iceberg OPTIMIZE ZORDER
+    * docs and Morton 1966). Pure integer bit-math — identical on both
+    * engines. */
+  private val qZorder = Q("q_zorder", {
+    val terms = (0 until ZBits).flatMap { b =>
+      Seq(s"((px >> $b) & 1) * ${1L << (2 * b)}",
+        s"((py >> $b) & 1) * ${1L << (2 * b + 1)}")
+    }.mkString(" + ")
+    s"""WITH p AS (SELECT l_partkey % 256 AS px, l_suppkey % 256 AS py
+       |           FROM lineitem),
+       |z AS (SELECT px, py, $terms AS zv FROM p)
+       |SELECT CAST(floor(zv / 4096.0) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(px) AS BIGINT) AS min_px, CAST(max(px) AS BIGINT) AS max_px,
+       |  CAST(min(py) AS BIGINT) AS min_py, CAST(max(py) AS BIGINT) AS max_py
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }) { (s, d) =>
+    val px = col("l_partkey") % 256
+    val py = col("l_suppkey") % 256
+    def zval(x: Column, y: Column): Column =
+      (0 until ZBits).flatMap { b =>
+        Seq(shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)),
+          shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+      }.reduce(_ + _)
+    t(s, d, "lineitem")
+      .select(px.as("px"), py.as("py"))
+      .withColumn("zv", zval(col("px"), col("py")))
+      .groupBy(floor(col("zv") / lit(4096.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("px")).cast("long").as("min_px"),
+        max(col("px")).cast("long").as("max_px"),
+        min(col("py")).cast("long").as("min_py"),
+        max(col("py")).cast("long").as("max_py"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(qDimMerge, qZorder)
+}
