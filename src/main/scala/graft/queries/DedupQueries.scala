@@ -452,6 +452,63 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Repeated-passage detection — the positional-n-gram form of exact
+    * substring dedup (public technique: Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22, which uses a
+    * suffix array; the distributed approximation indexes every
+    * OVERLAPPING word 5-gram position): a gram occurring in ≥ 2
+    * distinct documents marks its positions as duplicated text, and
+    * each document reports what fraction of its gram positions is
+    * cross-document duplicated — the "duplicate text ratio" pruning
+    * signal. Distinct-shingle Jaccard (q_dedup_ngram) measures
+    * SET overlap; this measures POSITIONAL coverage, so a document
+    * that embeds one viral paragraph in original text scores exactly
+    * the paragraph's share.
+    *
+    * Scale shape: gram strings are digested to 60-bit longs at the
+    * scan; the gram-frequency group-by and the position join both key
+    * on the digest (map-side combinable; stopword-run hot grams are
+    * partial-agg'd before the exchange). The explode is materialized
+    * once (localCheckpoint) and feeds all three consumers. */
+  private val qDedupSubstring = Q("q_dedup_substring",
+    """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents),
+      |g AS (SELECT doc_id,
+      |        unnest(CASE WHEN len(w) >= 5
+      |               THEN list_transform(generate_series(1, len(w) - 4),
+      |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+      |                         ' ' || w[i+3] || ' ' || w[i+4])
+      |               ELSE [] END) AS g
+      |      FROM ws),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |pd AS (SELECT doc_id, count(*) AS n_pos FROM g GROUP BY doc_id),
+      |dd AS (SELECT g.doc_id, count(*) AS n_dup
+      |       FROM g JOIN dup ON g.g = dup.g GROUP BY g.doc_id)
+      |SELECT p.doc_id, CAST(p.n_pos AS BIGINT) AS n_pos,
+      |  CAST(coalesce(dd.n_dup, 0) AS BIGINT) AS n_dup,
+      |  round(coalesce(dd.n_dup, 0) / CAST(p.n_pos AS DOUBLE), 4) AS dup_ratio
+      |FROM pd p LEFT JOIN dd ON p.doc_id = dd.doc_id
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    val g = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingles(
+          lower(col("text")), 5, dedup = false)).as("g5"))
+      .select(col("doc_id"), md5Long(col("g5")).as("h"))
+      .localCheckpoint()
+    val dup = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= 2).select(col("h"))
+    val pd = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+    val dd = g.join(dup, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      .withColumnRenamed("doc_id", "dd_id")
+    pd.join(dd, col("doc_id") === col("dd_id"), "left")
+      .select(col("doc_id"), col("n_pos"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) / col("n_pos").cast("double"), 4)
+          .as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs)
+    qDedupCcStar, qSimhash, qSimhashPairs, qDedupSubstring)
 }
