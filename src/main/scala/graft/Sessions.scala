@@ -13,6 +13,7 @@ object Sessions {
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
