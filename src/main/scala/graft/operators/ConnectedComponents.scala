@@ -70,6 +70,7 @@ object ConnectedComponents {
       .localCheckpoint()
     var e = canon(edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
       .localCheckpoint()
+    var eCount = e.count()
     var stable = false
     while (!stable) {
       // large-star over the bidirectional neighbor list: per-u minimum
@@ -91,15 +92,22 @@ object ConnectedComponents {
         .select(col("v").as("src"), col("m").as("dst"))
         .union(mins2.select(col("u").as("src"), col("m").as("dst")))
       val next = canon(small).localCheckpoint()
-      // termination = symmetric difference empty, probed with ONE
-      // action: full-outer join with presence markers, limit-1 scan
-      // for any one-sided row (both sets are canonical + deduped, so
-      // set equality is exactly "no one-sided row")
-      stable = next.select(col("lo"), col("hi"), lit(1).as("in_next"))
-        .join(e.select(col("lo"), col("hi"), lit(1).as("in_prev")),
-          Seq("lo", "hi"), "full_outer")
-        .where(col("in_next").isNull || col("in_prev").isNull)
-        .isEmpty
+      // termination = symmetric difference empty. Count-gated: equal
+      // cardinality is a NECESSARY condition for set equality, and a
+      // count over the just-checkpointed frame is a trivial job,
+      // while the full probe (full-outer join with presence markers,
+      // limit-1 scan for any one-sided row — exact because both sets
+      // are canonical + deduped) shuffles the whole edge set. Rounds
+      // that still contract (count changed) skip the join entirely;
+      // only count-stable rounds pay for the exact check.
+      val nextCount = next.count()
+      stable = nextCount == eCount &&
+        next.select(col("lo"), col("hi"), lit(1).as("in_next"))
+          .join(e.select(col("lo"), col("hi"), lit(1).as("in_prev")),
+            Seq("lo", "hi"), "full_outer")
+          .where(col("in_next").isNull || col("in_prev").isNull)
+          .isEmpty
+      eCount = nextCount
       // Dataset.unpersist is a no-op on localCheckpoint frames — free
       // the superseded rounds' blocks through the bridge shim
       free(e)
