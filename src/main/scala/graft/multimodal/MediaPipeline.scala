@@ -72,4 +72,46 @@ object MediaPipeline {
     require(everyK > 0, s"everyK must be positive, got $everyK")
     (0 until nBytes / frameSize by everyK).map(_ * frameSize)
   }
+
+  /** Deterministic nearest-neighbor resize over the stub-decoded byte
+    * grid — the resize stage of an image pipeline with the codec
+    * stubbed: source pixel (sx, sy) of the fake (srcW × srcH) frame
+    * maps from the byte array, normalized to [0, 1]. The index
+    * arithmetic (integer `x·srcW/dstW`) is the real nearest-neighbor
+    * kernel; only the pixel fetch is fake. */
+  def resizeStub(bytes: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Double] = {
+    require(dstW > 0 && dstH > 0, s"target dims must be positive: $dstW x $dstH")
+    val out = new Array[Double](dstW * dstH)
+    if (srcW <= 0 || srcH <= 0 || bytes.isEmpty) return out
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        val sx = x * srcW / dstW
+        out(y * dstW + x) = (bytes((sy * srcW + sx) % bytes.length) & 0xff) / 255.0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  case class MediaThumb(doc_id: Long, w: Int, h: Int, thumb: Array[Double])
+
+  /** Thumbnail stage: decode (stub) → resize to a fixed dstW × dstH
+    * grid, one decoder/resizer context per partition — the same
+    * partition-local batching shape as [[extractFeatures]]; binary
+    * payloads never shuffle (the stage runs where the scan put them). */
+  def thumbnails(spark: SparkSession, media: DataFrame,
+      dstW: Int = 4, dstH: Int = 4): Dataset[MediaThumb] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, _) = decodeStub(r.content)
+        MediaThumb(r.doc_id, dstW, dstH, resizeStub(r.content, w, h, dstW, dstH))
+      }
+    }
+  }
 }
