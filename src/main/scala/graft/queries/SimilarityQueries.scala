@@ -371,7 +371,17 @@ object SimilarityQueries {
     * compare comes from both engines summing the 4 LUT doubles in the
     * same written order (same discipline as the cosine queries).
     * Codebook = subvectors of the first `PqK` vectors (deterministic,
-    * data-independent choice — same rationale as the IVF centroids). */
+    * data-independent choice — same rationale as the IVF centroids).
+    *
+    * Measured recall@5 vs q_knn_brute at sf0.01 (AnnRecallSpec pins
+    * these): IVF(nprobe=2) 0.92, PQ 0.28, LSH-bucket 0.0. The spread
+    * is the corpus geometry, not a bug: true neighbors sit at
+    * cos ≈ 0.5 with the bulk at ≈ 0.45, and PQ approximates the SCORE
+    * itself, so quantization noise swamps that margin (K=64 measures
+    * the same 0.26), while IVF only approximates the CANDIDATE SET
+    * and scores it exactly. The production reading: on low-margin
+    * embeddings, prefer candidate-approximation (IVF) over
+    * score-approximation (ADC), or rerank PQ shortlists exactly. */
   private val qKnnPq = Q("q_knn_pq",
     s"""WITH $vectorsCte,
        |js AS (SELECT unnest([0,1,2,3]) AS j),
@@ -391,19 +401,22 @@ object SimilarityQueries {
        |             row_number() OVER (PARTITION BY vec_id, j
        |               ORDER BY dd, cent_id) AS rn
        |           FROM dist) WHERE rn = 1),
-       |cw AS (SELECT vec_id,
+       |cw AS (SELECT c.vec_id,
        |         max(CASE WHEN j = 0 THEN code END) AS c0,
        |         max(CASE WHEN j = 1 THEN code END) AS c1,
        |         max(CASE WHEN j = 2 THEN code END) AS c2,
-       |         max(CASE WHEN j = 3 THEN code END) AS c3
-       |       FROM code GROUP BY vec_id),
-       |lut AS (SELECT q.vec_id AS q_id, c.j, c.cent_id,
+       |         max(CASE WHEN j = 3 THEN code END) AS c3,
+       |         any_value(e.n2) AS xn2
+       |       FROM code c JOIN e ON c.vec_id = e.vec_id
+       |       GROUP BY c.vec_id),
+       |lut AS (SELECT q.vec_id AS q_id, q.n2 AS qn2, c.j, c.cent_id,
        |          list_dot_product(list_slice(q.v, c.j*$PqDsub+1, c.j*$PqDsub+$PqDsub),
        |                           c.cs) AS qdot
        |        FROM e q JOIN csub c ON true WHERE q.vec_id < 10),
        |scored AS (
        |  SELECT l0.q_id, x.vec_id AS n_id,
-       |    l0.qdot + l1.qdot + l2.qdot + l3.qdot AS score
+       |    (l0.qdot + l1.qdot + l2.qdot + l3.qdot)
+       |      / (sqrt(l0.qn2) * sqrt(x.xn2)) AS score
        |  FROM cw x
        |  JOIN lut l0 ON l0.j = 0 AND l0.cent_id = x.c0
        |  JOIN lut l1 ON l1.q_id = l0.q_id AND l1.j = 1 AND l1.cent_id = x.c1
@@ -416,7 +429,7 @@ object SimilarityQueries {
        |       FROM scored)
        |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(score, 6) AS ascore
        |FROM rk WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-    val e = vectors(s, d)
+    val e = vectors(s, d).withColumn("n2", dot(col("v"), col("v")))
     def subspaces(src: DataFrame, idCol: String): DataFrame = src
       .select(col(idCol), explode(array((0 until PqM).map(j =>
         struct(lit(j).as("j"),
@@ -435,11 +448,14 @@ object SimilarityQueries {
         (col("cn2") - lit(2) * dot(col("xs"), col("cs"))).as("dd"))
       .withColumn("rn", row_number().over(wCode))
       .where(col("rn") === 1)
+    // codes + the vector's TRUE norm (recorded at encode time — the
+    // IVFADC practice that lets ADC rank by cosine, not raw dot)
     val cw = code.groupBy(col("vec_id")).agg(
       max(when(col("j") === 0, col("cent_id"))).as("c0"),
       max(when(col("j") === 1, col("cent_id"))).as("c1"),
       max(when(col("j") === 2, col("cent_id"))).as("c2"),
       max(when(col("j") === 3, col("cent_id"))).as("c3"))
+      .join(e.select(col("vec_id"), col("n2").as("xn2")), "vec_id")
     // per-query LUT: |q| × PqM × PqK rows, broadcast to the scorers
     val lut = subspaces(e.where(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "q_id"), "q_id")
@@ -449,14 +465,18 @@ object SimilarityQueries {
     def lutJ(j: Int): DataFrame = lut.where(col("j") === j)
       .select(col("q_id").as(s"q$j"), col("cent_id").as(s"k$j"),
         col("qdot").as(s"d$j"))
+    val qn2 = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qn_id"), col("n2").as("qn2"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     cw.join(broadcast(lutJ(0)), col("c0") === col("k0"))
       .join(broadcast(lutJ(1)), col("q0") === col("q1") && col("c1") === col("k1"))
       .join(broadcast(lutJ(2)), col("q0") === col("q2") && col("c2") === col("k2"))
       .join(broadcast(lutJ(3)), col("q0") === col("q3") && col("c3") === col("k3"))
+      .join(broadcast(qn2), col("q0") === col("qn_id"))
       .where(col("q0") =!= col("vec_id"))
       .select(col("q0").as("q_id"), col("vec_id").as("n_id"),
-        (col("d0") + col("d1") + col("d2") + col("d3")).as("score"))
+        ((col("d0") + col("d1") + col("d2") + col("d3"))
+          / (sqrt(col("qn2")) * sqrt(col("xn2")))).as("score"))
       .withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 5)
       .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),

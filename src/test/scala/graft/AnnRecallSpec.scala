@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall harness for the three ANN paths against the exact
+  * brute-force baseline — "measure, don't guess" applied to
+  * approximation quality. The pinned floors/ceilings document the
+  * measured behavior on this corpus's geometry (near-tie cosine
+  * margins — see q_knn_pq scaladoc): IVF ≈ 0.92 because it
+  * approximates only the candidate set and scores exactly; PQ ≈ 0.28
+  * because ADC approximates the score itself; single-bucket LSH ≈ 0
+  * at this similarity regime (its own scaladoc predicts ~2.5%
+  * co-bucket probability for 60° pairs). */
+class AnnRecallSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def topSets(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def meanRecall(method: String, brute: Map[Long, Set[Long]]): Double = {
+    val m = topSets(method)
+    val rs = brute.map { case (q, bs) =>
+      bs.intersect(m.getOrElse(q, Set.empty)).size.toDouble / bs.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("measured recall@5 of each ANN path vs brute force") {
+    val brute = topSets("q_knn_brute")
+    assert(brute.size == 10)
+    val ivf = meanRecall("q_knn_ivf", brute)
+    val pq = meanRecall("q_knn_pq", brute)
+    val lsh = meanRecall("q_knn_lsh", brute)
+    info(f"recall@5: ivf=$ivf%.2f pq=$pq%.2f lsh=$lsh%.2f")
+    assert(ivf >= 0.85, s"IVF recall regressed: $ivf")
+    assert(pq >= 0.20, s"PQ recall regressed: $pq")
+    // candidate-approximation must beat score-approximation here —
+    // the documented reading of this corpus's low-margin geometry
+    assert(ivf > pq && pq > lsh)
+  }
+}
