@@ -351,6 +351,62 @@ object SimilarityQueries {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Multi-table banded LSH k-NN — the amplification fix for
+    * single-bucket LSH's measured 0 recall at this corpus's 60°
+    * neighbor regime (AnnRecallSpec): candidates collide in ANY of the
+    * `DedupBands` 4-bit band tables (per-band collision p ≈ 0.66⁴ for
+    * cos 0.5 ⇒ any-band recall ≈ 1−(1−0.19)⁸ ≈ 0.8), then the exact
+    * cosine ranks candidates — candidate-approximation with exact
+    * scoring, the combination the recall harness shows wins. Same
+    * plane literals as the embed-dedup banding, so fully
+    * oracle-checked. Scale shape: 8 equi-joins' worth of band rows
+    * (still linear), query side broadcast, no all-pairs. */
+  private val qKnnLshMulti = Q("q_knn_lsh_multi",
+    s"""WITH $vectorsCte,
+       |bx AS (
+       |${(0 until DedupBands).map(j =>
+          s"  SELECT vec_id, $j AS band, ${bandValueSql("v", j)} AS bv FROM e")
+          .mkString("\n  UNION ALL\n")}
+       |),
+       |qb AS (SELECT vec_id AS q_id, band, bv FROM bx WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT q.q_id, b.vec_id AS n_id
+       |         FROM qb q JOIN bx b
+       |           ON q.band = b.band AND q.bv = b.bv AND b.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT c.q_id, c.n_id,
+       |    list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) DESC,
+       |               c.n_id) AS rn
+       |  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id)
+       |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(cos, 6) AS sim
+       |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val e = vectors(s, d).localCheckpoint() // banded + scored against
+    val bands = e.select(col("vec_id"),
+      explode(array((0 until DedupBands).map(j =>
+        struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val qb = bands.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band").as("qband"), col("bv").as("qbv"))
+    val cand = bands.join(broadcast(qb),
+      col("band") === col("qband") && col("bv") === col("qbv") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val cos = cosine(col("qv"), col("nv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(broadcast(e.select(col("vec_id").as("qe_id"), col("v").as("qv"))
+        .where(col("qe_id") < 10)), col("q_id") === col("qe_id"))
+      .join(e.select(col("vec_id").as("ne_id"), col("v").as("nv")),
+        col("n_id") === col("ne_id"))
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   // ------------------------------------------------- product quantization
 
   private val PqM = 4 // subspaces
@@ -374,7 +430,7 @@ object SimilarityQueries {
     * data-independent choice — same rationale as the IVF centroids).
     *
     * Measured recall@5 vs q_knn_brute at sf0.01 (AnnRecallSpec pins
-    * these): IVF(nprobe=2) 0.92, PQ 0.28, LSH-bucket 0.0. The spread
+    * these): IVF(nprobe=2) 0.92, multi-table banded LSH 0.72, PQ 0.28, single-bucket LSH 0.0. The spread
     * is the corpus geometry, not a bug: true neighbors sit at
     * cos ≈ 0.5 with the bulk at ≈ 0.45, and PQ approximates the SCORE
     * itself, so quantization noise swamps that margin (K=64 measures
@@ -485,5 +541,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
-    qEmbedCentroid, qKnnPq)
+    qEmbedCentroid, qKnnPq, qKnnLshMulti)
 }
