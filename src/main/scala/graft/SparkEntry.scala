@@ -105,7 +105,8 @@ object SparkEntry {
       SimilarityQueries.all ++
       MultimodalQueries.all ++
       PipelineQueries.all ++
-      MaintenanceQueries.all
+      MaintenanceQueries.all ++
+      GraphQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

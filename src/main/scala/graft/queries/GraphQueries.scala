@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q.t
+
+/** Graph analytics beyond connected components (the dedup CC lives in
+  * `operators.ConnectedComponents`): iterative PageRank over a graph
+  * derived from the relational testdata.
+  *
+  * The graph: the part↔supplier bipartite graph of `lineitem` — a
+  * directed edge each way for every distinct (l_partkey, l_suppkey)
+  * stocking relation (node ids disambiguated by parity: part → 2·k,
+  * supplier → 2·k+1). At sf0.01 that is 2 100 nodes / ~120 k edges; at
+  * 100 TB the same derivation is one distinct + one union, both linear.
+  *
+  * Determinism design — **fixed-point integer PageRank**: ranks are
+  * BIGINTs in units of 10⁻¹² (r₀ = 10¹² ≙ 1.0). Each iteration is
+  *   r′(v) = 0.15·S + ⌊85 · Σ_{u→v} ⌊r(u)/deg(u)⌋ / 100⌋
+  * computed entirely in 64-bit integer math: truncating division and
+  * integer sums are order-independent and identical between Spark
+  * (`div`) and DuckDB (`//`), so the oracle hash-matches bit-for-bit
+  * with NO float tolerance anywhere — the float display column is a
+  * single division of identical integers at the very end. Overflow
+  * headroom: total mass ≈ n·10¹² ≈ 2.1·10¹⁵; 85·Σ < 1.8·10¹⁷ ≪ 2⁶³.
+  *
+  * Scale shape (100 TB): edges and degrees are computed once and
+  * `localCheckpoint`ed (reused every iteration — without the fence the
+  * distinct would re-run 5×). The rank vector is node-count sized
+  * (≪ edge count), so the per-iteration join broadcasts ranks into the
+  * edge scan and the only shuffle is the groupBy(dst) partial-agg —
+  * map-side combine keeps it at node cardinality. On a graph whose
+  * rank vector outgrows broadcast, drop the hint and co-partition
+  * edges by src once; the per-iteration join then reuses that
+  * partitioning (the loop body is hint-only, nothing else changes).
+  * Fixed iteration count = ONE plan, no per-round driver actions
+  * (contrast the CC loop, which needs a convergence probe).
+  */
+object GraphQueries {
+
+  private val Scale = 1000000000000L // 10^12: rank 1.0 in fixed-point
+  private val Iters = 5
+  private val TeleportFp = 15L * Scale / 100 // 0.15 in fixed-point
+
+  private val graphCtes =
+    s"""li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+       |       FROM lineitem),
+       |e AS (SELECT p AS src, sp AS dst FROM li
+       |      UNION ALL SELECT sp, p FROM li),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST($Scale AS BIGINT) AS r FROM deg)"""
+      .stripMargin
+
+  private def iterCte(k: Int): String =
+    s"""r$k AS (
+       |  SELECT e.dst AS id,
+       |    CAST($TeleportFp AS BIGINT)
+       |      + (85 * CAST(sum(p.r // g.d) AS BIGINT)) // 100 AS r
+       |  FROM r${k - 1} p JOIN deg g ON p.id = g.src JOIN e ON e.src = p.id
+       |  GROUP BY e.dst)""".stripMargin
+
+  /** Fixed-point PageRank, 5 iterations, top-20 nodes. `rank_fp` is the
+    * exact BIGINT fixed-point value (the hash-compared truth); `rank`
+    * is its float rendering (one division of identical integers). */
+  private val qPagerank = Q("q_pagerank",
+    s"""WITH $graphCtes,
+       |${(1 to Iters).map(iterCte).mkString(",\n")}
+       |SELECT id, r AS rank_fp, CAST(r AS DOUBLE) / 1e12 AS rank
+       |FROM r$Iters ORDER BY r DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val e = li.select(col("p").as("src"), col("sp").as("dst"))
+      .union(li.select(col("sp").as("src"), col("p").as("dst")))
+      .localCheckpoint() // reused each iteration: fence off the distinct
+    graft.operators.PageRank(e, Iters)
+      .orderBy(col("r").desc, col("id"))
+      .limit(20)
+      .select(col("id"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(1e12)).as("rank"))
+  }
+
+  val all: Seq[Q] = Seq(qPagerank)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PageRank
+
+/** Pins the distributed fixed-point PageRank to an independent
+  * in-memory implementation of the same integer recurrence (the same
+  * property-test pattern as CC vs union-find), plus the invariants the
+  * fixed-point design guarantees. */
+class PageRankSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Asymmetric digraph, every node with in- and out-edges: a 4-cycle
+  // with chords plus a 2-node appendage — unequal degrees so ranks
+  // genuinely differ (not the regular-graph fixed point).
+  private val edges: Seq[(Long, Long)] = Seq(
+    1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, // cycle
+    1L -> 3L, 2L -> 4L, // chords: 3 and 4 get extra in-mass
+    4L -> 5L, 5L -> 6L, 6L -> 4L // appendage cycle
+  )
+
+  test("distributed ranks equal the in-memory integer recurrence") {
+    val df = edges.toDF("src", "dst").localCheckpoint()
+    for (iters <- Seq(1, 3, 7)) {
+      val got = PageRank(df, iters).as[(Long, Long)].collect().toMap
+      val want = PageRank.reference(edges, iters)
+      assert(got === want, s"iters=$iters")
+    }
+  }
+
+  test("fixed-point invariants: teleport floor and mass ceiling") {
+    val df = edges.toDF("src", "dst").localCheckpoint()
+    val ranks = PageRank(df, 5).as[(Long, Long)].collect().toMap
+    assert(ranks.keySet === (1L to 6L).toSet)
+    // every rank ≥ 0.15 (teleport term), none above total initial mass
+    assert(ranks.values.forall(_ >= PageRank.TeleportFp))
+    assert(ranks.values.forall(_ <= 6L * PageRank.Scale))
+    // truncating division only sheds mass: total never exceeds n·Scale
+    assert(ranks.values.sum <= 6L * PageRank.Scale)
+    // node 4 has the most in-edges (from 3, 2 and 6) — it tops the ranking
+    assert(ranks(4L) === ranks.values.max)
+  }
+
+  test("ranks are partitioning-invariant (integer sums commute)") {
+    val df = edges.toDF("src", "dst")
+    val one = PageRank(df.coalesce(1).localCheckpoint(), 4)
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+    val many = PageRank(df.repartition(7).localCheckpoint(), 4)
+      .orderBy(col("id")).as[(Long, Long)].collect().toSeq
+    assert(one === many)
+  }
+}
