@@ -32,15 +32,17 @@ object PageRank {
   def apply(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("d"))
+    // degree folded into the edge table ONCE — the loop body is then a
+    // single broadcast join + partial agg per iteration, not two joins
+    val ed = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
       .localCheckpoint()
     var r: DataFrame = deg.select(col("src").as("id"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = r.join(deg, col("id") === deg("src"))
-        .select(col("id").as("cid"), expr("r div d").as("c"))
-      r = edges.join(broadcast(contrib), col("src") === col("cid"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("c")).as("sc"))
-        .select(col("id"),
+      r = ed.join(broadcast(r), col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("sc"))
+        .select(col("dst").as("id"),
           (lit(TeleportFp) + expr("(85 * sc) div 100")).as("r"))
     }
     r

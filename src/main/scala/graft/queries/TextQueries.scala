@@ -296,7 +296,70 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Unigram language-model quality scoring — the CCNet-style
+    * perplexity filter: train token frequencies on the trusted slice
+    * (`lang = 'en'`), score EVERY document by its mean Laplace-smoothed
+    * log-probability, and bucket keep/cut. Out-of-vocabulary tokens get
+    * the smoothed floor ln(1/(N+V)) ≈ -9.4. (This synthetic corpus
+    * shares one 31-word vocabulary across languages, so the OOV floor
+    * never fires here and the filter splits on frequency mix instead —
+    * per-doc scores span -3.68..-3.36; the -3.41 threshold is the
+    * corpus's ~P10, cutting the rare-word-heavy tail.)
+    *
+    * Determinism: each token's logp is rounded to 6 dp and cast to
+    * DECIMAL(18,6) BEFORE the per-doc sum, so the aggregation is exact
+    * and order-independent (the [[graft-portable-hash]] pattern); the
+    * final mean is one double division of identical inputs.
+    *
+    * Scale shape (100 TB): the vocabulary is a token-level groupBy of
+    * the TRAINING slice only (filter pushed to the scan), then joins
+    * back as a broadcast (a natural-language unigram vocab is ~1e6
+    * rows; if it outgrows broadcast, truncate to top-V by count — the
+    * standard LM cut — or let AQE fall back to shuffle join). The
+    * scoring pass is one scan + one broadcast join + one per-doc agg:
+    * a single shuffle carrying (doc_id, decimal) pairs. */
+  private val qUnigramLm = Q("q_text_unigram_lm",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |             FROM documents),
+      |tr AS (SELECT w FROM tok WHERE lang = 'en'),
+      |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY w),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM tr),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang,
+      |    CAST(round(ln(CAST(COALESCE(vb.cnt, 0) + 1 AS DOUBLE)
+      |                  / CAST(tot.n + tot.v AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS logp
+      |  FROM tok t LEFT JOIN vocab vb ON t.w = vb.w CROSS JOIN tot)
+      |SELECT doc_id, lang, CAST(count(*) AS INT) AS n_tokens,
+      |  round(CAST(sum(logp) AS DOUBLE) / count(*), 4) AS avg_logp,
+      |  CASE WHEN CAST(sum(logp) AS DOUBLE) / count(*) >= -3.41
+      |       THEN 'keep' ELSE 'cut' END AS verdict
+      |FROM scored GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+    val tr = tok.where(col("lang") === "en").select(col("w"))
+    val vocab = tr.groupBy(col("w")).agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = tr.agg(count(lit(1)).cast("long").as("n"),
+      countDistinct(col("w")).cast("long").as("v"))
+    val logp = round(
+      log((coalesce(col("cnt"), lit(0L)) + 1).cast("double")
+        / (col("n") + col("v")).cast("double")), 6).cast("decimal(18,6)")
+    val scored = tok
+      .join(broadcast(vocab), Seq("w"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), logp.as("logp"))
+    val avg = col("sum_logp").cast("double") / col("n_tokens_l")
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens_l"), sum(col("logp")).as("sum_logp"))
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens_l").cast("int").as("n_tokens"),
+        round(avg, 4).as("avg_logp"),
+        when(avg >= -3.41, "keep").otherwise("cut").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
-    qBigrams)
+    qBigrams, qUnigramLm)
 }
