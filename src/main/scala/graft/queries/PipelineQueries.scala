@@ -175,6 +175,122 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned incremental dedup — identical semantics (and
+    * oracle) to [[qDedupIncremental]], but the physical strategy for
+    * the regime where the prior snapshot's fingerprint manifest does
+    * NOT fit a broadcast hash table. A Bloom filter of the prior
+    * fingerprints is compact enough to broadcast at any corpus size
+    * (~1.2 GB for 10⁹ keys at 1 % fpp vs ≳ 40 GB for the hash
+    * manifest itself), and it has NO false negatives — so a negative
+    * probe proves the document is new and it bypasses the join
+    * entirely. Only bloom-positive documents (true duplicates plus
+    * the fpp sliver) reach the exact fingerprint anti-join, so the
+    * shuffle carries candidates, not the corpus. This is the manual
+    * form of the bloom-pruned join Spark's own
+    * `InjectRuntimeFilter` builds for large shuffle joins, composed
+    * from the same native expressions (`BloomFilterAggregate` build
+    * over xxhash64, codegen `BloomFilterMightContain` probe — no
+    * UDF in the hot path); the sketch itself is one tiny agg row
+    * collected to the driver, exactly like a runtime-filter
+    * subquery result. Correct by construction regardless of fpp,
+    * hence the unchanged exact oracle. */
+  private val qDedupBloom = Q("q_dedup_bloom",
+    """WITH f AS (SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |prior AS (SELECT DISTINCT fp FROM f
+      |          WHERE regexp_matches(source, '^src[0-9]$'))
+      |SELECT doc_id, source FROM f
+      |WHERE NOT regexp_matches(source, '^src[0-9]$')
+      |  AND NOT EXISTS (SELECT 1 FROM prior p WHERE p.fp = f.fp)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+    val f = t(s, d, "documents").select(col("doc_id"), col("source"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    val prior = f.where(col("source").rlike("^src[0-9]$")).select(col("fp"))
+    val bloomAgg = bridge.column(
+      new BloomFilterAggregate(bridge.expression(xxhash64(col("fp"))), 100000L)
+        .toAggregateExpression())
+    val bloomBytes = prior.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    def mightContain(c: org.apache.spark.sql.Column) = bridge.column(
+      new BloomFilterMightContain(Literal.create(bloomBytes, BinaryType),
+        new XxHash64(Seq(bridge.expression(c)))))
+    val fresh = f.where(!col("source").rlike("^src[0-9]$"))
+    if (bloomBytes == null) {
+      // empty prior snapshot: nothing to dedup against
+      fresh.select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    } else {
+      // bloom-negative ⇒ provably absent from prior: no join needed
+      val definite = fresh.where(!mightContain(col("fp")))
+      // bloom-positive ⇒ candidate: exact anti-join on the sliver only
+      val verified = fresh.where(mightContain(col("fp")))
+        .join(prior.distinct(), Seq("fp"), "left_anti")
+      definite.select(col("doc_id"), col("source"))
+        .union(verified.select(col("doc_id"), col("source")))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Per-source token budget for the selection mix. */
+  private val TokenBudget = 800L
+
+  /** Token-budget corpus selection: per source, documents are ranked
+    * by token count (quality proxy) and admitted while the source's
+    * RUNNING token total stays within the budget — the "take the best
+    * N tokens per source" cut every mixture recipe ends with.
+    *
+    * Scale shape: the oracle's declarative form is a running
+    * `sum() OVER (PARTITION BY source ...)` across the whole corpus —
+    * a low-cardinality-key window that funnels 100 TB through a
+    * handful of partitions. The engine instead derives each source's
+    * admission threshold from the (source, toks) HISTOGRAM (corpus
+    * scan → tiny agg; the running sum runs over histogram buckets,
+    * not documents), broadcasts the per-source threshold bucket, and
+    * admits documents with a pure filter: strictly-above-threshold
+    * docs are in by budget arithmetic, and only the docs AT the
+    * threshold bucket (same token count) pass through a window —
+    * partitioned per source over the tie group alone. Sources whose
+    * total mass fits the budget have no crossing bucket and are kept
+    * whole via the left join's null arm. Same exact output, no
+    * corpus-wide window. */
+  private val qTokenBudget = Q("q_token_budget",
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, toks,
+       |    sum(toks) OVER (PARTITION BY source ORDER BY toks DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM tok)
+       |SELECT doc_id, source, toks FROM c WHERE cum <= $TokenBudget
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    // (source, toks) histogram — the running sum below is over THIS
+    val wDesc = Window.partitionBy(col("source")).orderBy(col("toks").desc)
+    val th = tok.groupBy(col("source"), col("toks"))
+      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("mass"))
+      .withColumn("cum", sum(col("mass")).over(wDesc))
+      .where(col("cum") > TokenBudget && col("cum") - col("mass") <= TokenBudget)
+      .select(col("source"), col("toks").as("t_toks"),
+        // docs at the threshold bucket share `toks`, so the admitted
+        // count is exact integer division of the remaining budget
+        floor((lit(TokenBudget) - (col("cum") - col("mass"))) / col("toks"))
+          .as("take"))
+    val j = tok.join(broadcast(th), Seq("source"), "left_outer")
+    val keepAbove = j.where(col("t_toks").isNull || col("toks") > col("t_toks"))
+    // boundary ties: only threshold-bucket docs reach this window
+    val wTie = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val keepTies = j.where(col("toks") === col("t_toks"))
+      .withColumn("tie_rn", row_number().over(wTie))
+      .where(col("tie_rn") <= col("take"))
+    keepAbove.select(col("doc_id"), col("source"), col("toks"))
+      .union(keepTies.select(col("doc_id"), col("source"), col("toks")))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-language quality quantile filter: keep each language's top
     * half by token count (proxy quality score), EXACTLY — the
     * "keep the top X% per stratum" pass of quality-driven corpus
@@ -227,5 +343,6 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
-    qMixtureUpsample, qDedupIncremental, qQualityQuantile)
+    qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
+    qQualityQuantile)
 }

@@ -324,6 +324,63 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then prune
+    * near-duplicate pairs WITHIN each cluster only — the clustering
+    * bounds every comparison block by design (k is chosen ∝ corpus
+    * size, so cluster population stays roughly constant as the corpus
+    * grows), which is what makes within-cluster all-pairs the
+    * intended linear-ish scale shape here, unlike a fixed blocking
+    * key. Assignment reuses the IVF coarse-quantizer form (nearest of
+    * C deterministic centroids, row_number with cent_id tiebreak —
+    * exact on both engines); a vector is dropped when a LOWER-id
+    * vector in its cluster sits at cosine ≥ 0.4 (the deterministic
+    * keep-first policy standing in for SemDeDup's keep-one-per-
+    * neighborhood). Output: the surviving vectors with their cluster.
+    * Cross-cluster near-dups are out of contract — that recall loss
+    * vs exact dedup is the documented SemDeDup trade, measured for
+    * this corpus in SimilaritySpec. */
+  private val SemC = 8
+  private val qDedupSemantic = Q("q_dedup_semantic",
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
+       |          FROM e WHERE vec_id < $SemC),
+       |asg AS (
+       |  SELECT vec_id, v, n2, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |a AS (SELECT vec_id, v, n2, cent_id AS cluster FROM asg WHERE arn = 1)
+       |SELECT x.vec_id, x.cluster FROM a x
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM a y
+       |  WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+       |    AND list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val cents = broadcast(e.where(col("vec_id") < SemC)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    val assigned = e.crossJoin(cents)
+      .withColumn("cs", cosine(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cluster"))
+    // within-cluster prune: a vector with a lower-id near-neighbor
+    // (cos >= 0.4) in its own cluster is dropped — the pair join is an
+    // equi-join on `cluster`, whose population the quantizer bounds
+    val drops = assigned.select(col("vec_id").as("b_id"), col("cluster"), col("v").as("vb"))
+      .join(assigned.select(col("vec_id").as("a_id"), col("cluster"), col("v").as("va")),
+        Seq("cluster"))
+      .where(col("a_id") < col("b_id") && cosine(col("va"), col("vb")) >= 0.4)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroid — the embedding aggregation that trains IVF
     * coarse quantizers and powers class-prototype analyses. Long-form
     * output (label, dim, value) keeps it portable. Exactness: float
@@ -541,5 +598,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
-    qEmbedCentroid, qKnnPq, qKnnLshMulti)
+    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic)
 }

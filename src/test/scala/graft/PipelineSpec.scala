@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Corpus-pipeline invariants that the hash oracle alone can't state:
+  * plan-equivalence between the scale-shaped engine form and the
+  * declarative form, and budget arithmetic. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("bloom-pruned incremental dedup equals the broadcast anti-join plan") {
+    import spark.implicits._
+    val bloom = run("q_dedup_bloom")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val plain = run("q_dedup_incremental")
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(bloom == plain,
+      s"bloom path diverged: only-bloom=${(bloom -- plain).size} " +
+        s"only-plain=${(plain -- bloom).size}")
+    assert(bloom.nonEmpty)
+  }
+
+  test("token budget: histogram-threshold plan equals the declarative window form") {
+    import spark.implicits._
+    val engine = run("q_token_budget")
+      .select("doc_id", "source", "toks").as[(Long, String, Long)].collect().toSet
+    // the oracle's shape, evaluated by Spark itself: corpus-wide
+    // running sum per source (fine at test scale; the engine form
+    // exists to avoid exactly this window at 100 TB)
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables(spark, Sf, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("toks").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = tok.withColumn("cum", sum(col("toks")).over(w))
+      .where(col("cum") <= 800L)
+      .select("doc_id", "source", "toks").as[(Long, String, Long)].collect().toSet
+    assert(engine == naive)
+  }
+
+  test("token budget: every source's admitted token mass respects the budget") {
+    import spark.implicits._
+    val bySource = run("q_token_budget")
+      .groupBy("source").agg(sum("toks").as("mass"))
+      .select("source", "mass").as[(String, Long)].collect()
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (src, mass) =>
+      assert(mass <= 800L, s"source $src over budget: $mass")
+    }
+  }
+}

@@ -57,4 +57,32 @@ class SimilaritySpec extends AnyFunSuite {
       .select("a_id", "b_id", "sim").as[(Long, Long, Double)].collect()
     assert(pairs.forall { case (a, b, s) => a < b && s >= 0.4 })
   }
+
+  test("semantic dedup: survivors are pairwise below threshold within a cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val kept = run("q_dedup_semantic")
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    val total = Tables(spark, Sf, "embeddings").count()
+    assert(kept.nonEmpty && kept.length < total,
+      s"expected a proper surviving subset, got ${kept.length} of $total")
+    val vecs = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    // keep-first contract: if two survivors share a cluster, the
+    // higher id would have been dropped were they near-duplicates
+    kept.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) {
+        val c = cos(vecs(ids(i)), vecs(ids(j)))
+        assert(c < 0.4,
+          s"survivors ${ids(i)} and ${ids(j)} share a cluster at cos $c >= 0.4")
+      }
+    }
+  }
 }
