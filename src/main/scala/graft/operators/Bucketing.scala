@@ -16,18 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed table. Drops any prior table AND
-    * its warehouse directory first: a managed-table location left by a
-    * previous session (whose in-memory catalog is gone) would
-    * otherwise fail the write with LOCATION_ALREADY_EXISTS. */
-  def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
+  /** Drop any prior managed table AND its warehouse directory: a
+    * managed-table location left by a previous session (whose
+    * in-memory catalog is gone) would otherwise fail the write with
+    * LOCATION_ALREADY_EXISTS. */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
     // the {warehouse.dir}/{name} location derivation below only holds
     // for unqualified names in the default database — a qualified
     // name would delete the wrong path before saveAsTable
     require(!table.contains("."),
-      s"writeBucketed requires an unqualified default-database table name, got '$table'")
-    val spark = df.sparkSession
+      s"managed-table helpers require an unqualified default-database name, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // Hadoop Path handles unencoded/odd warehouse URIs and recursive
     // delete without the java.io null-listing pitfalls.
@@ -35,9 +33,29 @@ object Bucketing {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true): Unit
+  }
+
+  /** Write `df` as a bucketed managed table. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    dropManaged(df.sparkSession, table)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Write `df` as a Hive-partitioned managed table (one directory per
+    * value of `part`) — the layout that makes partition pruning,
+    * static AND dynamic, possible at all. The catalog preserves the
+    * declared partition-column type (a plain `spark.read.parquet`
+    * would re-infer it from directory names). */
+  def writePartitioned(df: DataFrame, table: String, part: String): Unit = {
+    dropManaged(df.sparkSession, table)
+    df.write
+      .partitionBy(part)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)

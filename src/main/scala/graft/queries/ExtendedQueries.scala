@@ -251,6 +251,46 @@ object ExtendedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Dynamic partition pruning: the fact table is laid out partitioned
+    * by a derived key (order year), and the dim side's predicate is on
+    * a NON-join attribute (`era`) — so the set of surviving years is
+    * unknowable at compile time and static pruning cannot apply. At
+    * execution Spark builds the dim's broadcast, collects its join
+    * keys, and injects them into the fact scan's PartitionFilters
+    * (`dynamicpruningexpression`), so the 100 TB fact side reads ONLY
+    * the directories the filtered dim reaches — the difference
+    * between scanning two years and scanning thirty. The partitioned
+    * write (like the bucketed join's) is paid once and amortized;
+    * PartitionPruningSpec pins the pruning physically (files read <
+    * files on disk). Oracle: the same join over the unpartitioned
+    * table. */
+  private val qJoinDpp = Q("q_join_dpp",
+    """WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS o_year
+      |           FROM orders),
+      |dim AS (SELECT o_year,
+      |          CASE WHEN o_year IN (1995, 1996) THEN 'mid' ELSE 'other' END AS era
+      |        FROM y)
+      |SELECT o.o_orderkey, CAST(year(o.o_orderdate) AS BIGINT) AS o_year
+      |FROM orders o
+      |JOIN dim d ON CAST(year(o.o_orderdate) AS BIGINT) = d.o_year
+      |WHERE d.era = 'mid'
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    import graft.operators.Bucketing
+    val orders = t(s, d, "orders")
+    Bucketing.writePartitioned(
+      orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+      "pq_orders", "o_year")
+    val dim = orders
+      .select(year(col("o_orderdate")).cast("long").as("o_year")).distinct()
+      .withColumn("era",
+        when(col("o_year").isin(1995, 1996), "mid").otherwise("other"))
+    s.table("pq_orders")
+      .join(broadcast(dim.where(col("era") === "mid")), "o_year")
+      .select(col("o_orderkey"), col("o_year"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Top-k per group (vs q_topk's global TakeOrdered): rank inside
     * each partition, keep k — the per-key shortlist shape (top
     * documents per language, top products per category). The filter
@@ -324,6 +364,6 @@ object ExtendedQueries {
 
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
-    qExplodePos, qWindowRange, qJoinBucketed, qTopkPerGroup,
+    qExplodePos, qWindowRange, qJoinBucketed, qJoinDpp, qTopkPerGroup,
     qUnpivot, qSqlSubquery)
 }

@@ -375,6 +375,41 @@ object TpchQueries {
         .as("avg_yearly"))
   }
 
+  /** Q19 (adapted): discounted revenue under a DISJUNCTION of
+    * (brand, size-range, quantity-range) clause triples — the OR-of-
+    * ANDs join predicate is the shape this query exists to exercise:
+    * Catalyst extracts the common `p_partkey = l_partkey` equi-key
+    * (so it still plans a hash join, not a nested loop) and pushes
+    * the disjunction's per-side conjuncts (`p_brand IN (...)`,
+    * `l_quantity <= 30`) below the join as derived filters. The
+    * testdata `part` has no `p_container` and `lineitem` no
+    * `l_shipmode`/`l_shipinstruct`, so those conjuncts are dropped
+    * and the size ranges stand in for the container classes
+    * (documented in TESTDATA.md). */
+  private val q19 = Q("q_tpch_q19",
+    """SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    val clause1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val clause2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val clause3 = col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("p_partkey") === col("l_partkey"))
+      .where(clause1 || clause2 || clause3)
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .cast("double").as("revenue"))
+  }
+
   /** Q22 (adapted): global-sales opportunity — customers with
     * above-average positive balance and no RECENT orders. Two testdata
     * adaptations (documented in TESTDATA.md): `customer` has no
@@ -412,5 +447,5 @@ object TpchQueries {
   }
 
   val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q13, q14, q18,
-    q7, q8, q15, q17, q22)
+    q7, q8, q15, q17, q19, q22)
 }

@@ -57,4 +57,40 @@ class PartitionPruningSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("dim-filtered join prunes fact partitions dynamically (DPP)") {
+    val q = SparkEntry.queries("q_join_dpp")(spark, Sf)
+    // the surviving years are only knowable from the dim's rows, so
+    // the fact scan's partition filter must be a runtime one
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in fact scan plan:\n$plan")
+    // physical check: execute the probed plan instance and confirm the
+    // scan touched fewer partition directories than the layout holds
+    val exec = q.queryExecution.executedPlan
+    val rows = exec.executeCollect().length
+    import org.apache.spark.sql.functions.{col, year}
+    val expected = Tables(spark, Sf, "orders")
+      .where(year(col("o_orderdate")).isin(1995, 1996)).count()
+    assert(rows == expected && rows > 0)
+    // AQE hides materialized subtrees behind AdaptiveSparkPlanExec and
+    // QueryStageExec (both children = Nil), so descend through them
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case qs: QueryStageExec => allScans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val factScan = allScans(exec)
+      .filter(_.metadata.get("PartitionFilters").exists(_.nonEmpty))
+    assert(factScan.nonEmpty, "no partitioned fact scan found")
+    val totalYears = spark.table("pq_orders")
+      .select("o_year").distinct().count()
+    val readPartitions = factScan.head.metrics.get("numPartitions")
+      .map(_.value).getOrElse(-1L)
+    assert(readPartitions > 0 && readPartitions < totalYears,
+      s"DPP read $readPartitions of $totalYears partitions")
+  }
 }
