@@ -291,6 +291,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sample size per language. */
+  private val WSampleK = 20
+
+  /** Weighted sampling without replacement, k docs per language with
+    * inclusion probability ∝ token mass — the weighted draw behind
+    * "sample the mixture by token share, not by document count".
+    * Algorithm A-ES (Efraimidis & Spirakis, IPL 2006): each item gets
+    * priority u^(1/w) for uniform u, and the top-k by priority is the
+    * weighted sample. The uniform comes from the portable md5 digest
+    * of the doc id — not an RNG — so the draw is reproducible across
+    * runs, partitionings, AND engines (the same "seeded sampling"
+    * stance as `q_sample_hash`, which this generalizes to weights).
+    * Ordering uses ln(u)/w (same order as u^(1/w), one transcendental
+    * instead of pow). Scale shape: the rn ≤ k filter plans as a
+    * WindowGroupLimit shortlist — every upstream partition trims to
+    * its own top-k per language BEFORE the low-cardinality `lang`
+    * exchange, so the skewed key receives ≤ k × partitions rows. */
+  private val qSampleWeighted = Q("q_sample_weighted",
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
+       |  FROM documents),
+       |k AS (SELECT doc_id, lang, toks,
+       |    ln((${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 1000000000
+       |        + 1) / 1000000001.0) / toks AS pri
+       |  FROM tok),
+       |r AS (SELECT doc_id, lang, toks,
+       |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
+       |  FROM k)
+       |SELECT lang, doc_id, toks, CAST(rn AS INT) AS rn
+       |FROM r WHERE rn <= $WSampleK ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    val u = (PortableHash.md5Long(col("doc_id").cast("string")) % 1000000000L
+      + 1) / lit(1000000001.0)
+    val w = Window.partitionBy(col("lang")).orderBy(col("pri").desc, col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("toks"))
+      .withColumn("pri", log(u) / col("toks"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= WSampleK)
+      .select(col("lang"), col("doc_id"), col("toks"), col("rn").cast("int").as("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Per-language quality quantile filter: keep each language's top
     * half by token count (proxy quality score), EXACTLY — the
     * "keep the top X% per stratum" pass of quality-driven corpus
@@ -344,5 +387,5 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
-    qQualityQuantile)
+    qQualityQuantile, qSampleWeighted)
 }

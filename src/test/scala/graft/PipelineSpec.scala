@@ -44,6 +44,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(engine == naive)
   }
 
+  test("weighted sampling: token-proportional draw overweights heavy docs") {
+    import spark.implicits._
+    val sample = run("q_sample_weighted")
+      .select("lang", "toks", "rn").as[(String, Long, Int)].collect()
+    assert(sample.nonEmpty)
+    // per-lang ranks are exactly 1..k
+    sample.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+    // inclusion probability ∝ toks must pull the sample's mean token
+    // mass above the population's (deterministic draw, so this is a
+    // fixed property of the testdata, not a flaky statistical test)
+    val popMean = Tables(spark, Sf, "documents")
+      .select(size(split(col("text"), "\\s+")).cast("double").as("t"))
+      .agg(avg(col("t"))).head().getDouble(0)
+    val sampleMean = sample.map(_._2.toDouble).sum / sample.length
+    assert(sampleMean > popMean,
+      s"weighted sample mean $sampleMean not above population mean $popMean")
+  }
+
   test("token budget: every source's admitted token mass respects the budget") {
     import spark.implicits._
     val bySource = run("q_token_budget")
