@@ -106,7 +106,8 @@ object SparkEntry {
       MultimodalQueries.all ++
       PipelineQueries.all ++
       MaintenanceQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++
+      EventQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
