@@ -339,7 +339,11 @@ object SimilarityQueries {
     * neighborhood). Output: the surviving vectors with their cluster.
     * Cross-cluster near-dups are out of contract — that recall loss
     * vs exact dedup is the documented SemDeDup trade, measured for
-    * this corpus in SimilaritySpec. */
+    * this corpus in SimilaritySpec: 0.29 at C=8, because the
+    * qualifying pairs sit at cos 0.40–0.48 (≈60°, the
+    * blocking-adversarial regime [[qDedupEmbed]]'s scaladoc derives);
+    * SemDeDup's near-1 recall regime is near-identical embeddings
+    * (θ→0), where same-cluster assignment approaches certainty. */
   private val SemC = 8
   private val qDedupSemantic = Q("q_dedup_semantic",
     s"""WITH $vectorsCte,

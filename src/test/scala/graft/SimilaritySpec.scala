@@ -84,5 +84,31 @@ class SimilaritySpec extends AnyFunSuite {
           s"survivors ${ids(i)} and ${ids(j)} share a cluster at cos $c >= 0.4")
       }
     }
+    // the documented SemDeDup trade: pairs split across clusters are
+    // invisible to the prune. Measured on this corpus: recall 0.29 at
+    // C=8 — the qualifying pairs sit at cos 0.40–0.48 (≈60°), the
+    // same blocking-adversarial regime the q_dedup_embed scaladoc
+    // derives for LSH (SemDeDup's near-1 recall regime is
+    // near-identical embeddings, θ→0). Pin the measured floor so a
+    // centroid/assignment regression is caught.
+    val ids = vecs.keys.toArray.sorted
+    val exactPairs = for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
+    } yield (ids(i), ids(j))
+    val clusterOf = {
+      val assignedDrops = kept.map(k => k._1 -> k._2).toMap
+      // dropped vectors aren't in the output; recompute their cluster
+      // the same way the query does (nearest of the first-8 centroids)
+      val cents = ids.filter(_ < 8).map(c => c -> vecs(c))
+      (v: Long) => assignedDrops.getOrElse(v,
+        cents.map { case (cid, cv) => (-cos(vecs(v), cv), cid) }.min._2)
+    }
+    val (covered, nPairs) = exactPairs.foldLeft((0, 0)) { case ((c, t), (a, b)) =>
+      (c + (if (clusterOf(a) == clusterOf(b)) 1 else 0), t + 1)
+    }
+    assert(nPairs > 0, "testdata should contain corpus-wide near-dup pairs")
+    val recall = covered.toDouble / nPairs
+    assert(recall >= 0.25, s"semantic blocking recall $recall below pinned floor")
   }
 }
