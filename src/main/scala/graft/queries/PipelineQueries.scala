@@ -211,8 +211,13 @@ object PipelineQueries {
     val f = t(s, d, "documents").select(col("doc_id"), col("source"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
     val prior = f.where(col("source").rlike("^src[0-9]$")).select(col("fp"))
+    // size the bloom from the build side (as InjectRuntimeFilter does
+    // from build-side stats): a fixed estimate would saturate on a
+    // larger prior manifest and silently stop pruning — still correct,
+    // but the whole corpus would flow into the anti-join
+    val nPrior = math.max(prior.count(), 1L)
     val bloomAgg = bridge.column(
-      new BloomFilterAggregate(bridge.expression(xxhash64(col("fp"))), 100000L)
+      new BloomFilterAggregate(bridge.expression(xxhash64(col("fp"))), nPrior)
         .toAggregateExpression())
     val bloomBytes = prior.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
     def mightContain(c: org.apache.spark.sql.Column) = bridge.column(
@@ -234,8 +239,9 @@ object PipelineQueries {
     }
   }
 
-  /** Per-source token budget for the selection mix. */
-  private val TokenBudget = 800L
+  /** Per-source token budget for the selection mix (referenced by
+    * PipelineSpec so the spec tracks tuning). */
+  private[graft] val TokenBudget = 800L
 
   /** Token-budget corpus selection: per source, documents are ranked
     * by token count (quality proxy) and admitted while the source's
@@ -271,7 +277,7 @@ object PipelineQueries {
     // (source, toks) histogram — the running sum below is over THIS
     val wDesc = Window.partitionBy(col("source")).orderBy(col("toks").desc)
     val th = tok.groupBy(col("source"), col("toks"))
-      .agg(count(lit(1)).as("cnt"), sum(col("toks")).as("mass"))
+      .agg(sum(col("toks")).as("mass"))
       .withColumn("cum", sum(col("mass")).over(wDesc))
       .where(col("cum") > TokenBudget && col("cum") - col("mass") <= TokenBudget)
       .select(col("source"), col("toks").as("t_toks"),

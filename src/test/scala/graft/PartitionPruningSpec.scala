@@ -83,8 +83,12 @@ class PartitionPruningSpec extends AnyFunSuite {
       case f: FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(allScans)
     }
+    // select by partition schema — the metadata map always carries a
+    // "PartitionFilters" key (rendered "[]" when empty), so a
+    // string-nonEmpty check would match every scan including the
+    // unpartitioned orders scan feeding the dim
     val factScan = allScans(exec)
-      .filter(_.metadata.get("PartitionFilters").exists(_.nonEmpty))
+      .filter(_.relation.partitionSchema.nonEmpty)
     assert(factScan.nonEmpty, "no partitioned fact scan found")
     val totalYears = spark.table("pq_orders")
       .select("o_year").distinct().count()

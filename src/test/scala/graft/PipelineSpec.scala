@@ -39,7 +39,7 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy(col("toks").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val naive = tok.withColumn("cum", sum(col("toks")).over(w))
-      .where(col("cum") <= 800L)
+      .where(col("cum") <= graft.queries.PipelineQueries.TokenBudget)
       .select("doc_id", "source", "toks").as[(Long, String, Long)].collect().toSet
     assert(engine == naive)
   }
@@ -71,7 +71,8 @@ class PipelineSpec extends AnyFunSuite {
       .select("source", "mass").as[(String, Long)].collect()
     assert(bySource.nonEmpty)
     bySource.foreach { case (src, mass) =>
-      assert(mass <= 800L, s"source $src over budget: $mass")
+      assert(mass <= graft.queries.PipelineQueries.TokenBudget,
+        s"source $src over budget: $mass")
     }
   }
 }
