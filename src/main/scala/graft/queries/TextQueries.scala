@@ -359,7 +359,71 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Collocation extraction by pointwise mutual information — the
+    * statistic behind a dictionary platform's word-profile feature
+    * (which word pairs co-occur far above chance). PMI(a,b) =
+    * ln(p(ab) / (p(a)·p(b))), computed from EXACT integer counts:
+    * the log's argument is one integer product divided by another
+    * (nab·N1² / (N2·na·nb) — headroom: < 10¹⁶ ≪ 2⁶³ at sf0.1; a
+    * corpus where the products approach 2⁶³ moves the ratio to
+    * double first), so both engines take ln of the identical double
+    * and the 4-decimal rounding is stable. Ordering is (rounded pmi
+    * desc, bigram) — never by a full-precision float. Min support
+    * n ≥ 5 applies AFTER the totals, as the statistic requires.
+    * Scale shape: unigram and bigram counts are map-side partial
+    * aggs (the exchange carries (token, partial_n), never text
+    * rows); attaching the two unigram counts is a token-keyed
+    * equi-join against the vocabulary-sized count table; top-25 is
+    * TakeOrdered. */
+  private val qPmi = Q("q_text_pmi",
+    """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+      |u AS (SELECT unnest(ws) AS tok FROM w),
+      |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS nu FROM u GROUP BY tok),
+      |n1 AS (SELECT CAST(sum(nu) AS BIGINT) AS total1 FROM uc),
+      |b AS (SELECT unnest(CASE WHEN len(ws) >= 2
+      |        THEN list_transform(generate_series(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1])
+      |        ELSE [] END) AS bigram
+      |      FROM w),
+      |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS nab FROM b GROUP BY bigram),
+      |n2 AS (SELECT CAST(sum(nab) AS BIGINT) AS total2 FROM bc),
+      |j AS (SELECT bc.bigram, bc.nab, a.nu AS na, z.nu AS nb, total1, total2
+      |      FROM bc
+      |      JOIN uc a ON a.tok = string_split(bc.bigram, ' ')[1]
+      |      JOIN uc z ON z.tok = string_split(bc.bigram, ' ')[2]
+      |      CROSS JOIN n1 CROSS JOIN n2
+      |      WHERE bc.nab >= 5)
+      |SELECT bigram, nab,
+      |  round(ln((nab * total1 * total1)::DOUBLE / (total2 * na * nb)), 4) AS pmi
+      |FROM j ORDER BY pmi DESC, bigram LIMIT 25""".stripMargin) { (s, d) =>
+    val ws = t(s, d, "documents").select(split(lower(col("text")), " ").as("ws"))
+    // both count tables are reused (join sides + their totals): fence
+    // off the corpus scan + explode so each runs once
+    val uc = ws.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("nu"))
+      .localCheckpoint()
+    val total1 = uc.agg(sum(col("nu")).cast("long").as("total1"))
+    val bc = t(s, d, "documents")
+      .select(explode(graft.functions.GraftExpressions.shingles(
+        lower(col("text")), 2, dedup = false)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("nab"))
+      .localCheckpoint()
+    val total2 = bc.agg(sum(col("nab")).cast("long").as("total2"))
+    bc.where(col("nab") >= 5)
+      .withColumn("ta", split(col("bigram"), " ")(0))
+      .withColumn("tb", split(col("bigram"), " ")(1))
+      .join(uc.select(col("tok").as("ta"), col("nu").as("na")), "ta")
+      .join(uc.select(col("tok").as("tb"), col("nu").as("nb")), "tb")
+      .crossJoin(broadcast(total1))
+      .crossJoin(broadcast(total2))
+      .select(col("bigram"), col("nab"),
+        round(log((col("nab") * col("total1") * col("total1")).cast("double")
+          / (col("total2") * col("na") * col("nb"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(25)
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
-    qBigrams, qUnigramLm)
+    qBigrams, qUnigramLm, qPmi)
 }
