@@ -423,7 +423,57 @@ object TextQueries {
       .limit(25)
   }
 
+  /** Keyness by Dunning log-likelihood (G², Dunning 1993): which
+    * words are over-represented in a focus subcorpus (`src0`) against
+    * the rest — the corpus-comparison statistic behind "keywords of
+    * this text collection" features. Same float-portability stance as
+    * [[qPmi]]: every log argument is a ratio of exact integer
+    * products, the zero-count terms vanish by definition, the
+    * over-representation filter `a·d > b·c` is pure integer
+    * comparison, and ordering uses the rounded statistic. Scale
+    * shape: ONE corpus scan → map-side partial (token, a, b) counts;
+    * the 2-value totals row broadcasts back over the vocabulary-sized
+    * count table. */
+  private val qKeyness = Q("q_text_keyness",
+    """WITH w AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents),
+      |cts AS (SELECT tok,
+      |    CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS a,
+      |    CAST(count(*) FILTER (WHERE source <> 'src0') AS BIGINT) AS b
+      |  FROM w GROUP BY tok),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS c, CAST(sum(b) AS BIGINT) AS d
+      |        FROM cts),
+      |g AS (SELECT tok, a, b,
+      |    round(2 * (CASE WHEN a > 0
+      |          THEN a * ln((a * (c + d))::DOUBLE / (c * (a + b))) ELSE 0 END
+      |        + CASE WHEN b > 0
+      |          THEN b * ln((b * (c + d))::DOUBLE / (d * (a + b))) ELSE 0 END),
+      |      4) AS g2
+      |  FROM cts CROSS JOIN tot
+      |  WHERE a + b >= 10 AND a * d > b * c)
+      |SELECT tok, a AS n_focus, b AS n_rest, g2 FROM g
+      |ORDER BY g2 DESC, tok LIMIT 25""".stripMargin) { (s, d) =>
+    val cts = t(s, d, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(when(col("source") === "src0", lit(1))).as("a"),
+        count(when(col("source") =!= "src0", lit(1))).as("b"))
+      .localCheckpoint() // reused: totals + the statistic below
+    val tot = cts.agg(sum(col("a")).cast("long").as("c"),
+      sum(col("b")).cast("long").as("d"))
+    val term = (n: String, m: String) =>
+      when(col(n) > 0,
+        col(n) * log((col(n) * (col("c") + col("d"))).cast("double")
+          / (col(m) * (col("a") + col("b"))))).otherwise(lit(0.0))
+    cts.crossJoin(broadcast(tot))
+      .where(col("a") + col("b") >= 10 && col("a") * col("d") > col("b") * col("c"))
+      .select(col("tok"), col("a").as("n_focus"), col("b").as("n_rest"),
+        round(lit(2) * (term("a", "c") + term("b", "d")), 4).as("g2"))
+      .orderBy(col("g2").desc, col("tok"))
+      .limit(25)
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
-    qBigrams, qUnigramLm, qPmi)
+    qBigrams, qUnigramLm, qPmi, qKeyness)
 }
