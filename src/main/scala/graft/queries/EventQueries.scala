@@ -22,13 +22,13 @@ object EventQueries {
     * (high-cardinality key, no skew concern), so the plan is ONE
     * exchange + one sort feeding lag and the running sum. */
   private val qSessionize = Q("q_sessionize",
-    """WITH s AS (
-      |  SELECT event_id, user_id, ts::TIMESTAMP AS tsu,
-      |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
-      |                                   ORDER BY tsu, event_id)
-      |              >= INTERVAL 30 MINUTE
-      |         THEN 1 ELSE 0 END AS brk
-      |  FROM events)
+    s"""WITH s AS (
+       |  SELECT event_id, user_id, ts::TIMESTAMP AS tsu,
+       |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
+       |                                   ORDER BY tsu, event_id)
+       |              >= INTERVAL ${graft.streaming.StreamingSessionizer.GapMicros / 60000000L} MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events)
       |SELECT event_id, user_id,
       |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
       |                      ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS sid
@@ -37,10 +37,11 @@ object EventQueries {
       .orderBy(col("ts"), col("event_id"))
     // µs precision on both sides: cast-to-long would truncate to
     // seconds and disagree with the oracle's interval compare on
-    // sub-second gap edges
+    // sub-second gap edges. The gap constant is shared with the
+    // streaming form so the spec-pinned equivalence can't drift.
     val brk = when(
       unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
-        >= 30L * 60 * 1000000L, 1L).otherwise(0L)
+        >= graft.streaming.StreamingSessionizer.GapMicros, 1L).otherwise(0L)
     t(s, d, "events")
       .select(col("event_id"), col("user_id"), col("ts"), brk.as("brk"))
       .withColumn("sid",

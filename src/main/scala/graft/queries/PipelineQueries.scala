@@ -210,11 +210,19 @@ object PipelineQueries {
     import org.apache.spark.sql.types.BinaryType
     val f = t(s, d, "documents").select(col("doc_id"), col("source"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+    // fence the prior fingerprints: three consumers below (count,
+    // bloom build, exact verify) would otherwise each rescan the
+    // corpus and recompute the md5 normalization
     val prior = f.where(col("source").rlike("^src[0-9]$")).select(col("fp"))
+      .localCheckpoint()
     // size the bloom from the build side (as InjectRuntimeFilter does
     // from build-side stats): a fixed estimate would saturate on a
     // larger prior manifest and silently stop pruning — still correct,
-    // but the whole corpus would flow into the anti-join
+    // but the whole corpus would flow into the anti-join. NOTE the
+    // constructor clamps the estimate at
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (default
+    // 4M); a deployment with a larger manifest raises that conf (and
+    // maxNumBits) or the saturation returns above the clamp.
     val nPrior = math.max(prior.count(), 1L)
     val bloomAgg = bridge.column(
       new BloomFilterAggregate(bridge.expression(xxhash64(col("fp"))), nPrior)
