@@ -446,6 +446,326 @@ object TpchQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  // ---------------------------------------------------------------
+  // The remaining eight queries need the `partsupp` table (or lineitem
+  // columns) the testdata lacks. They are implemented against a
+  // DERIVED partsupp: the distinct (partkey, suppkey) pairs observed
+  // in lineitem, with an exact-decimal min price as supplycost and a
+  // count-scaled availqty. Both engines derive it with the identical
+  // expression, so every query below stays hash-oracle-checked; the
+  // defining plan shape of each original (argmin join, correlated
+  // EXISTS, HAVING-vs-scalar, NOT IN, nested semi-joins, double
+  // correlation) is intact. TESTDATA.md documents each adaptation.
+  //
+  // Scale shape: the derived ps is |part|×avg-suppliers-per-part —
+  // dimension-sized relative to the fact (it is the result of one
+  // map-side-combinable group-by over lineitem), so downstream
+  // ps-joins shuffle at most dimension volume.
+
+  private val psSql =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+      |    CAST(count(*) AS INT) * 10 AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  private def ps(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(12, 2))).as("ps_supplycost"),
+        (count(lit(1)).cast("int") * lit(10)).as("ps_availqty"))
+
+  /** Q2 (adapted): minimum-cost supplier per part within a region —
+    * the argmin-with-ties correlated subquery. `p_mfgr` is absent, so
+    * the projection carries `p_brand`. The per-part min runs over the
+    * region-eligible ps only (dimension-sized), joined back on
+    * (partkey, cost) so cost ties keep every winning supplier, exactly
+    * like the original's correlated `= (SELECT min …)`. */
+  private val q2 = Q("q_tpch_q2",
+    s"""WITH $psSql,
+       |eligible AS (
+       |  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+       |         s.s_acctbal, s.s_name, n.n_name
+       |  FROM ps
+       |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = 'EUROPE'),
+       |best AS (SELECT ps_partkey, min(ps_supplycost) AS min_cost
+       |         FROM eligible GROUP BY 1)
+       |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+       |       CAST(e.ps_supplycost AS DOUBLE) AS supplycost
+       |FROM eligible e
+       |JOIN best b ON e.ps_partkey = b.ps_partkey
+       |           AND e.ps_supplycost = b.min_cost
+       |JOIN part p ON p.p_partkey = e.ps_partkey
+       |WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+       |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+       |LIMIT 100""".stripMargin) { (s, d) =>
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").where(col("r_name") === "EUROPE")
+    val eligible = ps(s, d)
+      .join(broadcast(t(s, d, "supplier")), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("ps_partkey"), col("ps_supplycost"),
+        col("s_acctbal"), col("s_name"), col("n_name"))
+    val best = eligible.groupBy(col("ps_partkey").as("b_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    val p = t(s, d, "part")
+      .where(col("p_size") === 15 && col("p_type") === "ECONOMY")
+    eligible
+      .join(best, col("ps_partkey") === col("b_partkey") &&
+        col("ps_supplycost") === col("min_cost"))
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"),
+        col("ps_supplycost").cast("double").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q4 (adapted): priority distribution of orders with a late line.
+    * `l_commitdate`/`l_receiptdate` are absent, so "late" is a line
+    * shipped more than 60 days after the order date — same correlated
+    * EXISTS with an inequality on top of the equi-key, which Spark
+    * plans as a left-semi hash join with the inequality as a join
+    * residual (no fact-sized dedup). */
+  private val q4 = Q("q_tpch_q4",
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00")))
+      .join(t(s, d, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q9 (adapted): profit by supplier nation × order year. Profit is
+    * computed as `100·revenue − cost·qty` in EXACT decimal (no decimal
+    * division anywhere — engines disagree on division result scale),
+    * summed, cast to double, and only THEN divided by 100: the final
+    * IEEE double division is bit-deterministic on both engines. */
+  private val q9 = Q("q_tpch_q9",
+    s"""WITH $psSql
+       |SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) * 100
+       |           - CAST(ps.ps_supplycost AS DECIMAL(18,4))
+       |             * CAST(l.l_quantity AS DECIMAL(8,0)))
+       |       AS DOUBLE) / 100 AS sum_profit
+       |FROM lineitem l
+       |JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE p.p_name LIKE 'red%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4)) * lit(100)
+    val cost = col("ps_supplycost").cast(DecimalType(18, 4)) *
+      col("l_quantity").cast(DecimalType(8, 0))
+    val p = t(s, d, "part").where(col("p_name").like("red%"))
+    t(s, d, "lineitem")
+      .join(ps(s, d), col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg((sum(rev - cost).cast("double") / lit(100)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11 (adapted): stock-value concentration — parts whose inventory
+    * value in one nation exceeds a fraction of the nation's total: the
+    * HAVING-vs-scalar-subquery shape. Both comparison operands are
+    * exact decimal sums cast to double BEFORE the ×0.001 (deterministic
+    * on both engines). The scalar total is a broadcast single row. */
+  private val q11 = Q("q_tpch_q11",
+    s"""WITH $psSql,
+       |nps AS (
+       |  SELECT ps.ps_partkey,
+       |         CAST(ps.ps_supplycost AS DECIMAL(18,4)) * ps.ps_availqty AS val
+       |  FROM ps
+       |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  WHERE n.n_name = 'NATION_1')
+       |SELECT ps_partkey, CAST(sum(val) AS DOUBLE) AS value
+       |FROM nps GROUP BY ps_partkey
+       |HAVING CAST(sum(val) AS DOUBLE) >
+       |  (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM nps)
+       |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
+    val n = t(s, d, "nation").where(col("n_name") === "NATION_1")
+    val nps = ps(s, d)
+      .join(broadcast(t(s, d, "supplier")), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost").cast(DecimalType(18, 4)) * col("ps_availqty")).as("val"))
+    val perPart = nps.groupBy(col("ps_partkey"))
+      .agg(sum(col("val")).cast("double").as("value"))
+    val total = nps.agg((sum(col("val")).cast("double") * lit(0.001)).as("threshold"))
+    perPart.join(broadcast(total))
+      .where(col("value") > col("threshold"))
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** Q12 (adapted): priority mix by ship class. `l_shipmode` is
+    * absent, so `l_returnflag` stands in for the mode pair and the
+    * late-line predicate is ship > order date + 30 days — the two-way
+    * CASE pivot over a fact–fact join is intact. */
+  private val q12 = Q("q_tpch_q12",
+    """SELECT l.l_returnflag,
+      |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_returnflag IN ('A','R')
+      |  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, d, "lineitem")
+      .where(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q16 (adapted): supplier diversity per part class, excluding
+    * flagged suppliers — the NOT IN anti-join + count-distinct shape.
+    * "Customer complaints" has no analog column, so the exclusion set
+    * is suppliers with negative balance (same rare-set role). */
+  private val q16 = Q("q_tpch_q16",
+    s"""WITH $psSql
+       |SELECT p.p_brand, p.p_type, p.p_size,
+       |  CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+       |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+       |  AND p.p_size IN (1,4,7,10,13,16,19,22)
+       |  AND ps.ps_suppkey NOT IN
+       |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin) { (s, d) =>
+    val p = t(s, d, "part").where(col("p_brand") =!= "Brand#5" &&
+      col("p_type") =!= "PROMO" &&
+      col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    val flagged = t(s, d, "supplier").where(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    ps(s, d)
+      .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Q20 (adapted): suppliers in one nation holding excess stock of a
+    * part family — the nested semi-join chain. The correlated shipped-
+    * quantity subquery becomes a grouped aggregate left-joined back to
+    * ps; a missing year's sum is NULL on both engines, so the `>`
+    * comparison excludes it identically. l_quantity values are
+    * integral, so the double sum is order-exact. */
+  private val q20 = Q("q_tpch_q20",
+    s"""WITH $psSql
+       |SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+       |FROM supplier s
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE n.n_name = 'NATION_2'
+       |  AND s.s_suppkey IN (
+       |    SELECT ps.ps_suppkey FROM ps
+       |    WHERE ps.ps_partkey IN
+       |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |      AND ps.ps_availqty > (
+       |        SELECT 0.5 * sum(l.l_quantity) FROM lineitem l
+       |        WHERE l.l_partkey = ps.ps_partkey
+       |          AND l.l_suppkey = ps.ps_suppkey
+       |          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+       |          AND l.l_shipdate < TIMESTAMP '1997-01-01'))
+       |ORDER BY s.s_name""".stripMargin) { (s, d) =>
+    val redParts = t(s, d, "part").where(col("p_name").like("red%"))
+      .select(col("p_partkey"))
+    val shipped = t(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .groupBy(col("l_partkey").as("sh_partkey"), col("l_suppkey").as("sh_suppkey"))
+      .agg(sum(col("l_quantity")).as("sh_qty"))
+    val excess = ps(s, d)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped, col("ps_partkey") === col("sh_partkey") &&
+        col("ps_suppkey") === col("sh_suppkey"), "left")
+      .where(col("ps_availqty") > lit(0.5) * col("sh_qty"))
+      .select(col("ps_suppkey"))
+    val n = t(s, d, "nation").where(col("n_name") === "NATION_2")
+    t(s, d, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  /** Q21 (adapted): suppliers who alone flagged a multi-supplier
+    * finished order — the double-correlated EXISTS / NOT EXISTS.
+    * `l_receiptdate`/`l_commitdate` are absent, so "kept waiting" is
+    * `l_returnflag = 'R'`. The Spark plan decorrelates both
+    * subqueries into ONE per-order aggregate (distinct suppliers,
+    * distinct flagged suppliers): EXISTS(other supplier) ⇔ n_supp > 1,
+    * NOT EXISTS(other flagged supplier) ⇔ n_rsupp = 1 on a flagged
+    * row — one fact shuffle instead of two correlated re-scans. */
+  private val q21 = Q("q_tpch_q21",
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name ORDER BY numwait DESC, s.s_name
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val stats = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("st_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_rsupp"))
+    val fOrders = t(s, d, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(stats, col("l_orderkey") === col("st_orderkey"))
+      .where(col("n_supp") > 1 && col("n_rsupp") === 1)
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(q1, q3, q5, q6, q10, q13, q14, q18,
-    q7, q8, q15, q17, q19, q22)
+    q7, q8, q15, q17, q19, q22,
+    q2, q4, q9, q11, q12, q16, q20, q21)
 }
