@@ -362,8 +362,63 @@ object ExtendedQueries {
     ORDER BY c_custkey""")
   }
 
+  /** Distribution-rank window family: ntile bucketing (the quantile
+    * assignment a curriculum/quality pipeline uses), percent_rank and
+    * cume_dist. percent_rank = (rank−1)/(n−1) and cume_dist = peers/n
+    * are exact small-integer divisions — identical doubles on both
+    * engines — rounded to 4 dp for display only. One partition-keyed
+    * exchange; nation cardinality bounds every partition. */
+  private val qWindowNtile = Q("q_window_ntile",
+    """SELECT s_suppkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(s, d, "supplier").select(
+      col("s_suppkey"),
+      ntile(4).over(w).cast("int").as("quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cume"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Null-safe equi-join (`<=>` ≙ IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantic needed when
+    * an enrichment dimension carries an explicit "unknown" row. Spark
+    * plans `<=>` as a HASH join key (EqualNullSafe is a valid
+    * equi-join expression), so this broadcasts like any equi-join —
+    * no nested-loop fallback. */
+  private val qJoinNullsafe = Q("q_join_nullsafe",
+    """WITH a AS (SELECT c_custkey,
+      |             CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |                  ELSE c_mktsegment END AS k
+      |           FROM customer),
+      |b AS (SELECT c_mktsegment AS k, CAST(count(*) AS BIGINT) AS n
+      |      FROM customer GROUP BY 1
+      |      UNION ALL SELECT NULL, CAST(-1 AS BIGINT))
+      |SELECT a.c_custkey, a.k, b.n
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY a.c_custkey""".stripMargin) { (s, d) =>
+    val a = t(s, d, "customer").select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("k"))
+    val b = t(s, d, "customer")
+      .groupBy(col("c_mktsegment").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .union(t(s, d, "customer").sparkSession
+        .range(1).select(lit(null).cast("string").as("k"),
+          lit(-1L).cast("long").as("n")))
+    a.join(broadcast(b), a("k") <=> b("k"))
+      .select(a("c_custkey"), a("k"), b("n"))
+      .orderBy(a("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
     qExplodePos, qWindowRange, qJoinBucketed, qJoinDpp, qTopkPerGroup,
-    qUnpivot, qSqlSubquery)
+    qUnpivot, qSqlSubquery, qWindowNtile, qJoinNullsafe)
 }

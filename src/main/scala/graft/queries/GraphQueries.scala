@@ -81,5 +81,69 @@ object GraphQueries {
         (col("r").cast("double") / lit(1e12)).as("rank"))
   }
 
-  val all: Seq[Q] = Seq(qPagerank)
+  /** Triangle counting over the part co-purchase graph (an edge joins
+    * two parts bought in the same order), restricted to the 1-in-5
+    * audited part segment — the node-induced-subgraph pattern of a
+    * production graph audit. (The part graph is the right substrate:
+    * a co-occurrence graph over a LOW-cardinality key like supplier
+    * saturates into a clique as the fact grows — any triangle
+    * algorithm is Θ(n³) there because the answer itself is Θ(n³).)
+    *
+    * The count is [[graft.operators.Triangles.orientedCount]] —
+    * DEGREE-ORDERED ORIENTATION, O(m^1.5) wedge work worst-case
+    * instead of Σdeg²; TriangleScaleProbe measures the gap against
+    * the naive enumeration on the adversarial wheel graph.
+    *
+    * All-integer counts: no float anywhere, the oracle hash is exact.
+    * Scale shape: the pair derivation self-joins the filtered fact
+    * per order (bounded by order width, linear in the fact); `ori` is
+    * edge-sized and localCheckpointed (3 reuses: wedge sides +
+    * closing probe); both triangle joins are equi-joins on (src) /
+    * (src,dst).
+    */
+  private val qTriangles = Q("q_triangle_count",
+    """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p
+      |            FROM lineitem WHERE l_partkey % 5 = 0),
+      |pairs AS (
+      |  SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+      |  FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT u AS n FROM pairs
+      |              UNION ALL SELECT v AS n FROM pairs) ends
+      |        GROUP BY n),
+      |ori AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+      |              THEN p.u ELSE p.v END AS src,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+      |              THEN p.v ELSE p.u END AS dst,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+      |              THEN dv.d ELSE du.d END AS dst_d
+      |  FROM pairs p
+      |  JOIN deg du ON p.u = du.n
+      |  JOIN deg dv ON p.v = dv.n),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM ori e1
+      |  JOIN ori e2 ON e1.src = e2.src
+      |    AND (e1.dst_d < e2.dst_d OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst))
+      |  JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+      |       n_triangles
+      |FROM tri""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .where(col("l_partkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("sa"))
+    val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("sb"))
+    val pairs = a.join(b, Seq("k"))
+      .where(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("u"),
+        greatest(col("sa"), col("sb")).as("v"))
+      .distinct()
+      .localCheckpoint() // reused: degree count + orientation + edge count
+    graft.operators.Triangles.orientedCount(pairs)
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles)
 }

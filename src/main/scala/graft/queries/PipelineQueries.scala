@@ -399,7 +399,165 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its tokens are under a
+    * TARGET domain's unigram LM than under the full-corpus proposal
+    * LM, then keep the top-k. Here the target is the `src0` slice;
+    * both LMs are Laplace-smoothed over the shared vocabulary.
+    *
+    * Per-token log importance ratio
+    *   ln((ct+1)/(Nt+V)) − ln((cp+1)/(Np+V))
+    * is rounded to 6 dp into DECIMAL(18,6) before the per-doc mean,
+    * so the aggregation is exact and order-free; ranking is by the
+    * 4-dp-rounded mean with doc_id tiebreak.
+    *
+    * Scale shape (100 TB): both count tables are vocabulary-sized
+    * map-side-combined aggs that join back as broadcasts; corpus
+    * totals are one broadcast scalar row; scoring is a single token-
+    * level scan + per-doc agg (one exchange of (doc_id, decimal));
+    * top-k is TakeOrdered. The hashed-feature variant DSIR uses for
+    * an unbounded vocab swaps the join key for
+    * `PortableHash.md5Long(w) % buckets` — nothing else changes. */
+  private val qSampleImportance = Q("q_sample_importance",
+    """WITH tok AS (SELECT doc_id, source,
+      |               unnest(string_split(lower(text), ' ')) AS w
+      |             FROM documents),
+      |tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS ct
+      |        FROM tok WHERE source = 'src0' GROUP BY w),
+      |prop AS (SELECT w, CAST(count(*) AS BIGINT) AS cp
+      |         FROM tok GROUP BY w),
+      |tots AS (SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE source = 'src0') AS nt,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM tok) AS np,
+      |    (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM tok) AS v),
+      |scored AS (
+      |  SELECT t.doc_id, t.source,
+      |    CAST(round(
+      |      ln(CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE) / CAST(tots.nt + tots.v AS DOUBLE))
+      |      - ln(CAST(p.cp + 1 AS DOUBLE) / CAST(tots.np + tots.v AS DOUBLE)), 6)
+      |    AS DECIMAL(18,6)) AS lr
+      |  FROM tok t
+      |  LEFT JOIN tgt g ON t.w = g.w
+      |  JOIN prop p ON t.w = p.w
+      |  CROSS JOIN tots)
+      |SELECT doc_id, source, CAST(count(*) AS INT) AS n_tokens,
+      |  round(CAST(sum(lr) AS DOUBLE) / count(*), 4) AS score
+      |FROM scored GROUP BY doc_id, source
+      |ORDER BY score DESC, doc_id LIMIT 500""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .localCheckpoint() // reused: target LM, proposal LM, totals, scoring
+    val tgt = tok.where(col("source") === "src0")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("ct"))
+    val prop = tok.groupBy(col("w")).agg(count(lit(1)).cast("long").as("cp"))
+    val tots = tok.agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).cast("long").as("nt"),
+      count(lit(1)).cast("long").as("np"),
+      countDistinct(col("w")).cast("long").as("v"))
+    val lr = round(
+      log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+        / (col("nt") + col("v")).cast("double"))
+        - log((col("cp") + 1).cast("double")
+          / (col("np") + col("v")).cast("double")), 6).cast("decimal(18,6)")
+    tok.join(broadcast(tgt), Seq("w"), "left_outer")
+      .join(broadcast(prop), Seq("w"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), col("source"), lr.as("lr"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("lr")).as("slr"))
+      .select(col("doc_id"), col("source"), col("cnt").cast("int").as("n_tokens"),
+        round(col("slr").cast("double") / col("cnt"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(500)
+  }
+
+  /** Temperature-based mixture sampling (the multilingual-training
+    * α-smoothing, α = 0.5): each source keeps documents at rate
+    * (n_source / n_largest)^α, flattening the size distribution
+    * toward the small sources. The keep decision is a deterministic
+    * hash thin — md5-derived uniform vs ⌊rate·10⁹⌋ — so both engines
+    * select the IDENTICAL document set (no RNG anywhere). √ of a
+    * ratio of exact BIGINTs and the floor are IEEE-deterministic.
+    *
+    * Scale shape: source counts are a tiny broadcast; the keep filter
+    * is a stateless codegen'd predicate on the scan (no shuffle at
+    * all for the selection itself — the only exchange is the final
+    * per-source audit agg). */
+  private val qMixtureTemperature = Q("q_mixture_temperature",
+    s"""WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |            FROM documents GROUP BY source),
+       |mx AS (SELECT max(n) AS m FROM cnt),
+       |thr AS (SELECT c.source, c.n,
+       |          CAST(floor(sqrt(CAST(c.n AS DOUBLE) / CAST(mx.m AS DOUBLE))
+       |                     * 1000000000) AS BIGINT) AS cut
+       |        FROM cnt c CROSS JOIN mx),
+       |kept AS (
+       |  SELECT d.source, count(*) AS k
+       |  FROM documents d JOIN thr ON d.source = thr.source
+       |  WHERE ${PortableHash.md5LongSql("CAST(d.doc_id AS VARCHAR)")}
+       |        % 1000000000 < thr.cut
+       |  GROUP BY d.source)
+       |SELECT t.source, t.n AS n_orig,
+       |  CAST(COALESCE(k.k, 0) AS BIGINT) AS n_kept,
+       |  CAST(t.cut AS DOUBLE) / 1e9 AS rate
+       |FROM thr t LEFT JOIN kept k ON t.source = k.source
+       |ORDER BY t.source""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+    val mx = cnt.agg(max(col("n")).as("m"))
+    val thr = cnt.crossJoin(broadcast(mx))
+      .select(col("source"), col("n"),
+        floor(sqrt(col("n").cast("double") / col("m").cast("double"))
+          * 1000000000L).cast("long").as("cut"))
+    val kept = docs.join(broadcast(thr.select(col("source"), col("cut"))), "source")
+      .where(PortableHash.md5Long(col("doc_id").cast("string"))
+        % 1000000000L < col("cut"))
+      .groupBy(col("source")).agg(count(lit(1)).as("k"))
+    thr.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), col("n").as("n_orig"),
+        coalesce(col("k"), lit(0L)).cast("long").as("n_kept"),
+        (col("cut").cast("double") / lit(1e9)).as("rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Deterministic train/val/test assignment (98/1/1) with a per-
+    * source audit — the split every training build makes exactly once
+    * and must be able to REPRODUCE forever after: membership is a
+    * pure function of the document id (md5-derived bucket 0–99), so
+    * re-running on a grown corpus never reassigns an old document,
+    * adding a column/engine never moves the boundary, and the
+    * val/test sets stay leakage-stable across snapshots (the property
+    * that makes hash-splits the standard over random splits).
+    *
+    * Scale shape: the assignment is a stateless codegen'd expression
+    * on the scan — zero shuffles for the split itself; only the audit
+    * aggregates (source × split counts and token mass) exchange, and
+    * those are map-side combined to |sources|·3 rows. */
+  private val qSplitTrain = Q("q_split_train",
+    s"""WITH tagged AS (
+       |  SELECT source, n_chars,
+       |    CASE ${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 100
+       |      WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split
+       |  FROM documents)
+       |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+       |FROM tagged GROUP BY source, split
+       |ORDER BY source, split""".stripMargin) { (s, d) =>
+    val bucket = PortableHash.md5Long(col("doc_id").cast("string")) % 100
+    t(s, d, "documents")
+      .select(col("source"), col("n_chars"),
+        when(bucket === 0, "val").when(bucket === 1, "test")
+          .otherwise("train").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).cast("long").as("chars"))
+      .orderBy(col("source"), col("split"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
-    qQualityQuantile, qSampleWeighted)
+    qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
+    qSplitTrain)
 }

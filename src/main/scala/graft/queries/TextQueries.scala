@@ -473,7 +473,145 @@ object TextQueries {
       .limit(25)
   }
 
+  /** BM25 retrieval scoring (k₁ = 1.2, b = 0.75) for a fixed query
+    * term set — the ranking function behind corpus search and
+    * retrieval-based quality scoring. idf is the BM25+ form
+    * ln(1 + (N−df+0.5)/(df+0.5)), so it is never negative.
+    *
+    * Determinism: each term's contribution is computed with the
+    * IDENTICAL double expression tree on both engines (every operand
+    * explicitly cast, `len·N / Σlen` written as one integer product
+    * divided once), rounded to 6 dp and summed as DECIMAL(18,6) —
+    * the per-doc sum is exact and order-free (unigram-LM pattern);
+    * only the final display rounds to 4.
+    *
+    * Scale shape (100 TB): tf is the one fact-sized exchange
+    * ((doc, term, n) map-side combined); the query-term df table is
+    * 3 rows (broadcast); doc lengths join on doc_id; corpus stats are
+    * a broadcast scalar; top-20 is TakeOrdered, never a global sort. */
+  private val qBm25 = Q("q_text_bm25",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |            FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+      |       FROM tk GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS len FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+      |              CAST(sum(len) AS BIGINT) AS toklen FROM dl),
+      |qdf AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq
+      |        FROM tf WHERE term IN ('spark', 'table', 'hash') GROUP BY 1),
+      |contrib AS (
+      |  SELECT t.doc_id,
+      |    CAST(round(
+      |      ln(1 + (CAST(st.nd - q.dfreq AS DOUBLE) + 0.5)
+      |             / (CAST(q.dfreq AS DOUBLE) + 0.5))
+      |      * (CAST(t.n AS DOUBLE) * 2.2)
+      |      / (CAST(t.n AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * (CAST(l.len * st.nd AS DOUBLE)
+      |                                 / CAST(st.toklen AS DOUBLE)))), 6)
+      |    AS DECIMAL(18,6)) AS c
+      |  FROM tf t
+      |  JOIN qdf q ON t.term = q.term
+      |  JOIN dl l ON t.doc_id = l.doc_id
+      |  CROSS JOIN st)
+      |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: doc lengths + query-term df + scoring
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("n")).cast("long").as("len"))
+    val st = dl.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("len")).cast("long").as("toklen"))
+    val qdf = tf.where(col("term").isin("spark", "table", "hash"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfreq"))
+    val idf = log(lit(1) + ((col("nd") - col("dfreq")).cast("double") + 0.5)
+      / (col("dfreq").cast("double") + 0.5))
+    val contrib = round(
+      idf * (col("n").cast("double") * 2.2)
+        / (col("n").cast("double")
+          + lit(1.2) * (lit(0.25) + lit(0.75) * ((col("len") * col("nd")).cast("double")
+            / col("toklen").cast("double")))), 6).cast("decimal(18,6)")
+    tf.join(broadcast(qdf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Corpus-law statistics: Zipf rank-frequency slope (least-squares
+    * fit of ln f against ln r over the top-100 vocabulary) plus the
+    * Heaps inputs (vocabulary size, token mass) — the diagnostic a
+    * corpus build runs to detect synthetic/templated text, whose
+    * slope diverges from the ≈ −1 of natural language. (This
+    * generator's 31-word shared vocabulary fits at −0.18: flat ≙
+    * artificial, exactly what the statistic is for.)
+    *
+    * Determinism: x, y, xy, x² are each rounded to 6 dp into
+    * DECIMAL(18,6) per point BEFORE the sums (exact, order-free);
+    * the closed-form slope is then pure double arithmetic over
+    * identical inputs in identical order. Ranking is count-desc with
+    * term tiebreak over the top-100 shortlist (TakeOrdered), so the
+    * window never sees more than 100 rows — the full-vocabulary
+    * global sort a naive rank would need does not exist in the plan.
+    *
+    * Scale shape (100 TB): one token-level map-side-combined agg (the
+    * only fact-sized exchange), a 100-row shortlist, a 100-row
+    * window, two scalar aggregates. */
+  private val qZipf = Q("q_text_zipf",
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |             FROM documents),
+      |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w),
+      |top AS (SELECT w, n FROM cnt ORDER BY n DESC, w LIMIT 100),
+      |rk AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS r
+      |       FROM top),
+      |pts AS (SELECT
+      |    CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+      |    CAST(round(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+      |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS xy,
+      |    CAST(round(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)), 6)
+      |         AS DECIMAL(18,6)) AS xx
+      |  FROM rk),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |        CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+      |      FROM pts),
+      |heaps AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |                 CAST(sum(n) AS BIGINT) AS tokens FROM cnt)
+      |SELECT heaps.vocab AS n_vocab, heaps.tokens AS n_tokens, s.k AS n_fit,
+      |  round((CAST(s.k AS DOUBLE) * s.sxy - s.sx * s.sy)
+      |        / (CAST(s.k AS DOUBLE) * s.sxx - s.sx * s.sx), 4) AS zipf_slope
+      |FROM s CROSS JOIN heaps""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cnt = t(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint() // reused: top-100 shortlist + Heaps totals
+    val top = cnt.orderBy(col("n").desc, col("w")).limit(100)
+    val rk = top.withColumn("r",
+      row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("long"))
+    def pt(c: org.apache.spark.sql.Column) = round(c, 6).cast("decimal(18,6)")
+    val lr = log(col("r").cast("double"))
+    val ln = log(col("n").cast("double"))
+    val pts = rk.select(pt(lr).as("x"), pt(ln).as("y"),
+      pt(lr * ln).as("xy"), pt(lr * lr).as("xx"))
+    val sAgg = pts.agg(count(lit(1)).cast("long").as("k"),
+      sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+      sum(col("xy")).cast("double").as("sxy"), sum(col("xx")).cast("double").as("sxx"))
+    val heaps = cnt.agg(count(lit(1)).cast("long").as("n_vocab"),
+      sum(col("n")).cast("long").as("n_tokens"))
+    val slope = (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+      (col("k").cast("double") * col("sxx") - col("sx") * col("sx"))
+    sAgg.crossJoin(broadcast(heaps))
+      .select(col("n_vocab"), col("n_tokens"), col("k").as("n_fit"),
+        round(slope, 4).as("zipf_slope"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
-    qBigrams, qUnigramLm, qPmi, qKeyness)
+    qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf)
 }

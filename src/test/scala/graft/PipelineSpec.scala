@@ -75,4 +75,50 @@ class PipelineSpec extends AnyFunSuite {
         s"source $src over budget: $mass")
     }
   }
+
+  test("importance resampling pulls the selection toward the target domain") {
+    import spark.implicits._
+    val selected = run("q_sample_importance")
+      .select("doc_id", "source", "score").as[(Long, String, Double)].collect()
+    assert(selected.length == 500)
+    // ranked output: scores non-increasing with doc_id tiebreak
+    selected.sliding(2).foreach { case Array((i1, _, s1), (i2, _, s2)) =>
+      assert(s1 > s2 || (s1 == s2 && i1 < i2))
+    }
+    // DSIR selects for target-likeness: the src0 share of the TOP of
+    // the ranking must exceed its corpus share (deterministic property
+    // of the fixed testdata, not a statistical test). At test scale
+    // the corpus may be smaller than the 500-doc selection, so the
+    // discriminating prefix is the top fifth of what was returned.
+    val corpus = Tables(spark, Sf, "documents")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val corpusShare = corpus("src0").toDouble / corpus.values.sum
+    val top = selected.take(math.max(20, selected.length / 5))
+    val topShare = top.count(_._2 == "src0").toDouble / top.length
+    assert(topShare > corpusShare,
+      s"top-ranked src0 share $topShare not above corpus share $corpusShare")
+  }
+
+  test("temperature mixture: rates are n^alpha-monotone and the hash thin tracks them") {
+    import spark.implicits._
+    val rows = run("q_mixture_temperature")
+      .select("source", "n_orig", "n_kept", "rate")
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // the largest source keeps everything (rate 1.0 by construction)
+    val largest = rows.maxBy(_._2)
+    assert(largest._4 == 1.0 && largest._3 == largest._2)
+    // rate must be monotone in source size, in (0, 1]
+    rows.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"rate not monotone: $a vs $b")
+    }
+    rows.foreach { case (src, n, k, r) =>
+      assert(r > 0 && r <= 1.0)
+      assert(k <= n)
+      // md5-uniform thinning: kept/n within 5 sigma of the rate
+      val sigma = math.sqrt(r * (1 - r) / n)
+      assert(math.abs(k.toDouble / n - r) <= 5 * sigma + 1e-9,
+        s"$src kept ${k.toDouble / n} vs rate $r (sigma $sigma)")
+    }
+  }
 }
