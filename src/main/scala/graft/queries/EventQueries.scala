@@ -117,5 +117,65 @@ object EventQueries {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
-  val all: Seq[Q] = Seq(qSessionize, qFunnel, qRetention)
+  /** Traffic anomaly detection: hourly event-type counts z-scored
+    * against their own trailing 24-hour window (≥ 12 observed hours),
+    * |z| > 2.5 flagged — the alerting query a livestream dashboard
+    * runs on the reference's feed (spike/outage detection).
+    *
+    * Determinism: the trailing mean and sample-stddev are derived
+    * from EXACT integer window sums (Σn, Σn², k are all BIGINT —
+    * counts, not floats), so both engines feed identical integers
+    * through the identical double expression; the flag threshold
+    * compares the same doubles and display rounds to 4 dp.
+    *
+    * Scale shape (100 TB): the only fact-sized exchange is the
+    * hourly pre-aggregation (map-side combined to |types|·|hours|
+    * rows); the trailing window runs per event_type over those tiny
+    * per-type series — the skew-prone low-cardinality partition holds
+    * hours, not events. */
+  private val qAnomaly = Q("q_anomaly",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, h, n,
+      |    CAST(count(*) OVER w AS BIGINT) AS k,
+      |    CAST(sum(n) OVER w AS BIGINT) AS s,
+      |    CAST(sum(n*n) OVER w AS BIGINT) AS sq
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT event_type, h, n, k,
+      |    CAST(s AS DOUBLE) / k AS mu,
+      |    sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / k) / (k - 1)) AS sd
+      |  FROM stats WHERE k >= 12)
+      |SELECT event_type, h, n, round(mu, 4) AS mu,
+      |  round((CAST(n AS DOUBLE) - mu) / sd, 4) AS z
+      |FROM scored
+      |WHERE sd > 0 AND abs((CAST(n AS DOUBLE) - mu) / sd) > 2.5
+      |ORDER BY event_type, h""".stripMargin) { (s, d) =>
+    val hourly = t(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val stats = hourly.select(col("event_type"), col("h"), col("n"),
+      count(lit(1)).over(w).cast("long").as("k"),
+      sum(col("n")).over(w).cast("long").as("s"),
+      sum(col("n") * col("n")).over(w).cast("long").as("sq"))
+    val mu = col("s").cast("double") / col("k")
+    val sd = sqrt((col("sq").cast("double") - col("s").cast("double") * col("s") / col("k"))
+      / (col("k") - 1))
+    val z = (col("n").cast("double") - col("mu")) / col("sd")
+    stats.where(col("k") >= 12)
+      .select(col("event_type"), col("h"), col("n"), mu.as("mu"), sd.as("sd"))
+      .where(col("sd") > 0 && abs(z) > 2.5)
+      .select(col("event_type"), col("h"), col("n"),
+        round(col("mu"), 4).as("mu"), round(z, 4).as("z"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val all: Seq[Q] = Seq(qSessionize, qFunnel, qRetention, qAnomaly)
 }
