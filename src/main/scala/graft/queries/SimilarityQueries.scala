@@ -601,6 +601,78 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Per-dimension covariance of the embedding cloud (dims 1..8 of
+    * 64) — the statistics PCA, whitening, and PQ subspace allocation
+    * are built on. This declarative form is the exact-decimal ORACLE
+    * twin: elements round to 6 dp into DECIMAL(10,6), products and
+    * sums stay exact, and the covariance assembles in double from
+    * identical exact inputs — bit-equal on both engines, no float
+    * tolerance.
+    *
+    * Scale note: this shape shuffles |pairs|·n element rows and
+    * exists for the oracle's sake on a dimension slice;
+    * [[graft.operators.Pca]] computes the FULL d×d matrix in one
+    * aggregator pass whose exchange carries d(d+1)/2 partials per
+    * task, and PcaSpec pins the two against each other. */
+  private val qEmbedCov = Q("q_embed_cov",
+    """WITH idx AS (SELECT unnest([1,2,3,4,5,6,7,8]) AS i),
+      |pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i),
+      |el AS (
+      |  SELECT p.i, p.j,
+      |    CAST(round(CAST(e.embedding[p.i] AS DOUBLE), 6) AS DECIMAL(10,6)) AS x,
+      |    CAST(round(CAST(e.embedding[p.j] AS DOUBLE), 6) AS DECIMAL(10,6)) AS y
+      |  FROM embeddings e CROSS JOIN pairs p),
+      |s AS (
+      |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x * y) AS DOUBLE) AS sxy
+      |  FROM el GROUP BY i, j)
+      |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      |  round((sxy - sx * sy / n) / (n - 1), 8) AS cov
+      |FROM s ORDER BY i, j""".stripMargin) { (s, d) =>
+    val idx = (1 to 8)
+    val pairs = for { i <- idx; j <- idx if i <= j } yield (i, j)
+    val pairsDf = s.createDataFrame(pairs).toDF("i", "j")
+    val dec = org.apache.spark.sql.types.DecimalType(10, 6)
+    val el = t(s, d, "embeddings")
+      .crossJoin(broadcast(pairsDf))
+      .select(col("i"), col("j"),
+        round(element_at(col("embedding"), col("i")).cast("double"), 6)
+          .cast(dec).as("x"),
+        round(element_at(col("embedding"), col("j")).cast("double"), 6)
+          .cast(dec).as("y"))
+    el.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 8)
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Top-4 PCA projection of the first 20 vectors — the operator's
+    * query surface ([[graft.operators.Pca]]: one aggregator pass for
+    * the moments, driver-side power iteration, broadcast-model
+    * projection scan). Spark-only: an eigenproblem has no ANSI-SQL
+    * form; correctness is PcaSpec (vs in-memory reference fit +
+    * the exact-decimal covariance twin `q_embed_cov`). */
+  private val qEmbedPca = Q.sparkOnly("q_embed_pca") { (s, d) =>
+    import graft.operators.Pca
+    val vecs = t(s, d, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val spark = s
+    import spark.implicits._
+    val model = Pca.fit(vecs.as[Array[Double]], d = 64, k = 4)
+    Pca.project(t(s, d, "embeddings").where(col("vec_id") < 20),
+      "vec_id", "embedding", model)
+      .select(col("vec_id"), posexplode(col("pc")).as(Seq("comp", "coord")))
+      .select(col("vec_id"), col("comp").cast("int").as("comp"),
+        round(col("coord"), 6).as("coord"))
+      .orderBy(col("vec_id"), col("comp"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
-    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic)
+    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca)
 }
