@@ -556,8 +556,65 @@ object PipelineQueries {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Distribution-drift detection: the two-sample Kolmogorov–Smirnov
+    * statistic between the focus source's length distribution and the
+    * rest of the corpus — the monitoring gate a pipeline runs between
+    * snapshots (did this source's documents change shape?).
+    *
+    * EXACT arithmetic throughout: with group sizes n_a, n_b and
+    * cumulative counts ca(x), cb(x), the sup-gap maximization runs
+    * over the INTEGER numerators |ca·n_b − cb·n_a| (max of exact
+    * BIGINTs — no float compare anywhere); D itself is one double
+    * division of the winning numerator at the very end. The oracle
+    * hash-matches bit-for-bit.
+    *
+    * Scale shape (100 TB): per-value counts are one map-side-combined
+    * groupBy; BOTH cumulative distributions come from
+    * [[graft.operators.PrefixSum.cumsum]] — the two-phase range scan,
+    * never a single-task global ORDER BY window; group totals join in
+    * as a broadcast scalar; the sup is a plain max aggregate. */
+  private val qQualityKs = Q("q_quality_ks",
+    """WITH a AS (SELECT n_chars AS x FROM documents WHERE source = 'src0'),
+      |b AS (SELECT n_chars AS x FROM documents WHERE source <> 'src0'),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      |vals AS (SELECT DISTINCT x FROM (SELECT x FROM a UNION ALL SELECT x FROM b) u),
+      |cdf AS (
+      |  SELECT v.x,
+      |    CAST((SELECT count(*) FROM a WHERE a.x <= v.x) AS BIGINT) AS ca,
+      |    CAST((SELECT count(*) FROM b WHERE b.x <= v.x) AS BIGINT) AS cb
+      |  FROM vals v),
+      |gaps AS (SELECT x,
+      |           abs(ca * (SELECT n FROM nb) - cb * (SELECT n FROM na)) AS g
+      |         FROM cdf)
+      |SELECT (SELECT n FROM na) AS n_a, (SELECT n FROM nb) AS n_b,
+      |  CAST(max(g) AS BIGINT) AS d_num,
+      |  round(CAST(max(g) AS DOUBLE)
+      |        / ((SELECT n FROM na) * (SELECT n FROM nb)), 6) AS ks_d
+      |FROM gaps""".stripMargin) { (s, d) =>
+    val focus = col("source") === "src0"
+    val tagged = t(s, d, "documents").select(
+      col("n_chars").cast("long").as("x"),
+      when(focus, 1L).otherwise(0L).as("ia"),
+      when(focus, 0L).otherwise(1L).as("ib"))
+    val per = tagged.groupBy(col("x"))
+      .agg(sum(col("ia")).as("cnt_a"), sum(col("ib")).as("cnt_b"))
+    val withCa = PrefixSum.cumsum(per, "x", "cnt_a", 8, "ca")
+    val withCb = PrefixSum.cumsum(withCa, "x", "cnt_b", 8, "cb")
+    val tot = tagged.agg(sum(col("ia")).cast("long").as("n_a"),
+      sum(col("ib")).cast("long").as("n_b"))
+    withCb.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("g"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("g")).cast("long").as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("ks_d"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain)
+    qSplitTrain, qQualityKs)
 }

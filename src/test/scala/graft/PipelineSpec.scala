@@ -99,6 +99,26 @@ class PipelineSpec extends AnyFunSuite {
       s"top-ranked src0 share $topShare not above corpus share $corpusShare")
   }
 
+  test("KS drift statistic equals a local two-sample recompute") {
+    import spark.implicits._
+    val row = run("q_quality_ks")
+      .select("n_a", "n_b", "d_num", "ks_d")
+      .as[(Long, Long, Long, Double)].collect().head
+    val (na, nb, dnum, ksd) = row
+    val docs = Tables(spark, Sf, "documents")
+      .select(col("source"), col("n_chars").cast("long"))
+      .as[(String, Long)].collect()
+    val a = docs.collect { case ("src0", x) => x }.sorted
+    val b = docs.collect { case (s0, x) if s0 != "src0" => x }.sorted
+    assert(na == a.length && nb == b.length)
+    val expected = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x).toLong * nb - b.count(_ <= x).toLong * na)
+    }.max
+    assert(dnum == expected)
+    assert(ksd == BigDecimal(expected.toDouble / (na * nb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("temperature mixture: rates are n^alpha-monotone and the hash thin tracks them") {
     import spark.implicits._
     val rows = run("q_mixture_temperature")
