@@ -673,6 +673,58 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("comp"))
   }
 
+  /** IVF with TRAINED centroids — the production path: Lloyd's
+    * k-means ([[graft.operators.KMeans]], deterministic init, 5
+    * rounds) learns the [[IvfC]] coarse cells instead of borrowing
+    * the first corpus vectors, corpus vectors land in their L2-
+    * nearest cell, queries probe their [[IvfNprobe]] nearest cells,
+    * and candidates re-rank by EXACT cosine (so quality loss is
+    * candidate-set-only, as with `q_knn_ivf`). Spark-only: the
+    * trained centroids are a fixpoint of a 5-round distributed
+    * iteration, not SQL-expressible; AnnRecallSpec measures its
+    * recall against brute force alongside the other four ANN paths
+    * (0.80 here vs the literal-centroid IVF's 0.92 — trained cells
+    * are tighter and more BALANCED, so nprobe=2 visits a smaller
+    * corpus fraction on this isotropic cloud; the honest reading is
+    * that training buys per-probe efficiency, not recall at fixed
+    * nprobe, and production tunes nprobe against the balanced cells).
+    *
+    * Scale shape: training scans the corpus once per round
+    * (broadcast-literal centroid expression, one d×k agg per round);
+    * assignment and probe are stateless scans against the broadcast
+    * model; candidate scoring joins on the cell id — never all-pairs. */
+  private val qKnnIvfTrained = Q.sparkOnly("q_knn_ivf_trained") { (s, d) =>
+    import graft.operators.KMeans
+    val e = vectors(s, d)
+    val (assigned, cents, _) =
+      KMeans.fit(e.select(col("vec_id"), col("v")), k = IvfC, maxIter = 5)
+    val lists = assigned.select(col("id").as("vec_id"), col("cluster").as("list"))
+    val centRows = cents.toIndexedSeq.zipWithIndex.map { case (c, j) => (j, c) }
+    val centDf = s.createDataFrame(centRows).toDF("cent_id", "cv")
+    val l2 = aggregate(zip_with(col("qv"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qd2"), col("cent_id"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("qd2", l2)
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= IvfNprobe)
+      .select(col("q_id"), col("qv"), col("cent_id").as("list"))
+    val corpus = e.join(lists, "vec_id").select(col("vec_id"), col("v"), col("list"))
+    val cos = cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    corpus.join(broadcast(probes), Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
-    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca)
+    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
+    qKnnIvfTrained)
 }

@@ -165,5 +165,87 @@ object SketchQueries {
       .orderBy(col("p"))
   }
 
-  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ)
+  /** KMV sketch MERGEABILITY — the property that makes sketches the
+    * 100 TB answer to hierarchical distinct counts: per-(flag, status)
+    * sketches (each the k smallest distinct hashes of its slice) are
+    * UNIONED per flag and re-cut to the k smallest, and the resulting
+    * estimate is PROVABLY IDENTICAL to the sketch computed directly
+    * at the flag level — any of the union's k smallest hashes is
+    * among its own slice's k smallest, so no rescan of the fact is
+    * ever needed to roll a sketch up a hierarchy. The query outputs
+    * BOTH estimates; the oracle hash-compare certifies their
+    * bit-equality (same k-th order statistic), which is the lossless-
+    * merge claim itself, not a tolerance check.
+    *
+    * Scale shape: the fine sketches use the same salted two-stage
+    * order statistic as `q_sketch_kmv` (no low-cardinality window
+    * funnel); the merge stage runs over ≤ k·|statuses| surviving
+    * hashes per flag — sketch-sized, fact-free. */
+  private val qKmvMerge = Q("q_sketch_kmv_merge",
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag, l_linestatus,
+       |    (${PortableHash.md5LongSql("l_partkey::VARCHAR")} % ${PortableHash.P}) AS h
+       |  FROM lineitem),
+       |fine AS (
+       |  SELECT l_returnflag, l_linestatus, h,
+       |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+       |                       ORDER BY h) AS rn
+       |  FROM h),
+       |sketches AS (SELECT l_returnflag, l_linestatus, h FROM fine
+       |             WHERE rn <= $KmvK),
+       |merged AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT l_returnflag, h FROM sketches) u),
+       |direct AS (
+       |  SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT l_returnflag, h FROM h) d)
+       |SELECT m.l_returnflag,
+       |  CAST(${KmvK - 1} AS DOUBLE) * ${PortableHash.P} / m.h AS est_merged,
+       |  CAST(${KmvK - 1} AS DOUBLE) * ${PortableHash.P} / d.h AS est_direct
+       |FROM merged m JOIN direct d ON m.l_returnflag = d.l_returnflag
+       |WHERE m.rn = $KmvK AND d.rn = $KmvK
+       |ORDER BY m.l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hs = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
+      .distinct()
+      .localCheckpoint() // reused: fine sketches + direct path
+    // fine sketches: salted two-stage k smallest per (flag, status)
+    val Salts = 64
+    val wFineSalt = Window.partitionBy(col("l_returnflag"), col("l_linestatus"),
+      col("salt")).orderBy(col("h"))
+    val wFine = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("h"))
+    val sketches = hs.withColumn("salt", pmod(col("h"), lit(Salts)))
+      .withColumn("srn", row_number().over(wFineSalt))
+      .where(col("srn") <= KmvK)
+      .withColumn("rn", row_number().over(wFine))
+      .where(col("rn") <= KmvK)
+      .select(col("l_returnflag"), col("h"))
+    // merge: union of fine sketches per flag, distinct, re-cut to k
+    val wFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    val merged = sketches.distinct()
+      .withColumn("rn", row_number().over(wFlag))
+      .where(col("rn") === KmvK)
+      .select(col("l_returnflag"),
+        (lit((KmvK - 1).toDouble) * lit(PortableHash.P) / col("h")).as("est_merged"))
+    // direct flag-level sketch (salted two-stage, as q_sketch_kmv)
+    val wSalt = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(col("h"))
+    val direct = hs.select(col("l_returnflag"), col("h")).distinct()
+      .withColumn("salt", pmod(col("h"), lit(Salts)))
+      .withColumn("srn", row_number().over(wSalt))
+      .where(col("srn") <= KmvK)
+      .withColumn("rn", row_number().over(wFlag))
+      .where(col("rn") === KmvK)
+      .select(col("l_returnflag"),
+        (lit((KmvK - 1).toDouble) * lit(PortableHash.P) / col("h")).as("est_direct"))
+    merged.join(direct, "l_returnflag")
+      .select(col("l_returnflag"), col("est_merged"), col("est_direct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ, qKmvMerge)
 }

@@ -33,11 +33,14 @@ class AnnRecallSpec extends AnyFunSuite {
     val brute = topSets("q_knn_brute")
     assert(brute.size == 10)
     val ivf = meanRecall("q_knn_ivf", brute)
+    val ivfTrained = meanRecall("q_knn_ivf_trained", brute)
     val pq = meanRecall("q_knn_pq", brute)
     val lsh = meanRecall("q_knn_lsh", brute)
     val lshMulti = meanRecall("q_knn_lsh_multi", brute)
-    info(f"recall@5: ivf=$ivf%.2f lsh_multi=$lshMulti%.2f pq=$pq%.2f lsh=$lsh%.2f")
+    info(f"recall@5: ivf=$ivf%.2f ivf_trained=$ivfTrained%.2f " +
+      f"lsh_multi=$lshMulti%.2f pq=$pq%.2f lsh=$lsh%.2f")
     assert(ivf >= 0.85, s"IVF recall regressed: $ivf")
+    assert(ivfTrained >= 0.5, s"trained-IVF recall regressed: $ivfTrained")
     assert(lshMulti >= 0.6, s"multi-table LSH recall regressed: $lshMulti")
     assert(pq >= 0.20, s"PQ recall regressed: $pq")
     // candidate-approximation (exact scoring) must beat
