@@ -21,6 +21,11 @@ object Bench {
     // the min is taken over successful passes when any exist.
     def pass(): Map[String, (Double, Boolean)] =
       SparkEntry.queries.map { case (name, fn) =>
+        // Snapshot persistent storage BEFORE the query so the
+        // post-query cleanup can be scoped to blocks THIS query
+        // created — intentionally shared cached state (if the harness
+        // ever adds any) survives between queries.
+        val priorRdds = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -35,10 +40,11 @@ object Bench {
         // count — across ~380 query executions per bench JVM the
         // leaked blocks build GC pressure that inflates late
         // queries by multiples (q_pagerank measured 3 s isolated vs
-        // 16 s late in a dirty run).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
+        // 16 s late in a dirty run). Only blocks NEW since the
+        // pre-query snapshot are evicted.
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => priorRdds.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
         name -> (t, ok)
       }
     val p1 = pass()

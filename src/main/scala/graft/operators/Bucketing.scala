@@ -35,6 +35,15 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true): Unit
   }
 
+  /** Dataset-scoped managed-table name: `base` plus the sanitized last
+    * path segment of `dir`, so building the same query for two
+    * datasets (or concurrently from two suites) never aliases one
+    * managed table — a second build would otherwise silently repoint
+    * the first build's lazy DataFrame at rewritten data. */
+  def datasetTable(base: String, dir: String): String =
+    base + "_" +
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
   /** Write `df` as a bucketed managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {

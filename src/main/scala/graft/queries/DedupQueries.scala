@@ -297,7 +297,11 @@ object DedupQueries {
     * independent star variant) → corpus left-join → per-cluster
     * argmax. The per-cluster keeper rides the WindowGroupLimit
     * shortlist; clusters are tiny by construction, the corpus join is
-    * keyed on doc_id. */
+    * keyed on doc_id. The labels side is one row per document that
+    * appears in ANY verified near-dup pair — corpus-scaled at a
+    * realistic 20–50% dup rate — so it is deliberately NOT
+    * broadcast: doc_id is unique and evenly distributed, and a
+    * shuffled equi-join on it is the 100 TB-safe plan. */
   private val qDedupKeepBest = Q("q_dedup_keep_best",
     s"""WITH RECURSIVE $verifiedCtes,
        |e2 AS (SELECT ai AS s, bi AS t FROM verified
@@ -328,7 +332,7 @@ object DedupQueries {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     val docsQ = t(s, d, "documents").select(col("doc_id"),
       size(array_distinct(split(lower(col("text")), " "))).as("score"))
-    val full = docsQ.join(broadcast(labels), Seq("doc_id"), "left_outer")
+    val full = docsQ.join(labels.hint("shuffle_merge"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("score"))
     val w = Window.partitionBy(col("cluster_id"))

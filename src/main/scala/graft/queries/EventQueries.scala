@@ -26,7 +26,7 @@ object EventQueries {
        |  SELECT event_id, user_id, ts::TIMESTAMP AS tsu,
        |    CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id
        |                                   ORDER BY tsu, event_id)
-       |              >= INTERVAL ${graft.streaming.StreamingSessionizer.GapMicros / 60000000L} MINUTE
+       |              >= to_microseconds(${graft.streaming.StreamingSessionizer.GapMicros})
        |         THEN 1 ELSE 0 END AS brk
        |  FROM events)
       |SELECT event_id, user_id,
@@ -38,7 +38,9 @@ object EventQueries {
     // µs precision on both sides: cast-to-long would truncate to
     // seconds and disagree with the oracle's interval compare on
     // sub-second gap edges. The gap constant is shared with the
-    // streaming form so the spec-pinned equivalence can't drift.
+    // streaming form so the spec-pinned equivalence can't drift; the
+    // oracle renders it via to_microseconds so a non-whole-minute
+    // tuning can never silently truncate on the SQL side.
     val brk = when(
       unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
         >= graft.streaming.StreamingSessionizer.GapMicros, 1L).otherwise(0L)

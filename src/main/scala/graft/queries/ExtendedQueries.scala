@@ -240,13 +240,15 @@ object ExtendedQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
     import graft.operators.Bucketing
+    val (lhs, rhs) =
+      (Bucketing.datasetTable("bq_orders", d), Bucketing.datasetTable("bq_customer", d))
     Bucketing.writeBucketed(
       t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-      "bq_orders", "o_custkey", 8)
+      lhs, "o_custkey", 8)
     Bucketing.writeBucketed(
       t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
-      "bq_customer", "o_custkey", 8)
-    Bucketing.colocatedJoin(s, "bq_orders", "bq_customer", "o_custkey")
+      rhs, "o_custkey", 8)
+    Bucketing.colocatedJoin(s, lhs, rhs, "o_custkey")
       .select(col("o_orderkey"), col("c_name"))
       .orderBy(col("o_orderkey"))
   }
@@ -277,15 +279,16 @@ object ExtendedQueries {
       |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
     import graft.operators.Bucketing
     val orders = t(s, d, "orders")
+    val tbl = Bucketing.datasetTable("pq_orders", d)
     Bucketing.writePartitioned(
       orders.select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("o_year")),
-      "pq_orders", "o_year")
+      tbl, "o_year")
     val dim = orders
       .select(year(col("o_orderdate")).cast("long").as("o_year")).distinct()
       .withColumn("era",
         when(col("o_year").isin(1995, 1996), "mid").otherwise("other"))
-    s.table("pq_orders")
+    s.table(tbl)
       .join(broadcast(dim.where(col("era") === "mid")), "o_year")
       .select(col("o_orderkey"), col("o_year"))
       .orderBy(col("o_orderkey"))

@@ -318,7 +318,12 @@ object PipelineQueries {
     * runs, partitionings, AND engines (the same "seeded sampling"
     * stance as `q_sample_hash`, which this generalizes to weights).
     * Ordering uses ln(u)/w (same order as u^(1/w), one transcendental
-    * instead of pow). Scale shape: the rn ≤ k filter plans as a
+    * instead of pow), ROUNDED to 9 decimals before ranking — ln is
+    * not IEEE-correctly-rounded, so the JVM and DuckDB libm may
+    * differ by an ulp and flip a near-tie; rounding (with the doc_id
+    * tiebreak) pins the order, the same discipline as the other
+    * log-based orderings (q_text_pmi/keyness/bm25). Scale shape: the
+    * rn ≤ k filter plans as a
     * WindowGroupLimit shortlist — every upstream partition trims to
     * its own top-k per language BEFORE the low-cardinality `lang`
     * exchange, so the skewed key receives ≤ k × partitions rows. */
@@ -327,8 +332,8 @@ object PipelineQueries {
        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
        |  FROM documents),
        |k AS (SELECT doc_id, lang, toks,
-       |    ln((${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 1000000000
-       |        + 1) / 1000000001.0) / toks AS pri
+       |    round(ln((${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 1000000000
+       |        + 1) / 1000000001.0) / toks, 9) AS pri
        |  FROM tok),
        |r AS (SELECT doc_id, lang, toks,
        |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
@@ -341,7 +346,7 @@ object PipelineQueries {
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"))
-      .withColumn("pri", log(u) / col("toks"))
+      .withColumn("pri", round(log(u) / col("toks"), 9))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= WSampleK)
       .select(col("lang"), col("doc_id"), col("toks"), col("rn").cast("int").as("rn"))

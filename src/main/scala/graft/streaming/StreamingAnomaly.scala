@@ -29,8 +29,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingAnomaly {
 
   /** Trailing counts oldest-first (last may still fill) + watermark:
-    * every hour ≤ scoredThrough has already been evaluated. */
-  case class AnomalyState(hours: Seq[(Long, Long)], scoredThrough: Long)
+    * every hour ≤ scoredThrough has already been evaluated.
+    * `lateDropped` counts input rows that violated the per-type
+    * in-order contract (arrived for an hour ≤ scoredThrough) — they
+    * are REFUSED, not merged: consumed history is immutable, so a
+    * contract violation is visible in state rather than silently
+    * skewing the trailing window later hours are z-scored against. */
+  case class AnomalyState(hours: Seq[(Long, Long)], scoredThrough: Long,
+      lateDropped: Long = 0L)
 
   case class AnomalyVerdict(eventType: String, hour: Long, n: Long,
       mu: Double, z: Double, flagged: Boolean)
@@ -57,7 +63,8 @@ object StreamingAnomaly {
             state: GroupState[AnomalyState]) => {
           val prior = state.getOption.getOrElse(AnomalyState(Vector.empty, Long.MinValue))
           var hours = prior.hours.toVector
-          it.toSeq.sortBy(_._2).foreach { case (_, h, c) =>
+          val (late, fresh) = it.toSeq.partition(_._2 <= prior.scoredThrough)
+          fresh.sortBy(_._2).foreach { case (_, h, c) =>
             hours.indexWhere(_._1 == h) match {
               case -1 => hours :+= (h, c)
               case i  => hours = hours.updated(i, (h, hours(i)._2 + c))
@@ -91,7 +98,8 @@ object StreamingAnomaly {
           val scoredThrough =
             if (newlyClosed.nonEmpty) hours(newlyClosed.last)._1
             else prior.scoredThrough
-          state.update(AnomalyState(hours.takeRight(WindowHours + 1), scoredThrough))
+          state.update(AnomalyState(hours.takeRight(WindowHours + 1), scoredThrough,
+            prior.lateDropped + late.size))
           verdicts.iterator
         })
   }

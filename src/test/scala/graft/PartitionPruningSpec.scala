@@ -90,7 +90,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     val factScan = allScans(exec)
       .filter(_.relation.partitionSchema.nonEmpty)
     assert(factScan.nonEmpty, "no partitioned fact scan found")
-    val totalYears = spark.table("pq_orders")
+    val totalYears = spark.table(graft.operators.Bucketing.datasetTable("pq_orders", Sf))
       .select("o_year").distinct().count()
     val readPartitions = factScan.head.metrics.get("numPartitions")
       .map(_.value).getOrElse(-1L)

@@ -76,4 +76,31 @@ class StreamingAnomalySpec extends AnyFunSuite {
       assert(got.count(_.flagged) == got.count(v => v.eventType == "clicks" && v.flagged))
     } finally q.stop()
   }
+
+  test("late counts for an already-scored hour are refused, not merged into history") {
+    implicit val sqlCtx = spark.sqlContext
+    val series = (0L until 40L).map(h => ("late_t", h * 3600, 3L + (h % 5)))
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamingAnomaly.detect(spark, mem.toDS())
+      .writeStream.format("memory").queryName("anomaly_late")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = series.partition(_._2 < 20L * 3600)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // hour 5 closed and was consumed in batch 1 (scoredThrough is
+      // hour 18); a violated in-order contract delivers more counts
+      // for it now — they must NOT mutate the trailing history later
+      // hours are z-scored against
+      mem.addData(("late_t", 5L * 3600, 100L))
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("anomaly_late").as[AnomalyVerdict].collect().toSeq
+      assert(got.map(v => (v.eventType, v.hour)).distinct.length == got.length)
+      // verdicts equal the batch scoring of the ORIGINAL series — the
+      // late row left no trace in any window
+      val expected = batchVerdicts(series)
+      assert(got.sortBy(_.hour) == expected.sortBy(_.hour))
+    } finally q.stop()
+  }
 }
