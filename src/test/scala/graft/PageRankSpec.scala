@@ -44,6 +44,24 @@ class PageRankSpec extends AnyFunSuite {
     assert(ranks(4L) === ranks.values.max)
   }
 
+  test("broadcast and co-partition paths are bit-equal (and equal the reference)") {
+    val df = edges.toDF("src", "dst").localCheckpoint()
+    for (iters <- Seq(1, 4)) {
+      val bc = PageRank(df, iters, broadcastRanks = Some(true))
+        .as[(Long, Long)].collect().toMap
+      val sh = PageRank(df, iters, broadcastRanks = Some(false))
+        .as[(Long, Long)].collect().toMap
+      assert(bc === sh, s"paths diverge at iters=$iters")
+      assert(bc === PageRank.reference(edges, iters), s"iters=$iters")
+    }
+    // the co-partition path must genuinely not broadcast the ranks:
+    // every per-iteration join plans as a shuffle-based join
+    val plan = PageRank(df, 2, broadcastRanks = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"rank join broadcast on the co-partition path:\n$plan")
+  }
+
   test("ranks are partitioning-invariant (integer sums commute)") {
     val df = edges.toDF("src", "dst")
     val one = PageRank(df.coalesce(1).localCheckpoint(), 4)
