@@ -94,5 +94,70 @@ object TimeQueries {
       .orderBy(col("m"))
   }
 
-  val all: Seq[Q] = Seq(qTumbling, qSliding, qSession, qSampleRate)
+  /** Ticks covered by the meter replay window: 2 hours of 5-second
+    * ticks — enough for the 15-minute horizon to cycle several times
+    * while keeping the oracle's recursion (inherently sequential on
+    * BOTH engines) bounded. */
+  private val MeterTicks = 1440L
+
+  /** A2 fidelity — the reference's Dropwizard METER rates
+    * (`metrics.clj:6-18`): 1/5/15-minute exponentially-weighted
+    * per-second rates per event type, replayed over the stream's
+    * first two hours on the meter's own 5-second tick grid (grid
+    * origin = first event's tick, per Dropwizard's
+    * creation-time-anchored clock; empty ticks participate with n = 0
+    * — `tickIfNecessary` catch-up — which is what makes rates decay).
+    *
+    * Scale shape ([[graft.operators.Ewma]]): the corpus-sized work is
+    * the per-tick COUNT (one distributed aggregation); the recursion
+    * itself runs over the DENSE tick grid, whose size is bounded by
+    * wall-clock (ticks/key = horizon/5 s), parallel across meter keys
+    * and sort-streamed within each — never materialized. The oracle
+    * is the identical recurrence as a recursive CTE with the same
+    * α literals; both sides round to 9 decimals (the arithmetic is
+    * bit-identical IEEE ops, rounding is margin). */
+  private val qMeterEwma = Q("q_meter_ewma",
+    s"""WITH RECURSIVE
+       |b AS (SELECT CAST((epoch_us(min(ts::TIMESTAMP)) // 5000000) * 5000000 AS BIGINT) AS t0us
+       |      FROM events),
+       |ix AS (SELECT event_type AS key,
+       |         CAST((epoch_us(ts::TIMESTAMP) - t0us) // 5000000 AS BIGINT) AS i
+       |       FROM events, b),
+       |cnt AS (SELECT key, i, CAST(count(*) AS BIGINT) AS n FROM ix
+       |        WHERE i < $MeterTicks GROUP BY key, i),
+       |kk AS (SELECT DISTINCT event_type AS key FROM events),
+       |grid AS (SELECT key, CAST(g.i AS BIGINT) AS i FROM kk, range(0, $MeterTicks) AS g(i)),
+       |dense AS (SELECT grid.key, grid.i, coalesce(cnt.n, 0) AS n
+       |          FROM grid LEFT JOIN cnt USING (key, i)),
+       |rec AS (
+       |  SELECT key, i, n, n/5.0 AS m1, n/5.0 AS m5, n/5.0 AS m15 FROM dense WHERE i = 0
+       |  UNION ALL
+       |  SELECT d.key, d.i, d.n,
+       |    r.m1 + ${graft.operators.Ewma.A1}*(d.n/5.0 - r.m1),
+       |    r.m5 + ${graft.operators.Ewma.A5}*(d.n/5.0 - r.m5),
+       |    r.m15 + ${graft.operators.Ewma.A15}*(d.n/5.0 - r.m15)
+       |  FROM rec r JOIN dense d ON d.key = r.key AND d.i = r.i + 1)
+       |SELECT key AS event_type, i, n, round(m1, 9) AS m1, round(m5, 9) AS m5,
+       |  round(m15, 9) AS m15
+       |FROM rec ORDER BY event_type, i""".stripMargin) { (s, d) =>
+    import graft.operators.Ewma
+    val ev = t(s, d, "events")
+      .select(col("event_type").as("key"), unix_micros(col("ts")).as("us"))
+    val t0 = ev.agg(expr("(min(us) div 5000000) * 5000000").as("t0us"))
+    val ix = ev.crossJoin(broadcast(t0)) // 1-row broadcast: grid origin
+      .select(col("key"), expr("(us - t0us) div 5000000").as("i"))
+      .where(col("i") < MeterTicks)
+    val cnt = ix.groupBy(col("key"), col("i")).agg(count(lit(1)).as("n"))
+    val grid = ev.select(col("key")).distinct()
+      .crossJoin(s.range(MeterTicks).select(col("id").as("i")))
+    val dense = grid.join(cnt, Seq("key", "i"), "left_outer")
+      .na.fill(0L, Seq("n"))
+    Ewma.rates(dense).toDF()
+      .select(col("key").as("event_type"), col("i"), col("n"),
+        round(col("m1"), 9).as("m1"), round(col("m5"), 9).as("m5"),
+        round(col("m15"), 9).as("m15"))
+      .orderBy(col("event_type"), col("i"))
+  }
+
+  val all: Seq[Q] = Seq(qTumbling, qSliding, qSession, qSampleRate, qMeterEwma)
 }
