@@ -157,7 +157,16 @@ object StatsQueries {
     * exact distinct, min/max — emitted long-form. ONE scan: all
     * aggregates compute in one grouped pass (Spark plans the multiple
     * count-distincts via one Expand), and the long form is four
-    * projections of that single agg row, not four scans. */
+    * projections of that single agg row, not four scans.
+    *
+    * Cost note: the FOUR exact distincts make that Expand multiply
+    * every input row ×4 before the single shuffle — exact-correct and
+    * still one scan, but at 100 TB a profiler should run the HLL form
+    * instead: [[qProfileApprox]] is this query with
+    * `approx_count_distinct`, which drops the Expand entirely (all
+    * sketches fold in one ordinary partial agg). This exact form is
+    * the oracle-checkable truth the approx twin's spec measures
+    * against. */
   private val qProfile = Q("q_profile",
     """WITH a AS (
       |  SELECT count(*) AS n,
@@ -212,6 +221,47 @@ object StatsQueries {
       .orderBy(col("col"))
   }
 
+  /** The 100 TB profiler: [[qProfile]] with `approx_count_distinct`
+    * (HyperLogLog++, default 5% rsd) in place of the exact distincts.
+    * No Expand — every aggregate including the four sketches folds in
+    * ONE ordinary partial aggregation, so input rows are shuffled
+    * once, un-multiplied, as partial states. HLL bits are
+    * engine-specific (same stance as `q_approx_count_distinct`), so
+    * no SQL oracle; ProfileApproxSpec pins every estimate within the
+    * sketch's documented error of the exact query's answer on the
+    * same data. */
+  private val qProfileApprox = Q.sparkOnly("q_profile_approx") { (s, d) =>
+    val a = t(s, d, "orders").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("o_orderkey"))).as("nn_key"),
+      approx_count_distinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("string").as("mn_key"),
+      max(col("o_orderkey")).cast("string").as("mx_key"),
+      (count(lit(1)) - count(col("o_orderstatus"))).as("nn_st"),
+      approx_count_distinct(col("o_orderstatus")).as("nd_st"),
+      min(col("o_orderstatus")).as("mn_st"),
+      max(col("o_orderstatus")).as("mx_st"),
+      (count(lit(1)) - count(col("o_orderdate"))).as("nn_dt"),
+      approx_count_distinct(col("o_orderdate")).as("nd_dt"),
+      min(col("o_orderdate")).cast("string").as("mn_dt"),
+      max(col("o_orderdate")).cast("string").as("mx_dt"),
+      (count(lit(1)) - count(col("o_totalprice"))).as("nn_tp"),
+      approx_count_distinct(col("o_totalprice")).as("nd_tp"),
+      round(min(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mn_tp"),
+      round(max(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mx_tp"))
+      .localCheckpoint() // one agg row, four projections below
+    def row(name: String, p: String) = a.select(
+      lit(name).as("col"), col("n").cast("long").as("n_rows"),
+      col(s"nn_$p").cast("long").as("n_null"),
+      col(s"nd_$p").cast("long").as("n_distinct"),
+      col(s"mn_$p").as("min_s"), col(s"mx_$p").as("max_s"))
+    row("o_orderkey", "key")
+      .union(row("o_orderstatus", "st"))
+      .union(row("o_orderdate", "dt"))
+      .union(row("o_totalprice", "tp"))
+      .orderBy(col("col"))
+  }
+
   val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets, qSampleHash,
-    qProfile)
+    qProfile, qProfileApprox)
 }
