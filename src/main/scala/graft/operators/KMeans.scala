@@ -23,21 +23,61 @@ import org.apache.spark.sql.functions._
   *    iterative lives in executor memory, so lineage stays flat
   *    (each round's plan references only literals + the input).
   *
-  * Determinism: init takes the k smallest-id vectors (no RNG), sums
-  * run in double but cluster sizes at any realistic scale make the
-  * final argmin assignment stable; KMeansSpec property-checks the
-  * whole loop against an in-memory reference implementation.
+  * Determinism: both init schemes are RNG-free — `seeded = false`
+  * takes the k smallest-id vectors; `seeded = true` runs
+  * deterministic k-means++-style farthest-point seeding
+  * ([[seedFarthest]]). Sums run in double but cluster sizes at any
+  * realistic scale make the final argmin assignment stable;
+  * KMeansSpec property-checks the whole loop against an in-memory
+  * reference implementation.
   */
 object KMeans {
 
+  /** Deterministic k-means++-style seeding, no RNG: seed 1 is the
+    * smallest-id vector; each next seed is the point with MAXIMAL
+    * distance² to its nearest existing seed (ties to the smallest
+    * id) — the farthest-point traversal, i.e. k-means++ with the
+    * argmax in place of the d²-weighted draw. Unlike smallest-id
+    * init (degenerate when low ids cluster together), the seeds
+    * provably 2-approximate the optimal k-center cover, so Lloyd's
+    * starts from spread, non-colliding cells.
+    *
+    * Scale shape: k−1 passes, each ONE codegen scan (≤ k distance
+    * expressions per row) into a TakeOrdered(1) — no shuffle, no
+    * driver state beyond the k×d seed matrix. */
+  def seedFarthest(vecs: DataFrame, k: Int): Array[Array[Double]] = {
+    val src = vecs.toDF("id", "v")
+    val first = src.orderBy(col("id")).limit(1)
+      .select(col("v")).collect()
+    require(first.nonEmpty, "need at least 1 vector to seed")
+    var seeds = Vector(first(0).getSeq[Double](0).toArray)
+    while (seeds.length < k) {
+      val d2near = array_min(array(seeds.map { c =>
+        val lit_c = array(c.map(lit(_)): _*)
+        aggregate(zip_with(col("v"), lit_c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*))
+      val far = src.select(col("id"), col("v"), d2near.as("d2"))
+        .orderBy(col("d2").desc, col("id")).limit(1)
+        .select(col("v")).collect()
+      seeds :+= far(0).getSeq[Double](0).toArray
+    }
+    seeds.toArray
+  }
+
   /** @param vecs (id, v: array<double>) — `id` any orderable column
+    * @param seeded farthest-point seeding ([[seedFarthest]]) instead
+    *   of the k smallest-id vectors; both deterministic
     * @return (assignments (id, cluster), centroids, per-iteration WCSS) */
-  def fit(vecs: DataFrame, k: Int, maxIter: Int = 10, tol: Double = 1e-6)
+  def fit(vecs: DataFrame, k: Int, maxIter: Int = 10, tol: Double = 1e-6,
+      seeded: Boolean = false)
       : (DataFrame, Array[Array[Double]], Seq[Double]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     val src = vecs.toDF("id", "v").localCheckpoint() // scanned every iteration
-    var centroids: Array[Array[Double]] = src.orderBy(col("id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var centroids: Array[Array[Double]] =
+      if (seeded) seedFarthest(src, k)
+      else src.orderBy(col("id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     require(centroids.length == k, s"need at least $k vectors, got ${centroids.length}")
     val wcss = Seq.newBuilder[Double]
     var moved = Double.MaxValue

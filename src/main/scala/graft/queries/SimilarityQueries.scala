@@ -264,6 +264,11 @@ object SimilarityQueries {
   private val IvfC = 16
   private val IvfNprobe = 2
 
+  /** Trained-IVF probe width — wider than the literal IVF's because
+    * trained cells are BALANCED: see the [[qKnnIvfTrained]] operating-
+    * point study (nprobe=4 → recall 0.92 at a 26% candidate fraction). */
+  private val IvfNprobeTrained = 4
+
   private val qKnnIvf = Q("q_knn_ivf",
     s"""WITH $vectorsCte,
        |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
@@ -677,17 +682,36 @@ object SimilarityQueries {
     * k-means ([[graft.operators.KMeans]], deterministic init, 5
     * rounds) learns the [[IvfC]] coarse cells instead of borrowing
     * the first corpus vectors, corpus vectors land in their L2-
-    * nearest cell, queries probe their [[IvfNprobe]] nearest cells,
-    * and candidates re-rank by EXACT cosine (so quality loss is
-    * candidate-set-only, as with `q_knn_ivf`). Spark-only: the
+    * nearest cell, queries probe their [[IvfNprobeTrained]] nearest
+    * cells, and candidates re-rank by EXACT cosine (so quality loss
+    * is candidate-set-only, as with `q_knn_ivf`). Spark-only: the
     * trained centroids are a fixpoint of a 5-round distributed
-    * iteration, not SQL-expressible; AnnRecallSpec measures its
-    * recall against brute force alongside the other four ANN paths
-    * (0.80 here vs the literal-centroid IVF's 0.92 — trained cells
-    * are tighter and more BALANCED, so nprobe=2 visits a smaller
-    * corpus fraction on this isotropic cloud; the honest reading is
-    * that training buys per-probe efficiency, not recall at fixed
-    * nprobe, and production tunes nprobe against the balanced cells).
+    * iteration, not SQL-expressible; AnnRecallSpec pins the measured
+    * recall (0.92 at this operating point).
+    *
+    * Operating point — MEASURED, round-5 seeding study (sf0.01,
+    * recall@5 vs brute force over 10 queries):
+    *
+    *  - seeding does NOT fix the recall gap on this corpus: smallest-
+    *    id init / deterministic farthest-point ([[KMeans.seedFarthest]])
+    *    / deterministic A-ES d²-weighted k-means++ measured 0.80 /
+    *    0.46 / 0.44 at nprobe=2 — the "spread" seedings are WORSE,
+    *    not better, and still worse converged (0.88/0.62/0.64 at
+    *    nprobe=4, 15 rounds). The cloud is isotropic: there is no
+    *    cluster structure to learn, spread/shell-biased seeds pull
+    *    centroids away from the bulk where the queries and their
+    *    neighbors live, while arbitrary-id seeds (ids uncorrelated
+    *    with geometry ≙ uniform draw) stay in it. `seeded = true`
+    *    remains the right call when row ids DO correlate with content
+    *    (crawl order, shard order) — exactly the degeneracy the flag
+    *    exists for.
+    *  - what DOES buy recall is probe width against the balanced
+    *    trained cells: nprobe 2/3/4 → recall 0.80/0.84/0.92 at
+    *    candidate fractions 13/20/26% of the corpus (literal IVF:
+    *    0.92 at 12% — on a structureless cloud training cannot beat
+    *    well-placed literals, it only equalizes cell sizes). Chosen
+    *    point: nprobe=4, recall 0.92, the same recall as literal IVF
+    *    with balanced (predictable-latency) cells.
     *
     * Scale shape: training scans the corpus once per round
     * (broadcast-literal centroid expression, one d×k agg per round);
@@ -709,7 +733,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(centDf))
       .withColumn("qd2", l2)
       .withColumn("pr", row_number().over(wProbe))
-      .where(col("pr") <= IvfNprobe)
+      .where(col("pr") <= IvfNprobeTrained)
       .select(col("q_id"), col("qv"), col("cent_id").as("list"))
     val corpus = e.join(lists, "vec_id").select(col("vec_id"), col("v"), col("list"))
     val cos = cosine(col("qv"), col("v"))

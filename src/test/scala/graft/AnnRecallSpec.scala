@@ -40,7 +40,10 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"recall@5: ivf=$ivf%.2f ivf_trained=$ivfTrained%.2f " +
       f"lsh_multi=$lshMulti%.2f pq=$pq%.2f lsh=$lsh%.2f")
     assert(ivf >= 0.85, s"IVF recall regressed: $ivf")
-    assert(ivfTrained >= 0.5, s"trained-IVF recall regressed: $ivfTrained")
+    // nprobe=4 operating point (see q_knn_ivf_trained's seeding study:
+    // measured 0.92; seeding changes don't buy recall on this corpus,
+    // probe width does)
+    assert(ivfTrained >= 0.85, s"trained-IVF recall regressed: $ivfTrained")
     assert(lshMulti >= 0.6, s"multi-table LSH recall regressed: $lshMulti")
     assert(pq >= 0.20, s"PQ recall regressed: $pq")
     // candidate-approximation (exact scoring) must beat

@@ -71,6 +71,28 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("farthest-point seeding: deterministic, spread, and a valid Lloyd start") {
+    val s1 = KMeans.seedFarthest(vecs, K)
+    val s2 = KMeans.seedFarthest(vecs, K)
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq) // no RNG anywhere
+    // seeds are pairwise distinct (farthest-point can never repeat a
+    // point while distinct vectors remain)
+    assert(s1.map(_.toSeq).distinct.length == K)
+    // each next seed is at least as far from the prior seeds as every
+    // LATER seed is from ITS priors (the k-center radius is monotone
+    // non-increasing) — the defining property of the traversal
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val radii = (1 until K).map(i => s1.take(i).map(sq(_, s1(i))).min)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-9 })
+    // and the seeded fit still satisfies the Lloyd invariants
+    val (assigned, cents, wcss) = KMeans.fit(vecs, K, maxIter = 3, tol = 0.0,
+      seeded = true)
+    assert(assigned.select("cluster").distinct().count() > 1)
+    assert(cents.length == K)
+    assert(wcss.zip(wcss.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
   test("deterministic across runs") {
     val a = KMeans.fit(vecs, K, maxIter = 3, tol = 0.0)._1.collect()
       .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
