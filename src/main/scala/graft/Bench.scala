@@ -73,8 +73,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Measured streaming throughput (lines/s through the full flagship
+    // stream plan; see streaming.ThroughputProbe) — the reference SLO
+    // comparison stops being inferred from batch numbers.
+    val streamingEps =
+      try graft.streaming.ThroughputProbe.linesPerSecond(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming probe failed: ${e.getMessage}"); 0.0
+      }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"streaming_eps":$streamingEps,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's
     // BENCH_r0N.json keeps only a truncated stdout tail, which loses
     // ~25 queries — a committed full table keeps regressions diffable.
