@@ -53,16 +53,18 @@ object PageRank {
     */
   def apply(edges: DataFrame, iters: Int,
       broadcastRanks: Option[Boolean] = None): DataFrame = {
+    // deg is consumed three times (auto-selection count, the fold
+    // join, the rank init) — materialize the node-sized frame once
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint()
     // degree folded into the edge table ONCE — the loop body is then a
     // single join + partial agg per iteration, not two joins
     val folded = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("d"))
     val useBroadcast = broadcastRanks.getOrElse {
-      // one node-count job against the (cached) edge frame; at 100 TB
-      // this is a partial-agg count, trivially cheaper than one
-      // mis-sided iteration
+      // node-count job against the materialized deg — trivially
+      // cheaper than one mis-sided iteration
       deg.count() <= MaxBroadcastNodes
     }
     // co-partition path: pin the edge layout to hashpartitioning(src)
