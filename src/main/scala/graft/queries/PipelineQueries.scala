@@ -618,8 +618,41 @@ object PipelineQueries {
           .as("ks_d"))
   }
 
+  /** Chunk window/stride (chars): 25% overlap, the standard RAG
+    * retrieval-chunking shape. */
+  private val ChunkSize = 256
+  private val ChunkStride = 192
+
+  /** Sliding-window document chunking — the retrieval/embedding
+    * pre-pass every RAG corpus build runs: each document becomes
+    * ⌈n/stride⌉ overlapping chunks with stable (doc_id, chunk_ix)
+    * identity, so chunk embeddings and chunk-level dedup join back to
+    * their source. Pure per-row expansion (explode over a computed
+    * index sequence — no shuffle but the oracle sort); output size is
+    * corpus chars × (size/stride) ≈ 1.33×. The `greatest(…, 0)`
+    * guard pins empty-document semantics to one empty chunk on BOTH
+    * engines (Spark's `sequence(0, -1)` would otherwise DESCEND while
+    * DuckDB's generate_series returns empty). */
+  private val qChunkDocs = Q("q_chunk_docs",
+    s"""SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
+       |  substr(d.text, CAST(t.k * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk
+       |FROM documents d,
+       |  unnest(generate_series(0,
+       |    greatest(CAST(floor((length(d.text) - 1) / $ChunkStride) AS INT), 0))) AS t(k)
+       |ORDER BY doc_id, chunk_ix""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(floor((length(col("text")) - 1) / ChunkStride).cast("int"),
+            lit(0)))).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
+        col("text").substr(col("k") * lit(ChunkStride) + 1, lit(ChunkSize))
+          .as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain, qQualityKs)
+    qSplitTrain, qQualityKs, qChunkDocs)
 }
