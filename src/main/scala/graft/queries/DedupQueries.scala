@@ -513,6 +513,89 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------- all-pairs cosine (inverted index)
+
+  /** Posting lists longer than this are dropped from the feature
+    * space — the stopword-style df pruning that bounds the per-feature
+    * join fanout to DfCap² (Bayardo/Ma/Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW'07, use the same most-frequent-feature
+    * cut as their first candidate-reduction lever). */
+  private val DfCap = 20
+  private val CosMin = 0.5
+
+  /** All-pairs COSINE similarity over word-3-gram TF vectors — the
+    * weighted counterpart of q_dedup_ngram's set Jaccard, i.e. the
+    * classic IR sparse-vector similarity join: each document is a
+    * sparse TF vector in shingle space, candidate pairs come from an
+    * inverted-index self-join (never doc×doc), and the dot product is
+    * a grouped integer sum over shared features.
+    *
+    * Scale shape: the posting table carries (doc_id, 64-bit feature
+    * digest, tf) longs only; the df pass and the self-join key on the
+    * digest, so every exchange is map-side combinable and
+    * feature-partitioned. The df ≤ DfCap cut defines the feature
+    * space (norms and dots both use exactly the kept features, so the
+    * cosine is exact over that space) and caps any posting list — and
+    * with it the worst per-feature fanout — at DfCap², which is what
+    * keeps the join linear-ish in corpus size instead of quadratic in
+    * the hottest stopword bucket. Norm joins are shuffled equi-joins
+    * on the unique doc id, not broadcasts: one row per document is
+    * corpus-scaled. Cross-engine determinism: dot and both norms are
+    * exact integers, and /, * and sqrt are IEEE-correctly-rounded, so
+    * the unrounded threshold compare agrees bit-for-bit. */
+  private val qSimAllpairs = Q("q_sim_allpairs",
+    s"""WITH ws AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+       |        FROM documents),
+       |g AS (SELECT doc_id, lang,
+       |    unnest(CASE WHEN len(w) >= 3
+       |           THEN list_transform(generate_series(1, len(w) - 2),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |           ELSE [] END) AS g
+       |  FROM ws),
+       |tf AS (SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS tf
+       |  FROM g GROUP BY 1, 2, 3),
+       |kept AS (SELECT g FROM tf GROUP BY g HAVING count(*) <= $DfCap),
+       |k AS (SELECT t.* FROM tf t JOIN kept USING (g)),
+       |nrm AS (SELECT doc_id, sum(tf * tf) AS s FROM k GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    sum(a.tf * b.tf) AS dot
+       |  FROM k a JOIN k b
+       |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, round(dot / sqrt(x.s * y.s), 4) AS cos
+       |FROM pairs JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+       |WHERE dot / sqrt(x.s * y.s) >= $CosMin
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    // TF postings on the 64-bit digest; checkpointed once — reused by
+    // the df cut, both self-join sides, and the norm pass.
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.GraftExpressions.shingles(
+          lower(col("text")), NGram, dedup = false)).as("g"))
+      .groupBy(col("doc_id"), col("lang"), xxhash64(col("g")).as("h"))
+      .agg(count(lit(1)).as("tf"))
+    val kept = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap).select(col("h"))
+    // No broadcast hint: the kept-feature list is vocabulary-scaled.
+    val k = tf.join(kept, "h").localCheckpoint()
+    val nrm = k.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("s"))
+    val pairs = k.select(col("doc_id").as("a_id"), col("lang"), col("h"),
+        col("tf").as("ta"))
+      .join(k.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+          col("h").as("hb"), col("tf").as("tb")),
+        col("h") === col("hb") && col("lang") === col("lb") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("ta") * col("tb")).as("dot"))
+    val cos = col("dot") / sqrt(col("sa") * col("sb"))
+    pairs
+      .join(nrm.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(nrm.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+      .where(cos >= CosMin)
+      .select(col("a_id"), col("b_id"), round(cos, 4).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs, qDedupSubstring)
+    qDedupCcStar, qSimhash, qSimhashPairs, qDedupSubstring, qSimAllpairs)
 }

@@ -651,8 +651,72 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_ix"))
   }
 
+  /** Passage size (chars) for chunk-level dedup: NON-overlapping
+    * (stride = size), unlike the retrieval chunks above — overlapping
+    * chunks cannot be concatenated back into a document. */
+  private val DedupChunk = 128
+
+  /** Cross-document passage dedup with document reconstruction — the
+    * CCNet/C4-style pass that removes boilerplate and duplicated
+    * passages while keeping the rest of each document: documents are
+    * cut into non-overlapping `DedupChunk`-char passages, every exact
+    * passage occurrence after the first (global (doc_id, chunk_ix)
+    * order) is dropped, and each document is re-assembled from its
+    * surviving passages, reporting kept/dropped counts.
+    *
+    * Scale shape: the keep-first argmin groups on the passage's
+    * 64-bit digest (map-side combinable `min`, longs in the
+    * exchange), and the flag join is a shuffled digest equi-join —
+    * nothing corpus-scaled is broadcast. Only the final per-document
+    * reassembly re-shuffles passage text, once, keyed by the unique
+    * doc_id; the in-group sort is bounded by a single document's
+    * chunk count. The scalar keep-first key packs chunk_ix into
+    * doc_id*100000+chunk_ix (documents up to 100000 chunks = 12.8 MB;
+    * DuckDB 1.0's min_by can't take a struct, so both engines use the
+    * same packed key). */
+  private val qChunkDedup = Q("q_chunk_dedup",
+    s"""WITH ch AS (SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
+       |    substr(d.text, CAST(t.k * $DedupChunk + 1 AS INT), $DedupChunk) AS chunk
+       |  FROM documents d,
+       |    unnest(generate_series(0,
+       |      greatest(CAST(floor((length(d.text) - 1) / $DedupChunk) AS INT), 0))) AS t(k)),
+       |keyed AS (SELECT doc_id, chunk_ix, chunk,
+       |    doc_id * 100000 + chunk_ix AS key FROM ch),
+       |keeper AS (SELECT chunk, min(key) AS keep_key FROM keyed GROUP BY chunk),
+       |flags AS (SELECT k.doc_id, k.chunk_ix, k.chunk, k.key = q.keep_key AS keep
+       |  FROM keyed k JOIN keeper q ON k.chunk = q.chunk)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       |  coalesce(string_agg(CASE WHEN keep THEN chunk END, ''
+       |    ORDER BY chunk_ix), '') AS clean_text
+       |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ch = t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(floor((length(col("text")) - 1) / DedupChunk).cast("int"),
+            lit(0)))).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
+        col("text").substr(col("k") * lit(DedupChunk) + 1, lit(DedupChunk))
+          .as("chunk"))
+      .withColumn("key", col("doc_id") * 100000L + col("chunk_ix"))
+      .withColumn("h", xxhash64(col("chunk")))
+    val keeper = ch.groupBy(col("h")).agg(min(col("key")).as("keep_key"))
+    ch.join(keeper, "h")
+      .withColumn("keep", col("key") === col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("chunk_ix"), col("chunk"))))),
+          x => x.getField("chunk")), "").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain, qQualityKs, qChunkDocs)
+    qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup)
 }
