@@ -651,6 +651,123 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_ix"))
   }
 
+  /** The retrieval query set: (query id, term) — the literal,
+    * bounded-by-construction side of retrieval scoring. */
+  private val RagQueries = Seq(
+    "qa" -> "spark", "qa" -> "table", "qa" -> "join",
+    "qb" -> "hash", "qb" -> "merge", "qb" -> "sort",
+    "qc" -> "stream", "qc" -> "window", "qc" -> "batch")
+  private val RagTopK = 5
+
+  /** Multi-query BM25 retrieval over the RAG chunks — the serving
+    * shape of a retrieval corpus: for each query in a fixed query
+    * set, the top-k chunks by BM25 (k₁ = 1.2, b = 0.75, BM25+ idf),
+    * ranked per query with a (doc_id, chunk_ix) tiebreak. Differs
+    * from q_text_bm25 in granularity (chunks, not documents) and in
+    * shape (N queries ranked independently in one plan, the
+    * batch-scoring form of a retrieval benchmark run).
+    *
+    * Determinism: the q_text_bm25 discipline — each term contribution
+    * is the identical double expression tree on both engines, rounded
+    * to 6 dp into DECIMAL(18,6) before the per-(query, chunk) sum, so
+    * ranking compares exact decimals; only display rounds to 4.
+    *
+    * Scale shape (100 TB): chunk-term tf is the one corpus-sized
+    * exchange (map-side combined); the query-term table (|Q|·terms
+    * rows) and its df row per term are broadcast by construction;
+    * chunk lengths join on the chunk key; corpus stats are a
+    * broadcast scalar. Per-query top-k is a rank-filtered window over
+    * |Q| partitions — Spark plans it as WindowGroupLimit, so every
+    * task prunes to k rows per query BEFORE the single-partition-
+    * per-query exchange; the full candidate list never ships. */
+  private val qRagRetrieve = Q("q_rag_retrieve",
+    s"""WITH ch AS (SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
+       |    substr(d.text, CAST(t.k * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk
+       |  FROM documents d,
+       |    unnest(generate_series(0,
+       |      greatest(CAST(floor((length(d.text) - 1) / $ChunkStride) AS INT), 0))) AS t(k)),
+       |tk AS (SELECT doc_id, chunk_ix,
+       |    unnest(string_split(lower(chunk), ' ')) AS term FROM ch),
+       |tf AS (SELECT doc_id, chunk_ix, term, CAST(count(*) AS BIGINT) AS n
+       |  FROM tk GROUP BY 1, 2, 3),
+       |dl AS (SELECT doc_id, chunk_ix, CAST(sum(n) AS BIGINT) AS len
+       |  FROM tf GROUP BY 1, 2),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |       CAST(sum(len) AS BIGINT) AS toklen FROM dl),
+       |qt AS (SELECT * FROM (VALUES ${RagQueries
+              .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")})
+       |       AS v(qid, term)),
+       |qdf AS (SELECT t.term, CAST(count(*) AS BIGINT) AS dfreq
+       |  FROM tf t JOIN (SELECT DISTINCT term FROM qt) q ON t.term = q.term
+       |  GROUP BY 1),
+       |contrib AS (SELECT q.qid, t.doc_id, t.chunk_ix,
+       |    CAST(round(
+       |      ln(1 + (CAST(st.nd - f.dfreq AS DOUBLE) + 0.5)
+       |             / (CAST(f.dfreq AS DOUBLE) + 0.5))
+       |      * (CAST(t.n AS DOUBLE) * 2.2)
+       |      / (CAST(t.n AS DOUBLE)
+       |         + 1.2 * (0.25 + 0.75 * (CAST(l.len * st.nd AS DOUBLE)
+       |                                 / CAST(st.toklen AS DOUBLE)))), 6)
+       |    AS DECIMAL(18,6)) AS c
+       |  FROM tf t
+       |  JOIN qt q ON t.term = q.term
+       |  JOIN qdf f ON t.term = f.term
+       |  JOIN dl l ON t.doc_id = l.doc_id AND t.chunk_ix = l.chunk_ix
+       |  CROSS JOIN st),
+       |sc AS (SELECT qid, doc_id, chunk_ix, sum(c) AS sc
+       |  FROM contrib GROUP BY 1, 2, 3),
+       |rk AS (SELECT qid, doc_id, chunk_ix, sc, row_number() OVER
+       |    (PARTITION BY qid ORDER BY sc DESC, doc_id, chunk_ix) AS rnk
+       |  FROM sc)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, chunk_ix,
+       |  round(CAST(sc AS DOUBLE), 4) AS score
+       |FROM rk WHERE rnk <= $RagTopK ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ch = t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(floor((length(col("text")) - 1) / ChunkStride).cast("int"),
+            lit(0)))).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
+        col("text").substr(col("k") * lit(ChunkStride) + 1, lit(ChunkSize))
+          .as("chunk"))
+    val tf = ch
+      .select(col("doc_id"), col("chunk_ix"),
+        explode(split(lower(col("chunk")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("chunk_ix"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: chunk lengths + query-term df + scoring
+    val dl = tf.groupBy(col("doc_id"), col("chunk_ix"))
+      .agg(sum(col("n")).cast("long").as("len"))
+    val st = dl.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("len")).cast("long").as("toklen"))
+    val qt = RagQueries.toDF("qid", "term")
+    val qdf = tf.join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfreq"))
+    val idf = log(lit(1) + ((col("nd") - col("dfreq")).cast("double") + 0.5)
+      / (col("dfreq").cast("double") + 0.5))
+    val contrib = round(
+      idf * (col("n").cast("double") * 2.2)
+        / (col("n").cast("double")
+          + lit(1.2) * (lit(0.25) + lit(0.75)
+            * ((col("len") * col("nd")).cast("double")
+              / col("toklen").cast("double")))), 6).cast("decimal(18,6)")
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(qdf), "term")
+      .join(dl, Seq("doc_id", "chunk_ix"))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("doc_id"), col("chunk_ix"), contrib.as("c"))
+      .groupBy(col("qid"), col("doc_id"), col("chunk_ix"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sc").desc, col("doc_id"), col("chunk_ix"))))
+      .where(col("rnk") <= RagTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("chunk_ix"),
+        round(col("sc").cast("double"), 4).as("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Passage size (chars) for chunk-level dedup: NON-overlapping
     * (stride = size), unlike the retrieval chunks above — overlapping
     * chunks cannot be concatenated back into a document. */
@@ -718,5 +835,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup)
+    qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve)
 }

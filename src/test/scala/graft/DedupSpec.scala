@@ -88,4 +88,43 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(close),
       s"simhash separated ${(exact -- close).size} true near-dup pairs")
   }
+
+  test("all-pairs TF cosine equals a from-scratch local recompute") {
+    import spark.implicits._
+    val engine = run("q_sim_allpairs")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(engine.nonEmpty)
+    // local reference: trigram TF vectors, df <= 20 feature space,
+    // same-language pairs at cosine >= 0.5 (constants pinned to the
+    // query's DfCap/CosMin)
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val tf: Map[Long, (String, Map[String, Long])] = docs.map { case (id, lang, text) =>
+      val w = text.toLowerCase.split(" ", -1)
+      val grams = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      id -> (lang, grams.groupBy(identity).map { case (g, o) => g -> o.length.toLong })
+    }.toMap
+    val df = tf.values.flatMap(_._2.keys).groupBy(identity).map { case (g, o) => g -> o.size }
+    val keptTf = tf.map { case (id, (lang, v)) =>
+      id -> (lang, v.filter { case (g, _) => df(g) <= 20 })
+    }
+    val expected = (for {
+      Seq((ai, (la, va)), (bi, (lb, vb))) <-
+        keptTf.toSeq.sortBy(_._1).combinations(2)
+      if la == lb
+      dot = va.keySet.intersect(vb.keySet).toSeq.map(g => va(g) * vb(g)).sum
+      if dot > 0
+      cos = dot / math.sqrt(
+        (va.values.map(x => x * x).sum * vb.values.map(x => x * x).sum).toDouble)
+      if cos >= 0.5
+    } yield (ai, bi) -> BigDecimal(cos)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(engine.keySet == expected.keySet,
+      s"pair sets diverge: only-engine=${engine.keySet -- expected.keySet} " +
+        s"only-local=${expected.keySet -- engine.keySet}")
+    expected.foreach { case (k, c) =>
+      assert(math.abs(engine(k) - c) <= 1e-4, s"pair $k: ${engine(k)} vs $c")
+    }
+  }
 }

@@ -119,6 +119,46 @@ class PipelineSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("RAG chunks are exact substrings at their stride offsets and cover every document") {
+    import spark.implicits._
+    val chunks = run("q_chunk_docs")
+      .select("doc_id", "chunk_ix", "chunk").as[(Long, Int, String)].collect()
+      .groupBy(_._1)
+    val texts = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == texts.keySet)
+    chunks.foreach { case (id, rows) =>
+      val text = texts(id)
+      // chunk count is the pinned formula, indices dense from 0
+      val expected = math.max((text.length - 1) / 192 + 1, 1)
+      assert(rows.map(_._2).sorted.toSeq == (0 until expected))
+      rows.foreach { case (_, ix, chunk) =>
+        val from = ix * 192
+        assert(chunk == text.substring(from, math.min(from + 256, text.length)))
+      }
+    }
+  }
+
+  test("passage dedup: untouched documents reconstruct exactly; chunk accounting is total") {
+    import spark.implicits._
+    val out = run("q_chunk_dedup")
+      .select("doc_id", "n_kept", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    val texts = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.length == texts.size)
+    assert(out.exists(_._3 > 0), "testdata should contain duplicated passages")
+    out.foreach { case (id, kept, dropped, clean) =>
+      val text = texts(id)
+      assert(kept + dropped == math.max((text.length - 1) / 128 + 1, 1))
+      // a document that lost nothing must reassemble bit-for-bit
+      if (dropped == 0) assert(clean == text, s"doc $id reconstruction diverged")
+      // surviving text is a concatenation of original 128-char-aligned
+      // passages, so it can never exceed the original
+      else assert(clean.length < text.length)
+    }
+  }
+
   test("temperature mixture: rates are n^alpha-monotone and the hash thin tracks them") {
     import spark.implicits._
     val rows = run("q_mixture_temperature")
