@@ -611,7 +611,71 @@ object TextQueries {
         round(slope, 4).as("zipf_slope"))
   }
 
+  /** Vocabulary cutoffs to evaluate (≤ VocabMax, ascending). */
+  private val VocabCutoffs = Seq(5, 10, 20, 30)
+  private val VocabMax = 30
+
+  /** Tokenizer-vocabulary coverage parity — the multilingual-fairness
+    * measurement of a shared-vocab tokenizer build: rank the GLOBAL
+    * corpus vocabulary by frequency, then for each cutoff N report
+    * each language's covered token mass and coverage ratio. A
+    * language whose coverage lags at a given budget is the one a
+    * shared vocab under-serves (the parity gap public tokenizer
+    * studies measure); the OOV rate is 1 − coverage.
+    *
+    * Scale shape (100 TB): ONE fact-sized exchange (the per-(lang,
+    * term) count, map-side combined); the global ranking only ever
+    * materializes the top-`VocabMax` shortlist (TakeOrdered — the
+    * full-vocabulary global sort never exists, the q_text_zipf
+    * pattern), which then broadcasts, as do the |langs|-row totals
+    * and the |cutoffs|-row frame. Coverage sums are exact integers;
+    * the single division rounds at the end. */
+  private val qVocabCoverage = Q("q_vocab_coverage",
+    s"""WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+       |             FROM documents),
+       |lt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+       |       FROM tok GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM lt GROUP BY 1),
+       |rk AS (SELECT term, row_number() OVER
+       |         (ORDER BY sum(n) DESC, term) AS r
+       |       FROM lt GROUP BY term
+       |       ORDER BY sum(n) DESC, term LIMIT $VocabMax),
+       |cut AS (SELECT unnest([${VocabCutoffs.mkString(", ")}]) AS cutoff),
+       |cov AS (SELECT l.lang, c.cutoff, CAST(sum(l.n) AS BIGINT) AS covered
+       |        FROM lt l JOIN rk ON l.term = rk.term CROSS JOIN cut c
+       |        WHERE rk.r <= c.cutoff GROUP BY 1, 2)
+       |SELECT t.lang, CAST(c.cutoff AS INT) AS cutoff, c.covered, t.total,
+       |  round(CAST(c.covered AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS coverage
+       |FROM cov c JOIN tot t ON c.lang = t.lang
+       |ORDER BY t.lang, cutoff""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val lt = t(s, d, "documents")
+      .select(col("lang"), explode(words(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused: totals + global ranking + coverage
+    val tot = lt.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("total"))
+    // top-VocabMax shortlist: orderBy+limit plans as TakeOrdered
+    val rk = lt.groupBy(col("term")).agg(sum(col("n")).as("gn"))
+      .orderBy(col("gn").desc, col("term")).limit(VocabMax)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gn").desc, col("term"))))
+      .select(col("term"), col("r"))
+    val cut = VocabCutoffs.toDF("cutoff")
+    lt.join(broadcast(rk), "term")
+      .crossJoin(broadcast(cut))
+      .where(col("r") <= col("cutoff"))
+      .groupBy(col("lang"), col("cutoff"))
+      .agg(sum(col("n")).cast("long").as("covered"))
+      .join(broadcast(tot), "lang")
+      .select(col("lang"), col("cutoff").cast("int").as("cutoff"),
+        col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("lang"), col("cutoff"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
-    qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf)
+    qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage)
 }
