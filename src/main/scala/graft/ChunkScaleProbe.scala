@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ChunkScaleProbe [dir...]
   */
 object ChunkScaleProbe {
-  private val DfCap = 20L
-  private val TopK = 5L
-  private val NQueries = 3L
+  // the probe validates the QUERIES' constants — reference them, so a
+  // tuned cap/k can never leave the probe checking a stale bound
+  private val DfCap = graft.queries.DedupQueries.DfCap.toLong
+  private val TopK = graft.queries.PipelineQueries.RagTopK.toLong
+  private val NQueries = graft.queries.PipelineQueries.RagQueries.map(_._1).distinct.size.toLong
+  private val NGram = graft.queries.DedupQueries.NGram
+  private val DedupChunk = graft.queries.PipelineQueries.DedupChunk
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(logLevel = "ERROR")
@@ -50,7 +54,7 @@ object ChunkScaleProbe {
       val tf = docs
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.GraftExpressions.shingles(
-            lower(col("text")), 3, dedup = false)).as("g"))
+            lower(col("text")), NGram, dedup = false)).as("g"))
         .groupBy(col("doc_id"), col("lang"), xxhash64(col("g")).as("h"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint()
@@ -73,9 +77,11 @@ object ChunkScaleProbe {
         f"saturation=${nPairs.toDouble / pairBound}%6.4f rows=$simRows%4d time=$simSecs%5.2f s")
 
       // ---- q_rag_retrieve: WindowGroupLimit prunes before the qid exchange
+      // (t0 BEFORE construction: the eager localCheckpoint corpus agg
+      // runs at build time and belongs in the recorded wall)
+      t0 = System.nanoTime()
       val rag = SparkEntry.queries("q_rag_retrieve")(spark, dir)
       val rExec = rag.queryExecution.executedPlan
-      t0 = System.nanoTime()
       val ragRows = rExec.executeCollect().length
       val ragSecs = (System.nanoTime() - t0) / 1e9
       // the per-query exchange partitions on qid ALONE; the upstream
@@ -99,12 +105,13 @@ object ChunkScaleProbe {
 
       // ---- q_chunk_dedup: passage accounting at scale
       val expectedChunks = docs
-        .select(greatest(floor((length(col("text")) - 1) / 128) + 1, lit(1))
+        .select(greatest(floor((length(col("text")) - 1) / DedupChunk) + 1, lit(1))
           .cast("long").as("c"))
-        .agg(sum(col("c"))).head().getLong(0)
+        .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
       t0 = System.nanoTime()
       val dedup = SparkEntry.queries("q_chunk_dedup")(spark, dir)
-        .agg(sum(col("n_kept") + col("n_dropped"))).head().getLong(0)
+        .agg(coalesce(sum(col("n_kept") + col("n_dropped")), lit(0L)))
+        .head().getLong(0)
       val dedupSecs = (System.nanoTime() - t0) / 1e9
       require(dedup == expectedChunks,
         s"chunk accounting: $dedup != expected $expectedChunks")

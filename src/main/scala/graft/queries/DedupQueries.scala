@@ -26,7 +26,7 @@ object DedupQueries {
   private val K = 32 // minhash signature length
   private val B = 8  // LSH bands
   private val R = K / B // rows per band
-  private val NGram = 3
+  private[graft] val NGram = 3
   private val SimBits = 32
 
   // ------------------------------------------------------------- shingling
@@ -520,8 +520,8 @@ object DedupQueries {
     * join fanout to DfCap² (Bayardo/Ma/Srikant, "Scaling Up All Pairs
     * Similarity Search", WWW'07, use the same most-frequent-feature
     * cut as their first candidate-reduction lever). */
-  private val DfCap = 20
-  private val CosMin = 0.5
+  private[graft] val DfCap = 20
+  private[graft] val CosMin = 0.5
 
   /** All-pairs COSINE similarity over word-3-gram TF vectors — the
     * weighted counterpart of q_dedup_ngram's set Jaccard, i.e. the
@@ -541,8 +541,12 @@ object DedupQueries {
     * the hottest stopword bucket. Norm joins are shuffled equi-joins
     * on the unique doc id, not broadcasts: one row per document is
     * corpus-scaled. Cross-engine determinism: dot and both norms are
-    * exact integers, and /, * and sqrt are IEEE-correctly-rounded, so
-    * the unrounded threshold compare agrees bit-for-bit. */
+    * exact integers summed wrap-free (DECIMAL(38,0) on the engine
+    * side matching DuckDB's HUGEINT promotion — a plain long sum
+    * would wrap silently on pathologically repetitive documents while
+    * the oracle kept counting), each converted to double ONCE; /, *
+    * and sqrt over those identical doubles are IEEE-correctly-
+    * rounded, so the unrounded threshold compare agrees bit-for-bit. */
   private val qSimAllpairs = Q("q_sim_allpairs",
     s"""WITH ws AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
        |        FROM documents),
@@ -562,9 +566,12 @@ object DedupQueries {
        |  FROM k a JOIN k b
        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT a_id, b_id, round(dot / sqrt(x.s * y.s), 4) AS cos
+       |SELECT a_id, b_id,
+       |  round(CAST(dot AS DOUBLE)
+       |    / sqrt(CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)), 4) AS cos
        |FROM pairs JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
-       |WHERE dot / sqrt(x.s * y.s) >= $CosMin
+       |WHERE CAST(dot AS DOUBLE)
+       |  / sqrt(CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE)) >= $CosMin
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     // TF postings on the 64-bit digest; checkpointed once — reused by
     // the df cut, both self-join sides, and the norm pass.
@@ -578,7 +585,9 @@ object DedupQueries {
       .where(col("df") <= DfCap).select(col("h"))
     // No broadcast hint: the kept-feature list is vocabulary-scaled.
     val k = tf.join(kept, "h").localCheckpoint()
-    val nrm = k.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("s"))
+    // DECIMAL(38,0) sums ≙ DuckDB's HUGEINT promotion: wrap-free
+    val nrm = k.groupBy(col("doc_id"))
+      .agg(sum((col("tf") * col("tf")).cast("decimal(38,0)")).as("s"))
     val pairs = k.select(col("doc_id").as("a_id"), col("lang"), col("h"),
         col("tf").as("ta"))
       .join(k.select(col("doc_id").as("b_id"), col("lang").as("lb"),
@@ -586,8 +595,9 @@ object DedupQueries {
         col("h") === col("hb") && col("lang") === col("lb") &&
           col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("ta") * col("tb")).as("dot"))
-    val cos = col("dot") / sqrt(col("sa") * col("sb"))
+      .agg(sum((col("ta") * col("tb")).cast("decimal(38,0)")).as("dot"))
+    val cos = col("dot").cast("double") /
+      sqrt(col("sa").cast("double") * col("sb").cast("double"))
     pairs
       .join(nrm.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
       .join(nrm.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -318,10 +319,14 @@ object PipelineQueries {
     * runs, partitionings, AND engines (the same "seeded sampling"
     * stance as `q_sample_hash`, which this generalizes to weights).
     * Ordering uses ln(u)/w (same order as u^(1/w), one transcendental
-    * instead of pow), ROUNDED to 9 decimals before ranking — ln is
-    * not IEEE-correctly-rounded, so the JVM and DuckDB libm may
-    * differ by an ulp and flip a near-tie; rounding (with the doc_id
-    * tiebreak) pins the order, the same discipline as the other
+    * instead of pow). ln is not IEEE-correctly-rounded, so the JVM
+    * and DuckDB libm may differ by an ulp and flip a near-tie: ln(u)
+    * is ROUNDED to 9 decimals BEFORE the division (the division
+    * itself is correctly rounded over identical operands, so it adds
+    * no cross-engine freedom) — rounding the quotient instead would
+    * quantize priorities to a fixed 1e-9 grid and collapse long
+    * documents (|pri| ~ 1/toks) into doc_id-ordered ties exactly
+    * where weights matter most. Same pinning discipline as the other
     * log-based orderings (q_text_pmi/keyness/bm25). Scale shape: the
     * rn ≤ k filter plans as a
     * WindowGroupLimit shortlist — every upstream partition trims to
@@ -333,7 +338,7 @@ object PipelineQueries {
        |  FROM documents),
        |k AS (SELECT doc_id, lang, toks,
        |    round(ln((${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 1000000000
-       |        + 1) / 1000000001.0) / toks, 9) AS pri
+       |        + 1) / 1000000001.0), 9) / toks AS pri
        |  FROM tok),
        |r AS (SELECT doc_id, lang, toks,
        |    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rn
@@ -346,7 +351,7 @@ object PipelineQueries {
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), "\\s+")).cast("long").as("toks"))
-      .withColumn("pri", round(log(u) / col("toks"), 9))
+      .withColumn("pri", round(log(u), 9) / col("toks"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= WSampleK)
       .select(col("lang"), col("doc_id"), col("toks"), col("rn").cast("int").as("rn"))
@@ -620,8 +625,33 @@ object PipelineQueries {
 
   /** Chunk window/stride (chars): 25% overlap, the standard RAG
     * retrieval-chunking shape. */
-  private val ChunkSize = 256
-  private val ChunkStride = 192
+  private[graft] val ChunkSize = 256
+  private[graft] val ChunkStride = 192
+
+  /** Shared chunk expansion, Spark side: one (doc_id, chunk_ix, chunk)
+    * row per `size`-char chunk at `stride` offsets — a pure per-row
+    * explode (no shuffle). The `greatest(…, 0)` guard pins
+    * empty-document semantics to one empty chunk on BOTH engines
+    * (Spark's `sequence(0, -1)` would otherwise DESCEND while
+    * DuckDB's generate_series returns empty); every chunking query
+    * goes through here / [[chunkCte]] so the boundary and guard
+    * semantics cannot fork between them. */
+  private def chunked(docs: DataFrame, stride: Int, size: Int): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(floor((length(col("text")) - 1) / stride).cast("int"),
+            lit(0)))).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
+        col("text").substr(col("k") * lit(stride) + 1, lit(size)).as("chunk"))
+
+  /** DuckDB twin of [[chunked]], as CTE body text. */
+  private def chunkCte(stride: Int, size: Int): String =
+    s"""SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
+       |    substr(d.text, CAST(t.k * $stride + 1 AS INT), $size) AS chunk
+       |  FROM documents d,
+       |    unnest(generate_series(0,
+       |      greatest(CAST(floor((length(d.text) - 1) / $stride) AS INT), 0))) AS t(k)""".stripMargin
 
   /** Sliding-window document chunking — the retrieval/embedding
     * pre-pass every RAG corpus build runs: each document becomes
@@ -629,35 +659,22 @@ object PipelineQueries {
     * identity, so chunk embeddings and chunk-level dedup join back to
     * their source. Pure per-row expansion (explode over a computed
     * index sequence — no shuffle but the oracle sort); output size is
-    * corpus chars × (size/stride) ≈ 1.33×. The `greatest(…, 0)`
-    * guard pins empty-document semantics to one empty chunk on BOTH
-    * engines (Spark's `sequence(0, -1)` would otherwise DESCEND while
-    * DuckDB's generate_series returns empty). */
+    * corpus chars × (size/stride) ≈ 1.33×. */
   private val qChunkDocs = Q("q_chunk_docs",
-    s"""SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
-       |  substr(d.text, CAST(t.k * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk
-       |FROM documents d,
-       |  unnest(generate_series(0,
-       |    greatest(CAST(floor((length(d.text) - 1) / $ChunkStride) AS INT), 0))) AS t(k)
+    s"""WITH ch AS (${chunkCte(ChunkStride, ChunkSize)})
+       |SELECT doc_id, chunk_ix, chunk FROM ch
        |ORDER BY doc_id, chunk_ix""".stripMargin) { (s, d) =>
-    t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0),
-          greatest(floor((length(col("text")) - 1) / ChunkStride).cast("int"),
-            lit(0)))).as("k"))
-      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
-        col("text").substr(col("k") * lit(ChunkStride) + 1, lit(ChunkSize))
-          .as("chunk"))
+    chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
       .orderBy(col("doc_id"), col("chunk_ix"))
   }
 
   /** The retrieval query set: (query id, term) — the literal,
     * bounded-by-construction side of retrieval scoring. */
-  private val RagQueries = Seq(
+  private[graft] val RagQueries = Seq(
     "qa" -> "spark", "qa" -> "table", "qa" -> "join",
     "qb" -> "hash", "qb" -> "merge", "qb" -> "sort",
     "qc" -> "stream", "qc" -> "window", "qc" -> "batch")
-  private val RagTopK = 5
+  private[graft] val RagTopK = 5
 
   /** Multi-query BM25 retrieval over the RAG chunks — the serving
     * shape of a retrieval corpus: for each query in a fixed query
@@ -679,13 +696,13 @@ object PipelineQueries {
     * broadcast scalar. Per-query top-k is a rank-filtered window over
     * |Q| partitions — Spark plans it as WindowGroupLimit, so every
     * task prunes to k rows per query BEFORE the single-partition-
-    * per-query exchange; the full candidate list never ships. */
+    * per-query exchange; the full candidate list never ships.
+    *
+    * A query none of whose terms occurs in the corpus contributes no
+    * output rows: its ranking is the empty set, not placeholder rows
+    * (identical on both engines). */
   private val qRagRetrieve = Q("q_rag_retrieve",
-    s"""WITH ch AS (SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
-       |    substr(d.text, CAST(t.k * $ChunkStride + 1 AS INT), $ChunkSize) AS chunk
-       |  FROM documents d,
-       |    unnest(generate_series(0,
-       |      greatest(CAST(floor((length(d.text) - 1) / $ChunkStride) AS INT), 0))) AS t(k)),
+    s"""WITH ch AS (${chunkCte(ChunkStride, ChunkSize)}),
        |tk AS (SELECT doc_id, chunk_ix,
        |    unnest(string_split(lower(chunk), ' ')) AS term FROM ch),
        |tf AS (SELECT doc_id, chunk_ix, term, CAST(count(*) AS BIGINT) AS n
@@ -723,14 +740,7 @@ object PipelineQueries {
        |  round(CAST(sc AS DOUBLE), 4) AS score
        |FROM rk WHERE rnk <= $RagTopK ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import s.implicits._
-    val ch = t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0),
-          greatest(floor((length(col("text")) - 1) / ChunkStride).cast("int"),
-            lit(0)))).as("k"))
-      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
-        col("text").substr(col("k") * lit(ChunkStride) + 1, lit(ChunkSize))
-          .as("chunk"))
+    val ch = chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
     val tf = ch
       .select(col("doc_id"), col("chunk_ix"),
         explode(split(lower(col("chunk")), " ")).as("term"))
@@ -771,7 +781,7 @@ object PipelineQueries {
   /** Passage size (chars) for chunk-level dedup: NON-overlapping
     * (stride = size), unlike the retrieval chunks above — overlapping
     * chunks cannot be concatenated back into a document. */
-  private val DedupChunk = 128
+  private[graft] val DedupChunk = 128
 
   /** Cross-document passage dedup with document reconstruction — the
     * CCNet/C4-style pass that removes boilerplate and duplicated
@@ -788,15 +798,14 @@ object PipelineQueries {
     * reassembly re-shuffles passage text, once, keyed by the unique
     * doc_id; the in-group sort is bounded by a single document's
     * chunk count. The scalar keep-first key packs chunk_ix into
-    * doc_id*100000+chunk_ix (documents up to 100000 chunks = 12.8 MB;
-    * DuckDB 1.0's min_by can't take a struct, so both engines use the
-    * same packed key). */
+    * doc_id*100000+chunk_ix (DuckDB 1.0's min_by can't take a struct,
+    * so both engines use the same packed key); a document beyond
+    * 100000 passages (12.8 MB) would collide keys across documents,
+    * so the engine side carries an `assert_true(chunk_ix < 100000)`
+    * that fails the job LOUDLY instead of silently mis-deduping —
+    * the filter passes every legal row untouched. */
   private val qChunkDedup = Q("q_chunk_dedup",
-    s"""WITH ch AS (SELECT d.doc_id, CAST(t.k AS INT) AS chunk_ix,
-       |    substr(d.text, CAST(t.k * $DedupChunk + 1 AS INT), $DedupChunk) AS chunk
-       |  FROM documents d,
-       |    unnest(generate_series(0,
-       |      greatest(CAST(floor((length(d.text) - 1) / $DedupChunk) AS INT), 0))) AS t(k)),
+    s"""WITH ch AS (${chunkCte(DedupChunk, DedupChunk)}),
        |keyed AS (SELECT doc_id, chunk_ix, chunk,
        |    doc_id * 100000 + chunk_ix AS key FROM ch),
        |keeper AS (SELECT chunk, min(key) AS keep_key FROM keyed GROUP BY chunk),
@@ -808,14 +817,12 @@ object PipelineQueries {
        |  coalesce(string_agg(CASE WHEN keep THEN chunk END, ''
        |    ORDER BY chunk_ix), '') AS clean_text
        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val ch = t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0),
-          greatest(floor((length(col("text")) - 1) / DedupChunk).cast("int"),
-            lit(0)))).as("k"))
-      .select(col("doc_id"), col("k").cast("int").as("chunk_ix"),
-        col("text").substr(col("k") * lit(DedupChunk) + 1, lit(DedupChunk))
-          .as("chunk"))
+    val ch = chunked(t(s, d, "documents"), DedupChunk, DedupChunk)
+      // loud guard on the packed-key domain: passes every legal row,
+      // fails the job if a document ever exceeds 100000 passages
+      .where(assert_true(col("chunk_ix") < 100000,
+        lit("q_chunk_dedup: document exceeds 100000 passages — " +
+          "packed keep-first key would collide")).isNull)
       .withColumn("key", col("doc_id") * 100000L + col("chunk_ix"))
       .withColumn("h", xxhash64(col("chunk")))
     val keeper = ch.groupBy(col("h")).agg(min(col("key")).as("keep_key"))

@@ -621,7 +621,12 @@ object TextQueries {
     * each language's covered token mass and coverage ratio. A
     * language whose coverage lags at a given budget is the one a
     * shared vocab under-serves (the parity gap public tokenizer
-    * studies measure); the OOV rate is 1 − coverage.
+    * studies measure); the OOV rate is 1 − coverage. Every
+    * (language, cutoff) cell is reported — a language sharing NO term
+    * with the global vocabulary shows covered = 0, coverage = 0
+    * (the worst-case row the parity report exists for), never a
+    * silently missing row: the output scaffold is langs × cutoffs
+    * left-joined to the covered masses.
     *
     * Scale shape (100 TB): ONE fact-sized exchange (the per-(lang,
     * term) count, map-side combined); the global ranking only ever
@@ -644,9 +649,12 @@ object TextQueries {
        |cov AS (SELECT l.lang, c.cutoff, CAST(sum(l.n) AS BIGINT) AS covered
        |        FROM lt l JOIN rk ON l.term = rk.term CROSS JOIN cut c
        |        WHERE rk.r <= c.cutoff GROUP BY 1, 2)
-       |SELECT t.lang, CAST(c.cutoff AS INT) AS cutoff, c.covered, t.total,
-       |  round(CAST(c.covered AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS coverage
-       |FROM cov c JOIN tot t ON c.lang = t.lang
+       |SELECT t.lang, CAST(c.cutoff AS INT) AS cutoff,
+       |  CAST(coalesce(v.covered, 0) AS BIGINT) AS covered, t.total,
+       |  round(CAST(coalesce(v.covered, 0) AS DOUBLE)
+       |    / CAST(t.total AS DOUBLE), 6) AS coverage
+       |FROM tot t CROSS JOIN cut c
+       |LEFT JOIN cov v ON v.lang = t.lang AND v.cutoff = c.cutoff
        |ORDER BY t.lang, cutoff""".stripMargin) { (s, d) =>
     import s.implicits._
     val lt = t(s, d, "documents")
@@ -662,16 +670,19 @@ object TextQueries {
           .orderBy(col("gn").desc, col("term"))))
       .select(col("term"), col("r"))
     val cut = VocabCutoffs.toDF("cutoff")
-    lt.join(broadcast(rk), "term")
+    val cov = lt.join(broadcast(rk), "term")
       .crossJoin(broadcast(cut))
       .where(col("r") <= col("cutoff"))
       .groupBy(col("lang"), col("cutoff"))
       .agg(sum(col("n")).cast("long").as("covered"))
-      .join(broadcast(tot), "lang")
+    // langs × cutoffs scaffold: zero-coverage cells survive as
+    // covered = 0 instead of silently vanishing from the report
+    tot.crossJoin(broadcast(cut))
+      .join(cov, Seq("lang", "cutoff"), "left_outer")
       .select(col("lang"), col("cutoff").cast("int").as("cutoff"),
-        col("covered"), col("total"),
-        round(col("covered").cast("double") / col("total").cast("double"), 6)
-          .as("coverage"))
+        coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("total").cast("double"), 6).as("coverage"))
       .orderBy(col("lang"), col("cutoff"))
   }
 
