@@ -748,7 +748,80 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Embedding-space outlier detection — the quality gate a corpus
+    * build runs before semantic dedup / ANN indexing: a vector far
+    * from its label's centroid (corrupt embedding, mislabeled item,
+    * encoder failure mode) is flagged by z-scoring its centroid
+    * distance against the label's distance population (z ≥ 2).
+    *
+    * Determinism: the centroid reuses q_embed_centroid's exact-decimal
+    * mean (rounded to 6 dp, so both engines subtract the identical
+    * double); each squared per-dimension deviation is rounded to
+    * 12 dp into DECIMAL(28,12) BEFORE the per-vector sum (float sums
+    * are not associative — the decimal sum is order-free), and the
+    * distance itself is rounded into DECIMAL(18,6) so the z-score
+    * moments (Σd, Σd² as exact decimals) are order-free too; the
+    * z expression is then pure double arithmetic over identical
+    * operands on both engines, unrounded in the threshold compare.
+    *
+    * Scale shape (100 TB): two corpus-sized exchanges, both map-side
+    * combined — the (label, dim) centroid partials and the per-vec_id
+    * term sums; the centroid table (|labels|·d rows) and the
+    * |labels|-row moment table broadcast by construction. No vector
+    * ever ships twice and nothing corpus-scaled is broadcast. */
+  private val qEmbedOutlier = Q("q_embed_outlier",
+    """WITH u AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+      |             unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT label, dim,
+      |        round(CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE) / count(*), 6) AS cent
+      |      FROM u GROUP BY 1, 2),
+      |term AS (SELECT u.vec_id, u.label,
+      |           CAST(round((u.v - c.cent) * (u.v - c.cent), 12) AS DECIMAL(28,12)) AS t2
+      |         FROM u JOIN c ON u.label = c.label AND u.dim = c.dim),
+      |dist AS (SELECT vec_id, label,
+      |           CAST(round(sqrt(CAST(sum(t2) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS dist
+      |         FROM term GROUP BY 1, 2),
+      |mom AS (SELECT label, CAST(count(*) AS BIGINT) AS n, sum(dist) AS s1,
+      |          sum(dist * dist) AS s2 FROM dist GROUP BY 1)
+      |SELECT d.vec_id, d.label, CAST(d.dist AS DOUBLE) AS dist,
+      |  round((CAST(d.dist AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+      |    / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+      |           - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)), 4) AS z
+      |FROM dist d JOIN mom m ON d.label = m.label
+      |WHERE (CAST(d.dist AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+      |    / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+      |           - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)) >= 2.0
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val u = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("p", "v")))
+      .select(col("vec_id"), col("label"),
+        (col("p") + 1).cast("int").as("dim"), col("v"))
+      .localCheckpoint() // reused: centroid pass + deviation terms
+    val c = u.groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("v").cast("decimal(18,8)")).cast("double")
+        / count(lit(1)), 6).as("cent"))
+    val dist = u.join(broadcast(c), Seq("label", "dim"))
+      .select(col("vec_id"), col("label"),
+        round((col("v") - col("cent")) * (col("v") - col("cent")), 12)
+          .cast("decimal(28,12)").as("t2"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(round(sqrt(sum(col("t2")).cast("double")), 6)
+        .cast("decimal(18,6)").as("dist"))
+    val mom = dist.groupBy(col("label")).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("dist")).as("s1"), sum(col("dist") * col("dist")).as("s2"))
+    val mean = col("s1").cast("double") / col("n")
+    val z = (col("dist").cast("double") - mean) /
+      sqrt(col("s2").cast("double") / col("n") - mean * mean)
+    dist.join(broadcast(mom), "label")
+      .where(z >= 2.0)
+      .select(col("vec_id"), col("label"),
+        col("dist").cast("double").as("dist"), round(z, 4).as("z"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
-    qKnnIvfTrained)
+    qKnnIvfTrained, qEmbedOutlier)
 }

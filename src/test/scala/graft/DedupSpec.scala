@@ -95,19 +95,20 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
     assert(engine.nonEmpty)
-    // local reference: trigram TF vectors, df <= 20 feature space,
-    // same-language pairs at cosine >= 0.5 (constants pinned to the
-    // query's DfCap/CosMin)
+    // local reference: trigram TF vectors over the query's own
+    // DfCap/CosMin/NGram constants
+    import graft.queries.DedupQueries.{CosMin, DfCap, NGram}
     val docs = Tables(spark, Sf, "documents")
       .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
     val tf: Map[Long, (String, Map[String, Long])] = docs.map { case (id, lang, text) =>
       val w = text.toLowerCase.split(" ", -1)
-      val grams = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      val grams = if (w.length >= NGram) w.sliding(NGram).map(_.mkString(" ")).toSeq
+        else Seq.empty
       id -> (lang, grams.groupBy(identity).map { case (g, o) => g -> o.length.toLong })
     }.toMap
     val df = tf.values.flatMap(_._2.keys).groupBy(identity).map { case (g, o) => g -> o.size }
     val keptTf = tf.map { case (id, (lang, v)) =>
-      id -> (lang, v.filter { case (g, _) => df(g) <= 20 })
+      id -> (lang, v.filter { case (g, _) => df(g) <= DfCap })
     }
     val expected = (for {
       Seq((ai, (la, va)), (bi, (lb, vb))) <-
@@ -117,7 +118,7 @@ class DedupSpec extends AnyFunSuite {
       if dot > 0
       cos = dot / math.sqrt(
         (va.values.map(x => x * x).sum * vb.values.map(x => x * x).sum).toDouble)
-      if cos >= 0.5
+      if cos >= CosMin
     } yield (ai, bi) -> BigDecimal(cos)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     assert(engine.keySet == expected.keySet,
