@@ -59,7 +59,13 @@ object KMeans {
       }: _*))
       val far = src.select(col("id"), col("v"), d2near.as("d2"))
         .orderBy(col("d2").desc, col("id")).limit(1)
-        .select(col("v")).collect()
+        .select(col("v"), col("d2")).collect()
+      // Seed-collision guard: if the farthest remaining point is at
+      // d2=0 the corpus has fewer than k distinct vectors, and the
+      // duplicated seed would silently produce empty clusters — fail
+      // loudly, like the unseeded path's `centroids.length == k`.
+      require(far.nonEmpty && far(0).getDouble(1) > 0.0,
+        s"need at least $k distinct vectors to seed, collided at ${seeds.length}")
       seeds :+= far(0).getSeq[Double](0).toArray
     }
     seeds.toArray

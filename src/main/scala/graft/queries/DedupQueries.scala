@@ -67,6 +67,17 @@ object DedupQueries {
 
   // -------------------------------------------------- exact n-gram Jaccard
 
+  /** Exact n-gram Jaccard over ALL shingle-sharing pairs — the exact
+    * small-scale KERNEL, not the scale path: with no df cap, the
+    * shingle self-join is quadratic in the hottest shingle bucket
+    * (a shingle shared by m documents contributes C(m,2) candidate
+    * rows). That is acceptable here because the kernel exists to
+    * pin semantics against the oracle bit-for-bit; at corpus scale
+    * use `q_dedup_pipeline` (LSH-banded candidates) or
+    * `q_sim_allpairs` (df-capped postings), both of which bound the
+    * per-feature fanout. The per-document count joins below are
+    * shuffled equi-joins on the unique doc id — one row per document
+    * is corpus-scaled, never a broadcast. */
   private val qNgram = Q("q_dedup_ngram",
     s"""WITH $shingleCtes,
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -95,8 +106,8 @@ object DedupQueries {
       .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("c"))
     val jac = col("c") / (col("na") + col("nb") - col("c"))
     pairs
-      .join(broadcast(cnt.select(col("doc_id").as("ai"), col("n").as("na"))), "ai")
-      .join(broadcast(cnt.select(col("doc_id").as("bi"), col("n").as("nb"))), "bi")
+      .join(cnt.select(col("doc_id").as("ai"), col("n").as("na")), "ai")
+      .join(cnt.select(col("doc_id").as("bi"), col("n").as("nb")), "bi")
       .where(jac >= 0.5)
       .select(col("ai").as("a_id"), col("bi").as("b_id"), round(jac, 4).as("jac"))
       .orderBy(col("a_id"), col("b_id"))
@@ -220,9 +231,13 @@ object DedupQueries {
         col("bi") === col("bi2") && col("sha") === col("shb"))
       .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("cc"))
     val jac = col("cc") / (col("na") + col("nb") - col("cc"))
+    // Per-document count joins are shuffled equi-joins on the unique
+    // doc id: `cnt` is one row per document — corpus-scaled — so a
+    // broadcast hint here would OOM the build side at 100 TB (same
+    // bug class as the keep_best labels join fixed in round 5).
     common
-      .join(broadcast(cnt.select(col("doc_id").as("ai"), col("n").as("na"))), "ai")
-      .join(broadcast(cnt.select(col("doc_id").as("bi"), col("n").as("nb"))), "bi")
+      .join(cnt.select(col("doc_id").as("ai"), col("n").as("na")), "ai")
+      .join(cnt.select(col("doc_id").as("bi"), col("n").as("nb")), "bi")
       .where(jac >= 0.5)
       .select(col("ai"), col("bi"), jac.as("jac"))
   }

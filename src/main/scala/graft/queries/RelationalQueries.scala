@@ -292,8 +292,12 @@ object RelationalQueries {
     """SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, d) =>
+    // No forced hint: part is SF-proportional (SF * 200k rows), so the
+    // broadcast is AQE's size-based choice — it picks broadcast-hash
+    // at every tested SF and degrades to a shuffled join past the
+    // threshold instead of OOMing at 1000x.
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_brand"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }

@@ -788,7 +788,9 @@ object SimilarityQueries {
       |    / sqrt(CAST(m.s2 AS DOUBLE) / m.n
       |           - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)), 4) AS z
       |FROM dist d JOIN mom m ON d.label = m.label
-      |WHERE (CAST(d.dist AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
+      |WHERE m.n > 1
+      |  AND CAST(m.s2 AS DOUBLE) * m.n > CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE)
+      |  AND (CAST(d.dist AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n)
       |    / sqrt(CAST(m.s2 AS DOUBLE) / m.n
       |           - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)) >= 2.0
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
@@ -814,7 +816,17 @@ object SimilarityQueries {
     val mean = col("s1").cast("double") / col("n")
     val z = (col("dist").cast("double") - mean) /
       sqrt(col("s2").cast("double") / col("n") - mean * mean)
+    // Zero-variance guard, identical on both engines: a label with a
+    // single vector (or all-equal rounded distances) makes z = 0/0 —
+    // Spark's NaN sorts greater-than-everything so `z >= 2.0` would
+    // emit a NaN row, while DuckDB's NULL division filters it. Gate
+    // both sides on n > 1 AND variance > 0 BEFORE the z compare; the
+    // variance test is the same double arithmetic over the same exact
+    // decimal moments on each engine, so the predicate bit-matches.
     dist.join(broadcast(mom), "label")
+      .where(col("n") > 1 &&
+        col("s2").cast("double") * col("n") >
+          col("s1").cast("double") * col("s1").cast("double"))
       .where(z >= 2.0)
       .select(col("vec_id"), col("label"),
         col("dist").cast("double").as("dist"), round(z, 4).as("z"))

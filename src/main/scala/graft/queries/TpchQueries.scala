@@ -14,6 +14,15 @@ import graft.queries.Q.t
   * dims broadcast, so the only fact shuffle is the final group-by;
   * Q6 is a pure scan-filter-aggregate (one stage + one exchange for
   * the singleton result); Q1 is scan + hash-agg.
+  *
+  * Broadcast policy: explicit `broadcast(...)` hints appear ONLY on
+  * build sides whose size is constant in SF — nation (25 rows),
+  * region (5 rows), and 1-row aggregates (max-revenue, avg-balance,
+  * grand-total). part/supplier/customer grow linearly with the fact
+  * (part = SF * 200k), so their joins carry NO hint: AQE's size-based
+  * choice broadcasts them at every tested SF but falls back to a
+  * shuffled join beyond `spark.sql.autoBroadcastJoinThreshold` —
+  * a hard-coded hint there would override that and OOM at 1000x.
   */
 object TpchQueries {
 
@@ -75,7 +84,7 @@ object TpchQueries {
     val c = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
     t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
         .cast("double").as("revenue"))
@@ -102,7 +111,7 @@ object TpchQueries {
     t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")),
+      .join(t(s, d, "supplier"),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -167,7 +176,7 @@ object TpchQueries {
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin) { (s, d) =>
     val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
           .otherwise(lit(0).cast(dec))).cast("double")
@@ -252,7 +261,7 @@ object TpchQueries {
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
       .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -296,13 +305,13 @@ object TpchQueries {
       col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
     val r = t(s, d, "region").where(col("r_name") === "ASIA")
     t(s, d, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(t(s, d, "orders")
         .where(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
           col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))),
         col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
       .join(broadcast(r), col("n1_rkey") === col("r_regionkey"))
       .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
@@ -338,7 +347,7 @@ object TpchQueries {
         .as("total_rev"))
     val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
     rev.join(broadcast(maxRev), col("total_rev") === col("max_rev"))
-      .join(broadcast(t(s, d, "supplier")), col("supplier_no") === col("s_suppkey"))
+      .join(t(s, d, "supplier"), col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_rev").cast("double").as("total_revenue"))
       .orderBy(col("s_suppkey"))
@@ -368,8 +377,8 @@ object TpchQueries {
       .groupBy(col("l_partkey").as("pq_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
     t(s, d, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(pq), col("l_partkey") === col("pq_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(pq, col("l_partkey") === col("pq_partkey"))
       .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(col("l_extendedprice").cast(dec)).cast("double") / lit(7.0))
         .as("avg_yearly"))
@@ -404,7 +413,7 @@ object TpchQueries {
     val clause3 = col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
       col("l_quantity").between(20, 30)
     t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part")), col("p_partkey") === col("l_partkey"))
+      .join(t(s, d, "part"), col("p_partkey") === col("l_partkey"))
       .where(clause1 || clause2 || clause3)
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
         .cast("double").as("revenue"))
@@ -505,7 +514,7 @@ object TpchQueries {
     val n = t(s, d, "nation")
     val r = t(s, d, "region").where(col("r_name") === "EUROPE")
     val eligible = ps(s, d)
-      .join(broadcast(t(s, d, "supplier")), col("ps_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .select(col("ps_partkey"), col("ps_supplycost"),
@@ -517,7 +526,7 @@ object TpchQueries {
     eligible
       .join(best, col("ps_partkey") === col("b_partkey") &&
         col("ps_supplycost") === col("min_cost"))
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(p, col("ps_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"),
         col("ps_supplycost").cast("double").as("supplycost"))
@@ -580,8 +589,8 @@ object TpchQueries {
     t(s, d, "lineitem")
       .join(ps(s, d), col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
@@ -611,7 +620,7 @@ object TpchQueries {
        |ORDER BY value DESC, ps_partkey""".stripMargin) { (s, d) =>
     val n = t(s, d, "nation").where(col("n_name") === "NATION_1")
     val nps = ps(s, d)
-      .join(broadcast(t(s, d, "supplier")), col("ps_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select(col("ps_partkey"),
         (col("ps_supplycost").cast(DecimalType(18, 4)) * col("ps_availqty")).as("val"))
@@ -674,8 +683,8 @@ object TpchQueries {
     val flagged = t(s, d, "supplier").where(col("s_acctbal") < 0)
       .select(col("s_suppkey"))
     ps(s, d)
-      .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(flagged, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("ps_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -712,7 +721,7 @@ object TpchQueries {
       .groupBy(col("l_partkey").as("sh_partkey"), col("l_suppkey").as("sh_suppkey"))
       .agg(sum(col("l_quantity")).as("sh_qty"))
     val excess = ps(s, d)
-      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
       .join(shipped, col("ps_partkey") === col("sh_partkey") &&
         col("ps_suppkey") === col("sh_suppkey"), "left")
       .where(col("ps_availqty") > lit(0.5) * col("sh_qty"))
@@ -758,7 +767,7 @@ object TpchQueries {
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(stats, col("l_orderkey") === col("st_orderkey"))
       .where(col("n_supp") > 1 && col("n_rsupp") === 1)
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

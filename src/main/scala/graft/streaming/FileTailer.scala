@@ -17,7 +17,9 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Tailer semantics mirrored:
   *  - poll-based (`pollMillis`), `fromEnd` to skip existing content
   *    like the reference's `Tailer/create … true`;
-  *  - rotation = the file shrinks (truncate-and-recreate rotation):
+  *  - rotation = the file shrinks (truncate rotation) OR its identity
+  *    changes (fileKey/inode — replace rotation, detected even when
+  *    the new file already grew past the old offset within one poll):
   *    restart from offset 0, nothing lost, nothing duplicated;
   *  - a missing file is quietly awaited (`fileNotFound` analog);
   *  - only COMPLETE lines are ever emitted — a partially-written
@@ -36,6 +38,19 @@ final class FileTailer private (file: Path, spoolDir: Path,
   private var offset = 0L
   private var pending = new java.io.ByteArrayOutputStream()
   private var seq = 0L
+  private var identity: AnyRef = null
+
+  // File identity signal for rotation: the length heuristic alone
+  // misses a replace-rotation where the NEW file grows past the old
+  // offset within one poll interval (commons-io Tailer has the same
+  // race). fileKey() (inode on POSIX) changes on recreate; fall back
+  // to creationTime where the filesystem reports no key.
+  private def fileKey(): AnyRef = {
+    val attrs = Files.readAttributes(file,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val k = attrs.fileKey()
+    if (k != null) k else attrs.creationTime()
+  }
 
   private def emit(completeLines: Array[Byte]): Unit = {
     val tmp = spoolDir.resolve(f".part-$seq%06d.tmp")
@@ -48,11 +63,14 @@ final class FileTailer private (file: Path, spoolDir: Path,
 
   private def poll(): Unit = {
     if (!Files.exists(file)) return // fileNotFound: await quietly
+    val key = fileKey()
     val len = Files.size(file)
-    if (len < offset) { // rotated: truncated or replaced — restart
+    if ((identity != null && key != identity) // replaced: new inode
+        || len < offset) { // rotated: truncated — restart
       offset = 0
       pending.reset()
     }
+    identity = key
     if (len > offset) {
       val ch = Files.newByteChannel(file, StandardOpenOption.READ)
       try {
@@ -75,7 +93,10 @@ final class FileTailer private (file: Path, spoolDir: Path,
   }
 
   private val thread = new Thread(() => {
-    if (fromEnd && Files.exists(file)) offset = Files.size(file)
+    if (fromEnd && Files.exists(file)) {
+      offset = Files.size(file)
+      identity = fileKey()
+    }
     while (running.get()) {
       try poll()
       catch { case _: java.io.IOException => () } // transient: next poll retries

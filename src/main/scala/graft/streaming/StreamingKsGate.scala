@@ -38,17 +38,27 @@ object StreamingKsGate {
   def verdict(hist: Map[Long, (Long, Long)]): KsVerdict = {
     val nA = hist.valuesIterator.map(_._1).sum
     val nB = hist.valuesIterator.map(_._2).sum
-    var ca, cb, best = 0L
+    // BigInt sup-gap: Long `ca * nB - cb * nA` silently wraps once
+    // nA·nB exceeds 2^63 (~3e9 rows per side) — exactly the scale the
+    // gate claims to survive. The fold runs once per distinct value
+    // per micro-batch over a domain-bounded histogram, so the BigInt
+    // cost is negligible. dNum stays Long for spec/oracle parity with
+    // the batch query; the require fails loudly (instead of emitting
+    // a corrupted verdict) if a deployment ever crosses the bound —
+    // q_quality_ks documents the same nA·nB < 2^63 limit.
+    var ca, cb = 0L
+    var best = BigInt(0)
     hist.toSeq.sortBy(_._1).foreach { case (_, (a, b)) =>
       ca += a; cb += b
-      val g = math.abs(ca * nB - cb * nA)
+      val g = (BigInt(ca) * nB - BigInt(cb) * nA).abs
       if (g > best) best = g
     }
+    require(best.isValidLong, s"KS sup-gap $best exceeds Long — nA=$nA nB=$nB")
     val d =
       if (nA == 0 || nB == 0) 0.0
       else BigDecimal(best.toDouble / (nA.toDouble * nB.toDouble))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    KsVerdict(nA, nB, best, d)
+    KsVerdict(nA, nB, best.toLong, d)
   }
 
   /** rows: (x, focusCount, restCount) per-micro-batch partial counts.
