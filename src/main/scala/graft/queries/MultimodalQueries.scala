@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.queries.Q.t
 
 /** Multimodal plumbing: media as opaque `binary` columns with typed
-  * metadata. The testdata has no real media files, so the binary
-  * payload is the utf-8 encoding of `documents.text` — the Spark-side
-  * plumbing (schema, batch shape, partition-local decode) is real;
-  * the *decode* itself is a deterministic stub (graft.multimodal).
+  * metadata, decoded partition-locally with a REAL codec
+  * (`javax.imageio.ImageIO`). Test media are deterministic synthetic
+  * grayscale PNGs derived from `doc_id`
+  * ([[graft.multimodal.MediaPipeline.synthPng]]), so the oracle can
+  * recompute every decoded statistic from the generating formula in
+  * pure SQL — certifying the encode→decode round trip without DuckDB
+  * ever parsing a PNG.
   */
 object MultimodalQueries {
 
@@ -32,16 +35,33 @@ object MultimodalQueries {
 
   /** The partition-local batch-decode path (MediaPipeline
     * .extractFeatures over mapPartitions — the Scala analog of a
-    * mapInPandas decode stage): binary payloads → typed feature rows.
-    * Spark-only: the stub decoder's byte loop isn't worth a SQL twin;
-    * MultimodalSpec pins exact feature values instead, and the driver
-    * records the rows-only check. */
-  private val qFeatures = Q.sparkOnly("q_multimodal_features") { (s, d) =>
+    * mapInPandas decode stage): synthesize a real PNG per document,
+    * decode it back with ImageIO, emit per-image channel statistics.
+    * The oracle recomputes width/height/brightness/min/max from the
+    * synthetic images' closed form (pixel i of doc j is
+    * (j·31 + i) mod 256), so a hash match proves the JVM encode →
+    * binary column → decode → feature path is pixel-exact. Integer
+    * sums throughout; ONE double division at the end, rounded to 6 dp
+    * identically on both engines. */
+  private val qFeatures = Q("q_multimodal_features",
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 13 + 4 AS INT) AS width,
+      |    CAST(doc_id % 7 + 3 AS INT) AS height,
+      |    unnest(range(0, (doc_id % 13 + 4) * (doc_id % 7 + 3))) AS i
+      |  FROM documents),
+      |v AS (SELECT doc_id, width, height, (doc_id * 31 + i) % 256 AS v FROM px)
+      |SELECT doc_id, width, height,
+      |  round(CAST(sum(v) AS DOUBLE) / (width * height * 255.0), 6) AS brightness,
+      |  CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+      |FROM v GROUP BY doc_id, width, height
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import graft.multimodal.MediaPipeline
-    MediaPipeline.extractFeatures(s, MediaPipeline.toMedia(t(s, d, "documents")))
+    MediaPipeline.extractFeatures(s, MediaPipeline.toMediaPng(s, t(s, d, "documents")))
       .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-        round(col("brightness"), 6).as("brightness"))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("brightness"), 6).as("brightness"),
+        col("px_min"), col("px_max"))
       .orderBy(col("doc_id"))
   }
 

@@ -576,7 +576,11 @@ object PipelineQueries {
     * over the INTEGER numerators |ca·n_b − cb·n_a| (max of exact
     * BIGINTs — no float compare anywhere); D itself is one double
     * division of the winning numerator at the very end. The oracle
-    * hash-matches bit-for-bit.
+    * hash-matches bit-for-bit. Domain bound: the BIGINT numerator is
+    * exact only while n_a·n_b < 2^63 (~3e9 rows on EACH side); beyond
+    * that Spark's Long wraps silently while DuckDB errors — the
+    * streaming twin ([[graft.streaming.StreamingKsGate]]) computes
+    * the gap in BigInt and fails loudly at that bound instead.
     *
     * Scale shape (100 TB): per-value counts are one map-side-combined
     * groupBy; BOTH cumulative distributions come from
@@ -636,7 +640,7 @@ object PipelineQueries {
     * DuckDB's generate_series returns empty); every chunking query
     * goes through here / [[chunkCte]] so the boundary and guard
     * semantics cannot fork between them. */
-  private def chunked(docs: DataFrame, stride: Int, size: Int): DataFrame =
+  private[graft] def chunked(docs: DataFrame, stride: Int, size: Int): DataFrame =
     docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),

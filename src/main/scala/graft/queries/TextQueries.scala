@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q.t
@@ -612,8 +612,46 @@ object TextQueries {
   }
 
   /** Vocabulary cutoffs to evaluate (≤ VocabMax, ascending). */
-  private val VocabCutoffs = Seq(5, 10, 20, 30)
-  private val VocabMax = 30
+  private[graft] val VocabCutoffs = Seq(5, 10, 20, 30)
+  private[graft] val VocabMax = 30
+
+  /** The coverage plan from a (lang, term, n) counts frame — shared
+    * verbatim by `q_vocab_coverage` (VocabMax = 30, oracle-checked)
+    * and VocabScaleProbe (VocabMax = 32k on a synthesized vocabulary,
+    * pinning that the shortlist still broadcasts at realistic
+    * tokenizer sizes and the full vocabulary is never globally
+    * sorted). Keeping ONE implementation means the probe can never
+    * drift from the plan the oracle certifies. */
+  private[graft] def coveragePlan(lt: DataFrame, vocabMax: Int,
+      cutoffs: Seq[Int]): DataFrame = {
+    val session = lt.sparkSession
+    import session.implicits._
+    val tot = lt.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("total"))
+    // top-vocabMax shortlist: orderBy+limit plans as TakeOrdered —
+    // the full-vocabulary global sort never exists; the row_number
+    // window then runs over the ≤ vocabMax-row shortlist only
+    val rk = lt.groupBy(col("term")).agg(sum(col("n")).as("gn"))
+      .orderBy(col("gn").desc, col("term")).limit(vocabMax)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gn").desc, col("term"))))
+      .select(col("term"), col("r"))
+    val cut = cutoffs.toDF("cutoff")
+    val cov = lt.join(broadcast(rk), "term")
+      .crossJoin(broadcast(cut))
+      .where(col("r") <= col("cutoff"))
+      .groupBy(col("lang"), col("cutoff"))
+      .agg(sum(col("n")).cast("long").as("covered"))
+    // langs × cutoffs scaffold: zero-coverage cells survive as
+    // covered = 0 instead of silently vanishing from the report
+    tot.crossJoin(broadcast(cut))
+      .join(cov, Seq("lang", "cutoff"), "left_outer")
+      .select(col("lang"), col("cutoff").cast("int").as("cutoff"),
+        coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
+        round(coalesce(col("covered"), lit(0L)).cast("double")
+          / col("total").cast("double"), 6).as("coverage"))
+      .orderBy(col("lang"), col("cutoff"))
+  }
 
   /** Tokenizer-vocabulary coverage parity — the multilingual-fairness
     * measurement of a shared-vocab tokenizer build: rank the GLOBAL
@@ -656,34 +694,11 @@ object TextQueries {
        |FROM tot t CROSS JOIN cut c
        |LEFT JOIN cov v ON v.lang = t.lang AND v.cutoff = c.cutoff
        |ORDER BY t.lang, cutoff""".stripMargin) { (s, d) =>
-    import s.implicits._
     val lt = t(s, d, "documents")
       .select(col("lang"), explode(words(col("text"))).as("term"))
       .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
       .localCheckpoint() // reused: totals + global ranking + coverage
-    val tot = lt.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("total"))
-    // top-VocabMax shortlist: orderBy+limit plans as TakeOrdered
-    val rk = lt.groupBy(col("term")).agg(sum(col("n")).as("gn"))
-      .orderBy(col("gn").desc, col("term")).limit(VocabMax)
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("gn").desc, col("term"))))
-      .select(col("term"), col("r"))
-    val cut = VocabCutoffs.toDF("cutoff")
-    val cov = lt.join(broadcast(rk), "term")
-      .crossJoin(broadcast(cut))
-      .where(col("r") <= col("cutoff"))
-      .groupBy(col("lang"), col("cutoff"))
-      .agg(sum(col("n")).cast("long").as("covered"))
-    // langs × cutoffs scaffold: zero-coverage cells survive as
-    // covered = 0 instead of silently vanishing from the report
-    tot.crossJoin(broadcast(cut))
-      .join(cov, Seq("lang", "cutoff"), "left_outer")
-      .select(col("lang"), col("cutoff").cast("int").as("cutoff"),
-        coalesce(col("covered"), lit(0L)).as("covered"), col("total"),
-        round(coalesce(col("covered"), lit(0L)).cast("double")
-          / col("total").cast("double"), 6).as("coverage"))
-      .orderBy(col("lang"), col("cutoff"))
+    coveragePlan(lt, VocabMax, VocabCutoffs)
   }
 
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,

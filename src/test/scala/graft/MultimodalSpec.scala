@@ -9,7 +9,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("binary plumbing: features computed partition-locally, one row per doc") {
     val docs = Tables(spark, Sf, "documents")
-    val feats = MediaPipeline.extractFeatures(spark, MediaPipeline.toMedia(docs))
+    val feats = MediaPipeline.extractFeatures(spark, MediaPipeline.toMediaPng(spark, docs))
     assert(feats.count() == docs.count())
     val f = feats.filter(_.doc_id == 0L).head()
     assert(f.n_bytes > 0)
@@ -17,11 +17,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.brightness > 0 && f.brightness < 1)
   }
 
-  test("decode stub is deterministic") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val (w1, h1, b1, hist1) = MediaPipeline.decodeStub(bytes)
-    val (w2, h2, b2, hist2) = MediaPipeline.decodeStub(bytes)
-    assert(w1 == w2 && h1 == h2 && b1 == b2 && hist1.sameElements(hist2))
+  test("ImageIO round trip is pixel-exact against the generating formula") {
+    val docId = 7L
+    val (w, h) = MediaPipeline.synthDims(docId)
+    val png = MediaPipeline.synthPng(docId)
+    // real PNG magic bytes — this is an actual encoded image
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte &&
+      png(2) == 'N'.toByte && png(3) == 'G'.toByte)
+    val (dw, dh, px) = MediaPipeline.decodeImage(png)
+    assert(dw == w && dh == h)
+    (0 until w * h).foreach { i =>
+      assert(px(i) == MediaPipeline.synthPixel(docId, i),
+        s"pixel $i: decoded ${px(i)} != formula ${MediaPipeline.synthPixel(docId, i)}")
+    }
+  }
+
+  test("known pixel values: doc 8 is 12x4 starting at (8*31) mod 256 = 248") {
+    val (_, _, px) = MediaPipeline.decodeImage(MediaPipeline.synthPng(8L))
+    assert(px.length == 48)
+    assert(px(0) == 248 && px(1) == 249)
+    assert(px(7) == 255 && px(8) == 0) // wraps through 255 -> 0
+    assert(px(47) == 39)
+  }
+
+  test("undecodable payload fails loudly") {
+    intercept[IllegalArgumentException] {
+      MediaPipeline.decodeImage("not an image".getBytes("UTF-8"))
+    }
   }
 
   test("frame sampling offsets are stride-aligned") {
