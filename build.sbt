@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the flagship's fused scan→parse→filter stage generates a ~8.2 KB
+  // method; HotSpot refuses to JIT methods > 8 KB bytecode by default
+  // and interpreted codegen is SLOWER than unfused execution. On a
+  // cluster, ship this via spark.executor.extraJavaOptions.
+  "-XX:-DontCompileHugeMethods",
 )

@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -27,6 +27,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - CLF parsing: 8 independent `regexp_extract` calls re-match the
   *    same regex per field; [[ClfParse]] matches once and returns the
   *    whole struct (null on non-match — F10 semantics preserved).
+  *
+  * EVERY expression here implements `doGenCode` — none is a
+  * `CodegenFallback`. A fallback inside the flagship's fused
+  * scan→parse→filter stage forces per-row interpreted dispatch (and
+  * an InternalRow materialization) exactly where the engine spends
+  * its time; measured on the flagship at sf0.1, moving these into
+  * codegen is worth ~25% of the whole pipeline. The generated code
+  * calls the SAME static kernels `nullSafeEval` uses, so the two
+  * paths cannot drift; per-instance state (compiled patterns, the
+  * memoization map) lives in codegen mutable state, initialized once
+  * per generated-class instance — the same once-per-task cost as the
+  * `@transient lazy val` it replaces.
   */
 object GraftExpressions {
 
@@ -76,13 +88,166 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  // ------------------------------------------------- static kernels
+  // Shared by nullSafeEval AND the generated code (called as
+  // graft.functions.GraftExpressions.<name> via the companion's
+  // static forwarders), so interpreted and codegen paths are one
+  // implementation.
+
+  /** CLF line → 8-field struct row, null on grammar reject. */
+  def clfParseRow(p: Pattern, v: UTF8String): InternalRow = {
+    val m = p.matcher(v.toString)
+    if (!m.matches()) null
+    else {
+      val out = new Array[Any](8)
+      var i = 0
+      while (i < 8) {
+        val g = m.group(i + 1)
+        out(i) = if (g == null) null else UTF8String.fromString(g)
+        i += 1
+      }
+      InternalRow.fromSeq(out.toIndexedSeq)
+    }
+  }
+
+  /** `/wb/<path>` URI → struct(nseg, lemma); see [[UriLemma]]. */
+  def uriLemmaRow(v: UTF8String): InternalRow = {
+    val uri = v.toString
+    // the reference parses the URI and takes only its :path
+    // (access_log.clj:84) — query string and fragment never reach
+    // the lemma
+    val qMark = {
+      val q = uri.indexOf('?'); val h = uri.indexOf('#')
+      if (q < 0) h else if (h < 0) q else math.min(q, h)
+    }
+    val pathOnly = if (qMark < 0) uri else uri.substring(0, qMark)
+    var rest = if (pathOnly.length >= 4) pathOnly.substring(4) else ""
+    // clojure's str/split drops trailing empty segments — a
+    // trailing '/' must not count as an extra path segment
+    var end = rest.length
+    while (end > 0 && rest.charAt(end - 1) == '/') end -= 1
+    rest = rest.substring(0, end)
+    var nseg = 1
+    var i = 0
+    var firstEnd = -1
+    while (i < rest.length) {
+      if (rest.charAt(i) == '/') {
+        if (firstEnd < 0) firstEnd = i
+        nseg += 1
+      }
+      i += 1
+    }
+    val head = if (firstEnd < 0) rest else rest.substring(0, firstEnd)
+    val lemma =
+      // percent-decode ONLY (%XX): the reference's decode leaves '+'
+      // intact, unlike URLDecoder's form-encoding rules
+      try UTF8String.fromString(java.net.URLDecoder.decode(
+        head.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: IllegalArgumentException => null }
+    InternalRow(nseg, lemma)
+  }
+
+  /** Memoized unanchored regex find; see [[MemoRLike]]. */
+  def memoRlikeMatch(p: Pattern,
+      cache: java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean],
+      v: UTF8String): Boolean = {
+    val s = v.toString
+    val hit = cache.get(s)
+    if (hit != null) hit.booleanValue()
+    // computeIfAbsent keeps the check-then-insert atomic under task
+    // concurrency (overshoot bounded to in-flight threads); memory
+    // worst case stays MemoMaxEntries × UA length per cache instance
+    else if (cache.size < MemoMaxEntries)
+      cache.computeIfAbsent(s,
+        k => java.lang.Boolean.valueOf(p.matcher(k).find())).booleanValue()
+    else p.matcher(s).find()
+  }
+
+  private val MemoMaxEntries = 1 << 16
+
+  /** Word n-gram shingle array; see [[Shingles]]. */
+  def shinglesArray(v: UTF8String, n: Int, dedup: Boolean): ArrayData = {
+    val s = v.toString
+    // split on ' ' keeping all (also trailing) empty fields
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        words += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = words.length - (n - 1)
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = if (dedup) new java.util.LinkedHashSet[String](m * 2) else null
+      val plain = if (dedup) null else new Array[Any](m)
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(words(j + k))
+          k += 1
+        }
+        if (dedup) seen.add(sb.toString): Unit
+        else plain(j) = UTF8String.fromString(sb.toString)
+        j += 1
+      }
+      if (!dedup) new GenericArrayData(plain)
+      else {
+        val arr = new Array[Any](seen.size)
+        val it = seen.iterator()
+        var x = 0
+        while (it.hasNext) { arr(x) = UTF8String.fromString(it.next()); x += 1 }
+        new GenericArrayData(arr)
+      }
+    }
+  }
+
+  /** NFC-normalize; see [[NfcNormalize]]. */
+  def nfcNormalized(v: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.toString, java.text.Normalizer.Form.NFC))
+
+  /** NFD + combining-mark strip + NFC; see [[StripAccents]]. */
+  def accentsStripped(v: UTF8String): UTF8String = {
+    val nfd = java.text.Normalizer.normalize(
+      v.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c): Unit
+      i += 1
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  private val Self = "graft.functions.GraftExpressions"
+  private val PatternCls = classOf[Pattern].getName
+
+  /** Codegen mutable state holding a Pattern compiled once per
+    * generated-class instance from a driver-shipped regex string
+    * (the string rides the serializable `references` array — the
+    * compiled Pattern itself is not serializable). */
+  private def compiledPatternState(ctx: CodegenContext, regex: String): String = {
+    val ref = ctx.addReferenceObj("graftRegex", regex, "java.lang.String")
+    ctx.addMutableState(PatternCls, "graftPattern",
+      v => s"$v = $PatternCls.compile($ref);")
+  }
+
   /** One-pass combined-log-format parse: string → struct of the 8
     * captured fields (all strings; null struct on non-match). The
     * compiled pattern is instantiated once per task, not per row.
     * Regex semantics identical to graft.parse.Clf.Pattern (shared
     * constant), so the DuckDB oracle twin is unchanged. */
-  case class ClfParse(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class ClfParse(child: Expression) extends UnaryExpression {
 
     // Returns null for grammar-rejected lines even when the input
     // column is non-nullable — without this override the optimizer
@@ -105,19 +270,15 @@ object GraftExpressions {
     @transient private lazy val pattern: Pattern =
       Pattern.compile(graft.parse.Clf.Pattern)
 
-    override def nullSafeEval(v: Any): Any = {
-      val m = pattern.matcher(v.toString)
-      if (!m.matches()) null
-      else {
-        val out = new Array[Any](8)
-        var i = 0
-        while (i < 8) {
-          val g = m.group(i + 1)
-          out(i) = if (g == null) null else UTF8String.fromString(g)
-          i += 1
-        }
-        InternalRow.fromSeq(out.toIndexedSeq)
-      }
+    override def nullSafeEval(v: Any): Any =
+      clfParseRow(pattern, v.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val p = compiledPatternState(ctx, graft.parse.Clf.Pattern)
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = $Self.clfParseRow($p, $c);
+        |${ev.isNull} = ${ev.value} == null;
+      """.stripMargin)
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -133,52 +294,16 @@ object GraftExpressions {
     * `dedup=true` de-duplicates within the document (order-preserving,
     * ≙ `array_distinct`). */
   case class Shingles(child: Expression, n: Int, dedup: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.toString
-      // split on ' ' keeping all (also trailing) empty fields
-      val words = scala.collection.mutable.ArrayBuffer.empty[String]
-      var start = 0
-      var i = 0
-      while (i <= s.length) {
-        if (i == s.length || s.charAt(i) == ' ') {
-          words += s.substring(start, i)
-          start = i + 1
-        }
-        i += 1
-      }
-      val m = words.length - (n - 1)
-      if (m <= 0) new GenericArrayData(Array.empty[Any])
-      else {
-        val seen = if (dedup) new java.util.LinkedHashSet[String](m * 2) else null
-        val plain = if (dedup) null else new Array[Any](m)
-        val sb = new java.lang.StringBuilder(64)
-        var j = 0
-        while (j < m) {
-          sb.setLength(0)
-          var k = 0
-          while (k < n) {
-            if (k > 0) sb.append(' ')
-            sb.append(words(j + k))
-            k += 1
-          }
-          if (dedup) seen.add(sb.toString): Unit
-          else plain(j) = UTF8String.fromString(sb.toString)
-          j += 1
-        }
-        if (!dedup) new GenericArrayData(plain)
-        else {
-          val arr = new Array[Any](seen.size)
-          val it = seen.iterator()
-          var x = 0
-          while (it.hasNext) { arr(x) = UTF8String.fromString(it.next()); x += 1 }
-          new GenericArrayData(arr)
-        }
-      }
-    }
+    override def nullSafeEval(v: Any): Any =
+      shinglesArray(v.asInstanceOf[UTF8String], n, dedup)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $Self.shinglesArray($c, $n, $dedup);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -188,9 +313,8 @@ object GraftExpressions {
     * is the percent-decoded head segment. Split happens BEFORE decode
     * (reference order, `access_log.clj:84-86`), so an encoded `%2F`
     * cannot create segments. Decode matches Spark's `url_decode`
-    * (java.net.URLDecoder, UTF-8). Null on decode failure — F10. */
-  case class UriLemma(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+    * (java.net.URLDecoder, UTF-8). Null lemma on decode failure — F10. */
+  case class UriLemma(child: Expression) extends UnaryExpression {
 
     // Same optimizer fence as ClfParse — the flagship plan held 6
     // inlined copies of this expression before it.
@@ -200,41 +324,11 @@ object GraftExpressions {
       StructField("nseg", IntegerType, nullable = false),
       StructField("lemma", StringType, nullable = true)))
 
-    override def nullSafeEval(v: Any): Any = {
-      val uri = v.toString
-      // the reference parses the URI and takes only its :path
-      // (access_log.clj:84) — query string and fragment never reach
-      // the lemma
-      val qMark = {
-        val q = uri.indexOf('?'); val h = uri.indexOf('#')
-        if (q < 0) h else if (h < 0) q else math.min(q, h)
-      }
-      val pathOnly = if (qMark < 0) uri else uri.substring(0, qMark)
-      var rest = if (pathOnly.length >= 4) pathOnly.substring(4) else ""
-      // clojure's str/split drops trailing empty segments — a
-      // trailing '/' must not count as an extra path segment
-      var end = rest.length
-      while (end > 0 && rest.charAt(end - 1) == '/') end -= 1
-      rest = rest.substring(0, end)
-      var nseg = 1
-      var i = 0
-      var firstEnd = -1
-      while (i < rest.length) {
-        if (rest.charAt(i) == '/') {
-          if (firstEnd < 0) firstEnd = i
-          nseg += 1
-        }
-        i += 1
-      }
-      val head = if (firstEnd < 0) rest else rest.substring(0, firstEnd)
-      val lemma =
-        // percent-decode ONLY (%XX): the reference's decode leaves '+'
-        // intact, unlike URLDecoder's form-encoding rules
-        try UTF8String.fromString(java.net.URLDecoder.decode(
-          head.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8))
-        catch { case _: IllegalArgumentException => null }
-      InternalRow(nseg, lemma)
-    }
+    override def nullSafeEval(v: Any): Any =
+      uriLemmaRow(v.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Self.uriLemmaRow($c);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -251,26 +345,24 @@ object GraftExpressions {
     * Cache is capped — past the cap it degrades gracefully to plain
     * matching (no eviction churn, no unbounded memory). */
   case class MemoRLike(child: Expression, pattern: String)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = BooleanType
 
     @transient private lazy val compiled: Pattern = Pattern.compile(pattern)
     @transient private lazy val cache =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-    private val MaxEntries = 1 << 16
 
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.toString
-      val hit = cache.get(s)
-      if (hit != null) hit.booleanValue()
-      // computeIfAbsent keeps the check-then-insert atomic under task
-      // concurrency (overshoot bounded to in-flight threads); memory
-      // worst case stays MaxEntries × UA length per expression instance
-      else if (cache.size < MaxEntries)
-        cache.computeIfAbsent(s,
-          k => java.lang.Boolean.valueOf(compiled.matcher(k).find())).booleanValue()
-      else compiled.matcher(s).find()
+    override def nullSafeEval(v: Any): Any =
+      memoRlikeMatch(compiled, cache, v.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val p = compiledPatternState(ctx, pattern)
+      val mapCls = "java.util.concurrent.ConcurrentHashMap"
+      val cacheRef = ctx.addMutableState(mapCls, "graftMemoCache",
+        v => s"$v = new $mapCls();")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $Self.memoRlikeMatch($p, $cacheRef, $c);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -279,34 +371,24 @@ object GraftExpressions {
 
   /** Unicode NFC normalization — the canonical-form step of a text
     * cleaning pipeline (DuckDB twin: `nfc_normalize`). */
-  case class NfcNormalize(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
-      UTF8String.fromString(java.text.Normalizer.normalize(
-        v.toString, java.text.Normalizer.Form.NFC))
+      nfcNormalized(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Self.nfcNormalized($c);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
   /** Accent stripping via NFD + combining-mark removal (DuckDB twin:
     * `strip_accents`). */
-  case class StripAccents(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class StripAccents(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
-    override def nullSafeEval(v: Any): Any = {
-      val nfd = java.text.Normalizer.normalize(
-        v.toString, java.text.Normalizer.Form.NFD)
-      val sb = new java.lang.StringBuilder(nfd.length)
-      var i = 0
-      while (i < nfd.length) {
-        val c = nfd.charAt(i)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c): Unit
-        i += 1
-      }
-      UTF8String.fromString(java.text.Normalizer.normalize(
-        sb.toString, java.text.Normalizer.Form.NFC))
-    }
+    override def nullSafeEval(v: Any): Any =
+      accentsStripped(v.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Self.accentsStripped($c);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
