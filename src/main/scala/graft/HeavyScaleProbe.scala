@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: heavy-tail growth probe one decade PAST the bench's top
+  * scale — separates linear-ish growth from quadratic surprises on
+  * the five most expensive queries (the graph/iterative/self-join
+  * tail the bench history shows blowing up first).
+  *
+  * No sf1 testdata exists, so the probe materializes a synthetic one
+  * from sf0.1 — 10 salted copies, distribution-preserving rather than
+  * density-inflating:
+  *
+  *  - documents: copy c offsets doc_id and suffixes every token with
+  *    `_c<c>` — copies share NO shingles, so near-dup cluster sizes
+  *    and df distributions stay constant while the corpus grows 10×
+  *    (verbatim copies would instead multiply every LSH bucket by 10
+  *    and candidate pairs by ~100 — a worst-case stress, not a
+  *    scale-up);
+  *  - embeddings: vec_id offset, a small per-copy constant shift so
+  *    copies are distinct points in the same cloud shape;
+  *  - lineitem: part/supp keys offset per copy — 10 disconnected
+  *    copies of the co-stocking graph (component structure constant,
+  *    node/edge count 10×).
+  *
+  * Reported per query at sf0.1 and synthetic sf1: wall (min of 2) and
+  * total shuffle records, with the wall growth exponent
+  * log10(t₁/t₀·₁) — ≈1 is linear scaling, ≈2 quadratic. Results
+  * recorded in PLANS.md. Usage: runMain graft.HeavyScaleProbe
+  */
+object HeavyScaleProbe {
+  private val Src = "/root/testdata/sf0.1"
+  private val Dst = "/tmp/graft_sf1"
+  private val Copies = 10
+  private val Queries = Seq("q_pagerank", "q_dedup_keep_best", "q_dedup_cc",
+    "q_dedup_cc_star", "q_knn_ivf_trained", "q_sim_allpairs")
+
+  private def synthesize(spark: SparkSession): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(Dst, "_DONE"))) return
+    val copies = spark.range(Copies).select(col("id").cast("int").as("cp"))
+
+    val docs = Tables(spark, Src, "documents")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("cp") * maxDoc).as("doc_id"),
+        when(col("cp") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_c"), col("cp").cast("string")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Dst/documents.parquet")
+
+    val emb = Tables(spark, Src, "embeddings")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    emb.crossJoin(copies)
+      .select(
+        (col("vec_id") + col("cp") * maxVec).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("cp").cast("float") * lit(0.013f)).cast("float"))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Dst/embeddings.parquet")
+
+    val li = Tables(spark, Src, "lineitem")
+    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    li.crossJoin(copies)
+      .select(li.columns.map {
+        case "l_partkey" => (col("l_partkey") + col("cp") * maxPart).as("l_partkey")
+        case "l_suppkey" => (col("l_suppkey") + col("cp") * maxSupp).as("l_suppkey")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Dst/lineitem.parquet")
+
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(Dst, "_DONE")): Unit
+  }
+
+  /** Sums shuffle WRITE records across every completed stage of the
+    * probed run — the final executed plan alone under-counts
+    * iterative queries, whose per-iteration exchanges live upstream
+    * of a localCheckpoint and never appear in the residual tree. */
+  private final class ShuffleSum extends org.apache.spark.scheduler.SparkListener {
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onStageCompleted(
+        ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      records.addAndGet(
+        ev.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten): Unit
+  }
+
+  private def measure(spark: SparkSession, name: String, dir: String)
+      : (Double, Long, Long) = {
+    def once(): (Double, Long, Long) = {
+      val priorRdds = spark.sparkContext.getPersistentRDDs.keySet
+      val listener = new ShuffleSum
+      spark.sparkContext.addSparkListener(listener)
+      // the builder runs INSIDE the clock and the listener window:
+      // iterative queries (pagerank, cc, keep_best, k-means training)
+      // do their per-iteration actions + localCheckpoints at
+      // DataFrame-construction time — outside this boundary both the
+      // wall and the shuffle count would see only the residual plan
+      // (the same accounting Bench uses)
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val rows = df.queryExecution.executedPlan.executeCollect().length.toLong
+      val t = (System.nanoTime() - t0) / 1e9
+      // stage-completed events are delivered async; settle before reading
+      var prev = -1L
+      while (listener.records.get != prev) {
+        prev = listener.records.get; Thread.sleep(300)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => priorRdds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      (t, listener.records.get, rows)
+    }
+    val a = once(); val b = once()
+    (math.min(a._1, b._1), b._2, b._3)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(logLevel = "ERROR")
+    synthesize(spark)
+    for (name <- Queries) {
+      val (t0, sh0, r0) = measure(spark, name, Src)
+      val (t1, sh1, r1) = measure(spark, name, Dst)
+      val exp = math.log10(t1 / t0)
+      println(f"HEAVYSCALE $name%-20s sf0.1: ${t0}%6.2f s $sh0%9d shuf $r0%7d rows | " +
+        f"sf1: ${t1}%6.2f s $sh1%10d shuf $r1%8d rows | wall_exp=$exp%5.2f")
+    }
+    spark.stop()
+  }
+}
