@@ -843,8 +843,57 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch-shuffle shard count. At production scale this is the
+    * data-loader worker count (thousands), so each shard's sort fits
+    * one worker; 8 here keeps the oracle grid readable. */
+  private val EpochShards = 8
+
+  /** Seed literal for the epoch permutation — a new epoch is a new
+    * seed, nothing else changes. */
+  private val EpochSeed = "ep7"
+
+  /** Deterministic epoch shuffle: the reproducible global permutation
+    * of the corpus every training run needs between epochs, sharded
+    * for data-loader consumption. The permutation key is a pure
+    * function of (seed, doc_id) — portable md5, no RNG state — so it
+    * is identical across engines, runs, resumes, and repartitionings
+    * (`df.orderBy(rand())` is none of those); changing the seed
+    * literal gives the next epoch an uncorrelated order via md5
+    * avalanche.
+    *
+    * Scale shape: shard = hash % nShards, position = row_number
+    * within the shard ordered by the hash — Spark plans this as ONE
+    * hash exchange on `shard` followed by an in-partition sort
+    * (exactly the `repartition(shard).sortWithinPartitions` a shard
+    * writer would run); there is no corpus-wide range sort anywhere.
+    * With nShards = loader workers, each shard's sort is worker-sized
+    * by construction. The trailing ORDER BY is the oracle-determinism
+    * presentation sort. */
+  private val qShuffleEpoch = Q("q_shuffle_epoch",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${PortableHash.md5LongSql(s"'$EpochSeed:' || doc_id::VARCHAR")} AS hv
+       |  FROM documents)
+       |SELECT CAST(hv % $EpochShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY hv % $EpochShards
+       |                          ORDER BY hv, doc_id) AS BIGINT) AS pos,
+       |  doc_id
+       |FROM h ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val hv = PortableHash.md5Long(
+      concat(lit(s"$EpochSeed:"), col("doc_id").cast("string")))
+    t(s, d, "documents")
+      .select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard", (col("hv") % EpochShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id")))
+        .cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve)
+    qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve,
+    qShuffleEpoch)
 }

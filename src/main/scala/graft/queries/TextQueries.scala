@@ -701,7 +701,47 @@ object TextQueries {
     coveragePlan(lt, VocabMax, VocabCutoffs)
   }
 
+  /** One BPE merge-selection step — the distributed core of tokenizer
+    * training (Sennrich et al. ACL'16): over the initial character
+    * vocabulary, count adjacent symbol pairs weighted by word
+    * frequency and rank the merge candidates. A full BPE build is
+    * this op iterated with a driver-held merge table; the per-
+    * iteration cost is ALL here.
+    *
+    * Scale shape — the one that matters for tokenizer builds on
+    * 100 TB: the corpus collapses to the word-frequency table FIRST
+    * (one map-side-combined group-by, the only corpus-scale
+    * exchange), and pair extraction runs over the VOCABULARY
+    * (|V| × avg word length rows, millions not trillions), so every
+    * later iteration of a real BPE loop is corpus-free. The pair
+    * group-by is symbol-pair-cardinality; the top-20 is a TakeOrdered
+    * shortlist, never a full sort. */
+  private val qBpeMerge = Q("q_bpe_merge",
+    """WITH wf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, i, 2) AS pair, f
+      |  FROM wf, unnest(range(1, length(w))) AS t(i))
+      |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+    val wf = t(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
-    qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage)
+    qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
+    qBpeMerge)
 }
