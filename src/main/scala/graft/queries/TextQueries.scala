@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHash
 import graft.queries.Q.t
 
 /** Training-data text analysis over the `documents` table: language
@@ -740,8 +741,64 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Hashed feature space for the learned quality filter: 256
+    * buckets via the portable md5 digest. */
+  private val LrDim = 256L
+
+  /** Knuth multiplicative constant scattering bucket → weight. */
+  private val LrMult = 2654435761L
+
+  /** Learned quality-filter APPLY — the serving shape of a
+    * fasttext-style hashed linear classifier (CCNet/RefinedWeb-class
+    * quality gates): each token hashes into a [[LrDim]]-bucket
+    * feature space, the per-bucket weight is a fixed deterministic
+    * function of the bucket id (integer-exact on both engines — a
+    * stand-in for a trained table, which `operators.HashedLogReg`
+    * produces; the plumbing under test is identical), and a document
+    * keeps iff its summed margin is non-negative.
+    *
+    * Scale shape: scoring is a PURE PER-ROW expression — the margin
+    * is an `aggregate` HOF over the token array, so there is NO
+    * explode and NO shuffle before the presentation sort; at 100 TB
+    * this is a codegen'd scan predicate like the hash-split and
+    * temperature-thin passes. The margin numerator is an exact
+    * integer sum (weights are rationals k/1024 scaled to integers),
+    * so cross-engine equality is bit-level; only the final reported
+    * score divides, through the shared round(…,4) discipline. */
+  /** The scoring transform itself — a stateless per-row projection,
+    * shared verbatim by the batch query and the streaming gate
+    * (StreamingLogregSpec runs THIS function under readStream). */
+  private[graft] def logregScore(docs: DataFrame): DataFrame = {
+    def wnum(w: Column): Column =
+      PortableHash.md5Long(w) % LrDim * LrMult % 1024L - 512L
+    val toks = words(col("text"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        aggregate(toks, lit(0L), (acc, w) => acc + wnum(w)).as("margin_num"),
+        size(toks).cast("long").as("n_tok"))
+      .withColumn("score",
+        round(col("margin_num") / (col("n_tok") * lit(1024.0)), 4))
+      .withColumn("keep", col("margin_num") >= 0L)
+  }
+
+  private val qQualityLogreg = Q("q_quality_logreg",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512) AS BIGINT) AS margin_num,
+      |    CAST(count(*) AS BIGINT) AS n_tok
+      |  FROM tk GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, margin_num, n_tok,
+      |  round(margin_num / (n_tok * 1024.0), 4) AS score,
+      |  margin_num >= 0 AS keep
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    logregScore(t(s, d, "documents")).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
-    qBpeMerge)
+    qBpeMerge, qQualityLogreg)
 }
