@@ -760,8 +760,10 @@ object TextQueries {
     * Scale shape: scoring is a PURE PER-ROW expression — the margin
     * is an `aggregate` HOF over the token array, so there is NO
     * explode and NO shuffle before the presentation sort; at 100 TB
-    * this is a codegen'd scan predicate like the hash-split and
-    * temperature-thin passes. The margin numerator is an exact
+    * this is a single-scan, shuffle-free filter pass like the
+    * hash-split and temperature-thin predicates (the HOF lambda
+    * itself evaluates interpreted — the per-token md5 dominates
+    * either way). The margin numerator is an exact
     * integer sum (weights are rationals k/1024 scaled to integers),
     * so cross-engine equality is bit-level; only the final reported
     * score divides, through the shared round(…,4) discipline. */
