@@ -36,10 +36,22 @@ object PrefixSum {
     * `orderCol` must be a total order (unique) for the result to be
     * deterministic. */
   def cumsum(df: DataFrame, orderCol: String, valueCol: String,
+      numPartitions: Int, out: String): DataFrame =
+    cumsumBy(df, Seq(orderCol), valueCol, numPartitions, out)
+
+  /** [[cumsum]] over a composite (lexicographic) order key — the
+    * ordering the epoch-shuffle shard construction needs, where the
+    * leading key (shard) is LOW-cardinality: range partitioning on
+    * the full composite splits a big leading-key group across many
+    * partitions, so parallelism is independent of that key's
+    * cardinality (a `row_number` window partitioned by it would
+    * funnel each group through one task). The key tuple must be a
+    * total order (unique) for determinism. */
+  def cumsumBy(df: DataFrame, orderCols: Seq[String], valueCol: String,
       numPartitions: Int, out: String): DataFrame = {
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(numPartitions, col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val ranged = df.repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     val valueIdx = ranged.schema.fieldIndex(valueCol)
     val schema = ranged.schema.add("__pid", IntegerType).add(out, LongType)
     // localCheckpoint: the scanned+summed rows feed BOTH the totals

@@ -844,8 +844,9 @@ object PipelineQueries {
   }
 
   /** Epoch-shuffle shard count. At production scale this is the
-    * data-loader worker count (thousands), so each shard's sort fits
-    * one worker; 8 here keeps the oracle grid readable. */
+    * data-loader worker count (thousands); 8 here keeps the oracle
+    * grid readable. The construction's parallelism does NOT depend on
+    * it (see the query scaladoc). */
   private val EpochShards = 8
 
   /** Seed literal for the epoch permutation — a new epoch is a new
@@ -861,14 +862,17 @@ object PipelineQueries {
     * literal gives the next epoch an uncorrelated order via md5
     * avalanche.
     *
-    * Scale shape: shard = hash % nShards, position = row_number
-    * within the shard ordered by the hash — Spark plans this as ONE
-    * hash exchange on `shard` followed by an in-partition sort
-    * (exactly the `repartition(shard).sortWithinPartitions` a shard
-    * writer would run); there is no corpus-wide range sort anywhere.
-    * With nShards = loader workers, each shard's sort is worker-sized
-    * by construction. The trailing ORDER BY is the oracle-determinism
-    * presentation sort. */
+    * Scale shape: shard = hash % nShards; position-within-shard comes
+    * from the [[PrefixSum.cumsumBy]] two-phase scan over the
+    * composite (shard, hv, doc_id) order — range partitioning splits
+    * even ONE shard across many tasks, so parallelism is independent
+    * of nShards (a `row_number` window PARTITION BY shard — what the
+    * oracle SQL literally says — would funnel corpus/nShards rows
+    * through single tasks, the low-cardinality-window anti-pattern
+    * the token-budget and quantile passes also avoid). The per-shard
+    * start offsets are an nShards-bounded aggregate broadcast back;
+    * within-shard rank = global running count − shard offset. The
+    * trailing ORDER BY is the oracle-determinism presentation sort. */
   private val qShuffleEpoch = Q("q_shuffle_epoch",
     s"""WITH h AS (
        |  SELECT doc_id,
@@ -881,13 +885,17 @@ object PipelineQueries {
        |FROM h ORDER BY shard, pos""".stripMargin) { (s, d) =>
     val hv = PortableHash.md5Long(
       concat(lit(s"$EpochSeed:"), col("doc_id").cast("string")))
-    t(s, d, "documents")
+    val sharded = t(s, d, "documents")
       .select(col("doc_id"), hv.as("hv"))
       .withColumn("shard", (col("hv") % EpochShards).cast("int"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id")))
-        .cast("long"))
-      .select(col("shard"), col("pos"), col("doc_id"))
+      .withColumn("one", lit(1L))
+    val cum = PrefixSum.cumsumBy(sharded,
+      Seq("shard", "hv", "doc_id"), "one", 8, "cum")
+    // first row of each shard has cum = rows-before-shard + 1
+    val offs = cum.groupBy(col("shard")).agg((min(col("cum")) - 1L).as("off"))
+    cum.join(broadcast(offs), "shard")
+      .select(col("shard"), (col("cum") - col("off")).as("pos"),
+        col("doc_id"))
       .orderBy(col("shard"), col("pos"))
   }
 

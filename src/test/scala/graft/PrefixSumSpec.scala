@@ -39,4 +39,21 @@ class PrefixSumSpec extends AnyFunSuite {
     val vals = (1L to 200L).map(k => (k, if (k < 190) 0L else k))
     check(vals, nParts = 4)
   }
+
+  test("cumsumBy over a composite key: lexicographic running sum with a low-cardinality leading key") {
+    // (g, k) with only 3 distinct g — the epoch-shuffle shape; range
+    // partitioning on the composite must still parallelize and the
+    // running sum must follow (g, k) lexicographic order exactly
+    // k*31 mod 41 is a bijection on 1..40 — scrambled but unique, so
+    // the composite (g, k) stays a total order
+    val values = for (g <- 0L to 2L; k <- 1L to 40L) yield (g, k * 31 % 41, 1L)
+    val df = values.reverse.toDF("g", "k", "v").repartition(7)
+    val got = PrefixSum.cumsumBy(df, Seq("g", "k"), "v", 8, "cum")
+      .orderBy("g", "k").as[(Long, Long, Long, Long)].collect()
+    val expected = values.sortBy { case (g, k, _) => (g, k) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, acc), (g, k, v)) =>
+        (g, k, v, acc + v) }
+      .tail
+    assert(got.toSeq == expected)
+  }
 }
