@@ -899,9 +899,49 @@ object PipelineQueries {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** Seed for the within-band curriculum shuffle. */
+  private val CurriculumSeed = "cur3"
+
+  /** Curriculum data ordering (Bengio et al. ICML'09, the
+    * length-as-difficulty schedule of GPT-style pretraining warmups):
+    * a GLOBAL training order that presents easy documents first —
+    * difficulty bands from a per-row proxy (here n_chars literals;
+    * any scored band works), deterministically shuffled WITHIN each
+    * band by the portable seeded hash so the curriculum is
+    * reproducible across runs and resumes (same contract as
+    * `q_shuffle_epoch`; a new stage = a new seed).
+    *
+    * Scale shape: the global position over (band, hv, doc_id) comes
+    * from the [[PrefixSum.cumsumBy]] two-phase scan — the oracle SQL
+    * writes the corpus-wide `row_number() OVER (ORDER BY …)` this
+    * query exists to AVOID (a single-task global window at scale);
+    * the band CASE is a codegen'd per-row literal compare, and no
+    * corpus-scale frame is ever broadcast. */
+  private val qCurriculum = Q("q_curriculum",
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS band,
+       |    ${PortableHash.md5LongSql(s"'$CurriculumSeed:' || doc_id::VARCHAR")} AS hv
+       |  FROM documents)
+       |SELECT CAST(row_number() OVER (ORDER BY band, hv, doc_id) AS BIGINT) AS pos,
+       |  CAST(band AS INT) AS band, doc_id
+       |FROM h ORDER BY pos""".stripMargin) { (s, d) =>
+    val hv = PortableHash.md5Long(
+      concat(lit(s"$CurriculumSeed:"), col("doc_id").cast("string")))
+    val banded = t(s, d, "documents")
+      .select(col("doc_id"),
+        when(col("n_chars") < 200, 0).when(col("n_chars") < 400, 1)
+          .otherwise(2).as("band"),
+        hv.as("hv"))
+      .withColumn("one", lit(1L))
+    PrefixSum.cumsumBy(banded, Seq("band", "hv", "doc_id"), "one", 8, "pos")
+      .select(col("pos"), col("band"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
     qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve,
-    qShuffleEpoch)
+    qShuffleEpoch, qCurriculum)
 }
