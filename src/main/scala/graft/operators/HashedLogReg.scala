@@ -91,8 +91,12 @@ object HashedLogReg {
       : (Model, Seq[Double]) = {
     require(iters >= 1 && dim >= 2, s"iters=$iters dim=$dim")
     val f = feats.repartition(col("doc_id")).localCheckpoint()
-    val n = f.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val head = f.agg(countDistinct(col("doc_id")).as("n"),
+      count(when(col("y") =!= 0.0 && col("y") =!= 1.0, 1)).as("bad")).first()
+    val n = head.getLong(0)
     require(n > 0, "empty training set")
+    // a mislabeled frame would otherwise train silently toward garbage
+    require(head.getLong(1) == 0L, "labels must be exactly 0.0 or 1.0")
     var w = Array.fill(dim)(0.0)
     var bias = 0.0
     val losses = Seq.newBuilder[Double]

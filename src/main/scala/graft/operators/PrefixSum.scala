@@ -49,6 +49,7 @@ object PrefixSum {
     * total order (unique) for determinism. */
   def cumsumBy(df: DataFrame, orderCols: Seq[String], valueCol: String,
       numPartitions: Int, out: String): DataFrame = {
+    require(orderCols.nonEmpty, "cumsumBy needs at least one order column")
     val spark = df.sparkSession
     val ranged = df.repartitionByRange(numPartitions, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
