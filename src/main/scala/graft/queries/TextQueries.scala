@@ -767,16 +767,22 @@ object TextQueries {
     * integer sum (weights are rationals k/1024 scaled to integers),
     * so cross-engine equality is bit-level; only the final reported
     * score divides, through the shared round(…,4) discipline. */
+  /** Exact-integer logreg margin numerator over the token array —
+    * shared by the standalone apply query and the fused gate. */
+  private def logregMarginNum(text: Column): Column = {
+    def wnum(w: Column): Column =
+      PortableHash.md5Long(w) % LrDim * LrMult % 1024L - 512L
+    aggregate(words(text), lit(0L), (acc, w) => acc + wnum(w))
+  }
+
   /** The scoring transform itself — a stateless per-row projection,
     * shared verbatim by the batch query and the streaming gate
     * (StreamingLogregSpec runs THIS function under readStream). */
   private[graft] def logregScore(docs: DataFrame): DataFrame = {
-    def wnum(w: Column): Column =
-      PortableHash.md5Long(w) % LrDim * LrMult % 1024L - 512L
     val toks = words(col("text"))
     docs
       .select(col("doc_id"), col("lang"),
-        aggregate(toks, lit(0L), (acc, w) => acc + wnum(w)).as("margin_num"),
+        logregMarginNum(col("text")).as("margin_num"),
         size(toks).cast("long").as("n_tok"))
       .withColumn("score",
         round(col("margin_num") / (col("n_tok") * lit(1024.0)), 4))
@@ -799,8 +805,82 @@ object TextQueries {
     logregScore(t(s, d, "documents")).orderBy(col("doc_id"))
   }
 
+  /** The FUSED production quality cascade — every per-row quality
+    * signal this family ships (length window, language markers,
+    * Gopher distinct-word repetition, PII detection on the
+    * deterministic injected spans, the learned logreg margin)
+    * evaluated in ONE pass with a failure-reason bitmask: the
+    * corpus-pipeline analog of the flagship's filter cascade, and the
+    * shape a real 100 TB filter job runs (decide once per document,
+    * not one job per signal).
+    *
+    * Scale shape: every signal is a per-row expression over the SAME
+    * tokenization, so the whole gate is a single scan with ZERO
+    * shuffles before the presentation sort — five filter jobs' worth
+    * of signals for one corpus read. The reason bitmask (1=length,
+    * 2=markers, 4=repetition, 8=PII, 16=classifier) is what the
+    * pipeline's drop-audit aggregations consume downstream. */
+  private val qQualityGate = Q("q_quality_gate",
+    s"""WITH w AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, 40)
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+      |      || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || doc_id % 256 || '.7' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-01' || doc_id % 90 + 10 ELSE '' END AS piit,
+      |    string_split(lower(text), ' ') AS ws
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS INT) AS n_words,
+      |    len(ws) BETWEEN 20 AND 500 AS len_ok,
+      |    len(list_filter(ws, x -> x IN ('the','a','of','and','der','die','das','und'))) > 0 AS marker_ok,
+      |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.45 AS rep_ok,
+      |    NOT (regexp_matches(piit, '$EmailRe') OR regexp_matches(piit, '$Ipv4Re')
+      |         OR regexp_matches(piit, '$PhoneRe')) AS pii_ok,
+      |    list_sum(list_transform(ws,
+      |      w -> ((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512))) >= 0 AS lr_ok
+      |  FROM w)
+      |SELECT doc_id, n_words,
+      |  CAST(CASE WHEN len_ok THEN 0 ELSE 1 END + CASE WHEN marker_ok THEN 0 ELSE 2 END
+      |     + CASE WHEN rep_ok THEN 0 ELSE 4 END + CASE WHEN pii_ok THEN 0 ELSE 8 END
+      |     + CASE WHEN lr_ok THEN 0 ELSE 16 END AS INT) AS reasons,
+      |  (len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val piit = concat(
+      substring(col("text"), 1, 40),
+      when(pmod(id, lit(3)) === 0,
+        concat(lit(" contact u"), id.cast("string"), lit("@example.com")))
+        .otherwise(""),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit(" from 10.0."), pmod(id, lit(256)).cast("string"), lit(".7")))
+        .otherwise(""),
+      when(pmod(id, lit(5)) === 0,
+        concat(lit(" call +1-555-01"), (pmod(id, lit(90)) + 10).cast("string")))
+        .otherwise(""))
+    val lenOk = col("n_words").between(20, 500)
+    val markerOk = col("markers") > 0
+    val repOk = col("distinct_n").cast("double") / col("n_words").cast("double") >= 0.45
+    val piiOk = !(col("piit").rlike(EmailRe) || col("piit").rlike(Ipv4Re) ||
+      col("piit").rlike(PhoneRe))
+    val lrOk = col("margin_num") >= 0L
+    def bit(ok: Column, v: Int): Column = when(ok, 0).otherwise(v)
+    t(s, d, "documents")
+      .select(id, piit.as("piit"), words(col("text")).as("ws"),
+        logregMarginNum(col("text")).as("margin_num"))
+      .select(id, col("piit"), col("margin_num"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("distinct_n"),
+        countIn(col("ws"), EnMarkers ++ DeMarkers).as("markers"))
+      .select(id, col("n_words"),
+        (bit(lenOk, 1) + bit(markerOk, 2) + bit(repOk, 4) + bit(piiOk, 8) +
+          bit(lrOk, 16)).cast("int").as("reasons"),
+        (lenOk && markerOk && repOk && piiOk && lrOk).as("keep"))
+      .orderBy(id)
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
-    qBpeMerge, qQualityLogreg)
+    qBpeMerge, qQualityLogreg, qQualityGate)
 }
