@@ -820,9 +820,11 @@ object TextQueries {
     * of signals for one corpus read. The reason bitmask (1=length,
     * 2=markers, 4=repetition, 8=PII, 16=classifier) is what the
     * pipeline's drop-audit aggregations consume downstream. */
-  private val qQualityGate = Q("q_quality_gate",
+  /** Shared CTE fragment: the per-row gate signals, with `source`
+    * carried for the audit aggregation. */
+  private val GateSignalsSql =
     s"""WITH w AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    substr(text, 1, 40)
       |      || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
       |      || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || doc_id % 256 || '.7' ELSE '' END
@@ -830,7 +832,7 @@ object TextQueries {
       |    string_split(lower(text), ' ') AS ws
       |  FROM documents),
       |s AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    CAST(len(ws) AS INT) AS n_words,
       |    len(ws) BETWEEN 20 AND 500 AS len_ok,
       |    len(list_filter(ws, x -> x IN ('the','a','of','and','der','die','das','und'))) > 0 AS marker_ok,
@@ -839,13 +841,11 @@ object TextQueries {
       |         OR regexp_matches(piit, '$PhoneRe')) AS pii_ok,
       |    list_sum(list_transform(ws,
       |      w -> ((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512))) >= 0 AS lr_ok
-      |  FROM w)
-      |SELECT doc_id, n_words,
-      |  CAST(CASE WHEN len_ok THEN 0 ELSE 1 END + CASE WHEN marker_ok THEN 0 ELSE 2 END
-      |     + CASE WHEN rep_ok THEN 0 ELSE 4 END + CASE WHEN pii_ok THEN 0 ELSE 8 END
-      |     + CASE WHEN lr_ok THEN 0 ELSE 16 END AS INT) AS reasons,
-      |  (len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok) AS keep
-      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  FROM w)""" // NO stripMargin: embedded in templates that strip once
+
+  /** Spark twin of [[GateSignalsSql]]: one shared tokenization, all
+    * five per-row signals. */
+  private def gateSignals(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val piit = concat(
       substring(col("text"), 1, 40),
@@ -858,29 +858,86 @@ object TextQueries {
       when(pmod(id, lit(5)) === 0,
         concat(lit(" call +1-555-01"), (pmod(id, lit(90)) + 10).cast("string")))
         .otherwise(""))
-    val lenOk = col("n_words").between(20, 500)
-    val markerOk = col("markers") > 0
-    val repOk = col("distinct_n").cast("double") / col("n_words").cast("double") >= 0.45
-    val piiOk = !(col("piit").rlike(EmailRe) || col("piit").rlike(Ipv4Re) ||
-      col("piit").rlike(PhoneRe))
-    val lrOk = col("margin_num") >= 0L
-    def bit(ok: Column, v: Int): Column = when(ok, 0).otherwise(v)
-    t(s, d, "documents")
-      .select(id, piit.as("piit"), words(col("text")).as("ws"),
+    docs
+      .select(id, col("source"), piit.as("piit"), words(col("text")).as("ws"),
         logregMarginNum(col("text")).as("margin_num"))
-      .select(id, col("piit"), col("margin_num"),
+      .select(id, col("source"), col("piit"), col("margin_num"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("distinct_n"),
         countIn(col("ws"), EnMarkers ++ DeMarkers).as("markers"))
-      .select(id, col("n_words"),
+      .select(id, col("source"), col("n_words"),
+        col("n_words").between(20, 500).as("len_ok"),
+        (col("markers") > 0).as("marker_ok"),
+        (col("distinct_n").cast("double") / col("n_words").cast("double")
+          >= 0.45).as("rep_ok"),
+        (!(col("piit").rlike(EmailRe) || col("piit").rlike(Ipv4Re) ||
+          col("piit").rlike(PhoneRe))).as("pii_ok"),
+        (col("margin_num") >= 0L).as("lr_ok"))
+  }
+
+  private val qQualityGate = Q("q_quality_gate",
+    s"""$GateSignalsSql
+      |SELECT doc_id, n_words,
+      |  CAST(CASE WHEN len_ok THEN 0 ELSE 1 END + CASE WHEN marker_ok THEN 0 ELSE 2 END
+      |     + CASE WHEN rep_ok THEN 0 ELSE 4 END + CASE WHEN pii_ok THEN 0 ELSE 8 END
+      |     + CASE WHEN lr_ok THEN 0 ELSE 16 END AS INT) AS reasons,
+      |  (len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val lenOk = col("len_ok")
+    val markerOk = col("marker_ok")
+    val repOk = col("rep_ok")
+    val piiOk = col("pii_ok")
+    val lrOk = col("lr_ok")
+    def bit(ok: Column, v: Int): Column = when(ok, 0).otherwise(v)
+    gateSignals(t(s, d, "documents"))
+      .select(col("doc_id"), col("n_words"),
         (bit(lenOk, 1) + bit(markerOk, 2) + bit(repOk, 4) + bit(piiOk, 8) +
           bit(lrOk, 16)).cast("int").as("reasons"),
         (lenOk && markerOk && repOk && piiOk && lrOk).as("keep"))
-      .orderBy(id)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The gate's drop-audit — what a pipeline operator actually reads
+    * after a filter run: per-source document counts, kept count and
+    * rate, and the NON-exclusive per-signal drop counts (a doc
+    * failing two checks counts in both columns — the bitmask
+    * decomposed back into signals).
+    *
+    * Scale shape: the same single-scan signals feed ONE
+    * map-side-combined groupBy on `source` — the exchange carries a
+    * handful of partial-count rows per upstream partition, nothing
+    * corpus-scaled anywhere. */
+  private val qQualityAudit = Q("q_quality_audit",
+    s"""$GateSignalsSql
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  round(sum(CASE WHEN len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok
+      |        THEN 1 ELSE 0 END) / (count(*) * 1.0), 4) AS keep_rate,
+      |  CAST(sum(CASE WHEN len_ok THEN 0 ELSE 1 END) AS BIGINT) AS drop_len,
+      |  CAST(sum(CASE WHEN marker_ok THEN 0 ELSE 1 END) AS BIGINT) AS drop_marker,
+      |  CAST(sum(CASE WHEN rep_ok THEN 0 ELSE 1 END) AS BIGINT) AS drop_rep,
+      |  CAST(sum(CASE WHEN pii_ok THEN 0 ELSE 1 END) AS BIGINT) AS drop_pii,
+      |  CAST(sum(CASE WHEN lr_ok THEN 0 ELSE 1 END) AS BIGINT) AS drop_lr
+      |FROM s GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val keepAll = col("len_ok") && col("marker_ok") && col("rep_ok") &&
+      col("pii_ok") && col("lr_ok")
+    def drops(ok: String): Column =
+      sum(when(col(ok), 0L).otherwise(1L)).as("drop_" + ok.stripSuffix("_ok"))
+    gateSignals(t(s, d, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(keepAll, 1L).otherwise(0L)).as("n_keep"),
+        round(sum(when(keepAll, 1L).otherwise(0L)) /
+          (count(lit(1)) * lit(1.0)), 4).as("keep_rate"),
+        drops("len_ok"), drops("marker_ok"), drops("rep_ok"),
+        drops("pii_ok"), drops("lr_ok"))
+      .orderBy(col("source"))
   }
 
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
-    qBpeMerge, qQualityLogreg, qQualityGate)
+    qBpeMerge, qQualityLogreg, qQualityGate, qQualityAudit)
 }
