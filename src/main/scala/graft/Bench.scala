@@ -74,15 +74,22 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Measured streaming throughput (lines/s through the full flagship
-    // stream plan; see streaming.ThroughputProbe) — the reference SLO
-    // comparison stops being inferred from batch numbers.
-    val streamingEps =
-      try graft.streaming.ThroughputProbe.linesPerSecond(spark, sfDir)
+    // stream plan; see streaming.ThroughputProbe). streaming_eps is the
+    // MEDIAN per-window rate over a fixed-duration warmed run; min/max
+    // and the full window series ride along so a contended measurement
+    // environment is visible in the artifact itself instead of
+    // producing an unexplained scalar swing (round-6 lesson: driver
+    // 74.7k vs builder 328.8k from the same code).
+    val streaming =
+      try graft.streaming.ThroughputProbe.steadyState(spark, sfDir)
       catch { case e: Throwable =>
-        System.err.println(s"[bench] streaming probe failed: ${e.getMessage}"); 0.0
+        System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
+        graft.streaming.ThroughputProbe.Result(0.0, 0.0, 0.0, Nil)
       }
+    val streamingJson =
+      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},"streaming_eps":$streamingEps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},$streamingJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's
     // BENCH_r0N.json keeps only a truncated stdout tail, which loses
     // ~25 queries — a committed full table keeps regressions diffable.

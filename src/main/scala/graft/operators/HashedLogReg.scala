@@ -11,8 +11,9 @@ import graft.functions.PortableHash
   * classifier whose serving shape is `q_quality_logreg` — the learned
   * quality gate of CCNet/RefinedWeb-class corpus pipelines (language
   * or domain filtering from a labeled slice). Features are hashed
-  * mean-of-tokens bag-of-words (cnt/n_tok per bucket, [[featurize]]);
-  * training is full-batch gradient descent on logistic loss.
+  * bag-of-words with RAW SUMMED token counts per bucket ([[featurize]]
+  * — integer-valued, not means); training is full-batch gradient
+  * descent on logistic loss.
   *
   * Scale shape per iteration (the KMeans contract — nothing iterative
   * lives in executor memory, the driver holds only the model):

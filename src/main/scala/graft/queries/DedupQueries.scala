@@ -405,29 +405,18 @@ object DedupQueries {
     simhashOf(s, d).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
   }
 
-  /** Pigeonhole segmentation of the signature for Hamming-banded
-    * candidate generation (the simhash counterpart of LSH banding,
-    * public technique: Manku/Jain/Das Sarma, "Detecting
-    * Near-Duplicates for Web Crawling", WWW'07 §3): split the 32-bit
-    * signature into `HamSegs` = `HamMax`+1 contiguous segments — a
-    * pair at Hamming distance ≤ `HamMax` has its ≤ `HamMax` differing
-    * bits in at most `HamMax` segments, so AT LEAST ONE segment is
-    * bit-identical. Candidate generation is therefore an exact-recall
-    * equi-join on (segment index, segment value): linear-ish in true
-    * near-dup density, never all-pairs. */
+  /** Pigeonhole segmentation for Hamming-banded candidate generation
+    * — the simhash counterpart of LSH banding, factored into
+    * [[graft.operators.Pigeonhole]] (shared with the 64-bit image
+    * dHash dedup, `q_dedup_phash`): exact recall at Hamming ≤ `HamMax`
+    * via an equi-join on (segment index, segment value), never
+    * all-pairs. */
   private val HamMax = 6
-  private val HamSegs = HamMax + 1
-  private val SegBounds: Seq[(Int, Int)] = { // (bit offset, width) per segment
-    val base = SimBits / HamSegs
-    val extra = SimBits % HamSegs // first `extra` segments get one bit more
-    val widths = (0 until HamSegs).map(j => base + (if (j < extra) 1 else 0))
-    widths.scanLeft(0)(_ + _).init.zip(widths)
-  }
+  private val ph = graft.operators.Pigeonhole(SimBits, HamMax)
+  private val HamSegs = ph.segments
 
-  private def segmentValue(sig: Column, j: Int): Column = {
-    val (off, w) = SegBounds(j)
-    shiftright(sig, off).bitwiseAND(lit((1L << w) - 1))
-  }
+  private def segmentValue(sig: Column, j: Int): Column =
+    ph.segmentValue(sig, j)
 
   private val qSimhashPairs = Q("q_dedup_simhash_pairs",
     s"""WITH $simhashCtes

@@ -73,14 +73,27 @@ final class FileTailer private (file: Path, spoolDir: Path,
     identity = key
     if (len > offset) {
       val ch = Files.newByteChannel(file, StandardOpenOption.READ)
+      val buf = java.nio.ByteBuffer.allocate((len - offset).toInt)
       try {
         ch.position(offset)
-        val buf = java.nio.ByteBuffer.allocate((len - offset).toInt)
         var n = 0
         while (n >= 0 && buf.hasRemaining) n = ch.read(buf)
-        pending.write(buf.array(), 0, buf.position())
-        offset = len
       } finally ch.close()
+      // fileKey() and size() above are non-atomic: a replace-rotation
+      // landing between them makes `key` the OLD identity and `len`
+      // the NEW file's length, so the bytes just read came from the
+      // new file at a stale offset. Re-check identity AFTER the read;
+      // if it moved, discard this batch and restart from 0 next poll —
+      // the new file's content is then read once, from the start
+      // (nothing lost, nothing duplicated).
+      if (fileKey() != key) {
+        offset = 0
+        pending.reset()
+        identity = null
+        return
+      }
+      pending.write(buf.array(), 0, buf.position())
+      offset = len
       // split at the LAST newline: everything before it is complete
       val bytes = pending.toByteArray
       val cut = bytes.lastIndexOf('\n'.toByte)

@@ -44,6 +44,12 @@ object StreamingChunkDedup {
     val ch = graft.queries.PipelineQueries
       .chunked(docs.select(col("doc_id").cast("long").as("doc_id"),
         col("text")), chunkSize, chunkSize)
+      // same loud guard as the batch twin (q_chunk_dedup): a document
+      // beyond 100000 passages would collide packed keys across
+      // documents and silently mis-order keepers — fail instead
+      .where(assert_true(col("chunk_ix") < 100000,
+        lit("StreamingChunkDedup: document exceeds 100000 passages — " +
+          "packed keep-first key would collide")).isNull)
       .select(col("doc_id"), col("chunk_ix"),
         xxhash64(col("chunk")).as("h"),
         (col("doc_id") * 100000L + col("chunk_ix")).as("key"))
