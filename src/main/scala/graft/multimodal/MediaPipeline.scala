@@ -135,6 +135,119 @@ object MediaPipeline {
     }
   }
 
+  // ----- perceptual-hash dedup fixtures (q_dedup_phash) ---------------
+
+  /** Grid cell (X ∈ 0..8, Y ∈ 0..7) of the synthetic TEXTURED image
+    * family used by `q_dedup_phash`. Content is keyed on a base
+    * pattern id `doc_id / 4` (groups of 4 consecutive documents share
+    * a base image → planted near-duplicates), de-periodized with an
+    * independent `base / 256` coefficient set (any polynomial in the
+    * base alone repeats mod 256 — measured: 559 cross-group
+    * hash-collision pairs at 5 000 docs without the second term, 6
+    * with), plus a per-document perturbation: +128 on one grid cell
+    * (`doc_id % 72`), or on that cell's whole row for "heavy"
+    * variants (`doc_id % 7 == 0`). Light variants of a base land at
+    * Hamming ≤ 4 of each other; heavy variants fall outside the
+    * threshold — so the query's Hamming cut provably keeps AND drops.
+    * Everything is integer arithmetic, so the DuckDB oracle recomputes
+    * the exact dHash without decoding a PNG. */
+  def phashGridVal(docId: Long, x: Int, y: Int): Int = {
+    val b = docId / 4
+    val v = (docId % 72).toInt
+    val heavy = docId % 7 == 0
+    val base = (b * (x * 7 + y * 11 + 13) + (b / 256) * (x * 17 + y * 23 + 29)
+      + x * x * 5 + y * y * 3) % 256
+    val pert =
+      if ((heavy && y == v / 9) || (!heavy && x == v % 9 && y == v / 9)) 128 else 0
+    ((base + pert) % 256).toInt
+  }
+
+  /** Scale of the textured image: the 9×8 grid block-upscaled by
+    * s ∈ {1, 2, 3} (`doc_id % 3 + 1`), so the SAME base pattern ships
+    * at three resolutions — and nearest-neighbor downsampling back to
+    * 9×8 recovers the identical grid. Same-base documents therefore
+    * dedup together ACROSS resolutions, the defining property of a
+    * perceptual hash (vs byte-level dedup, which sees three distinct
+    * files). */
+  def phashScale(docId: Long): Int = (docId % 3 + 1).toInt
+
+  /** Real PNG of the textured image: (9·s) × (8·s), pixel (x, y) =
+    * grid cell (x/s, y/s). Lossless TYPE_BYTE_GRAY round trip, same
+    * as [[synthPng]]. */
+  def synthTexturedPng(docId: Long): Array[Byte] = {
+    val s = phashScale(docId)
+    val w = 9 * s
+    val h = 8 * s
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, phashGridVal(docId, x / s, y / s))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Textured media table, one PNG per document id — partition-local
+    * encode, same shape as [[toMediaPng]]. */
+  def toTexturedMediaPng(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "image/png", synthTexturedPng(id)))
+    }.toDF()
+  }
+
+  /** dHash (difference hash), the standard 64-bit perceptual image
+    * hash (public technique: Krawetz, "Kind of Like That",
+    * hackerfactor 2013): nearest-neighbor resample the luma plane to
+    * a 9×8 grid, then bit (y·8 + x) = 1 iff grid(x, y) < grid(x+1, y)
+    * — 64 horizontal gradient signs. Gradient signs survive global
+    * brightness/contrast shifts and resizing, so near-identical
+    * images land within a few bits of Hamming distance. Resampling
+    * uses the same integer NN kernel as [[resizeGray]]
+    * (sx = x·w/9, sy = y·h/8) on raw ints — no double division, so
+    * the SQL oracle's identical integer arithmetic bit-matches. */
+  def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0, s"dHash64 needs a non-empty image, got $w x $h")
+    var sig = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val l = px(sy * w + x * w / 9)
+        val r = px(sy * w + (x + 1) * w / 9)
+        if (l < r) sig |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Per-image dHash over REAL decoded bytes: one decoder context per
+    * partition, binary payloads never shuffle (the hash — 8 bytes —
+    * is all that leaves the scan stage; at 100 TB of media the
+    * downstream dedup join moves only (doc_id, phash)). */
+  def phashOf(spark: SparkSession, media: DataFrame): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (w, h, px) = decodeImage(r.content)
+        MediaHash(r.doc_id, dHash64(px, w, h))
+      }
+    }
+  }
+
   /** Deterministic frame-sample analog: pick every k-th byte-block
     * offset — the plumbing shape of video frame sampling. */
   def frameOffsets(nBytes: Int, frameSize: Int, everyK: Int): Seq[Int] = {
