@@ -100,7 +100,22 @@ object Bench {
       java.nio.file.Files.write(p,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     } catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
-    println(json)
-    spark.stop()
+    // The driver parses the FINAL stdout line as JSON, and the round-8
+    // artifact was unparseable because a shutdown-race stack trace
+    // (executor-pool RejectedExecutionException) printed around the
+    // metric line. Make that structurally impossible: mute both
+    // streams, stop Spark inline (DiskBlockManager frees its shuffle
+    // dirs during stop), then emit the JSON on the real stdout and
+    // halt — after halt nothing in this forked JVM can print. (The
+    // skipped JVM shutdown hooks only delete the small driver temp
+    // dir; the bulk disk was already freed by stop().)
+    val realOut = System.out
+    val sink = new java.io.PrintStream(java.io.OutputStream.nullOutputStream())
+    System.setOut(sink)
+    System.setErr(sink)
+    try spark.stop() catch { case _: Throwable => () }
+    realOut.println(json)
+    realOut.flush()
+    Runtime.getRuntime().halt(0)
   }
 }

@@ -65,5 +65,152 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qMeta, qFeatures)
+  /** Pigeonhole segmentation of the 64-bit dHash: Hamming ≤ 4 →
+    * 5 segments, at least one bit-identical per qualifying pair
+    * (Manku et al., WWW'07 §3 — same operator as
+    * `q_dedup_simhash_pairs`, shared via
+    * [[graft.operators.Pigeonhole]]). */
+  private val PhashHamMax = 4
+  private val ph = graft.operators.Pigeonhole(64, PhashHamMax)
+
+  /** The textured-image dHash grid, recomputed in pure SQL from the
+    * generating formula ([[graft.multimodal.MediaPipeline
+    * .phashGridVal]]) — integer arithmetic only, so it bit-matches
+    * the engine's decode of the real PNGs. Bit 63 cannot be built by
+    * `1::BIGINT << 63` in DuckDB (overflow error), so it gets the
+    * signed-min literal — the same two's-complement value Scala's
+    * `1L << 63` wraps to. */
+  private val phashSigCtes: String =
+    """cells AS (
+      |  SELECT doc_id, CAST(xs.r AS BIGINT) AS x, CAST(ys.r AS BIGINT) AS y
+      |  FROM documents, range(0, 9) AS xs(r), range(0, 8) AS ys(r)),
+      |g AS (
+      |  SELECT doc_id, x, y,
+      |    ((doc_id // 4) * (x*7 + y*11 + 13)
+      |     + ((doc_id // 4) // 256) * (x*17 + y*23 + 29)
+      |     + x*x*5 + y*y*3
+      |     + CASE WHEN (doc_id % 7 = 0 AND y = (doc_id % 72) // 9)
+      |              OR (doc_id % 7 <> 0 AND x = (doc_id % 72) % 9
+      |                  AND y = (doc_id % 72) // 9)
+      |            THEN 128 ELSE 0 END) % 256 AS v
+      |  FROM cells),
+      |bits AS (
+      |  SELECT l.doc_id, l.y * 8 + l.x AS k
+      |  FROM g l JOIN g r ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+      |  WHERE l.x < 8 AND l.v < r.v),
+      |sig AS (
+      |  SELECT d.doc_id,
+      |    coalesce(bit_or(CASE WHEN b.k = 63
+      |                         THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |                         ELSE CAST(1 AS BIGINT) << CAST(b.k AS INT) END),
+      |             CAST(0 AS BIGINT)) AS phash
+      |  FROM documents d LEFT JOIN bits b USING (doc_id)
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Perceptual-hash image dedup: REAL PNG decode → 64-bit dHash
+    * (Krawetz, "Kind of Like That", 2013) → pigeonhole-banded
+    * candidate pairs at Hamming ≤ 4. The media are the textured
+    * synthetic family ([[graft.multimodal.MediaPipeline
+    * .synthTexturedPng]]): groups of 4 consecutive doc_ids share a
+    * base pattern shipped at 3 different resolutions, so the SAME
+    * image content dedups across resizes — the defining perceptual
+    * property byte-level dedup cannot see. The oracle recomputes every
+    * hash from the integer closed form without decoding a PNG; a hash
+    * match therefore certifies encode → binary column → partition-
+    * local decode → NN-resample → dHash end to end.
+    *
+    * Scale shape: payload bytes never shuffle — only (doc_id, 8-byte
+    * phash) leaves the decode stage; banding replaces the all-pairs
+    * self-join with an equi-join on (segment, segment value), exact-
+    * recall at the Hamming cut by the pigeonhole argument; the
+    * first-matching-segment predicate dedups k-fold candidate hits
+    * inside codegen with zero extra exchanges (same design as
+    * `q_dedup_simhash_pairs`). */
+  /** Banded near-dup pair generation over the decoded dHashes:
+    * (a_id, b_id, hamming), a_id < b_id, Hamming ≤ [[PhashHamMax]] —
+    * shared by the pair query and the cluster-resolution manifest. */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.multimodal.MediaPipeline
+    // decode once, reuse on both join sides (the encode+decode is the
+    // expensive stage; the signature table is 16 bytes/row)
+    val sig = MediaPipeline.phashOf(s,
+        MediaPipeline.toTexturedMediaPng(s, t(s, d, "documents")))
+      .toDF().localCheckpoint()
+    val seg = explode(array((0 until ph.segments).map(j =>
+      struct(lit(j).as("seg"), ph.segmentValue(col("phash"), j).as("sv"))): _*))
+    val bands = sig.select(col("doc_id"), col("phash"), seg.as("b"))
+      .select(col("doc_id"), col("phash"),
+        col("b.seg").as("seg"), col("b.sv").as("sv"))
+    def segEq(j: Int) =
+      ph.segmentValue(col("sa"), j) === ph.segmentValue(col("sb"), j)
+    val earlierMatch = (0 until ph.segments - 1)
+      .map(j => col("seg") > j && segEq(j))
+      .reduce(_ || _)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    bands
+      .select(col("doc_id").as("a_id"), col("seg"), col("sv"),
+        col("phash").as("sa"))
+      .join(bands.select(col("doc_id").as("b_id"), col("seg").as("seg2"),
+        col("sv").as("sv2"), col("phash").as("sb")),
+        col("seg") === col("seg2") && col("sv") === col("sv2") &&
+          col("a_id") < col("b_id"))
+      .where(ham <= PhashHamMax && !earlierMatch)
+      .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
+  }
+
+  private val qDedupPhash = Q("q_dedup_phash",
+    s"""WITH $phashSigCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    phashPairs(s, d).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The image-dedup MANIFEST a corpus build ships: every document
+    * resolved to its perceptual-duplicate cluster (singletons
+    * included), keeper = smallest doc_id, `keep` the drop decision.
+    * Composition: banded dHash pairs → connected components
+    * (diameter-independent alternating-star, the same
+    * [[graft.operators.ConnectedComponents]] operator as
+    * `q_dedup_cc_star`) → corpus left-join. Scale shape: the CC loop
+    * shuffles only the (tiny) pair graph, never the corpus; the final
+    * labels join is a shuffled equi-join on unique doc_id —
+    * deliberately NOT broadcast, labels are corpus-scaled at a
+    * realistic dup rate. Oracle: recursive transitive closure over
+    * the closed-form pair graph + min label. */
+  private val qDedupPhashCc = Q("q_dedup_phash_cc",
+    s"""WITH RECURSIVE $phashSigCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS ai, b.doc_id AS bi
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax),
+       |e2 AS (SELECT ai AS s, bi AS t FROM pairs
+       |       UNION ALL SELECT bi, ai FROM pairs),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM e2
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN e2 e ON r.t = e.s),
+       |lbl AS (SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+       |        FROM reach GROUP BY s)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       |  coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN lbl l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val edges = phashPairs(s, d)
+      .select(col("a_id").as("ai"), col("b_id").as("bi")).localCheckpoint()
+    val labels = graft.operators.ConnectedComponents.resolveAlternating(edges)
+      .select(col("id").as("doc_id"), col("lbl").cast("long").as("cid"))
+    t(s, d, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cid"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("cid"), col("doc_id")) === col("doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc)
 }

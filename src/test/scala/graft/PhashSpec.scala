@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MediaPipeline
+
+/** Pins the perceptual-hash dedup path (`q_dedup_phash`):
+  * real-PNG-decode dHash == the integer closed form the SQL oracle
+  * recomputes, and the pigeonhole-banded pair query == brute-force
+  * all-pairs at the Hamming cut. */
+class PhashSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+
+  /** The grid-formula dHash — the reference the DuckDB oracle encodes
+    * in SQL, computed here straight from [[MediaPipeline.phashGridVal]]
+    * without any image in between. */
+  private def refHash(id: Long): Long = {
+    var sig = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (MediaPipeline.phashGridVal(id, x, y) <
+          MediaPipeline.phashGridVal(id, x + 1, y))
+        sig |= 1L << (y * 8 + x)
+    sig
+  }
+
+  test("dHash64 over the decoded PNG equals the grid closed form at every scale") {
+    (0L until 60L).foreach { id =>
+      val png = MediaPipeline.synthTexturedPng(id)
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte) // real PNG
+      val (w, h, px) = MediaPipeline.decodeImage(png)
+      val s = MediaPipeline.phashScale(id)
+      assert(w == 9 * s && h == 8 * s)
+      assert(MediaPipeline.dHash64(px, w, h) == refHash(id),
+        s"doc $id (scale $s): decoded dHash != closed form")
+    }
+  }
+
+  test("banded pair query equals brute-force all-pairs at hamming <= 4") {
+    val docs = Tables(spark, Sf, "documents")
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val hashes = ids.map(id => id -> refHash(id)).toMap
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j)))
+      if h <= 4
+    } yield (ids(i), ids(j), h)).toVector.sorted
+    val got = SparkEntry.queries("q_dedup_phash")(spark, Sf)
+      .as[(Long, Long, Int)].collect().toVector.sorted
+    assert(got == brute,
+      s"banded pairs (${got.size}) != brute force (${brute.size})")
+    assert(got.nonEmpty) // planted near-dup groups must surface
+    // the perceptual property: at least one surfaced pair spans two
+    // RESOLUTIONS of the same base image — invisible to byte dedup
+    assert(got.exists { case (a, b, _) =>
+      MediaPipeline.phashScale(a) != MediaPipeline.phashScale(b) })
+  }
+
+  test("cluster manifest equals brute-force union-find over the pair graph") {
+    val docs = Tables(spark, Sf, "documents")
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val hashes = ids.map(id => id -> refHash(id)).toMap
+    // reference: union-find over the same brute-force pair set
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(i: Long): Long =
+      if (parent(i) == i) i else { val r = find(parent(i)); parent(i) = r; r }
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      if java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j))) <= 4
+    } {
+      val (ra, rb) = (find(ids(i)), find(ids(j)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = ids.map(i => (i, find(i), find(i) == i)).toVector
+    val got = SparkEntry.queries("q_dedup_phash_cc")(spark, Sf)
+      .as[(Long, Long, Boolean)].collect().toVector.sortBy(_._1)
+    assert(got == expect)
+    assert(got.exists(!_._3)) // the manifest must actually DROP something
+  }
+}
