@@ -212,5 +212,48 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc)
+  /** Frame-sampling geometry (shared with
+    * [[graft.multimodal.MediaPipeline.frameOffsets]]): complete
+    * [[FrameChars]]-wide frames only, every [[FrameEveryK]]-th kept. */
+  private val FrameChars = 64
+  private val FrameEveryK = 3
+
+  /** Deterministic frame sampling over an opaque payload column — the
+    * video-pipeline plumbing shape (decode stubbed: the payload is the
+    * document text, the "frame" a fixed-width segment, the per-frame
+    * feature a portable 60-bit content digest). Every k-th complete
+    * frame is kept ([[graft.multimodal.MediaPipeline.frameOffsets]]'s
+    * kernel, spec-pinned equivalent in MultimodalSpec).
+    *
+    * Scale shape: a pure per-row explode in the scan stage — the
+    * payload never shuffles; only (doc_id, frame_ix, 8-byte digest)
+    * rows exist after the projection, so a 100 TB video corpus moves
+    * k-sampled digests, not frames. No exchange before the
+    * presentation sort. */
+  private val qFrames = Q("q_multimodal_frames",
+    s"""WITH f AS (
+       |  SELECT doc_id, text, length(text) // $FrameChars AS nf FROM documents),
+       |ix AS (
+       |  SELECT doc_id, text,
+       |    CAST(unnest(range(0, nf, $FrameEveryK)) AS BIGINT) AS frame_ix
+       |  FROM f WHERE nf > 0)
+       |SELECT doc_id, frame_ix,
+       |  ('0x'||substr(md5(substr(text, CAST(frame_ix*$FrameChars+1 AS INT), $FrameChars)),1,15))::BIGINT AS frame_sig
+       |FROM ix ORDER BY doc_id, frame_ix""".stripMargin) { (s, d) =>
+    import graft.functions.PortableHash
+    val nf = floor(char_length(col("text")) / FrameChars)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"), nf.as("nf"))
+      .where(col("nf") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("nf") - 1L, lit(FrameEveryK.toLong)))
+          .as("frame_ix"))
+      .select(col("doc_id"), col("frame_ix"),
+        PortableHash.md5Long(
+          col("text").substr(col("frame_ix") * FrameChars + 1, lit(FrameChars)))
+          .as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_ix"))
+  }
+
+  val all: Seq[Q] = Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames)
 }

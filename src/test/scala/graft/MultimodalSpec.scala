@@ -49,4 +49,26 @@ class MultimodalSpec extends AnyFunSuite {
   test("frame sampling offsets are stride-aligned") {
     assert(MediaPipeline.frameOffsets(100, 10, 3) == Seq(0, 30, 60, 90))
   }
+
+  test("q_multimodal_frames samples exactly the frameOffsets kernel per document") {
+    import TestSpark.spark.implicits._
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // local 60-bit digest reference (md5Long WITHOUT the mod-P family
+    // reduction digestOf applies)
+    def ref60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expect = (for {
+      (id, text) <- docs
+      off <- MediaPipeline.frameOffsets(text.length, 64, 3)
+    } yield (id, off.toLong / 64, ref60(text.substring(off, off + 64))))
+      .toVector.sorted
+    val got = SparkEntry.queries("q_multimodal_frames")(spark, Sf)
+      .as[(Long, Long, Long)].collect().toVector.sorted
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
