@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "nfc_normalize", args => NfcNormalize(args.head))
     fn(ext, "strip_accents", args => StripAccents(args.head))
     fn(ext, "cosine_sim", args => CosineSim(args(0), args(1)))
+    fn(ext, "logreg_margin", {
+      case Seq(text, dim, mult) if dim.foldable && mult.foldable =>
+        LogregMargin(text,
+          dim.eval().asInstanceOf[Number].longValue(),
+          mult.eval().asInstanceOf[Number].longValue())
+      case _ => throw new IllegalArgumentException(
+        "logreg_margin(text, dim, mult) requires literal dim/mult")
+    })
     fn(ext, "shingles", {
       case Seq(text) => Shingles(text, 3, dedup = true)
       case Seq(text, n) if n.foldable =>

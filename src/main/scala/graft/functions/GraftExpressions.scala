@@ -381,6 +381,38 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass hashed-logreg margin numerator over a text column:
+    * tokenize on single spaces (EXACTLY `split(lower(text), " ")`
+    * semantics — empty tokens from runs of spaces and the trailing
+    * split included), hash each token into a `dim`-bucket feature
+    * space via the portable 60-bit md5 digest, weight
+    * `bucket·mult mod 1024 − 512`, sum. Integer-exact twin of the
+    * `aggregate(split(...), 0L, (acc, w) => acc + wnum(w))` HOF form
+    * it replaces: the HOF evaluates its lambda through the
+    * interpreter per token; this kernel runs one primitive loop per
+    * row inside whole-stage codegen and hashes straight from the
+    * lowered bytes — no per-token UTF8String allocation, no lambda
+    * dispatch. */
+  def logregMarginOf(v: UTF8String, dim: Long, mult: Long): Long = {
+    // Spark's lower() is UTF8String.toLowerCase — use the same call
+    // so locale/unicode edge cases cannot diverge from the HOF form.
+    val b = v.toLowerCase.getBytes
+    var margin = 0L
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' '.toByte) {
+        // token = bytes [start, i): 0x20 never occurs inside a
+        // multi-byte UTF-8 sequence, so byte-splitting == char-splitting
+        val h = PortableHash.digest60Bytes(b, start, i - start)
+        margin += h % dim * mult % 1024L - 512L
+        start = i + 1
+      }
+      i += 1
+    }
+    margin
+  }
+
   /** Accent stripping via NFD + combining-mark removal (DuckDB twin:
     * `strip_accents`). */
   case class StripAccents(child: Expression) extends UnaryExpression {
@@ -389,6 +421,22 @@ object GraftExpressions {
       accentsStripped(v.asInstanceOf[UTF8String])
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $Self.accentsStripped($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Hashed-logreg margin numerator (see [[logregMarginOf]]): the
+    * serving-path scorer of the learned quality filter as ONE codegen
+    * expression — replaces an `aggregate` HOF whose lambda evaluated
+    * interpreted per token in the gate's hottest loop. */
+  case class LogregMargin(child: Expression, dim: Long, mult: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      logregMarginOf(v.asInstanceOf[UTF8String], dim, mult)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $Self.logregMarginOf($c, ${dim}L, ${mult}L);")
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -415,4 +463,7 @@ object GraftExpressions {
 
   def strip_accents(s: Column): Column =
     bridge.column(StripAccents(bridge.expression(s)))
+
+  def logreg_margin(text: Column, dim: Long, mult: Long): Column =
+    bridge.column(LogregMargin(bridge.expression(text), dim, mult))
 }

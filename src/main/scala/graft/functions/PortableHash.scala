@@ -42,15 +42,29 @@ object PortableHash {
     * numerically from the first 8 bytes instead of formatting and
     * re-parsing hex. Equivalence with the hex-parse form is spec-pinned
     * (PortableHashSpec). */
-  def digestOf(s: String): Long = {
+  /** JVM-side twin of `md5Long(col)` alone (no mod-P reduction): the
+    * unsigned top 60 bits of the md5 digest, numerically — shared by
+    * [[digestOf]] and the native logreg-margin kernel
+    * ([[GraftExpressions.logregMarginOf]]). */
+  def digest60(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    digest60Bytes(b, 0, b.length)
+  }
+
+  /** [[digest60]] over a byte slice — the zero-allocation form for
+    * kernels that already hold utf-8 bytes (native logreg margin). */
+  def digest60Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = mdLocal.get()
     md.reset()
-    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(bytes, off, len)
+    val b = md.digest()
     var top = 0L
     var i = 0
     while (i < 8) { top = (top << 8) | (b(i) & 0xffL); i += 1 }
-    (top >>> 4) % P
+    top >>> 4
   }
+
+  def digestOf(s: String): Long = digest60(s) % P
 
   /** DuckDB-side twins (string fragments for oracle SQL). */
   def md5LongSql(expr: String): String =

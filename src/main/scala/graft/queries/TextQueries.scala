@@ -767,13 +767,16 @@ object TextQueries {
     * integer sum (weights are rationals k/1024 scaled to integers),
     * so cross-engine equality is bit-level; only the final reported
     * score divides, through the shared round(…,4) discipline. */
-  /** Exact-integer logreg margin numerator over the token array —
-    * shared by the standalone apply query and the fused gate. */
-  private def logregMarginNum(text: Column): Column = {
-    def wnum(w: Column): Column =
-      PortableHash.md5Long(w) % LrDim * LrMult % 1024L - 512L
-    aggregate(words(text), lit(0L), (acc, w) => acc + wnum(w))
-  }
+  /** Exact-integer logreg margin numerator over the token stream —
+    * shared by the standalone apply query and the fused gate. Native
+    * codegen expression ([[graft.functions.GraftExpressions
+    * .LogregMargin]]): one primitive loop per row, token-for-token
+    * identical to the `aggregate(words(text), 0L, (acc, w) => acc +
+    * md5Long(w) % LrDim * LrMult % 1024 - 512)` HOF form it replaced
+    * (the HOF's lambda evaluated interpreted per token —
+    * ExpressionsSpec pins the two forms equal). */
+  private def logregMarginNum(text: Column): Column =
+    graft.functions.GraftExpressions.logreg_margin(text, LrDim, LrMult)
 
   /** The scoring transform itself — a stateless per-row projection,
     * shared verbatim by the batch query and the streaming gate

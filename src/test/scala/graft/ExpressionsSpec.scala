@@ -48,6 +48,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(cmp.where(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("LogregMargin equals the HOF aggregate formulation, edge tokens included") {
+    import graft.functions.PortableHash
+    def hof(text: org.apache.spark.sql.Column) = {
+      def wnum(w: org.apache.spark.sql.Column) =
+        PortableHash.md5Long(w) % 256L * 2654435761L % 1024L - 512L
+      aggregate(split(lower(text), " "), lit(0L), (acc, w) => acc + wnum(w))
+    }
+    // corpus rows + adversarial token shapes: empty string (one empty
+    // token), runs of spaces, leading/trailing spaces, unicode case
+    val edges = Seq("", " ", "  ", "a  b", " x", "x ", "ÄÖÜ Straße",
+      "MiXeD CaSe  ", "数据 处理").toDF("text")
+    val docs = Tables(spark, Sf, "documents").select(col("text"))
+      .unionAll(edges)
+    val rows = docs.select(
+      logreg_margin(col("text"), 256L, 2654435761L).as("native"),
+      hof(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // and via the SQL registration (exercises the extension + codegen)
+    edges.createOrReplaceTempView("lr_edges")
+    val sqlRows = spark.sql(
+      "SELECT logreg_margin(text, 256, 2654435761) AS m FROM lr_edges").collect()
+    val direct = edges.select(
+      logreg_margin(col("text"), 256L, 2654435761L).as("m")).collect()
+    assert(sqlRows.map(_.getLong(0)).toSeq == direct.map(_.getLong(0)).toSeq)
+  }
+
   test("ClfParse equals per-field regexp_extract") {
     import graft.parse.Clf
     val lines = graft.pipeline.Flagship
