@@ -126,10 +126,13 @@ object MultimodalQueries {
     * first-matching-segment predicate dedups k-fold candidate hits
     * inside codegen with zero extra exchanges (same design as
     * `q_dedup_simhash_pairs`). */
-  /** Banded near-dup pair generation over the decoded dHashes:
-    * (a_id, b_id, hamming), a_id < b_id, Hamming ≤ [[PhashHamMax]] —
-    * shared by the pair query and the cluster-resolution manifest. */
-  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+  /** Unique banded CANDIDATE pairs (a_id < b_id, ≥ 1 bit-identical
+    * segment, deduped to the first matching segment) BEFORE the
+    * Hamming verify, with both signatures attached — split out so the
+    * scale probe ([[graft.MediaScaleProbe]]) can measure the
+    * candidate volume the pigeonhole join generates against the
+    * all-pairs count it avoids. */
+  private[graft] def phashCandidates(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import graft.multimodal.MediaPipeline
     // decode once, reuse on both join sides (the encode+decode is the
@@ -147,7 +150,6 @@ object MultimodalQueries {
     val earlierMatch = (0 until ph.segments - 1)
       .map(j => col("seg") > j && segEq(j))
       .reduce(_ || _)
-    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
     bands
       .select(col("doc_id").as("a_id"), col("seg"), col("sv"),
         col("phash").as("sa"))
@@ -155,7 +157,17 @@ object MultimodalQueries {
         col("sv").as("sv2"), col("phash").as("sb")),
         col("seg") === col("seg2") && col("sv") === col("sv2") &&
           col("a_id") < col("b_id"))
-      .where(ham <= PhashHamMax && !earlierMatch)
+      .where(!earlierMatch)
+  }
+
+  /** Banded near-dup pair generation over the decoded dHashes:
+    * (a_id, b_id, hamming), a_id < b_id, Hamming ≤ [[PhashHamMax]] —
+    * shared by the pair query and the cluster-resolution manifest. */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    phashCandidates(s, d)
+      .where(ham <= PhashHamMax)
       .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
   }
 
