@@ -248,6 +248,103 @@ object MediaPipeline {
     }
   }
 
+  // ----- audio modality (q_multimodal_audio) --------------------------
+
+  /** Deterministic synthetic PCM signal: n = id%500+100 samples,
+    * sample i = (id·37 + i·251) mod 65536 − 32768 — 16-bit signed
+    * range by construction, linear in i so the SQL oracle recomputes
+    * every decoded statistic without parsing a WAV. */
+  def synthSampleCount(docId: Long): Int = (docId % 500 + 100).toInt
+
+  def synthSample(docId: Long, i: Int): Int =
+    ((docId * 37 + i.toLong * 251) % 65536).toInt - 32768
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+
+  /** Encode the synthetic signal as a REAL RIFF/WAVE file via the
+    * JDK's `javax.sound.sampled` (pure PCM parsing — headless-safe,
+    * no audio hardware involved; lossless, so decode returns the
+    * exact samples — the audio analog of [[synthPng]]). */
+  def synthWav(docId: Long): Array[Byte] = {
+    val n = synthSampleCount(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = synthSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), WavFormat, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+    bos.toByteArray
+  }
+
+  /** Audio media table, one WAV per document id — partition-local
+    * encode, same shape as [[toMediaPng]]. */
+  def toAudioWav(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "audio/wav", synthWav(id)))
+    }.toDF()
+  }
+
+  /** Real audio decode: WAV bytes → signed 16-bit samples. Throws on
+    * undecodable payloads or unexpected formats — corrupt audio in a
+    * pipeline should fail loudly, same contract as [[decodeImage]]. */
+  def decodeWav(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
+      s"expected 16-bit mono little-endian PCM, got $f")
+    val data = ais.readAllBytes()
+    val out = new Array[Int](data.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff))
+      i += 1
+    }
+    out
+  }
+
+  case class AudioFeatures(
+      doc_id: Long, n_bytes: Int, n_samples: Int, peak: Int,
+      zero_cross: Long, rms: Double)
+
+  /** Partition-local batch audio decode → per-clip signal statistics
+    * (peak |amplitude|, strict-sign zero crossings, normalized RMS).
+    * Integer sums throughout; ONE sqrt+division at the end, so the
+    * oracle's identical arithmetic bit-matches. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val s = decodeWav(r.content)
+        var peak = 0
+        var zc = 0L
+        var ss = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i)
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          if (i > 0 && v.toLong * s(i - 1) < 0L) zc += 1
+          ss += v.toLong * v
+          i += 1
+        }
+        val rms =
+          if (s.length == 0) 0.0
+          else math.sqrt(ss.toDouble / s.length) / 32768.0
+        AudioFeatures(r.doc_id, r.content.length, s.length, peak, zc, rms)
+      }
+    }
+  }
+
   /** Deterministic frame-sample analog: pick every k-th byte-block
     * offset — the plumbing shape of video frame sampling. */
   def frameOffsets(nBytes: Int, frameSize: Int, everyK: Int): Seq[Int] = {

@@ -267,5 +267,39 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("frame_ix"))
   }
 
-  val all: Seq[Q] = Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames)
+  /** Audio modality: REAL RIFF/WAVE round trip via the JDK codec
+    * (`javax.sound.sampled` — pure PCM parsing, headless-safe),
+    * decoded partition-locally like the image path. Test clips are
+    * deterministic synthetic PCM (sample i of doc j =
+    * (j·37 + i·251) mod 65536 − 32768), so the oracle recomputes
+    * every decoded statistic — peak amplitude, strict-sign zero
+    * crossings, normalized RMS — from the closed form in pure SQL; a
+    * hash match certifies the encode → binary column → decode →
+    * feature path sample-exactly. Integer sums throughout, one
+    * sqrt+division at the end under the shared round(…,6) discipline. */
+  private val qAudio = Q("q_multimodal_audio",
+    """WITH px AS (
+      |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n,
+      |    CAST(unnest(range(0, doc_id % 500 + 100)) AS BIGINT) AS i
+      |  FROM documents),
+      |v AS (SELECT doc_id, n, i,
+      |        (doc_id*37 + i*251) % 65536 - 32768 AS s FROM px),
+      |w AS (SELECT doc_id, n, i, s,
+      |        lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp FROM v)
+      |SELECT doc_id, CAST(n AS INT) AS n_samples,
+      |  CAST(max(abs(s)) AS INT) AS peak,
+      |  CAST(coalesce(sum(CASE WHEN s * sp < 0 THEN 1 END), 0) AS BIGINT) AS zero_cross,
+      |  round(sqrt(CAST(sum(s*s) AS DOUBLE) / n) / 32768.0, 6) AS rms
+      |FROM w GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.multimodal.MediaPipeline
+    MediaPipeline.extractAudioFeatures(s,
+        MediaPipeline.toAudioWav(s, t(s, d, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("n_samples"), col("peak"),
+        col("zero_cross"), round(col("rms"), 6).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames, qAudio)
 }

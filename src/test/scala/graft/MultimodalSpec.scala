@@ -50,6 +50,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(MediaPipeline.frameOffsets(100, 10, 3) == Seq(0, 30, 60, 90))
   }
 
+  test("WAV round trip is sample-exact against the generating formula") {
+    val docId = 11L
+    val wav = MediaPipeline.synthWav(docId)
+    // real RIFF/WAVE container — an actual encoded audio file
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val s = MediaPipeline.decodeWav(wav)
+    assert(s.length == MediaPipeline.synthSampleCount(docId))
+    s.indices.foreach { i =>
+      assert(s(i) == MediaPipeline.synthSample(docId, i),
+        s"sample $i: decoded ${s(i)} != formula ${MediaPipeline.synthSample(docId, i)}")
+    }
+  }
+
+  test("undecodable audio payload fails loudly") {
+    intercept[Exception] {
+      MediaPipeline.decodeWav("not audio".getBytes("UTF-8"))
+    }
+  }
+
   test("q_multimodal_frames samples exactly the frameOffsets kernel per document") {
     import TestSpark.spark.implicits._
     val docs = Tables(spark, Sf, "documents")
