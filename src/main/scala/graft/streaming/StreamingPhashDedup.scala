@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Pigeonhole
+
+/** Streaming perceptual-hash image dedup — the stateful form of
+  * `q_dedup_phash`: as images arrive, each is decoded partition-
+  * locally to its 64-bit dHash, lands in its pigeonhole segment
+  * buckets, and is verified ONLY against the images already resident
+  * in those buckets. Verified near-dup pairs (Hamming ≤ `maxHamming`)
+  * stream out the moment the second member arrives.
+  *
+  * Differences from the batch twin, and why they stay cheap:
+  *
+  *  - the decode runs in the STATELESS prefix of the plan
+  *    ([[graft.multimodal.MediaPipeline.phashOf]] works unchanged on
+  *    a streaming Dataset) — image bytes never reach the stateful
+  *    exchange; only (doc_id, 8-byte hash) rows shuffle to buckets;
+  *  - verification happens INSIDE the state function (both signatures
+  *    are at hand), so unlike the minhash twin no downstream verify
+  *    join exists — and each pair is emitted EXACTLY once, in its
+  *    first matching segment ([[Pigeonhole.firstMatchingSegment]],
+  *    the same once-per-pair rule the batch query applies as a
+  *    codegen filter);
+  *  - state per bucket is O(resident images) 16-byte entries, capped
+  *    by `maxPerBucket` (an overflowing bucket is a degenerate hot
+  *    bucket: further members are verified against the resident
+  *    sample but not stored — drop-not-queue) and optionally
+  *    TTL-evicted.
+  *
+  * StreamingPhashDedupSpec pins stream ≡ batch: the emitted pair set
+  * over any prefix equals `q_dedup_phash` on the same images.
+  */
+object StreamingPhashDedup {
+
+  case class PhashPair(a_id: Long, b_id: Long, hamming: Int)
+
+  private[streaming] case class Bucket(docIds: Array[Long], hashes: Array[Long])
+
+  /** media: streaming DataFrame with (doc_id, mime, content) →
+    * verified near-dup pairs. Banding mirrors `q_dedup_phash`
+    * (64-bit dHash, maxHamming+1 segments). */
+  def pairs(spark: SparkSession, media: DataFrame, maxHamming: Int = 4,
+      maxPerBucket: Int = 4096, idleTimeout: Option[String] = None)
+      : Dataset[PhashPair] = {
+    import spark.implicits._
+    val ph = Pigeonhole(64, maxHamming)
+    val banded = graft.multimodal.MediaPipeline.phashOf(spark, media)
+      .toDF()
+      .select(col("doc_id"), col("phash"),
+        explode(array((0 until ph.segments).map(j =>
+          struct(lit(j).as("seg"), ph.segmentValue(col("phash"), j).as("sv"))): _*))
+          .as("b"))
+      .select(col("doc_id"), col("phash"),
+        col("b.seg").as("seg"), col("b.sv").as("sv"))
+      .as[(Long, Long, Int, Long)]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey { case (_, _, seg, sv) => (seg, sv) }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: (Int, Long), it: Iterator[(Long, Long, Int, Long)],
+            state: GroupState[Bucket]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val seg = key._1
+            var ids = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
+            var sigs = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+            val out = Seq.newBuilder[PhashPair]
+            // deterministic processing order within the micro-batch
+            it.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+              if (!ids.contains(id)) {
+                var i = 0
+                while (i < ids.length) {
+                  val ham = java.lang.Long.bitCount(sig ^ sigs(i))
+                  // emit once per pair: only from the FIRST segment the
+                  // two signatures share (guaranteed to exist for any
+                  // pair at Hamming <= maxHamming — the pigeonhole
+                  // argument — and unique, so k-fold collisions
+                  // cannot double-emit)
+                  if (ham <= maxHamming &&
+                      ph.firstMatchingSegment(sig, sigs(i)).contains(seg))
+                    out += PhashPair(math.min(id, ids(i)),
+                      math.max(id, ids(i)), ham)
+                  i += 1
+                }
+                if (ids.length < maxPerBucket) {
+                  ids :+= id
+                  sigs :+= sig
+                } // overflow: verified against the resident sample but
+                  // not stored (drop-not-queue)
+              }
+            }
+            state.update(Bucket(ids, sigs))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+        })
+  }
+}
