@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q.t
@@ -132,14 +133,22 @@ object MultimodalQueries {
     * scale probe ([[graft.MediaScaleProbe]]) can measure the
     * candidate volume the pigeonhole join generates against the
     * all-pairs count it avoids. */
-  private[graft] def phashCandidates(s: org.apache.spark.sql.SparkSession,
+  /** (doc_id, phash) over the textured corpus — ONE decode pass,
+    * checkpointed so every consumer joins the 16-byte/row signature
+    * table instead of re-decoding. */
+  private def phashSig(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import graft.multimodal.MediaPipeline
-    // decode once, reuse on both join sides (the encode+decode is the
-    // expensive stage; the signature table is 16 bytes/row)
-    val sig = MediaPipeline.phashOf(s,
+    MediaPipeline.phashOf(s,
         MediaPipeline.toTexturedMediaPng(s, t(s, d, "documents")))
       .toDF().localCheckpoint()
+  }
+
+  private[graft] def phashCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // decode once, reuse on both join sides (the encode+decode is the
+    // expensive stage; the signature table is 16 bytes/row)
+    val sig = phashSig(s, d)
     val seg = explode(array((0 until ph.segments).map(j =>
       struct(lit(j).as("seg"), ph.segmentValue(col("phash"), j).as("sv"))): _*))
     val bands = sig.select(col("doc_id"), col("phash"), seg.as("b"))
@@ -300,6 +309,57 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark-image decontamination — the image analog of the n-gram
+    * `q_decontaminate` pass: drop training images PERCEPTUALLY
+    * matching a held-out benchmark/eval set (Hamming ≤ 4 on the
+    * dHash), not just byte-identical ones. The benchmark is the
+    * deterministic `doc_id % 97 = 0` slice — fixed-size by
+    * construction, like a real eval set, so BROADCASTING its banded
+    * segments is the scale-correct plan (the corpus side streams
+    * map-side through a broadcast hash join on (segment, value),
+    * exact recall at the Hamming cut by the pigeonhole argument;
+    * first-matching-segment keeps each (train, bench) hit exactly
+    * once before the per-doc rollup). Output: contaminated docs with
+    * hit count, the smallest matching benchmark id, and the closest
+    * Hamming distance. */
+  private val qDecontaminateMedia = Q("q_decontaminate_media",
+    s"""WITH $phashSigCtes,
+       |bench AS (SELECT doc_id AS bench_id, phash AS bsig FROM sig
+       |          WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT t.doc_id, b.bench_id,
+       |    bit_count(xor(t.phash, b.bsig)) AS ham
+       |  FROM sig t, bench b
+       |  WHERE t.doc_id % 97 <> 0 AND bit_count(xor(t.phash, b.bsig)) <= $PhashHamMax)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(bench_id) AS BIGINT) AS min_bench,
+       |  CAST(min(ham) AS INT) AS min_hamming
+       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sig = phashSig(s, d)
+    val segOf = (sigCol: Column) => explode(array((0 until ph.segments).map(j =>
+      struct(lit(j).as("seg"), ph.segmentValue(sigCol, j).as("sv"))): _*))
+    val bench = sig.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("phash").as("sb"), segOf(col("phash")).as("b"))
+      .select(col("bench_id"), col("sb"), col("b.seg").as("seg"), col("b.sv").as("sv"))
+    val train = sig.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("phash").as("sa"), segOf(col("phash")).as("b"))
+      .select(col("doc_id"), col("sa"), col("b.seg").as("seg2"), col("b.sv").as("sv2"))
+    def segEq(j: Int) =
+      ph.segmentValue(col("sa"), j) === ph.segmentValue(col("sb"), j)
+    val earlierMatch = (0 until ph.segments - 1)
+      .map(j => col("seg") > j && segEq(j))
+      .reduce(_ || _)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    train.join(broadcast(bench),
+        col("seg") === col("seg2") && col("sv") === col("sv2"))
+      .where(ham <= PhashHamMax && !earlierMatch)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("bench_id")).as("min_bench"),
+        min(ham).cast("int").as("min_hamming"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames, qAudio)
+    Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames, qAudio,
+      qDecontaminateMedia)
 }
