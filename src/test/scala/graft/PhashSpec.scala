@@ -57,6 +57,25 @@ class PhashSpec extends AnyFunSuite {
       MediaPipeline.phashScale(a) != MediaPipeline.phashScale(b) })
   }
 
+  test("media decontamination equals brute-force train-vs-bench matching") {
+    val docs = Tables(spark, Sf, "documents")
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val hashes = ids.map(id => id -> refHash(id)).toMap
+    val bench = ids.filter(_ % 97 == 0)
+    val expect = ids.filter(_ % 97 != 0).flatMap { id =>
+      val hits = bench
+        .map(b => (b, java.lang.Long.bitCount(hashes(id) ^ hashes(b))))
+        .filter(_._2 <= 4)
+      if (hits.isEmpty) None
+      else Some((id, hits.size.toLong, hits.map(_._1).min, hits.map(_._2).min))
+    }.toVector
+    val got = SparkEntry.queries("q_decontaminate_media")(spark, Sf)
+      .as[(Long, Long, Long, Int)].collect().toVector.sortBy(_._1)
+    assert(got == expect)
+    assert(got.nonEmpty) // bench images must contaminate their group-mates
+  }
+
   test("cluster manifest equals brute-force union-find over the pair graph") {
     val docs = Tables(spark, Sf, "documents")
     import spark.implicits._
