@@ -34,7 +34,13 @@ object HeavyScaleProbe {
   private val Dst = "/tmp/graft_sf1"
   private val Copies = 10
   private val Queries = Seq("q_pagerank", "q_dedup_keep_best", "q_dedup_cc",
-    "q_dedup_cc_star", "q_knn_ivf_trained", "q_sim_allpairs")
+    "q_dedup_cc_star", "q_knn_ivf_trained", "q_sim_allpairs",
+    // round 9: the perceptual-dedup manifest joined the top-5 cost
+    // tail. The salted sf1 preserves its planted structure exactly:
+    // the per-copy doc_id offset (5000·c) is divisible by 4, so
+    // near-dup groups stay size-4 and per-copy base patterns differ —
+    // cluster sizes constant, corpus 10×.
+    "q_dedup_phash_cc")
 
   private def synthesize(spark: SparkSession): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(Dst, "_DONE"))) return
