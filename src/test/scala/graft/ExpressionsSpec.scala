@@ -72,6 +72,20 @@ class ExpressionsSpec extends AnyFunSuite {
     val direct = edges.select(
       logreg_margin(col("text"), 256L, 2654435761L).as("m")).collect()
     assert(sqlRows.map(_.getLong(0)).toSeq == direct.map(_.getLong(0)).toSeq)
+    // CODEGEN_ONLY forbids the interpreted fallback: a broken
+    // doGenCode would throw here instead of silently degrading the
+    // gate's hottest loop to interpreted dispatch
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val forced = edges.select(
+        logreg_margin(col("text"), 256L, 2654435761L).as("m")).collect()
+      assert(forced.map(_.getLong(0)).toSeq == direct.map(_.getLong(0)).toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("ClfParse equals per-field regexp_extract") {
