@@ -1,5 +1,6 @@
 package graft
 
+import org.scalacheck.{Gen, Prop, Test => ScTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.MediaPipeline
@@ -55,6 +56,27 @@ class PhashSpec extends AnyFunSuite {
     // RESOLUTIONS of the same base image — invisible to byte dedup
     assert(got.exists { case (a, b, _) =>
       MediaPipeline.phashScale(a) != MediaPipeline.phashScale(b) })
+  }
+
+  test("property: dHash is invariant under integer block-upscale of ANY image") {
+    // the defining perceptual property, on random grids rather than
+    // the planted family: nearest-neighbor resampling in dHash64
+    // recovers the base grid from any s-fold block upscale, so the
+    // hash of the upscaled image equals the hash of the base
+    val genCase = for {
+      px <- Gen.containerOfN[Array, Int](72, Gen.choose(0, 255))
+      s <- Gen.choose(1, 4)
+    } yield (px, s)
+    val prop = Prop.forAll(genCase) { case (base, s) =>
+      val w = 9 * s
+      val h = 8 * s
+      val up = new Array[Int](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        up(y * w + x) = base((y / s) * 9 + (x / s))
+      MediaPipeline.dHash64(up, w, h) == MediaPipeline.dHash64(base, 9, 8)
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("media decontamination equals brute-force train-vs-bench matching") {
