@@ -383,7 +383,7 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), sig.as("simhash"))
   }
 
-  private def simhashCtes: String = {
+  private[queries] def simhashCtes: String = {
     val sums = (0 until SimBits)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n          ")
@@ -418,7 +418,7 @@ object DedupQueries {
   private def segmentValue(sig: Column, j: Int): Column =
     ph.segmentValue(sig, j)
 
-  private val qSimhashPairs = Q("q_dedup_simhash_pairs",
+  private[queries] val qSimhashPairs = Q("q_dedup_simhash_pairs",
     s"""WITH $simhashCtes
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -359,7 +359,44 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal-CONSISTENT near-dup pairs: document pairs near in
+    * BOTH modalities — text (32-bit simhash, Hamming ≤ 6, same lang —
+    * exactly `q_dedup_simhash_pairs`) AND image (64-bit dHash,
+    * Hamming ≤ 4 — exactly `q_dedup_phash`). The curation signal an
+    * image-text training-pair pipeline keys dedup on: agreement
+    * across modalities separates true duplicate pairs from caption
+    * collisions (same text, different image) and re-renders (same
+    * image, different text). Pure composition: both pair generators
+    * run their own banded plans, then one (a_id, b_id) equi-join
+    * intersects them — pair-graph-sized, orders of magnitude below
+    * the corpus. Oracle: the two declarative pair queries' CTEs share
+    * one WITH (no name overlap) joined the same way. */
+  private val qDedupMultimodal = Q("q_dedup_multimodal",
+    s"""WITH ${graft.queries.DedupQueries.simhashCtes},
+       |$phashSigCtes,
+       |tp AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS txt_hamming
+       |  FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |ip AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS img_hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax)
+       |SELECT a_id, b_id, txt_hamming, img_hamming
+       |FROM tp JOIN ip USING (a_id, b_id)
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val txt = graft.queries.DedupQueries.qSimhashPairs.fn(s, d)
+      .withColumnRenamed("hamming", "txt_hamming")
+    val img = phashPairs(s, d)
+      .withColumnRenamed("hamming", "img_hamming")
+    txt.join(img, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("txt_hamming"), col("img_hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames, qAudio,
-      qDecontaminateMedia)
+      qDecontaminateMedia, qDedupMultimodal)
 }
