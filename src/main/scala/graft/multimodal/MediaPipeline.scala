@@ -345,6 +345,73 @@ object MediaPipeline {
     }
   }
 
+  // ----- video modality (q_dedup_video) -------------------------------
+
+  /** Frames per synthetic video. */
+  val VideoFrames = 4
+
+  /** Pattern id of frame `f` of video `docId`: group-shared
+    * ((docId/4)·8 + f — all 4 group members render the IDENTICAL
+    * frame) except each video's OWN variant position (f = docId mod 4
+    * gets a globally unique pattern), so two same-group videos share
+    * exactly 2 of 4 frames bit-identically and cross-group videos
+    * share none — the planted structure `q_dedup_video`'s ≥-half
+    * frame-match rule provably keeps AND drops. */
+  def videoPatternId(docId: Long, f: Int): Long =
+    if (f == (docId % VideoFrames).toInt) 1000000L + docId
+    else (docId / 4) * 8 + f
+
+  /** Deterministic video CONTAINER: `[n:int][len:int][png bytes]…` —
+    * the container parse is the stubbed codec (a real demuxer is not
+    * in the JDK), but every frame inside is a REAL PNG and the
+    * per-frame decode is the REAL ImageIO path, so the Spark-side
+    * plumbing (binary column → partition-local demux → frame decode →
+    * 8-byte hash) is exactly a production video-dedup pipeline's. */
+  def synthVideo(docId: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(VideoFrames)
+    var f = 0
+    while (f < VideoFrames) {
+      val png = synthTexturedPng(videoPatternId(docId, f))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  def decodeVideoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    require(n >= 0 && n < (1 << 20), s"implausible frame count $n")
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      frame
+    }
+  }
+
+  case class VideoFrameHash(doc_id: Long, f: Int, fhash: Long)
+
+  /** Video media table + per-frame dHash extraction: demux and decode
+    * run partition-locally; only (doc_id, frame index, 8-byte hash)
+    * rows leave the stage — at 100 TB of video the downstream dedup
+    * join moves sampled hashes, never frames. */
+  def videoFrameHashes(spark: SparkSession, docs: DataFrame): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ImageIO.setUseCache(false)
+      ids.flatMap { id =>
+        decodeVideoFrames(synthVideo(id)).zipWithIndex.map { case (png, f) =>
+          val (w, h, px) = decodeImage(png)
+          VideoFrameHash(id, f, dHash64(px, w, h))
+        }
+      }
+    }
+  }
+
   /** Deterministic frame-sample analog: pick every k-th byte-block
     * offset — the plumbing shape of video frame sampling. */
   def frameOffsets(nBytes: Int, frameSize: Int, everyK: Int): Seq[Int] = {

@@ -396,7 +396,77 @@ object MultimodalQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Per-(video, frame) dHash recomputed in pure SQL: the frame's
+    * pattern id `p` ([[graft.multimodal.MediaPipeline
+    * .videoPatternId]]) drives the same textured-grid closed form the
+    * image oracle uses, keyed on (doc_id, f). */
+  private val videoSigCtes: String =
+    """vf AS (SELECT doc_id, CAST(fs.r AS BIGINT) AS f,
+      |         CASE WHEN CAST(fs.r AS BIGINT) = doc_id % 4
+      |              THEN 1000000 + doc_id
+      |              ELSE (doc_id // 4) * 8 + CAST(fs.r AS BIGINT) END AS p
+      |       FROM documents, range(0, 4) AS fs(r)),
+      |vcells AS (SELECT doc_id, f, p,
+      |             CAST(xs.r AS BIGINT) AS x, CAST(ys.r AS BIGINT) AS y
+      |           FROM vf, range(0, 9) AS xs(r), range(0, 8) AS ys(r)),
+      |vg AS (SELECT doc_id, f, x, y,
+      |         ((p // 4) * (x*7 + y*11 + 13)
+      |          + ((p // 4) // 256) * (x*17 + y*23 + 29)
+      |          + x*x*5 + y*y*3
+      |          + CASE WHEN (p % 7 = 0 AND y = (p % 72) // 9)
+      |                   OR (p % 7 <> 0 AND x = (p % 72) % 9
+      |                       AND y = (p % 72) // 9)
+      |                 THEN 128 ELSE 0 END) % 256 AS v
+      |       FROM vcells),
+      |vbits AS (SELECT l.doc_id, l.f, l.y * 8 + l.x AS k
+      |          FROM vg l JOIN vg r ON r.doc_id = l.doc_id AND r.f = l.f
+      |            AND r.y = l.y AND r.x = l.x + 1
+      |          WHERE l.x < 8 AND l.v < r.v),
+      |vsig AS (SELECT vf.doc_id, vf.f,
+      |           coalesce(bit_or(CASE WHEN b.k = 63
+      |                                THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |                                ELSE CAST(1 AS BIGINT) << CAST(b.k AS INT) END),
+      |                    CAST(0 AS BIGINT)) AS fhash
+      |         FROM vf LEFT JOIN vbits b ON b.doc_id = vf.doc_id AND b.f = vf.f
+      |         GROUP BY vf.doc_id, vf.f)""".stripMargin
+
+  /** Temporal (video) near-dup detection: demux the frame container
+    * partition-locally, dHash every REAL PNG frame, and call two
+    * videos near-duplicates when ≥ half their frames match
+    * bit-identically AT THE SAME position — re-encodes and resolution
+    * changes hash equal (dHash is resize-invariant), edited frames
+    * don't. The planted family shares 2 of 4 frames within a group
+    * (each member edits a different position) and none across groups.
+    *
+    * Scale shape: frames never shuffle — the equi-join runs on
+    * (f, 8-byte hash) rows, its fanout per bucket bounded by how many
+    * videos genuinely share that exact frame; the per-pair rollup is
+    * a map-side-combinable count. Oracle: the same (f, fhash)
+    * self-join over closed-form hashes. */
+  private val qDedupVideo = Q("q_dedup_video",
+    s"""WITH $videoSigCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(count(*) AS BIGINT) AS n_match
+       |FROM vsig a JOIN vsig b
+       |  ON a.f = b.f AND a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 2
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val fh = graft.multimodal.MediaPipeline
+      .videoFrameHashes(s, t(s, d, "documents"))
+      .toDF().localCheckpoint()
+    fh.select(col("doc_id").as("a_id"), col("f"), col("fhash"))
+      .join(fh.select(col("doc_id").as("b_id"), col("f").as("f2"),
+        col("fhash").as("h2")),
+        col("f") === col("f2") && col("fhash") === col("h2") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .where(col("n_match") >= 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[Q] =
     Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames, qAudio,
-      qDecontaminateMedia, qDedupMultimodal)
+      qDecontaminateMedia, qDedupMultimodal, qDedupVideo)
 }

@@ -98,6 +98,35 @@ class PhashSpec extends AnyFunSuite {
     assert(got.nonEmpty) // bench images must contaminate their group-mates
   }
 
+  test("video frame hashes and temporal dedup equal the closed-form reference") {
+    val docs = Tables(spark, Sf, "documents")
+    import spark.implicits._
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    // container demux + REAL per-frame decode == closed form
+    ids.take(12).foreach { v =>
+      val frames = MediaPipeline.decodeVideoFrames(MediaPipeline.synthVideo(v))
+      assert(frames.length == MediaPipeline.VideoFrames)
+      frames.zipWithIndex.foreach { case (png, f) =>
+        val (w, h, px) = MediaPipeline.decodeImage(png)
+        assert(MediaPipeline.dHash64(px, w, h) ==
+          refHash(MediaPipeline.videoPatternId(v, f)))
+      }
+    }
+    // query == brute-force >= half frame-position matches
+    val fh = ids.map(v => v -> (0 until MediaPipeline.VideoFrames)
+      .map(f => refHash(MediaPipeline.videoPatternId(v, f)))).toMap
+    val expect = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      n = fh(ids(i)).zip(fh(ids(j))).count { case (a, b) => a == b }
+      if n >= 2
+    } yield (ids(i), ids(j), n.toLong)).toVector
+    val got = SparkEntry.queries("q_dedup_video")(spark, Sf)
+      .as[(Long, Long, Long)].collect().toVector.sortBy(p => (p._1, p._2))
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("cluster manifest equals brute-force union-find over the pair graph") {
     val docs = Tables(spark, Sf, "documents")
     import spark.implicits._
