@@ -103,12 +103,15 @@ object Bench {
     // The driver parses the FINAL stdout line as JSON, and the round-8
     // artifact was unparseable because a shutdown-race stack trace
     // (executor-pool RejectedExecutionException) printed around the
-    // metric line. Make that structurally impossible: mute both
-    // streams, stop Spark inline (DiskBlockManager frees its shuffle
-    // dirs during stop), then emit the JSON on the real stdout and
-    // halt — after halt nothing in this forked JVM can print. (The
-    // skipped JVM shutdown hooks only delete the small driver temp
-    // dir; the bulk disk was already freed by stop().)
+    // metric line. Defense in depth: mute System.out/err (covers raw
+    // printStackTrace and anything resolving the streams dynamically
+    // — NOT writers that captured the original stream at init, e.g.
+    // scala.Console or a follow=false log4j appender), stop Spark
+    // inline (DiskBlockManager frees its shuffle dirs during stop),
+    // then emit the JSON on the real stdout and halt — halt is the
+    // hard guarantee: after it nothing in this forked JVM can print.
+    // (The skipped JVM shutdown hooks only delete the small driver
+    // temp dir; the bulk disk was already freed by stop().)
     val realOut = System.out
     val sink = new java.io.PrintStream(java.io.OutputStream.nullOutputStream())
     System.setOut(sink)

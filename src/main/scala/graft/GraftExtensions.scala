@@ -68,6 +68,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "memo_rlike(str, pattern) requires a literal pattern")
     })
     ext.injectOptimizerRule(_ => MemoizeBotRlike)
+    // Huge-codegen guard for sessions WE don't build (a user's
+    // cluster spark-submit that installs this extension): the
+    // flagship's fused stage generates a ~8.2 KB method, past
+    // HotSpot's DontCompileHugeMethods cutoff. If this JVM lacks
+    // -XX:-DontCompileHugeMethods, lower hugeMethodLimit so Spark
+    // falls back to the per-expression-codegen Volcano path for just
+    // that stage instead of running a never-JIT'd monolith. The
+    // check-rule builder runs once per session — used purely as a
+    // session-construction hook; the returned check is a no-op.
+    ext.injectCheckRule { session =>
+      // only when still at Spark's default — an explicit user setting
+      // (including Sessions.local's own) wins
+      if (!Sessions.jitCompilesHugeMethods &&
+          session.conf.get("spark.sql.codegen.hugeMethodLimit") == "65535")
+        session.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+      _ => ()
+    }
   }
 }
 

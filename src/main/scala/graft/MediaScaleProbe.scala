@@ -52,10 +52,13 @@ object MediaScaleProbe {
       require(cand * 20 < allPairs,
         s"banding degenerated toward all-pairs: $cand candidates vs $allPairs")
 
-      // ---- verified pairs + hash-only shuffle bound
+      // ---- verified pairs + hash-only shuffle bound. The builder
+      // runs INSIDE the clock: the signature localCheckpoint executes
+      // the decode pass eagerly at construction, and excluding it
+      // would make pair_secs incomparable with cand/cc timings.
+      t0 = System.nanoTime()
       val pairsQ = SparkEntry.queries("q_dedup_phash")(spark, dir)
       val pExec = pairsQ.queryExecution.executedPlan
-      t0 = System.nanoTime()
       val nPairs = pExec.executeCollect().length.toLong
       val pSecs = (System.nanoTime() - t0) / 1e9
       val pRecords = shuffleRecords(pExec)
@@ -79,9 +82,9 @@ object MediaScaleProbe {
         f"kept=$kept%7d dropped=${nDocs - kept}%7d secs=$ccSecs%5.2f")
 
       // ---- frame sampling: payload stays in the scan stage
+      t0 = System.nanoTime()
       val framesQ = SparkEntry.queries("q_multimodal_frames")(spark, dir)
       val fExec = framesQ.queryExecution.executedPlan
-      t0 = System.nanoTime()
       val nFrames = fExec.executeCollect().length.toLong
       val fSecs = (System.nanoTime() - t0) / 1e9
       val fRecords = shuffleRecords(fExec)

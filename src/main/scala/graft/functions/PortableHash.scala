@@ -34,17 +34,11 @@ object PortableHash {
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  /** JVM-side twin of `md5Long(col) % P` — for driver-side probe
-    * values (sketch bucket precomputation) and JVM-state streaming
-    * sketches that must agree with the SQL form bit-for-bit. Hot-path
-    * safe: thread-local digest instance, and the 60-bit value (the
-    * first 15 hex chars ≡ the top 60 bits of the digest) is derived
-    * numerically from the first 8 bytes instead of formatting and
-    * re-parsing hex. Equivalence with the hex-parse form is spec-pinned
-    * (PortableHashSpec). */
   /** JVM-side twin of `md5Long(col)` alone (no mod-P reduction): the
-    * unsigned top 60 bits of the md5 digest, numerically — shared by
-    * [[digestOf]] and the native logreg-margin kernel
+    * unsigned top 60 bits of the md5 digest (≡ the first 15 hex
+    * chars), derived numerically from the first 8 bytes instead of
+    * formatting and re-parsing hex — shared by [[digestOf]] and the
+    * native logreg-margin kernel
     * ([[GraftExpressions.logregMarginOf]]). */
   def digest60(s: String): Long = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -52,7 +46,8 @@ object PortableHash {
   }
 
   /** [[digest60]] over a byte slice — the zero-allocation form for
-    * kernels that already hold utf-8 bytes (native logreg margin). */
+    * kernels that already hold utf-8 bytes (native logreg margin).
+    * Hot-path safe: thread-local digest instance. */
   def digest60Bytes(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = mdLocal.get()
     md.reset()
@@ -64,6 +59,11 @@ object PortableHash {
     top >>> 4
   }
 
+  /** JVM-side twin of `md5Long(col) % P` — for driver-side probe
+    * values (sketch bucket precomputation) and JVM-state streaming
+    * sketches that must agree with the SQL form bit-for-bit.
+    * Equivalence with the hex-parse form is spec-pinned
+    * (PortableHashSpec). */
   def digestOf(s: String): Long = digest60(s) % P
 
   /** DuckDB-side twins (string fragments for oracle SQL). */

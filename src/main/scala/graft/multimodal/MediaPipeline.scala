@@ -350,6 +350,13 @@ object MediaPipeline {
   /** Frames per synthetic video. */
   val VideoFrames = 4
 
+  /** The unique-variant pattern offset: far above any reachable
+    * group-shared id ((docId/4)·8 + f < 2·docId + 8), so the two
+    * ranges cannot collide for any docId < 2^38 — guarded, because a
+    * collision would silently plant cross-group frame matches and
+    * invalidate the keep/drop structure. */
+  val VideoVariantBase: Long = 1L << 40
+
   /** Pattern id of frame `f` of video `docId`: group-shared
     * ((docId/4)·8 + f — all 4 group members render the IDENTICAL
     * frame) except each video's OWN variant position (f = docId mod 4
@@ -357,9 +364,12 @@ object MediaPipeline {
     * exactly 2 of 4 frames bit-identically and cross-group videos
     * share none — the planted structure `q_dedup_video`'s ≥-half
     * frame-match rule provably keeps AND drops. */
-  def videoPatternId(docId: Long, f: Int): Long =
-    if (f == (docId % VideoFrames).toInt) 1000000L + docId
+  def videoPatternId(docId: Long, f: Int): Long = {
+    require(docId >= 0 && docId < (1L << 38),
+      s"doc_id $docId would collide the shared/variant pattern ranges")
+    if (f == (docId % VideoFrames).toInt) VideoVariantBase + docId
     else (docId / 4) * 8 + f
+  }
 
   /** Deterministic video CONTAINER: `[n:int][len:int][png bytes]…` —
     * the container parse is the stubbed codec (a real demuxer is not

@@ -41,19 +41,12 @@ final case class Pigeonhole(bits: Int, maxHamming: Int) {
     else shifted.bitwiseAND(lit((1L << w) - 1))
   }
 
-  /** JVM twin of [[segmentValue]] — for stateful streaming operators
-    * that verify candidates inside the state function
-    * ([[graft.streaming.StreamingPhashDedup]]). Bit-identical to the
-    * Column form by construction (same bounds, same unsigned shift). */
+  /** JVM twin of [[segmentValue]] — bit-identical to the Column form
+    * by construction (same bounds, same unsigned shift); for JVM-side
+    * probes and references that must agree with the SQL banding. */
   def segmentValueLong(sig: Long, j: Int): Long = {
     val (off, w) = segBounds(j)
     val shifted = sig >>> off
     if (w == 64) shifted else shifted & ((1L << w) - 1)
   }
-
-  /** First segment index where the two signatures agree, if any —
-    * the deterministic once-per-pair emission rule shared by the
-    * batch first-matching-segment filter and the streaming twin. */
-  def firstMatchingSegment(a: Long, b: Long): Option[Int] =
-    (0 until segments).find(j => segmentValueLong(a, j) == segmentValueLong(b, j))
 }

@@ -401,9 +401,9 @@ object MultimodalQueries {
     * .videoPatternId]]) drives the same textured-grid closed form the
     * image oracle uses, keyed on (doc_id, f). */
   private val videoSigCtes: String =
-    """vf AS (SELECT doc_id, CAST(fs.r AS BIGINT) AS f,
+    s"""vf AS (SELECT doc_id, CAST(fs.r AS BIGINT) AS f,
       |         CASE WHEN CAST(fs.r AS BIGINT) = doc_id % 4
-      |              THEN 1000000 + doc_id
+      |              THEN ${graft.multimodal.MediaPipeline.VideoVariantBase} + doc_id
       |              ELSE (doc_id // 4) * 8 + CAST(fs.r AS BIGINT) END AS p
       |       FROM documents, range(0, 4) AS fs(r)),
       |vcells AS (SELECT doc_id, f, p,

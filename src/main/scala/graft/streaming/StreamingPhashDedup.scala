@@ -21,10 +21,14 @@ import graft.operators.Pigeonhole
   *    exchange; only (doc_id, 8-byte hash) rows shuffle to buckets;
   *  - verification happens INSIDE the state function (both signatures
   *    are at hand), so unlike the minhash twin no downstream verify
-  *    join exists — and each pair is emitted EXACTLY once, in its
-  *    first matching segment ([[Pigeonhole.firstMatchingSegment]],
-  *    the same once-per-pair rule the batch query applies as a
-  *    codegen filter);
+  *    join exists. A pair co-resident in k segments is emitted k
+  *    times; downstream dedups (same contract as
+  *    [[StreamingDedup]]). A first-matching-segment rule would give
+  *    exactly-once — but only when the first shared bucket stored the
+  *    older member: under overflow the older member may be resident
+  *    ONLY in a later shared bucket, and a rule keyed to the first
+  *    segment would silently lose the pair there, a stream≠batch
+  *    divergence worse than duplicates;
   *  - state per bucket is O(resident images) 16-byte entries, capped
   *    by `maxPerBucket` (an overflowing bucket is a degenerate hot
   *    bucket: further members are verified against the resident
@@ -67,7 +71,6 @@ object StreamingPhashDedup {
             state: GroupState[Bucket]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val seg = key._1
             var ids = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
             var sigs = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
             val out = Seq.newBuilder[PhashPair]
@@ -77,13 +80,13 @@ object StreamingPhashDedup {
                 var i = 0
                 while (i < ids.length) {
                   val ham = java.lang.Long.bitCount(sig ^ sigs(i))
-                  // emit once per pair: only from the FIRST segment the
-                  // two signatures share (guaranteed to exist for any
-                  // pair at Hamming <= maxHamming — the pigeonhole
-                  // argument — and unique, so k-fold collisions
-                  // cannot double-emit)
-                  if (ham <= maxHamming &&
-                      ph.firstMatchingSegment(sig, sigs(i)).contains(seg))
+                  // emit wherever verified — k-fold for a pair
+                  // co-resident in k buckets, deduped downstream. Do
+                  // NOT gate on the pair's first matching segment:
+                  // under overflow the older member may be resident
+                  // only in a LATER shared bucket, and that gate
+                  // would lose the pair entirely.
+                  if (ham <= maxHamming)
                     out += PhashPair(math.min(id, ids(i)),
                       math.max(id, ids(i)), ham)
                   i += 1

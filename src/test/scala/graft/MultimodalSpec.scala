@@ -81,10 +81,14 @@ class MultimodalSpec extends AnyFunSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
+    // CODEPOINT semantics, like Spark's char_length/substr and
+    // DuckDB's length/substr — String.length/substring would count
+    // UTF-16 units and diverge on astral-plane characters
     val expect = (for {
       (id, text) <- docs
-      off <- MediaPipeline.frameOffsets(text.length, 64, 3)
-    } yield (id, off.toLong / 64, ref60(text.substring(off, off + 64))))
+      cps = text.codePoints().toArray
+      off <- MediaPipeline.frameOffsets(cps.length, 64, 3)
+    } yield (id, off.toLong / 64, ref60(new String(cps, off, 64))))
       .toVector.sorted
     val got = SparkEntry.queries("q_multimodal_frames")(spark, Sf)
       .as[(Long, Long, Long)].collect().toVector.sorted
