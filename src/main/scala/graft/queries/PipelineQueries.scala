@@ -939,9 +939,79 @@ object PipelineQueries {
       .orderBy(col("pos"))
   }
 
+  /** The END-TO-END data-loader build the corpus family exists for,
+    * composed as ONE query: quality gate (`q_quality_gate`'s fused
+    * 5-signal keep-set) → deterministic epoch shuffle
+    * (`q_shuffle_epoch`'s seeded portable-hash permutation into
+    * [[EpochShards]] loader shards) → sequence packing
+    * (`q_pack_sequences`'s concat-and-chunk at [[SeqBudget]] tokens,
+    * here WITHIN each shard in permuted order — what a loader worker
+    * actually consumes). Output: per (shard, sequence) document count
+    * and token mass.
+    *
+    * Scale shape — the composition adds NO corpus-scale exchange
+    * beyond its stages' own: the gate and the token count are
+    * per-row expressions fused into the one corpus scan (zero
+    * shuffles, filter before anything moves); the shuffle+pack order
+    * (shard, hv, doc_id) needs exactly the ONE range repartition of
+    * the [[PrefixSum.cumsumBy]] two-phase scan (position AND running
+    * token count come from the same pass — composing the stages
+    * SAVES the second scan a sequential pipeline would run); the
+    * per-shard offsets are an [[EpochShards]]-bounded broadcast; the
+    * final per-(shard, seq) rollup is map-side combined. The oracle
+    * SQL writes the per-shard window this plan exists to avoid
+    * (range partitioning on the composite key splits one shard
+    * across many tasks — parallelism independent of shard count). */
+  private val qLoaderPipeline = Q("q_loader_pipeline",
+    s"""${TextQueries.GateSignalsSql},
+       |k AS (
+       |  SELECT doc_id FROM s
+       |  WHERE len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok),
+       |tok AS (
+       |  SELECT d.doc_id,
+       |    ${PortableHash.md5LongSql(s"'$EpochSeed:' || d.doc_id::VARCHAR")} AS hv,
+       |    CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS toks
+       |  FROM documents d JOIN k USING (doc_id)),
+       |c AS (
+       |  SELECT CAST(hv % $EpochShards AS INT) AS shard, doc_id, toks,
+       |    sum(toks) OVER (PARTITION BY hv % $EpochShards
+       |      ORDER BY hv, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM tok)
+       |SELECT shard, CAST(floor((cum - toks) / $SeqBudget.0) AS BIGINT) AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+      .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))
+    val kept = TextQueries.gateSignals(docs, carry = Seq("toks"))
+      .where(col("len_ok") && col("marker_ok") && col("rep_ok") &&
+        col("pii_ok") && col("lr_ok"))
+      .select(col("doc_id"), col("toks"))
+    val hv = PortableHash.md5Long(
+      concat(lit(s"$EpochSeed:"), col("doc_id").cast("string")))
+    val sharded = kept
+      .withColumn("hv", hv)
+      .withColumn("shard", (col("hv") % EpochShards).cast("int"))
+    val cum = PrefixSum.cumsumBy(sharded,
+      Seq("shard", "hv", "doc_id"), "toks", 8, "cum")
+    // per-shard token offset = running total just before the shard's
+    // first document; EpochShards rows, broadcast back
+    val offs = cum.groupBy(col("shard"))
+      .agg(min(col("cum") - col("toks")).as("off"))
+    cum.join(broadcast(offs), "shard")
+      .select(col("shard"),
+        floor((col("cum") - col("off") - col("toks")) / lit(SeqBudget.toDouble))
+          .cast("long").as("seq_id"),
+        col("toks"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
     qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve,
-    qShuffleEpoch, qCurriculum)
+    qShuffleEpoch, qCurriculum, qLoaderPipeline)
 }

@@ -824,8 +824,9 @@ object TextQueries {
     * 2=markers, 4=repetition, 8=PII, 16=classifier) is what the
     * pipeline's drop-audit aggregations consume downstream. */
   /** Shared CTE fragment: the per-row gate signals, with `source`
-    * carried for the audit aggregation. */
-  private val GateSignalsSql =
+    * carried for the audit aggregation. Also the gate stage of the
+    * composed `q_loader_pipeline` oracle (PipelineQueries). */
+  private[graft] val GateSignalsSql =
     s"""WITH w AS (
       |  SELECT doc_id, source,
       |    substr(text, 1, 40)
@@ -847,8 +848,12 @@ object TextQueries {
       |  FROM w)""" // NO stripMargin: embedded in templates that strip once
 
   /** Spark twin of [[GateSignalsSql]]: one shared tokenization, all
-    * five per-row signals. */
-  private def gateSignals(docs: DataFrame): DataFrame = {
+    * five per-row signals. `carry` names input columns threaded
+    * through unchanged (the loader pipeline carries its own token
+    * count so the gate→shuffle→pack composition stays one scan). */
+  private[graft] def gateSignals(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
     val id = col("doc_id")
     val piit = concat(
       substring(col("text"), 1, 40),
@@ -862,20 +867,39 @@ object TextQueries {
         concat(lit(" call +1-555-01"), (pmod(id, lit(90)) + 10).cast("string")))
         .otherwise(""))
     docs
-      .select(id, col("source"), piit.as("piit"), words(col("text")).as("ws"),
-        logregMarginNum(col("text")).as("margin_num"))
-      .select(id, col("source"), col("piit"), col("margin_num"),
+      .select(Seq(id, col("source"), piit.as("piit"),
+        words(col("text")).as("ws"),
+        logregMarginNum(col("text")).as("margin_num")) ++ cs: _*)
+      .select(Seq(id, col("source"), col("piit"), col("margin_num"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("distinct_n"),
-        countIn(col("ws"), EnMarkers ++ DeMarkers).as("markers"))
-      .select(id, col("source"), col("n_words"),
+        countIn(col("ws"), EnMarkers ++ DeMarkers).as("markers")) ++ cs: _*)
+      .select(Seq(id, col("source"), col("n_words"),
         col("n_words").between(20, 500).as("len_ok"),
         (col("markers") > 0).as("marker_ok"),
         (col("distinct_n").cast("double") / col("n_words").cast("double")
           >= 0.45).as("rep_ok"),
         (!(col("piit").rlike(EmailRe) || col("piit").rlike(Ipv4Re) ||
           col("piit").rlike(PhoneRe))).as("pii_ok"),
-        (col("margin_num") >= 0L).as("lr_ok"))
+        (col("margin_num") >= 0L).as("lr_ok")) ++ cs: _*)
+  }
+
+  /** The gate's (doc_id, n_words, reasons, keep) projection over
+    * [[gateSignals]] — pure stateless per-row work, shared verbatim by
+    * the batch query and the streaming twin (StreamingGateSpec pins
+    * stream ≡ batch across micro-batch splits). */
+  private[graft] def gateBitmask(docs: DataFrame): DataFrame = {
+    val lenOk = col("len_ok")
+    val markerOk = col("marker_ok")
+    val repOk = col("rep_ok")
+    val piiOk = col("pii_ok")
+    val lrOk = col("lr_ok")
+    def bit(ok: Column, v: Int): Column = when(ok, 0).otherwise(v)
+    gateSignals(docs)
+      .select(col("doc_id"), col("n_words"),
+        (bit(lenOk, 1) + bit(markerOk, 2) + bit(repOk, 4) + bit(piiOk, 8) +
+          bit(lrOk, 16)).cast("int").as("reasons"),
+        (lenOk && markerOk && repOk && piiOk && lrOk).as("keep"))
   }
 
   private val qQualityGate = Q("q_quality_gate",
@@ -886,18 +910,7 @@ object TextQueries {
       |     + CASE WHEN lr_ok THEN 0 ELSE 16 END AS INT) AS reasons,
       |  (len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok) AS keep
       |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val lenOk = col("len_ok")
-    val markerOk = col("marker_ok")
-    val repOk = col("rep_ok")
-    val piiOk = col("pii_ok")
-    val lrOk = col("lr_ok")
-    def bit(ok: Column, v: Int): Column = when(ok, 0).otherwise(v)
-    gateSignals(t(s, d, "documents"))
-      .select(col("doc_id"), col("n_words"),
-        (bit(lenOk, 1) + bit(markerOk, 2) + bit(repOk, 4) + bit(piiOk, 8) +
-          bit(lrOk, 16)).cast("int").as("reasons"),
-        (lenOk && markerOk && repOk && piiOk && lrOk).as("keep"))
-      .orderBy(col("doc_id"))
+    gateBitmask(t(s, d, "documents")).orderBy(col("doc_id"))
   }
 
   /** The gate's drop-audit — what a pipeline operator actually reads
