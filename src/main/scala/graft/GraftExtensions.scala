@@ -79,10 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session-construction hook; the returned check is a no-op.
     ext.injectCheckRule { session =>
       // only when still at Spark's default — an explicit user setting
-      // (including Sessions.local's own) wins
+      // (including Sessions.local's own) wins. The default is read
+      // from SQLConf's own entry, not a hard-coded literal, so a
+      // changed Spark default can't silently disable the guard.
+      val entry = org.apache.spark.sql.internal.SQLConf.WHOLESTAGE_HUGE_METHOD_LIMIT
       if (!Sessions.jitCompilesHugeMethods &&
-          session.conf.get("spark.sql.codegen.hugeMethodLimit") == "65535")
-        session.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+          session.conf.get(entry.key) == entry.defaultValueString)
+        session.conf.set(entry.key, "8000")
       _ => ()
     }
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -25,17 +25,34 @@ object Tables {
     * the same logical testdata has shipped as TIMESTAMP(NANOS),
     * TIMESTAMP(MICROS, adjusted) and TIMESTAMP(MICROS, naive) across
     * generator versions. Every query computes on session-TZ
-    * TimestampType, so cast any TIMESTAMP_NTZ column up front — the
-    * session TZ is pinned to UTC, making the cast a pure annotation
-    * change (identical micros), and time functions like `unix_micros`
-    * that reject NTZ analyze cleanly. */
-  private def normalizeTimestamps(df: DataFrame): DataFrame =
-    if (!df.schema.exists(_.dataType == TimestampNTZType)) df
-    else df.select(df.schema.fields.map { f =>
-      if (f.dataType == TimestampNTZType)
-        col(f.name).cast(TimestampType).as(f.name)
-      else col(f.name)
-    }.toIndexedSeq: _*)
+    * TimestampType, so cast any TIMESTAMP_NTZ column — including ones
+    * nested in struct/array/map — up front. The NTZ→TZ cast is
+    * instant-preserving ONLY when the session TZ is UTC (it
+    * reinterprets the naive micros in the session zone), so that
+    * precondition is asserted, not assumed. */
+  private def normalizeTimestamps(df: DataFrame): DataFrame = {
+    def stripNtz(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = stripNtz(f.dataType))))
+      case a: ArrayType => a.copy(elementType = stripNtz(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = stripNtz(m.keyType), valueType = stripNtz(m.valueType))
+      case other => other
+    }
+    if (df.schema.fields.forall(f => stripNtz(f.dataType) == f.dataType)) df
+    else {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"TIMESTAMP_NTZ normalization requires session TZ UTC (got $tz): " +
+          "the NTZ->TZ cast would shift instants in any other zone")
+      df.select(df.schema.fields.map { f =>
+        val target = stripNtz(f.dataType)
+        if (target == f.dataType) col(f.name)
+        else col(f.name).cast(target).as(f.name)
+      }.toIndexedSeq: _*)
+    }
+  }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -405,18 +405,31 @@ object MediaPipeline {
 
   case class VideoFrameHash(doc_id: Long, f: Int, fhash: Long)
 
-  /** Video media table + per-frame dHash extraction: demux and decode
-    * run partition-locally; only (doc_id, frame index, 8-byte hash)
-    * rows leave the stage — at 100 TB of video the downstream dedup
-    * join moves sampled hashes, never frames. */
-  def videoFrameHashes(spark: SparkSession, docs: DataFrame): Dataset[VideoFrameHash] = {
+  /** Video media table, one frame container per document id —
+    * partition-local encode, same (doc_id, mime, content) shape as
+    * [[toMediaPng]]/[[toWavMedia]], so downstream stages see a real
+    * binary column they must demux, not a synthesizer they can reach
+    * around. */
+  def toVideoMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "video/x-graft-frames", synthVideo(id)))
+    }.toDF()
+  }
+
+  /** Per-frame dHash extraction over a (doc_id, mime, content) video
+    * media table: demux of the binary column and frame decode run
+    * partition-locally; only (doc_id, frame index, 8-byte hash) rows
+    * leave the stage — at 100 TB of video the downstream dedup join
+    * moves sampled hashes, never frames. */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
       ImageIO.setUseCache(false)
-      ids.flatMap { id =>
-        decodeVideoFrames(synthVideo(id)).zipWithIndex.map { case (png, f) =>
+      rows.flatMap { r =>
+        decodeVideoFrames(r.content).zipWithIndex.map { case (png, f) =>
           val (w, h, px) = decodeImage(png)
-          VideoFrameHash(id, f, dHash64(px, w, h))
+          VideoFrameHash(r.doc_id, f, dHash64(px, w, h))
         }
       }
     }

@@ -78,14 +78,106 @@ object Bpe {
       .orderBy(col("f").desc, col("w").asc).limit(topV)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Merge every left-to-right occurrence of (a, b) in `syms` — the
+    * one merge-application rule, shared by training (both trainer
+    * variants) and [[Model.encodeWord]]'s greedy apply. */
+  private def mergeOnce(syms: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
   /** Train `numMerges` merges over the top-V word shortlist. Pair
     * selection per iteration: max count, ties to the lexicographically
     * smallest (left, right) — the same (cnt DESC, pair ASC) rule
-    * `q_bpe_merge` ranks by. */
+    * `q_bpe_merge` ranks by.
+    *
+    * The pair-count statistic is maintained INCREMENTALLY (the
+    * Sennrich `learn_bpe` recipe): one full pass seeds the counts and
+    * a pair → word-occurrence index, then each merge updates counts
+    * only for the words that actually contain the selected pair —
+    * per-iteration cost O(Σ|affected words|), not O(Σ|all words|).
+    * [[fitRecount]] keeps the naive full-recount loop as the
+    * measured/spec-pinned reference (BpeSpec asserts bit-identical
+    * merge lists; PLANS.md records the measured per-iteration drop). */
   def fit(docs: DataFrame, textCol: String, numMerges: Int,
       topV: Int = 100000): Model = {
     require(numMerges >= 1 && topV >= 1, s"numMerges=$numMerges topV=$topV")
-    val wf = wordFreq(docs, textCol, topV)
+    Model(trainMerges(wordFreq(docs, textCol, topV), numMerges))
+  }
+
+  /** The vocabulary-scale (driver-side, like KMeans' centroids)
+    * incremental merge loop over a (word, freq) shortlist. */
+  private[graft] def trainMerges(wf: Seq[(String, Long)], numMerges: Int)
+      : Seq[(String, String)] = {
+    val words = mutable.ArrayBuffer.from(
+      wf.map { case (w, f) => (w.map(_.toString).toVector, f) })
+    val counts = mutable.Map.empty[(String, String), Long]
+    // pair → indices of words that contained it when last touched;
+    // entries may go STALE after later merges rewrite a word — the
+    // apply step re-checks adjacency in the current symbols, so stale
+    // indices cost a scan, never correctness (counts stays exact).
+    val where = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def bump(k: (String, String), d: Long): Unit = {
+      val c = counts.getOrElse(k, 0L) + d
+      if (c == 0L) counts.remove(k) else counts(k) = c
+    }
+    def pairsOf(syms: Vector[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    words.zipWithIndex.foreach { case ((syms, f), ix) =>
+      pairsOf(syms) { k =>
+        bump(k, f)
+        where.getOrElseUpdate(k, mutable.Set.empty) += ix
+      }
+    }
+    val merges = Seq.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }._1
+        merges += best
+        val (a, b) = best
+        where.remove(best).getOrElse(mutable.Set.empty).toSeq.sorted
+          .foreach { ix =>
+            val (syms, f) = words(ix)
+            var contains = false
+            var i = 0
+            while (!contains && i < syms.length - 1) {
+              contains = syms(i) == a && syms(i + 1) == b; i += 1
+            }
+            if (contains) { // stale index entries re-checked, skipped
+              val next = mergeOnce(syms, a, b)
+              pairsOf(syms)(bump(_, -f))
+              pairsOf(next) { k =>
+                bump(k, f)
+                where.getOrElseUpdate(k, mutable.Set.empty) += ix
+              }
+              words(ix) = (next, f)
+            }
+          }
+        made += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The round-6..9 full-recount loop, kept as the reference the
+    * incremental trainer is pinned against (BpeSpec) and measured
+    * against (PLANS.md). Semantics identical by construction: a full
+    * recount equals the seeded counts plus the exact per-word deltas
+    * the incremental loop applies. */
+  private[graft] def trainMergesRecount(wf: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
     var words: Seq[(Vector[String], Long)] =
       wf.map { case (w, f) => (w.map(_.toString).toVector, f) }
     val merges = Seq.newBuilder[(String, String)]
@@ -107,22 +199,12 @@ object Bpe {
         merges += best
         val (a, b) = best
         words = words.map { case (syms, f) =>
-          if (syms.length < 2) (syms, f)
-          else {
-            val out = Vector.newBuilder[String]
-            var j = 0
-            while (j < syms.length) {
-              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
-                out += a + b; j += 2
-              } else { out += syms(j); j += 1 }
-            }
-            (out.result(), f)
-          }
+          if (syms.length < 2) (syms, f) else (mergeOnce(syms, a, b), f)
         }
         made += 1
       }
     }
-    Model(merges.result())
+    merges.result()
   }
 
   /** Corpus-wide apply: (doc_id, tokens array<string>, n_tokens) —

@@ -452,8 +452,10 @@ object MultimodalQueries {
        |GROUP BY a.doc_id, b.doc_id
        |HAVING count(*) >= 2
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val media = graft.multimodal.MediaPipeline
+      .toVideoMedia(s, t(s, d, "documents"))
     val fh = graft.multimodal.MediaPipeline
-      .videoFrameHashes(s, t(s, d, "documents"))
+      .videoFrameHashes(s, media)
       .toDF().localCheckpoint()
     fh.select(col("doc_id").as("a_id"), col("f"), col("fhash"))
       .join(fh.select(col("doc_id").as("b_id"), col("f").as("f2"),

@@ -71,34 +71,41 @@ object StreamingPhashDedup {
             state: GroupState[Bucket]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var ids = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
-            var sigs = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+            val ids = state.getOption.map(_.docIds).getOrElse(Array.empty[Long])
+            val sigs = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+            // batch arrivals accumulate in growable buffers (amortized
+            // O(1) append) and concatenate into the stored arrays ONCE
+            // per micro-batch — an Array :+ per element would copy the
+            // whole bucket each time, O(n²) up to maxPerBucket.
+            val newIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val newSigs = scala.collection.mutable.ArrayBuffer.empty[Long]
             val out = Seq.newBuilder[PhashPair]
+            def verify(id: Long, sig: Long, otherId: Long, otherSig: Long): Unit = {
+              val ham = java.lang.Long.bitCount(sig ^ otherSig)
+              // emit wherever verified — k-fold for a pair
+              // co-resident in k buckets, deduped downstream. Do
+              // NOT gate on the pair's first matching segment:
+              // under overflow the older member may be resident
+              // only in a LATER shared bucket, and that gate
+              // would lose the pair entirely.
+              if (ham <= maxHamming)
+                out += PhashPair(math.min(id, otherId), math.max(id, otherId), ham)
+            }
             // deterministic processing order within the micro-batch
             it.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
-              if (!ids.contains(id)) {
+              if (!ids.contains(id) && !newIds.contains(id)) {
                 var i = 0
-                while (i < ids.length) {
-                  val ham = java.lang.Long.bitCount(sig ^ sigs(i))
-                  // emit wherever verified — k-fold for a pair
-                  // co-resident in k buckets, deduped downstream. Do
-                  // NOT gate on the pair's first matching segment:
-                  // under overflow the older member may be resident
-                  // only in a LATER shared bucket, and that gate
-                  // would lose the pair entirely.
-                  if (ham <= maxHamming)
-                    out += PhashPair(math.min(id, ids(i)),
-                      math.max(id, ids(i)), ham)
-                  i += 1
-                }
-                if (ids.length < maxPerBucket) {
-                  ids :+= id
-                  sigs :+= sig
+                while (i < ids.length) { verify(id, sig, ids(i), sigs(i)); i += 1 }
+                i = 0
+                while (i < newIds.length) { verify(id, sig, newIds(i), newSigs(i)); i += 1 }
+                if (ids.length + newIds.length < maxPerBucket) {
+                  newIds += id
+                  newSigs += sig
                 } // overflow: verified against the resident sample but
                   // not stored (drop-not-queue)
               }
             }
-            state.update(Bucket(ids, sigs))
+            state.update(Bucket(ids ++ newIds, sigs ++ newSigs))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }

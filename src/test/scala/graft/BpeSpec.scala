@@ -53,6 +53,19 @@ class BpeSpec extends AnyFunSuite {
     assert(model.merges.length === Merges)
   }
 
+  test("incremental pair-delta trainer is bit-identical to the full recount") {
+    val wf = Bpe.wordFreq(docs, "text", 100000)
+    // deep into merge territory — past where early pair collisions
+    // or a stale-index slip would diverge the two loops
+    val n = 200
+    assert(Bpe.trainMerges(wf, n) === Bpe.trainMergesRecount(wf, n))
+    // and through exhaustion: more merges than pairs exist on a tiny
+    // shortlist, so both loops must stop at the identical point
+    val tiny = wf.take(30)
+    val all = Bpe.trainMergesRecount(tiny, 10000)
+    assert(Bpe.trainMerges(tiny, 10000) === all)
+  }
+
   test("first merge equals q_bpe_merge's oracle-checked top pair") {
     val top = SparkEntry.queries("q_bpe_merge")(spark, TestSpark.Sf)
       .limit(1).collect()(0).getString(0)
