@@ -40,7 +40,31 @@ object HeavyScaleProbe {
     // the per-copy doc_id offset (5000·c) is divisible by 4, so
     // near-dup groups stay size-4 and per-copy base patterns differ —
     // cluster sizes constant, corpus 10×.
-    "q_dedup_phash_cc")
+    "q_dedup_phash_cc",
+    // round 10: the pair-graph composition queries — their claimed
+    // broadcast-vs-shuffle AQE flip is additionally pinned by
+    // flipCheck below
+    "q_dedup_multimodal", "q_decontaminate_media")
+
+  /** Queries whose sf1 wall growth must stay sub-linear-ish — the
+    * round-10 additions ship with a hard bound, not just a printout. */
+  private val ExpBound = Map(
+    "q_dedup_multimodal" -> 1.0, "q_decontaminate_media" -> 1.0)
+
+  /** q_knn_ivf_trained's Q entry (round 10) joins the IVF result
+    * against the in-plan brute-force top-k to emit its oracle-checked
+    * recall verdict — a deliberately O(|Q|·N) baseline that exists
+    * for VERIFICATION, not production retrieval. The probe measures
+    * the production operator (the raw IVF path), as before. */
+  private val Override: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q_knn_ivf_trained" ->
+      ((s, d) => graft.queries.SimilarityQueries.knnIvfTrained(s, d)))
+
+  /** Materializes (once) and returns the synthetic-sf1 directory —
+    * shared with PigeonholeKnobProbe. */
+  private[graft] def ensureSf1(spark: SparkSession): String = {
+    synthesize(spark); Dst
+  }
 
   private def synthesize(spark: SparkSession): Unit = {
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(Dst, "_DONE"))) return
@@ -111,7 +135,7 @@ object HeavyScaleProbe {
       // wall and the shuffle count would see only the residual plan
       // (the same accounting Bench uses)
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = Override.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       val rows = df.queryExecution.executedPlan.executeCollect().length.toLong
       val t = (System.nanoTime() - t0) / 1e9
       // stage-completed events are delivered async; settle before reading
@@ -129,6 +153,49 @@ object HeavyScaleProbe {
     (math.min(a._1, b._1), b._2, b._3)
   }
 
+  /** Pins the pair-graph queries' claimed join-strategy behavior at
+    * the synthetic sf1 — what happens when the build sides outgrow
+    * the broadcast threshold (emulated by disabling size-based
+    * broadcast, the state a 100 TB run reaches):
+    *
+    *  - `q_dedup_multimodal`'s pair-graph intersection (and every
+    *    other unhinted join in its plan) must degrade to a SHUFFLED
+    *    equi-join — never a nested-loop/cartesian fallback — with the
+    *    identical result;
+    *  - `q_decontaminate_media`'s bench side must stay BROADCAST even
+    *    then (explicit hint — the scale-correct plan for a fixed-size
+    *    eval set, independent of any threshold), with the identical
+    *    result. */
+  private def flipCheck(spark: SparkSession): Unit = {
+    def run(name: String): (Long, String) = {
+      val df = SparkEntry.queries(name)(spark, Dst)
+      val n = df.count()
+      (n, df.queryExecution.executedPlan.toString)
+    }
+    val base = Queries.filter(ExpBound.contains)
+      .map(n => n -> run(n)._1).toMap
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (nM, pM) = run("q_dedup_multimodal")
+      require(nM == base("q_dedup_multimodal"),
+        s"q_dedup_multimodal rows changed under no-broadcast: $nM vs ${base("q_dedup_multimodal")}")
+      require(!pM.contains("BroadcastNestedLoopJoin") && !pM.contains("CartesianProduct"),
+        "q_dedup_multimodal degraded to a non-equi join under no-broadcast")
+      require(pM.contains("SortMergeJoin") || pM.contains("ShuffledHashJoin"),
+        "q_dedup_multimodal shows no shuffled equi-join under no-broadcast")
+      require(!pM.contains("BroadcastHashJoin"),
+        "q_dedup_multimodal still broadcasts with the threshold disabled — a hidden hint?")
+      val (nD, pD) = run("q_decontaminate_media")
+      require(nD == base("q_decontaminate_media"),
+        s"q_decontaminate_media rows changed under no-broadcast: $nD vs ${base("q_decontaminate_media")}")
+      require(pD.contains("BroadcastHashJoin"),
+        "q_decontaminate_media bench side lost its broadcast hint")
+      println(s"FLIPCHECK q_dedup_multimodal: shuffled equi-join under no-broadcast, rows=$nM; " +
+        s"q_decontaminate_media: bench broadcast survives, rows=$nD")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(logLevel = "ERROR")
     synthesize(spark)
@@ -138,7 +205,11 @@ object HeavyScaleProbe {
       val exp = math.log10(t1 / t0)
       println(f"HEAVYSCALE $name%-20s sf0.1: ${t0}%6.2f s $sh0%9d shuf $r0%7d rows | " +
         f"sf1: ${t1}%6.2f s $sh1%10d shuf $r1%8d rows | wall_exp=$exp%5.2f")
+      ExpBound.get(name).foreach { bound =>
+        require(exp < bound, f"$name wall exponent $exp%.2f >= $bound")
+      }
     }
+    flipCheck(spark)
     spark.stop()
   }
 }

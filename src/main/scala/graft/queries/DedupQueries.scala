@@ -370,7 +370,7 @@ object DedupQueries {
       explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .select(col("doc_id"), col("lang"), md5Long(col("tok")).as("h"))
 
-  private def simhashOf(s: SparkSession, d: String): DataFrame = {
+  private[queries] def simhashOf(s: SparkSession, d: String): DataFrame = {
     val bitSums = (0 until SimBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"s$b"))
@@ -411,6 +411,16 @@ object DedupQueries {
     * dHash dedup, `q_dedup_phash`): exact recall at Hamming ≤ `HamMax`
     * via an equi-join on (segment index, segment value), never
     * all-pairs. */
+  /** Scale note (round-10 measurement): a `SimBits`-bit signature's
+    * pair graph saturates once C(n,2)·P(Hamming ≤ HamMax) dominates
+    * the true near-dup density — for 32 bits at HamMax 6 that is
+    * p ≈ 2.7·10⁻⁴, i.e. ~14.7 M random-collision pairs at n = 500 k
+    * (HeavyScaleProbe sf1). The production levers, in order: widen
+    * the signature (64-bit simhash — the dHash family's width, whose
+    * graph stays density-linear at the same n), tighten HamMax, or —
+    * when the pair set is only an INTERSECTION operand — never
+    * materialize it and evaluate it as a per-pair predicate
+    * (`q_dedup_multimodal`'s round-10 plan). */
   private val HamMax = 6
   private val ph = graft.operators.Pigeonhole(SimBits, HamMax)
   private val HamSegs = ph.segments

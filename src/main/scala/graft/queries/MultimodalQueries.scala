@@ -136,7 +136,7 @@ object MultimodalQueries {
   /** (doc_id, phash) over the textured corpus — ONE decode pass,
     * checkpointed so every consumer joins the 16-byte/row signature
     * table instead of re-decoding. */
-  private def phashSig(s: org.apache.spark.sql.SparkSession,
+  private[graft] def phashSig(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import graft.multimodal.MediaPipeline
     MediaPipeline.phashOf(s,
@@ -188,6 +188,50 @@ object MultimodalQueries {
        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     phashPairs(s, d).orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** `q_dedup_phash` re-run through the WIDENED pigeonhole banding
+    * ([[graft.operators.Pigeonhole]] s=6/c=2: keys = both segments of
+    * every 2-subset of 6 segments concatenated, ~21-bit join keys) —
+    * the measured knob for corpora where the default banding's random
+    * collision mass pushes the verify stage to dominance
+    * (PigeonholeKnobProbe: 3.5× fewer collisions for 3× banding
+    * fanout at sf1, PLANS.md round 10). Exact recall is a theorem
+    * (≥ s−h clean segments ⇒ one clean 2-subset), so the oracle is
+    * UNCHANGED — the identical all-pairs SQL as `q_dedup_phash`; a
+    * hash match proves the widened candidate generation loses no
+    * pair. K-fold candidate hits dedup by first matching combo, the
+    * same codegen predicate pattern as the default banding. */
+  private val phWide = graft.operators.Pigeonhole(64, PhashHamMax, 6)
+
+  private val qDedupPhashWide = Q("q_dedup_phash_wide",
+    s"""WITH $phashSigCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamMax
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sig = phashSig(s, d)
+    val combo = explode(array(phWide.combos.indices.map(ix =>
+      struct(lit(ix).as("cx"), phWide.comboValue(col("phash"), ix).as("cv"))): _*))
+    val bands = sig.select(col("doc_id"), col("phash"), combo.as("b"))
+      .select(col("doc_id"), col("phash"),
+        col("b.cx").as("cx"), col("b.cv").as("cv"))
+    def comboEq(ix: Int) =
+      phWide.comboValue(col("sa"), ix) === phWide.comboValue(col("sb"), ix)
+    val earlierMatch = (0 until phWide.combos.size - 1)
+      .map(ix => col("cx") > ix && comboEq(ix))
+      .reduce(_ || _)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    bands.select(col("doc_id").as("a_id"), col("cx"), col("cv"),
+        col("phash").as("sa"))
+      .join(bands.select(col("doc_id").as("b_id"), col("cx").as("cx2"),
+        col("cv").as("cv2"), col("phash").as("sb")),
+        col("cx") === col("cx2") && col("cv") === col("cv2") &&
+          col("a_id") < col("b_id"))
+      .where(!earlierMatch && ham <= PhashHamMax)
+      .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** The image-dedup MANIFEST a corpus build ships: every document
@@ -366,11 +410,23 @@ object MultimodalQueries {
     * image-text training-pair pipeline keys dedup on: agreement
     * across modalities separates true duplicate pairs from caption
     * collisions (same text, different image) and re-renders (same
-    * image, different text). Pure composition: both pair generators
-    * run their own banded plans, then one (a_id, b_id) equi-join
-    * intersects them — pair-graph-sized, orders of magnitude below
-    * the corpus. Oracle: the two declarative pair queries' CTEs share
-    * one WITH (no name overlap) joined the same way. */
+    * image, different text).
+    *
+    * Plan (round 10 rewrite): ANCHOR ON THE WIDER SIGNATURE. The
+    * original plan materialized both banded pair graphs and
+    * intersected them — but a 32-bit simhash SATURATES as the corpus
+    * grows (random pairs collide at Hamming ≤ 6 with p ≈ 2.7·10⁻⁴,
+    * so its pair graph goes quadratic: measured 14.7 M text pairs vs
+    * 214 k image pairs at the synthetic sf1, HeavyScaleProbe round
+    * 10), while the 64-bit dHash graph stays density-linear. The
+    * intersection never needs the saturated side as a SET: generate
+    * pairs from the 64-bit side only, then evaluate the text
+    * condition (same lang, simhash Hamming ≤ 6) as a PER-PAIR
+    * predicate via two slim (doc_id, lang, simhash) lookup joins —
+    * exactly equivalent (the text side's membership is a pure
+    * predicate on the pair), with the text pair graph never
+    * materialized. Oracle: unchanged — the two declarative pair CTEs
+    * intersected, which DuckDB can afford at oracle scale. */
   private val qDedupMultimodal = Q("q_dedup_multimodal",
     s"""WITH ${graft.queries.DedupQueries.simhashCtes},
        |$phashSigCtes,
@@ -387,12 +443,19 @@ object MultimodalQueries {
        |SELECT a_id, b_id, txt_hamming, img_hamming
        |FROM tp JOIN ip USING (a_id, b_id)
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val txt = graft.queries.DedupQueries.qSimhashPairs.fn(s, d)
-      .withColumnRenamed("hamming", "txt_hamming")
     val img = phashPairs(s, d)
       .withColumnRenamed("hamming", "img_hamming")
-    txt.join(img, Seq("a_id", "b_id"))
-      .select(col("a_id"), col("b_id"), col("txt_hamming"), col("img_hamming"))
+    // slim lookup table, computed once (one corpus agg), joined twice
+    val sg = graft.queries.DedupQueries.simhashOf(s, d).localCheckpoint()
+    val txtHam = bit_count(col("ha").bitwiseXOR(col("hb")))
+    img
+      .join(sg.select(col("doc_id").as("a_id"), col("lang").as("la"),
+        col("simhash").as("ha")), "a_id")
+      .join(sg.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+        col("simhash").as("hb")), "b_id")
+      .where(col("la") === col("lb") && txtHam <= 6)
+      .select(col("a_id"), col("b_id"), txtHam.cast("int").as("txt_hamming"),
+        col("img_hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -469,6 +532,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[Q] =
-    Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashCc, qFrames, qAudio,
-      qDecontaminateMedia, qDedupMultimodal, qDedupVideo)
+    Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashWide, qDedupPhashCc,
+      qFrames, qAudio, qDecontaminateMedia, qDedupMultimodal, qDedupVideo)
 }

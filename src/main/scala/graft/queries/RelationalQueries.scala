@@ -469,12 +469,24 @@ object RelationalQueries {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
-  /** HLL sketch — engine-specific bits, so no cross-engine oracle;
-    * accuracy is spec-checked against the exact distinct count. */
-  private val qApproxDistinct = Q.sparkOnly("q_approx_count_distinct") { (s, d) =>
+  /** HLL sketch, oracle-checked via its GUARANTEE: the raw estimate
+    * is engine-specific bits (DuckDB's HLL would hash differently),
+    * but the exact distinct count and the estimate's ±5%-rsd bound
+    * are not — so the query emits the exact count plus the
+    * Spark-computed `hll_ok` verdict, and the DuckDB twin recomputes
+    * the exact count and asserts the bound as the literal it must be.
+    * The raw estimate itself stays spec-pinned (ExpressionsSpec). */
+  private val qApproxDistinct = Q("q_approx_count_distinct",
+    """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+      |  true AS hll_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_dp"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey")).as("approx_dp"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("approx_dp") - col("n_exact")).cast("double")
+          <= lit(0.05) * col("n_exact").cast("double")).as("hll_ok"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -226,11 +227,12 @@ object StatsQueries {
     * No Expand — every aggregate including the four sketches folds in
     * ONE ordinary partial aggregation, so input rows are shuffled
     * once, un-multiplied, as partial states. HLL bits are
-    * engine-specific (same stance as `q_approx_count_distinct`), so
-    * no SQL oracle; ProfileApproxSpec pins every estimate within the
-    * sketch's documented error of the exact query's answer on the
-    * same data. */
-  private val qProfileApprox = Q.sparkOnly("q_profile_approx") { (s, d) =>
+    * engine-specific (same stance as `q_approx_count_distinct`);
+    * ProfileApproxSpec pins every estimate within the sketch's
+    * documented error of the exact query's answer, and the Q entry
+    * [[qProfileApprox]] composes this operator with the exact
+    * profiler so that verdict is ALSO oracle-checked. */
+  private[graft] def approxProfile(s: SparkSession, d: String): DataFrame = {
     val a = t(s, d, "orders").agg(
       count(lit(1)).as("n"),
       (count(lit(1)) - count(col("o_orderkey"))).as("nn_key"),
@@ -259,6 +261,46 @@ object StatsQueries {
       .union(row("o_orderstatus", "st"))
       .union(row("o_orderdate", "dt"))
       .union(row("o_totalprice", "tp"))
+      .orderBy(col("col"))
+  }
+
+  /** Oracle check for the approx profiler via its GUARANTEE (the
+    * q_approx_count_distinct stance): the production operator is
+    * [[approxProfile]] — one scan, NO Expand, spec-pinned — whose raw
+    * HLL estimates can't cross-engine-hash; this entry composes it
+    * with the exact profiler (4-row join, both sides one agg row) so
+    * every non-estimate column AND the estimate's ±15% (3× rsd)
+    * verdict are DuckDB-checked. */
+  private val qProfileApprox = Q("q_profile_approx",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(*) - count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS mn_key, CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+      |    count(*) - count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+      |    min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+      |    count(*) - count(o_orderdate) AS nn_dt, count(DISTINCT o_orderdate) AS nd_dt,
+      |    CAST(min(o_orderdate) AS VARCHAR) AS mn_dt, CAST(max(o_orderdate) AS VARCHAR) AS mx_dt,
+      |    count(*) - count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+      |    CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mn_tp,
+      |    CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) AS mx_tp
+      |  FROM orders)
+      |SELECT col, CAST(n AS BIGINT) AS n_rows, CAST(n_null AS BIGINT) AS n_null,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct, true AS hll_ok, min_s, max_s
+      |FROM (
+      |  SELECT 'o_orderkey' AS col, n, nn_key AS n_null, nd_key AS n_distinct,
+      |         mn_key AS min_s, mx_key AS max_s FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n, nn_st, nd_st, mn_st, mx_st FROM a
+      |  UNION ALL SELECT 'o_orderdate', n, nn_dt, nd_dt, mn_dt, mx_dt FROM a
+      |  UNION ALL SELECT 'o_totalprice', n, nn_tp, nd_tp, mn_tp, mx_tp FROM a)
+      |ORDER BY col""".stripMargin) { (s, d) =>
+    val est = approxProfile(s, d)
+      .select(col("col"), col("n_distinct").as("nd_est"))
+    qProfile.fn(s, d)
+      .join(broadcast(est), "col")
+      .select(col("col"), col("n_rows"), col("n_null"), col("n_distinct"),
+        (abs(col("nd_est") - col("n_distinct")).cast("double")
+          <= lit(0.15) * col("n_distinct").cast("double")).as("hll_ok"),
+        col("min_s"), col("max_s"))
       .orderBy(col("col"))
   }
 

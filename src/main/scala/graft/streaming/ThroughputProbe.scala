@@ -58,7 +58,7 @@ object ThroughputProbe {
 
   def steadyState(spark: SparkSession, sfDir: String,
       rowsPerBatch: Long = 200000L, warmupSec: Int = 10,
-      measureSec: Int = 30): Result = {
+      measureSec: Int = 30, minWindows: Int = 30): Result = {
     val dim = Flagship.dimension(Tables(spark, sfDir, "events"))
     val types = array(Seq("click", "view", "signup", "error", "purchase").map(lit): _*)
     val rate = spark.readStream.format("rate-micro-batch")
@@ -90,7 +90,15 @@ object ThroughputProbe {
       }
       val warmedThrough = if (seen.isEmpty) -1L else seen.keys.max
       val measureEnd = System.nanoTime() + measureSec * 1000L * 1000 * 1000
-      while (System.nanoTime() < measureEnd && q.isActive) {
+      // Measure until the wall deadline AND at least `minWindows`
+      // post-warmup windows (the round-9 artifact shipped 11 — too
+      // short a series to separate a contended host from a plan
+      // regression; ≥ 30 makes the steady-state plateau readable),
+      // with a 5× wall cap so a wedged stream can't hang the bench.
+      val hardEnd = System.nanoTime() + 5L * measureSec * 1000L * 1000 * 1000
+      def measured: Int = seen.count { case (id, (_, ms)) => id > warmedThrough && ms > 0 }
+      while ((System.nanoTime() < measureEnd ||
+          (measured < minWindows && System.nanoTime() < hardEnd)) && q.isActive) {
         Thread.sleep(200); poll()
       }
       poll()

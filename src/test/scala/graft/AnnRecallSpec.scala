@@ -15,25 +15,38 @@ class AnnRecallSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
-  private def topSets(name: String): Map[Long, Set[Long]] =
-    SparkEntry.queries(name)(spark, sf)
-      .select("q_id", "n_id").collect()
+  private def topSetsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "n_id").collect()
       .groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
 
-  private def meanRecall(method: String, brute: Map[Long, Set[Long]]): Double = {
-    val m = topSets(method)
-    val rs = brute.map { case (q, bs) =>
+  private def topSets(name: String): Map[Long, Set[Long]] =
+    topSetsOf(SparkEntry.queries(name)(spark, sf))
+
+  private def recallsOf(m: Map[Long, Set[Long]],
+      brute: Map[Long, Set[Long]]): Iterable[Double] =
+    brute.map { case (q, bs) =>
       bs.intersect(m.getOrElse(q, Set.empty)).size.toDouble / bs.size
     }
+
+  private def meanRecall(method: String, brute: Map[Long, Set[Long]]): Double = {
+    val rs = recallsOf(topSets(method), brute)
     rs.sum / rs.size
   }
 
   test("measured recall@5 of each ANN path vs brute force") {
     val brute = topSets("q_knn_brute")
     assert(brute.size == 10)
+    val trainedSets = topSetsOf(
+      graft.queries.SimilarityQueries.knnIvfTrained(spark, sf))
     val ivf = meanRecall("q_knn_ivf", brute)
-    val ivfTrained = meanRecall("q_knn_ivf_trained", brute)
+    val ivfTrained = {
+      val rs = recallsOf(trainedSets, brute); rs.sum / rs.size
+    }
+    // the oracle-checked entry's per-query floor must hold with margin
+    val perQueryMin = recallsOf(trainedSets, brute).min
+    info(f"trained-IVF per-query min recall@5: $perQueryMin%.2f")
+    assert(perQueryMin >= 0.4, s"per-query recall under the q_knn_ivf_trained floor: $perQueryMin")
     val pq = meanRecall("q_knn_pq", brute)
     val lsh = meanRecall("q_knn_lsh", brute)
     val lshMulti = meanRecall("q_knn_lsh_multi", brute)

@@ -145,7 +145,10 @@ class ExpressionsSpec extends AnyFunSuite {
 
   test("approx_count_distinct lands within 5% of exact") {
     import spark.implicits._
-    val approx = SparkEntry.queries("q_approx_count_distinct")(spark, Sf)
+    // raw estimate vs exact — the bound the query's hll_ok column encodes
+    val approx = Tables(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("dp"))
       .as[(String, Long)].collect().toMap
     val exact = Tables(spark, Sf, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -154,5 +157,10 @@ class ExpressionsSpec extends AnyFunSuite {
     exact.foreach { case (k, ex) =>
       assert(math.abs(approx(k) - ex).toDouble / ex < 0.05)
     }
+    // and the oracle-checked query reports exactly that verdict
+    val rows = SparkEntry.queries("q_approx_count_distinct")(spark, Sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === exact)
+    assert(rows.forall(_._3), "hll_ok false somewhere")
   }
 }

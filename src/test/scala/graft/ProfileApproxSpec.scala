@@ -2,21 +2,24 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins `q_profile_approx` (HLL distincts, no Expand) to the
+import graft.queries.StatsQueries
+
+/** Pins the approx profiler (HLL distincts, no Expand) to the
   * oracle-checked exact profiler `q_profile` on the same data: every
   * non-estimate column identical, every distinct estimate within 3×
-  * the sketch's 5% default rsd. */
+  * the sketch's 5% default rsd — the same verdict the oracle-checked
+  * `q_profile_approx` entry emits as its `hll_ok` column. */
 class ProfileApproxSpec extends AnyFunSuite {
   import TestSpark.{spark, Sf}
 
   test("approx profile matches the exact profile within HLL tolerance") {
-    def byCol(q: String) =
-      SparkEntry.queries(q)(spark, Sf).collect()
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
         .map(r => r.getString(0) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
         .toMap
-    val exact = byCol("q_profile")
-    val approx = byCol("q_profile_approx")
+    val exact = byCol(SparkEntry.queries("q_profile")(spark, Sf))
+    val approx = byCol(StatsQueries.approxProfile(spark, Sf))
     assert(exact.keySet === approx.keySet)
     for ((c, (n, nn, nd, mn, mx)) <- exact) {
       val (an, ann, and, amn, amx) = approx(c)
@@ -27,9 +30,14 @@ class ProfileApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_approx verdict column is all-true on this data") {
+    val rows = SparkEntry.queries("q_profile_approx")(spark, Sf).collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getBoolean(4)), "hll_ok false somewhere")
+  }
+
   test("approx profile plans without an Expand node") {
-    val approx = SparkEntry.queries("q_profile_approx")(spark, Sf)
-    // the localCheckpoint in the query body materializes the agg —
+    // the localCheckpoint in the operator body materializes the agg —
     // probe the aggregation plan directly instead
     import org.apache.spark.sql.functions._
     val plan = Tables(spark, Sf, "orders")
@@ -46,6 +54,5 @@ class ProfileApproxSpec extends AnyFunSuite {
         countDistinct(col("o_orderdate")), countDistinct(col("o_totalprice")))
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"))
-    assert(approx.collect().length === 4)
   }
 }
