@@ -370,11 +370,17 @@ object DedupQueries {
       explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .select(col("doc_id"), col("lang"), md5Long(col("tok")).as("h"))
 
-  private[queries] def simhashOf(s: SparkSession, d: String): DataFrame = {
-    val bitSums = (0 until SimBits).map(b =>
+  private[queries] def simhashOf(s: SparkSession, d: String): DataFrame =
+    simhashOfN(s, d, SimBits)
+
+  /** `bits`-wide simhash over the 60-bit portable token hash
+    * (bits ≤ 60, so no sign-bit cases on either engine). */
+  private def simhashOfN(s: SparkSession, d: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash width $bits outside the 60-bit hash")
+    val bitSums = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"s$b"))
-    val sig = (0 until SimBits).map(b =>
+    val sig = (0 until bits).map(b =>
       when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     tokenRows(t(s, d, "documents"))
@@ -383,11 +389,13 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), sig.as("simhash"))
   }
 
-  private[queries] def simhashCtes: String = {
-    val sums = (0 until SimBits)
+  private[queries] def simhashCtes: String = simhashCtesN(SimBits)
+
+  private def simhashCtesN(bits: Int): String = {
+    val sums = (0 until bits)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
       .mkString(",\n          ")
-    val sig = (0 until SimBits)
+    val sig = (0 until bits)
       .map(b => s"CASE WHEN s$b >= 0 THEN ${1L << b} ELSE 0 END")
       .mkString(" + ")
     s"""tk AS (SELECT DISTINCT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
@@ -466,6 +474,53 @@ object DedupQueries {
         col("seg") === col("seg2") && col("sv") === col("sv2") &&
           col("lang") === col("lb") && col("a_id") < col("b_id"))
       .where(ham <= HamMax && !earlierMatch)
+      .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The PRODUCTION simhash operating point (the scale note above,
+    * shipped): Manku et al.'s web-scale configuration is a WIDE
+    * signature with a tight cut — here 60 bits (the full portable
+    * token hash) at Hamming ≤ 3, banded into 4 ~15-bit pigeonhole
+    * segments. Where the 32-bit signature's pair graph saturates at
+    * n ≈ 500 k (measured: 14.7 M random-collision pairs at synthetic
+    * sf1), the 60-bit graph's collision term is ~2⁴⁵× smaller per
+    * pair and its segments are wide enough that candidate generation
+    * stays density-linear without the combo knob. Same banded plan
+    * and first-matching-segment codegen dedup as the 32-bit query;
+    * oracle = the declarative all-pairs form over the identical
+    * 60-bit construction. */
+  private val HamMaxWide = 3
+  private val SimBitsWide = 60
+  private val phW = graft.operators.Pigeonhole(SimBitsWide, HamMaxWide)
+
+  private val qSimhashWide = Q("q_dedup_simhash_wide",
+    s"""WITH ${simhashCtesN(SimBitsWide)}
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMaxWide
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sig = simhashOfN(s, d, SimBitsWide).localCheckpoint()
+    val seg = explode(array((0 until phW.segments).map(j =>
+      struct(lit(j).as("seg"), phW.segmentValue(col("simhash"), j).as("sv"))): _*))
+    val bands = sig.select(col("doc_id"), col("lang"), col("simhash"), seg.as("b"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("b.seg").as("seg"), col("b.sv").as("sv"))
+    def segEq(j: Int): Column =
+      phW.segmentValue(col("sa"), j) === phW.segmentValue(col("sb"), j)
+    val earlierMatch = (0 until phW.segments - 1)
+      .map(j => col("seg") > j && segEq(j))
+      .reduce(_ || _)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    bands
+      .select(col("doc_id").as("a_id"), col("lang"), col("seg"), col("sv"),
+        col("simhash").as("sa"))
+      .join(bands.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+        col("seg").as("seg2"), col("sv").as("sv2"), col("simhash").as("sb")),
+        col("seg") === col("seg2") && col("sv") === col("sv2") &&
+          col("lang") === col("lb") && col("a_id") < col("b_id"))
+      .where(ham <= HamMaxWide && !earlierMatch)
       .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -621,5 +676,5 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs, qDedupSubstring, qSimAllpairs)
+    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs)
 }

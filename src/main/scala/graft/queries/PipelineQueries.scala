@@ -23,7 +23,7 @@ import graft.queries.Q.t
 object PipelineQueries {
 
   /** Tokens-per-sequence budget for packing. */
-  private val SeqBudget = 512
+  private[graft] val SeqBudget = 512
 
   /** Concat-and-chunk sequence packing: documents in doc_id order are
     * laid head-to-tail and cut into `SeqBudget`-token sequences; a
@@ -847,11 +847,11 @@ object PipelineQueries {
     * data-loader worker count (thousands); 8 here keeps the oracle
     * grid readable. The construction's parallelism does NOT depend on
     * it (see the query scaladoc). */
-  private val EpochShards = 8
+  private[graft] val EpochShards = 8
 
   /** Seed literal for the epoch permutation — a new epoch is a new
     * seed, nothing else changes. */
-  private val EpochSeed = "ep7"
+  private[graft] val EpochSeed = "ep7"
 
   /** Deterministic epoch shuffle: the reproducible global permutation
     * of the corpus every training run needs between epochs, sharded
