@@ -61,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"shingles(text[, n[, dedup]]) with literal n/dedup; got ${args.length} args")
     })
+    fn(ext, "heavy_hitters", {
+      case Seq(key, m) if m.foldable =>
+        graft.functions.HeavyHitters.HeavyHittersAgg(key,
+          m.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "heavy_hitters(key, m) requires a literal capacity m")
+    })
     fn(ext, "memo_rlike", {
       case Seq(s, p) if p.foldable =>
         MemoRLike(s, p.eval().toString)

@@ -903,7 +903,52 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space benchmark decontamination — the third modality of
+    * the decon family (n-gram `q_decontaminate`, perceptual-hash
+    * `q_decontaminate_media`, semantic here): flag training vectors
+    * whose max cosine against the held-out benchmark set (a fixed,
+    * small eval slice — `vec_id % 97 = 0`, the `src0` analog) clears
+    * the paraphrase threshold. N-gram decon misses reworded
+    * contamination; this pass is the published countermeasure
+    * (embedding-similarity decon of public LLM eval hygiene recipes).
+    *
+    * Scale shape: the bench side is a FIXED-size eval set, so it
+    * broadcasts (same stance as `q_decontaminate_media`); the corpus
+    * streams through map-side, and the per-vector max/count reduce in
+    * the partial aggregate, so the one exchange before the
+    * presentation sort carries corpus-VECTOR cardinality, never the
+    * n×|bench| score matrix. At 100 TB this is a single scan pass.
+    * Cosines are the shared native one-pass [[cosine]] ≙ DuckDB
+    * `list_dot_product` l→r double chain, so `max` and the threshold
+    * compare are bit-identical; the contaminated flag is decided on
+    * the RAW max, rounding only the reported value. */
+  private val qDecontaminateSemantic = Q("q_decontaminate_semantic",
+    s"""WITH $vectorsCte,
+       |b AS (SELECT v, n2 FROM e WHERE vec_id % 97 = 0),
+       |s AS (SELECT c.vec_id,
+       |        max(list_dot_product(c.v, b.v) / (sqrt(c.n2) * sqrt(b.n2))) AS mx,
+       |        sum(CASE WHEN list_dot_product(c.v, b.v) / (sqrt(c.n2) * sqrt(b.n2))
+       |                 >= 0.35 THEN 1 ELSE 0 END) AS nh
+       |      FROM e c CROSS JOIN b
+       |      WHERE c.vec_id % 97 <> 0 GROUP BY c.vec_id)
+       |SELECT vec_id, CAST(nh AS BIGINT) AS n_hits, round(mx, 6) AS max_sim,
+       |       mx >= 0.35 AS contaminated
+       |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val bench = e.where(col("vec_id") % 97 === 0).select(col("v").as("bv"))
+    val cos = cosine(col("v"), col("bv"))
+    e.where(col("vec_id") % 97 =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"), cos.as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("mx"),
+        sum(when(col("cos") >= 0.35, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("vec_id"), col("n_hits"), round(col("mx"), 6).as("max_sim"),
+        (col("mx") >= 0.35).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
-    qKnnIvfTrained, qEmbedOutlier)
+    qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CountMin, PortableHash}
+import graft.functions.{CountMin, HeavyHitters, PortableHash}
 import graft.queries.Q.t
 
 /** Sketch aggregates. `q_sketch_cms` builds a Count-Min sketch over
@@ -247,5 +247,63 @@ object SketchQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ, qKmvMerge)
+  /** Misra–Gries capacity for `q_sketch_heavy`: small enough that the
+    * ~930-bigram vocabulary of the testdata forces real evictions
+    * (and real merge-time compactions across the 32 partials). */
+  private val HhM = 128
+
+  /** Heavy hitters over word bigrams via the native mergeable
+    * Misra–Gries aggregate ([[HeavyHitters.HeavyHittersAgg]], a
+    * `TypedImperativeAggregate` — the §2.11 imperative-UDAF layer).
+    *
+    * Scale shape: the SKETCH path needs no vocabulary-cardinality
+    * exchange — each partition reduces to a ≤ 2m-counter summary,
+    * the shuffle carries one summary per partition, and the merge is
+    * m-bounded. The exact top-k/total side exists for the ORACLE
+    * (the `q_profile_approx` guarantee stance): the summary's exact
+    * contents depend on merge order, but Misra–Gries' THEOREMS do
+    * not, so the entry emits the DuckDB-recomputable exact top-20
+    * with three theorem verdicts the oracle asserts as literals —
+    *  - `lower_ok`:    est(x) ≤ true(x) (absent ⇒ est 0);
+    *  - `upper_ok`:    true(x) ≤ est(x) + err;
+    *  - `coverage_ok`: present, or true(x) ≤ n/(m+1) (any key above
+    *    the mass bound is GUARANTEED tracked).
+    * Raw summary contents/actual-err tightness are spec-pinned on
+    * controlled streams (HeavyHittersSpec). Two corpus scans (exact
+    * side + sketch side) rather than a corpus-scale checkpoint —
+    * at 100 TB re-scanning beats materializing the bigram stream. */
+  private val qSketchHeavy = Q("q_sketch_heavy",
+    s"""WITH ws AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+       |bg AS (SELECT w[i] || ' ' || w[i+1] AS b
+       |       FROM ws, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2),
+       |c AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY b),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+       |top AS (SELECT b, cnt FROM c ORDER BY cnt DESC, b LIMIT 20)
+       |SELECT t.b AS bigram, t.cnt, n.total,
+       |       true AS lower_ok, true AS upper_ok, true AS coverage_ok
+       |FROM top t CROSS JOIN n ORDER BY cnt DESC, bigram""".stripMargin) { (s, d) =>
+    val ws = split(lower(col("text")), " ")
+    val bg = t(s, d, "documents")
+      .select(ws.as("w")).where(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("b"))
+    val c = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocab-scale; reused for total + top-20
+    val total = c.agg(sum(col("cnt")).cast("long").as("total"))
+    val top = c.orderBy(col("cnt").desc, col("b")).limit(20)
+    val sk = bg.agg(HeavyHitters.sketch(col("b"), HhM).as("hh"))
+    val est = coalesce(element_at(col("hh.items"), col("bigram")), lit(0L))
+    top.select(col("b").as("bigram"), col("cnt").cast("long").as("cnt"))
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(sk))
+      .select(col("bigram"), col("cnt"), col("total"),
+        (est <= col("cnt")).as("lower_ok"),
+        (est + col("hh.err") >= col("cnt")).as("upper_ok"),
+        (est > 0 || col("cnt") * (HhM + 1) <= col("total")).as("coverage_ok"))
+      .orderBy(col("cnt").desc, col("bigram"))
+  }
+
+  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ, qKmvMerge, qSketchHeavy)
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
+import graft.operators.Bpe
 import graft.queries.Q.t
 
 /** Training-data text analysis over the `documents` table: language
@@ -741,6 +742,59 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Tokenizer APPLY at corpus scale — the serving half of the BPE
+    * story (`q_bpe_merge` oracle-checks the distributed training
+    * statistic; `operators.Bpe.fit` trains; THIS runs the trained
+    * model over every document, the step an LLM data pipeline
+    * executes on all 100 TB).
+    *
+    * Scale shape: `Bpe.fit`'s corpus-scale work is one map-side
+    * combined word-frequency collapse + top-V TakeOrdered (the only
+    * exchange); the merge loop is driver-side over the V-bounded
+    * shortlist (the KMeans-centroid pattern); `Bpe.encode` is then an
+    * embarrassingly parallel per-row pass, zero shuffle — the model
+    * rides to each task once. The verification join back to the text
+    * projection exists for the ORACLE only (a doc_id equi-join, AQE
+    * decides broadcast vs shuffle); production output is
+    * `Bpe.encode` alone.
+    *
+    * Oracle stance (the `q_profile_approx` guarantee pattern): token
+    * boundaries aren't SQL-expressible, so the entry emits the
+    * DuckDB-recomputable invariant quantities plus Spark-computed
+    * verdicts the oracle asserts as literals —
+    *  - `n_chars` is derived from the TOKENS (length of their
+    *    concatenation) and must equal DuckDB's space-stripped text
+    *    length: tokenization is lossless in total mass;
+    *  - `lossless_ok`: the token concatenation IS the space-stripped
+    *    lowercased text, per document;
+    *  - `vocab_ok`: every token is a single character or a trained
+    *    merge product — the closed-vocabulary contract of BPE apply;
+    *  - `compress_ok`: 1 ≤ n_tokens ≤ n_chars for non-empty docs.
+    * The raw token stream/compression ratio is spec-pinned (BpeSpec). */
+  private val qBpeEncode = Q("q_bpe_encode",
+    """SELECT doc_id,
+      |  CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS n_chars,
+      |  true AS lossless_ok, true AS vocab_ok, true AS compress_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val model = Bpe.fit(docs, "text", numMerges = 200, topV = 4096)
+    val products = model.merges.map { case (a, b) => a + b }.distinct
+    val prodArr = array(products.map(lit(_)): _*)
+    val joined = concat_ws("", col("tokens"))
+    val nChars = length(joined)
+    Bpe.encode(docs, "text", model)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        translate(lower(col("text")), " ", "").as("flat")), "doc_id")
+      .select(col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        (joined === col("flat")).as("lossless_ok"),
+        forall(col("tokens"),
+          tk => length(tk) === 1 || array_contains(prodArr, tk)).as("vocab_ok"),
+        ((nChars === 0 && col("n_tokens") === 0) ||
+          (col("n_tokens") >= 1 && col("n_tokens") <= nChars)).as("compress_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed feature space for the learned quality filter: 256
     * buckets via the portable md5 digest. */
   private val LrDim = 256L
@@ -955,5 +1009,5 @@ object TextQueries {
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
-    qBpeMerge, qQualityLogreg, qQualityGate, qQualityAudit)
+    qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit)
 }

@@ -89,6 +89,19 @@ class BpeSpec extends AnyFunSuite {
     assert(nFull <= nSmall)
   }
 
+  test("q_bpe_encode's hidden quantity: the corpus actually compresses") {
+    // the oracle checks losslessness/vocab-closure verdicts; the raw
+    // token counts aren't SQL-recomputable, so pin the compression here
+    val r = SparkEntry.queries("q_bpe_encode")(spark, TestSpark.Sf)
+      .agg(sum(col("n_chars")).as("chars")).head()
+    val enc = Bpe.encode(docs, "text",
+      Bpe.fit(docs, "text", numMerges = 200, topV = 4096))
+      .agg(sum(col("n_tokens")).as("toks")).head()
+    val (chars, toks) = (r.getLong(0), enc.getLong(0))
+    assert(toks < chars, s"200 merges should compress: $toks tokens vs $chars chars")
+    assert(toks.toDouble / chars < 0.7, s"compression too weak: $toks/$chars")
+  }
+
   test("distributed encode matches the driver-side apply") {
     val enc = Bpe.encode(docs, "text", model)
       .select(col("doc_id"), col("tokens"), col("n_tokens"))

@@ -27,6 +27,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 3)
   }
 
+  test("heavy_hitters aggregate is callable from SQL") {
+    val r = spark.sql(
+      """SELECT hh.items['a'] AS a_est, hh.err AS err FROM (
+        |  SELECT heavy_hitters(k, 4) AS hh
+        |  FROM VALUES ('a'),('a'),('a'),('b'),('c') AS t(k))
+        |""".stripMargin).head()
+    // 5 items, 3 distinct, capacity 4: exact, zero error
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L)
+  }
+
   test("clf_parse works from SQL on a valid CLF line") {
     val line = "1.2.3.4 - - [01/Jan/2024:00:00:00 +0000] " +
       "\"GET /wb/test HTTP/1.1\" 200 123 \"-\" \"UA\""
