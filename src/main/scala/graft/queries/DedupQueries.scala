@@ -675,6 +675,95 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Incremental NEAR-dup — the daily-ingest form of the dedup
+    * pipeline (`q_dedup_incremental` is its exact-fingerprint
+    * sibling): flag NEW-snapshot documents that near-duplicate the
+    * PRIOR corpus, with the closest prior keeper. Candidate
+    * generation is RESTRICTED to new×prior at the band join — the
+    * within-batch and prior×prior pair graphs never materialize, so
+    * the pass costs |new|-scale band rows joined against the prior
+    * band manifest, not a full-corpus self-join re-run per ingest.
+    * Verification is the exact-Jaccard kernel on candidates only;
+    * the per-new-doc closest keeper is a WindowGroupLimit shortlist
+    * (rank over jac desc, prior id — candidates prune to 1 per task
+    * before the exchange). Prior-side band/shingle manifests are
+    * snapshot artifacts a production deployment persists (the
+    * fingerprint-manifest stance of `q_dedup_incremental`); here both
+    * derive in-plan from the shared signature pass. */
+  private val qDedupIncrementalNear = Q("q_dedup_incremental_near",
+    s"""WITH $shingleCtes,
+       |$minhashSigSql,
+       |meta AS (SELECT doc_id, regexp_matches(source, '^src[0-9]$$') AS prior
+       |         FROM documents),
+       |bx AS (
+       |${(0 until B).map(j =>
+          s"  SELECT doc_id, $j AS band, ${bandHashSql(j)} AS bh FROM sig")
+          .mkString("\n  UNION ALL\n")}
+       |),
+       |bm AS (SELECT b.doc_id, b.band, b.bh, m.prior
+       |       FROM bx b JOIN meta m USING (doc_id)),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS ni, p.doc_id AS pi
+       |  FROM bm n JOIN bm p ON n.band = p.band AND n.bh = p.bh
+       |  WHERE NOT n.prior AND p.prior),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.ni, c.pi, count(*) AS cc
+       |  FROM cand c
+       |  JOIN sh s1 ON s1.doc_id = c.ni
+       |  JOIN sh s2 ON s2.doc_id = c.pi AND s2.sh = s1.sh
+       |  GROUP BY c.ni, c.pi),
+       |verified AS (
+       |  SELECT ni, pi, cc / (x.n + y.n - cc) AS jac
+       |  FROM common JOIN cnt x ON ni = x.doc_id JOIN cnt y ON pi = y.doc_id
+       |  WHERE cc / (x.n + y.n - cc) >= 0.5),
+       |ranked AS (
+       |  SELECT ni, pi, jac,
+       |    row_number() OVER (PARTITION BY ni ORDER BY jac DESC, pi) AS rn
+       |  FROM verified)
+       |SELECT ni AS new_id, pi AS dup_of, round(jac, 4) AS jac
+       |FROM ranked WHERE rn = 1 ORDER BY new_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val meta = t(s, d, "documents")
+      .select(col("doc_id"), col("source").rlike("^src[0-9]$").as("prior"))
+    val sig = minhashSignature(s, d)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until B).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .join(meta, "doc_id")
+      .localCheckpoint()
+    val cand = bands.where(!col("prior"))
+      .select(col("doc_id").as("ni"), col("band"), col("bh"))
+      .join(bands.where(col("prior")).select(col("doc_id").as("pi"),
+        col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2"))
+      .select(col("ni"), col("pi")).distinct()
+    val sh = shingleRows(t(s, d, "documents"))
+      .select(col("doc_id"), col("sh")).localCheckpoint()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("ni"), col("sh").as("sha")), "ni")
+      .join(sh.select(col("doc_id").as("pi2"), col("sh").as("shb")),
+        col("pi") === col("pi2") && col("sha") === col("shb"))
+      .groupBy(col("ni"), col("pi")).agg(count(lit(1)).as("cc"))
+    val jac = col("cc") / (col("na") + col("nb") - col("cc"))
+    // per-doc count joins stay shuffled equi-joins (corpus-scaled
+    // build sides — the keep_best precedent)
+    val w = Window.partitionBy(col("ni")).orderBy(col("jac").desc, col("pi"))
+    common
+      .join(cnt.select(col("doc_id").as("ni"), col("n").as("na")), "ni")
+      .join(cnt.select(col("doc_id").as("pi"), col("n").as("nb")), "pi")
+      .where(jac >= 0.5)
+      .select(col("ni"), col("pi"), jac.as("jac"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("ni").as("new_id"), col("pi").as("dup_of"),
+        round(col("jac"), 4).as("jac"))
+      .orderBy(col("new_id"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs)
+    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs,
+    qDedupIncrementalNear)
 }
