@@ -44,12 +44,19 @@ object HeavyScaleProbe {
     // round 10: the pair-graph composition queries — their claimed
     // broadcast-vs-shuffle AQE flip is additionally pinned by
     // flipCheck below
-    "q_dedup_multimodal", "q_decontaminate_media")
+    "q_dedup_multimodal", "q_decontaminate_media",
+    // round 10 (cont.): the ingest near-dup pass (new×prior-restricted
+    // band join — candidate structure preserved per copy in the salted
+    // sf1) and the heavy-hitter sketch path (the no-vocab-exchange
+    // claim: summaries stay m-bounded while corpus AND vocabulary
+    // grow 10×)
+    "q_dedup_incremental_near", "q_sketch_heavy")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
   private val ExpBound = Map(
-    "q_dedup_multimodal" -> 1.0, "q_decontaminate_media" -> 1.0)
+    "q_dedup_multimodal" -> 1.0, "q_decontaminate_media" -> 1.0,
+    "q_dedup_incremental_near" -> 1.0, "q_sketch_heavy" -> 1.0)
 
   /** q_knn_ivf_trained's Q entry (round 10) joins the IVF result
     * against the in-plan brute-force top-k to emit its oracle-checked
@@ -58,7 +65,12 @@ object HeavyScaleProbe {
     * the production operator (the raw IVF path), as before. */
   private val Override: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("q_knn_ivf_trained" ->
-      ((s, d) => graft.queries.SimilarityQueries.knnIvfTrained(s, d)))
+      ((s, d) => graft.queries.SimilarityQueries.knnIvfTrained(s, d)),
+      // q_sketch_heavy's Q entry contains the exact top-20 groupBy the
+      // ORACLE needs (vocabulary-scale by design); the production
+      // operator is the sketch aggregate alone
+      "q_sketch_heavy" ->
+        ((s, d) => graft.queries.SketchQueries.heavySketch(s, d)))
 
   /** Materializes (once) and returns the synthetic-sf1 directory —
     * shared with PigeonholeKnobProbe. */

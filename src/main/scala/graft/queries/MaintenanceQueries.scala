@@ -112,5 +112,69 @@ object MaintenanceQueries {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[Q] = Seq(qDimMerge, qZorder)
+  /** Incremental materialized-view refresh — the other standing
+    * maintenance job of a warehouse deployment (beside the SCD merge
+    * above): a per-(event_type, day) aggregate MV kept current by
+    * MERGING the delta's partial aggregate states into the stored MV,
+    * never recomputing from history. All measures are algebraic —
+    * count and sum merge by +, min/max by least/greatest — so the
+    * refresh is exact by construction, and the oracle recomputes the
+    * view from scratch over the union to prove it. The cut timestamp
+    * is `q_dim_merge`'s snapshot boundary; each group is additionally
+    * classified insert / update / unchanged — the write-set a MERGE
+    * INTO would apply (an 'unchanged' group's row needn't be
+    * rewritten). The cut sits INSIDE a day (noon) so the boundary
+    * day genuinely straddles it and all three classes occur — a
+    * day-aligned cut would make 'update' structurally impossible at
+    * the day grain.
+    *
+    * Scale shape: in production the pre-cut side IS the stored MV
+    * (view-cardinality rows read back, zero recompute — here it is
+    * derived in-plan for the oracle); the recurring cost is the
+    * delta's map-side-combined aggregate (delta-scale scan, one
+    * view-grain exchange) + a view-cardinality merge join. History
+    * never re-aggregates — the point of the operator. Decimal sums
+    * per the shared discipline, so the merged total is bit-equal to
+    * the recompute. */
+  private val qMvRefresh = Q("q_mv_refresh",
+    """WITH ev AS (SELECT event_type, ts::TIMESTAMP AS ts, value FROM events),
+      |mvfull AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+      |    min(value) AS min_v, max(value) AS max_v,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-02 12:00:00' THEN 1 ELSE 0 END) AS n_old,
+      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-02 12:00:00' THEN 1 ELSE 0 END) AS n_new
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT event_type, day, n, sum_v, min_v, max_v,
+      |  CASE WHEN n_old = 0 THEN 'insert'
+      |       WHEN n_new = 0 THEN 'unchanged' ELSE 'update' END AS status
+      |FROM mvfull ORDER BY event_type, day""".stripMargin) { (s, d) =>
+    val cut = lit("2024-01-02 12:00:00").cast("timestamp")
+    val ev = t(s, d, "events").select(col("event_type"), col("ts"), col("value"))
+    def viewAgg(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as(s"${p}_n"),
+        sum(col("value").cast("decimal(18,4)")).as(s"${p}_sum"),
+        min(col("value")).as(s"${p}_min"),
+        max(col("value")).as(s"${p}_max"))
+    val mv = viewAgg(ev.where(col("ts") < cut), "m")     // the stored MV stand-in
+    val delta = viewAgg(ev.where(col("ts") >= cut), "d") // the refresh input
+    // the state MERGE itself: + for count/sum, least/greatest for the
+    // bounds (both null-skipping), classification from side presence
+    mv.join(delta, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("m_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        (coalesce(col("m_sum"), lit(0).cast("decimal(18,4)")) +
+          coalesce(col("d_sum"), lit(0).cast("decimal(18,4)")))
+          .cast("double").as("sum_v"),
+        least(col("m_min"), col("d_min")).as("min_v"),
+        greatest(col("m_max"), col("d_max")).as("max_v"),
+        when(col("m_n").isNull, "insert")
+          .when(col("d_n").isNull, "unchanged")
+          .otherwise("update").as("status"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val all: Seq[Q] = Seq(qDimMerge, qZorder, qMvRefresh)
 }

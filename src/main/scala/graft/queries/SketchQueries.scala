@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CountMin, HeavyHitters, PortableHash}
@@ -252,6 +253,23 @@ object SketchQueries {
     * (and real merge-time compactions across the 32 partials). */
   private val HhM = 128
 
+  /** Word-bigram stream (column `b`) over the documents table. */
+  private def bigrams(s: SparkSession, d: String): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    t(s, d, "documents")
+      .select(ws.as("w")).where(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "),
+          element_at(col("w"), i + 1)))).as("b"))
+  }
+
+  /** The PRODUCTION heavy-hitter path alone (one row: the summary
+    * struct) — what HeavyScaleProbe measures; the Q entry adds the
+    * exact top-20/total side for the oracle verdicts. */
+  private[graft] def heavySketch(s: SparkSession, d: String): DataFrame =
+    bigrams(s, d).agg(HeavyHitters.sketch(col("b"), HhM).as("hh"))
+
   /** Heavy hitters over word bigrams via the native mergeable
     * Misra–Gries aggregate ([[HeavyHitters.HeavyHittersAgg]], a
     * `TypedImperativeAggregate` — the §2.11 imperative-UDAF layer).
@@ -282,18 +300,12 @@ object SketchQueries {
        |SELECT t.b AS bigram, t.cnt, n.total,
        |       true AS lower_ok, true AS upper_ok, true AS coverage_ok
        |FROM top t CROSS JOIN n ORDER BY cnt DESC, bigram""".stripMargin) { (s, d) =>
-    val ws = split(lower(col("text")), " ")
-    val bg = t(s, d, "documents")
-      .select(ws.as("w")).where(size(col("w")) >= 2)
-      .select(explode(transform(
-        sequence(lit(1), size(col("w")) - 1),
-        i => concat(element_at(col("w"), i), lit(" "),
-          element_at(col("w"), i + 1)))).as("b"))
+    val bg = bigrams(s, d)
     val c = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // vocab-scale; reused for total + top-20
     val total = c.agg(sum(col("cnt")).cast("long").as("total"))
     val top = c.orderBy(col("cnt").desc, col("b")).limit(20)
-    val sk = bg.agg(HeavyHitters.sketch(col("b"), HhM).as("hh"))
+    val sk = heavySketch(s, d)
     val est = coalesce(element_at(col("hh.items"), col("bigram")), lit(0L))
     top.select(col("b").as("bigram"), col("cnt").cast("long").as("cnt"))
       .crossJoin(broadcast(total))
