@@ -763,7 +763,103 @@ object DedupQueries {
       .orderBy(col("new_id"))
   }
 
+  // ----------------------------------------- prefix-filtered Jaccard join
+
+  /** τ as an exact rational (19/20 = 0.95): every threshold decision —
+    * prefix length, length filter, final accept — is integer
+    * arithmetic, so the Spark candidate set and the DuckDB all-pairs
+    * oracle can never disagree on a boundary pair the way
+    * `ceil(0.95 · 20) = 20` (IEEE) vs `⌈19⌉ = 19` (ℚ) would. */
+  private[graft] val PpNum = 19
+  private[graft] val PpDen = 20
+
+  /** Exact Jaccard similarity join via PREFIX FILTERING (Chaudhuri et
+    * al. ICDE'06; Xiao et al. WWW'08 "PPJoin") — the deterministic
+    * counterpart of MinHash banding: order the vocabulary rarest-
+    * first, keep only each document's first |T| − ⌈τ·|T|⌉ + 1 tokens
+    * (any pair with J ≥ τ MUST share one of them — the pigeonhole
+    * bound), generate candidates from that prefix inverted index, and
+    * verify exactly. 100 % recall by theorem, unlike LSH's
+    * probabilistic recall; the price is the verify join shipping the
+    * two candidate token arrays.
+    *
+    * Scale shape: token df table is vocabulary-scaled (broadcast);
+    * the rarest-first position is a per-document window (doc-sized
+    * partitions, one exchange); the candidate self-join keys on the
+    * prefix token's rank — fanout is Σ_t prefixdf(t)², the quantity
+    * prefix filtering exists to keep far below the full posting
+    * fanout (rarest-first ordering puts every document behind its
+    * LOWEST-df tokens, never the stopword bucket); the length filter
+    * min·den ≥ num·max prunes candidates before the distinct. The
+    * final verify is pair-scaled. No all-pairs product anywhere. */
+  private val qSimPpjoin = Q("q_sim_ppjoin",
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |       unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |     FROM documents),
+       |n AS (SELECT doc_id, CAST(count(*) AS INT) AS nt FROM tk GROUP BY 1),
+       |c AS (SELECT a.doc_id AS ai, b.doc_id AS bi, CAST(count(*) AS INT) AS inter
+       |      FROM tk a JOIN tk b
+       |        ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT c.ai AS a_id, c.bi AS b_id,
+       |  round(c.inter / CAST(na.nt + nb.nt - c.inter AS DOUBLE), 4) AS jac
+       |FROM c JOIN n na ON na.doc_id = c.ai JOIN n nb ON nb.doc_id = c.bi
+       |WHERE c.inter * $PpDen >= $PpNum * (na.nt + nb.nt - c.inter)
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+    // global rarest-first token order — vocabulary-scaled, broadcast
+    val rk = tok.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("dfc"), col("tok"))))
+      .select(col("tok"), col("rk"))
+    // one corpus exchange: each document as its sorted INT rank array —
+    // verification compares hashed ints, never strings, and the prefix
+    // below is a per-row slice of the same array (computed once,
+    // reused by the prefix explode and both verify sides)
+    val rdocs = tok.join(broadcast(rk), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(col("rk").cast("int"))).as("rks"))
+      .select(col("doc_id"), col("lang"), col("rks"),
+        size(col("rks")).as("nt"))
+      .localCheckpoint()
+    // ⌈(num·nt)/den⌉ in exact integers
+    def ceilTau(nt: Column): Column =
+      floor((lit(PpNum) * nt + lit(PpDen - 1)) / lit(PpDen)).cast("int")
+    val prefix = rdocs.select(col("doc_id"), col("lang"), col("nt"),
+      posexplode(slice(col("rks"), lit(1),
+        col("nt") - ceilTau(col("nt")) + 1)))
+      .withColumnRenamed("pos", "pp").withColumnRenamed("col", "rkp")
+    // positional filter (PPJoin): common tokens all sit at or after the
+    // shared token's position in each sorted array, so overlap ≤
+    // 1 + min(na − pa, nb − pb); a true pair's FIRST shared prefix
+    // token always passes, so any-occurrence-passes is complete.
+    // J ≥ num/den ⇔ o·(num+den) ≥ num·(na+nb), applied to the bound.
+    val cand = prefix
+      .select(col("doc_id").as("ai"), col("lang"), col("rkp"),
+        (col("pp") + 1).as("pa"), col("nt").as("na"))
+      .join(prefix.select(col("doc_id").as("bi"), col("lang").as("lb"),
+          col("rkp").as("rkb"), (col("pp") + 1).as("pb"), col("nt").as("nb")),
+        col("rkp") === col("rkb") && col("lang") === col("lb") &&
+          col("ai") < col("bi") &&
+          least(col("na"), col("nb")) * PpDen >=
+            lit(PpNum) * greatest(col("na"), col("nb")) &&
+          (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) *
+            (PpNum + PpDen) >= lit(PpNum) * (col("na") + col("nb")))
+      .select(col("ai"), col("bi")).distinct()
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val union = size(col("ta")) + size(col("tb")) - inter
+    val jac = inter / union.cast("double")
+    cand
+      .join(rdocs.select(col("doc_id").as("ai"), col("rks").as("ta")), "ai")
+      .join(rdocs.select(col("doc_id").as("bi"), col("rks").as("tb")), "bi")
+      .where(inter * PpDen >= lit(PpNum) * union)
+      .select(col("ai").as("a_id"), col("bi").as("b_id"), round(jac, 4).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
     qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs,
-    qDedupIncrementalNear)
+    qDedupIncrementalNear, qSimPpjoin)
 }

@@ -317,5 +317,96 @@ object SketchQueries {
       .orderBy(col("cnt").desc, col("bigram"))
   }
 
-  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ, qKmvMerge, qSketchHeavy)
+  /** KMV/theta SET-OPERATION estimation — the missing third of the
+    * sketch algebra after point estimates (`q_sketch_kmv`) and union
+    * rollup (`q_sketch_kmv_merge`): estimate |A ∩ B| and the Jaccard
+    * of two sets from their two bounded sketches ALONE, no fact
+    * rescan (the Theta-sketch intersection, Dasgupta et al.,
+    * "Theta-Sketch Framework", 2016). With θ = min(kv_A, kv_B) (the
+    * two k-th order statistics), every hash < θ of either set is
+    * provably inside its sketch, so the sub-θ region is an exact
+    * uniform sample of A ∪ B: |A∩B| ≈ |SA ∩ SB ∩ [0,θ)| · P/θ and
+    * J ≈ |∩|/|∪| within the region. The exact intersection rides
+    * along as the audit column.
+    *
+    * Scale shape: sketches come from the same salted two-stage order
+    * statistic as `q_sketch_kmv` (no low-cardinality window funnel);
+    * everything after the sketch cut — the pair frame, θ, the ∩/∪
+    * counts — is sketch-sized (≤ k·|groups| rows), which is the
+    * entire point: at 100 TB the set algebra runs on kilobytes. The
+    * exact-intersection audit join is the only fact-scaled stage and
+    * exists for the oracle's benefit. */
+  private val qKmvIntersect = Q("q_sketch_kmv_intersect",
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS f,
+       |    (${PortableHash.md5LongSql("l_partkey::VARCHAR")} % ${PortableHash.P}) AS h
+       |  FROM lineitem),
+       |r AS (SELECT f, h, row_number() OVER (PARTITION BY f ORDER BY h) AS rn
+       |      FROM h),
+       |sk AS (SELECT f, h FROM r WHERE rn <= $KmvK),
+       |kth AS (SELECT f, h AS kv FROM r WHERE rn = $KmvK),
+       |p AS (SELECT ka.f AS fa, kb.f AS fb, least(ka.kv, kb.kv) AS theta
+       |      FROM kth ka JOIN kth kb ON ka.f < kb.f),
+       |i AS (SELECT p.fa, p.fb, CAST(count(*) AS BIGINT) AS ic
+       |      FROM p JOIN sk sa ON sa.f = p.fa
+       |             JOIN sk sb ON sb.f = p.fb AND sb.h = sa.h
+       |      WHERE sa.h < p.theta GROUP BY 1, 2),
+       |u AS (SELECT p.fa, p.fb, CAST(count(DISTINCT sk.h) AS BIGINT) AS uc
+       |      FROM p JOIN sk ON sk.f = p.fa OR sk.f = p.fb
+       |      WHERE sk.h < p.theta GROUP BY 1, 2),
+       |e AS (SELECT a.f AS fa, b.f AS fb, CAST(count(*) AS BIGINT) AS exact_inter
+       |      FROM h a JOIN h b ON a.h = b.h AND a.f < b.f GROUP BY 1, 2)
+       |SELECT p.fa, p.fb,
+       |  round(CAST(i.ic AS DOUBLE) * ${PortableHash.P} / p.theta, 4) AS est_inter,
+       |  round(CAST(i.ic AS DOUBLE) / u.uc, 4) AS est_jac,
+       |  e.exact_inter
+       |FROM p JOIN i ON i.fa = p.fa AND i.fb = p.fb
+       |       JOIN u ON u.fa = p.fa AND u.fb = p.fb
+       |       JOIN e ON e.fa = p.fa AND e.fb = p.fb
+       |ORDER BY p.fa, p.fb""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hs = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
+      .distinct()
+      .localCheckpoint() // reused: sketch cut + exact audit join
+    // salted two-stage order statistic, as q_sketch_kmv
+    val Salts = 64
+    val wSalt = Window.partitionBy(col("f"), col("salt")).orderBy(col("h"))
+    val w = Window.partitionBy(col("f")).orderBy(col("h"))
+    val ranked = hs.withColumn("salt", pmod(col("h"), lit(Salts)))
+      .withColumn("srn", row_number().over(wSalt))
+      .where(col("srn") <= KmvK)
+      .withColumn("rn", row_number().over(w))
+      // ≤ k·Salts·|groups| rows — bounded; the cut runs ONCE and the
+      // whole set algebra below reuses it instead of re-ranking the
+      // fact per reference (sk×3 + kth×2)
+      .localCheckpoint()
+    val sk = ranked.where(col("rn") <= KmvK).select(col("f"), col("h"))
+    val kth = ranked.where(col("rn") === KmvK).select(col("f"), col("h").as("kv"))
+    val p = kth.select(col("f").as("fa"), col("kv").as("ka"))
+      .join(kth.select(col("f").as("fb"), col("kv").as("kb")), col("fa") < col("fb"))
+      .select(col("fa"), col("fb"), least(col("ka"), col("kb")).as("theta"))
+    val i = p
+      .join(sk.select(col("f").as("fa"), col("h")), "fa")
+      .join(sk.select(col("f").as("fb"), col("h").as("hb")), "fb")
+      .where(col("h") === col("hb") && col("h") < col("theta"))
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("ic"))
+    val u = p
+      .join(sk, col("f") === col("fa") || col("f") === col("fb"))
+      .where(col("h") < col("theta"))
+      .groupBy(col("fa"), col("fb")).agg(countDistinct(col("h")).as("uc"))
+    val e = hs.select(col("f").as("fa"), col("h"))
+      .join(hs.select(col("f").as("fb"), col("h").as("hb")),
+        col("h") === col("hb") && col("fa") < col("fb"))
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("exact_inter"))
+    p.join(i, Seq("fa", "fb")).join(u, Seq("fa", "fb")).join(e, Seq("fa", "fb"))
+      .select(col("fa"), col("fb"),
+        round(col("ic").cast("double") * PortableHash.P / col("theta"), 4).as("est_inter"),
+        round(col("ic").cast("double") / col("uc"), 4).as("est_jac"),
+        col("exact_inter"))
+      .orderBy(col("fa"), col("fb"))
+  }
+
+  val all: Seq[Q] = Seq(qCms, qKmv, qHistQ, qKmvMerge, qSketchHeavy, qKmvIntersect)
 }

@@ -1006,8 +1006,95 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------ boilerplate removal
+
+  private[graft] val BoilerWords = 4
+  private[graft] val BoilerMinDocs = 3
+
+  /** The document's "paragraphs": its words in fixed non-overlapping
+    * [[BoilerWords]]-word windows, ragged tail dropped — the shared
+    * line decomposition both passes derive, so the frequency pass and
+    * the removal pass can never disagree on a boundary. */
+  private def boilerLines(ws: Column): Column = {
+    val n = BoilerWords
+    transform(
+      filter(
+        transform(
+          sequence(lit(0),
+            greatest(floor((size(ws) - 1) / lit(n)).cast("int"), lit(0))),
+          k => slice(ws, k * lit(n) + 1, lit(n))),
+        a => size(a) === n),
+      a => array_join(a, " "))
+  }
+
+  /** CCNet-style repeated-paragraph ("boilerplate") removal — the
+    * corpus-frequency line filter every web-scale curation pipeline
+    * runs (Wenzek et al. 2020 dedup paragraphs by hash before any
+    * model-based step): a line occurring in ≥ [[BoilerMinDocs]]
+    * distinct documents is navigation/footer-class content and is
+    * struck from every document; output is the per-document removal
+    * audit plus the cleaned text itself.
+    *
+    * Two-pass shape, exactly CCNet's: pass 1 builds the repeated-line
+    * hash set (explode → 60-bit digest → count-distinct-docs — only
+    * (digest, doc_id) longs reach the exchange, line text never
+    * leaves the scan stage); pass 2 re-derives the same lines per row
+    * with array HOFs against the BROADCAST digest set, so the removal
+    * pass touches the corpus with ZERO data shuffle — at 100 TB the
+    * rewrite streams map-side, which is the entire point of the
+    * hash-set formulation. The set is collected to one row bounded by
+    * |distinct repeated lines| (boilerplate repeats by definition);
+    * at trillion-line scale the same pass swaps the in-array
+    * membership probe for a bloom filter without changing either
+    * derivation. */
+  private val qBoilerplate = Q("q_text_boilerplate",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |l AS (SELECT w.doc_id, CAST(t.k AS INT) AS line_ix,
+       |        array_to_string(ws[t.k*$BoilerWords+1 : t.k*$BoilerWords+$BoilerWords], ' ') AS line
+       |      FROM w, unnest(generate_series(0,
+       |        greatest(CAST(floor((len(ws) - 1) / $BoilerWords) AS INT), 0))) AS t(k)
+       |      WHERE len(ws[t.k*$BoilerWords+1 : t.k*$BoilerWords+$BoilerWords]) = $BoilerWords),
+       |f AS (SELECT ${PortableHash.md5LongSql("line")} AS dg,
+       |        count(DISTINCT doc_id) AS nd
+       |      FROM l GROUP BY 1),
+       |fl AS (SELECT l.doc_id, l.line_ix, l.line,
+       |         (${PortableHash.md5LongSql("l.line")} IN
+       |            (SELECT dg FROM f WHERE nd >= $BoilerMinDocs)) AS is_b
+       |       FROM l)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INT) AS n_lines,
+       |  CAST(count(*) FILTER (WHERE is_b) AS INT) AS n_boiler,
+       |  round((count(*) - count(*) FILTER (WHERE is_b))
+       |        / CAST(count(*) AS DOUBLE), 4) AS retained_ratio,
+       |  coalesce(string_agg(line, ' ' ORDER BY line_ix)
+       |             FILTER (WHERE NOT is_b), '') AS cleaned
+       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), boilerLines(split(col("text"), " ")).as("lines"))
+    def dg(l: Column): Column = PortableHash.md5Long(l)
+    // Pass 1: the repeated-line digest set, one row.
+    val boiler = docs
+      .select(col("doc_id"), explode(col("lines")).as("line"))
+      .select(col("doc_id"), dg(col("line")).as("dgv"))
+      .groupBy(col("dgv")).agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= BoilerMinDocs)
+      .agg(sort_array(collect_set(col("dgv"))).as("bset"))
+    // Pass 2: map-side removal — per-row HOFs against the broadcast set.
+    def isB(l: Column): Column = array_contains(col("bset"), dg(l))
+    val nLines = size(col("lines"))
+    val nBoiler = size(filter(col("lines"), l => isB(l)))
+    docs.crossJoin(broadcast(boiler))
+      .select(col("doc_id"),
+        nLines.as("n_lines"),
+        nBoiler.as("n_boiler"),
+        round((nLines - nBoiler) / nLines.cast("double"), 4).as("retained_ratio"),
+        array_join(filter(col("lines"), l => !isB(l)), " ").as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
-    qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit)
+    qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
+    qBoilerplate)
 }
