@@ -145,5 +145,57 @@ object GraphQueries {
     graft.operators.Triangles.orientedCount(pairs)
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles)
+  // -------------------------------------------------- label propagation
+
+  private val LpRounds = 3
+
+  /** One synchronous LPA round as a CTE pair: count each in-neighbor
+    * label, keep the (count desc, label asc) argmax per node. */
+  private def lpIterCte(k: Int): String =
+    s"""c$k AS (SELECT e.dst AS id, p.lab, CAST(count(*) AS BIGINT) AS n
+       |        FROM l${k - 1} p JOIN e ON e.src = p.id GROUP BY 1, 2),
+       |l$k AS (SELECT id, lab FROM c$k
+       |        QUALIFY row_number() OVER (PARTITION BY id
+       |                                   ORDER BY n DESC, lab) = 1)""".stripMargin
+
+  /** Deterministic synchronous label propagation (Raghavan et al.
+    * 2007) over the same part↔supplier bipartite graph as
+    * `q_pagerank` — the community-detection complement to the
+    * centrality (PageRank) and cohesion (triangles) passes: 3
+    * synchronous rounds of adopt-the-most-frequent-neighbor-label
+    * with min-label tie-break (see [[graft.operators.LabelProp]] for
+    * why the synchronous+total-tie-order variant is the only
+    * oracle-checkable one), reported as the community-size histogram.
+    *
+    * Scale shape: the label vector is node-sized and rides the
+    * PageRank broadcast-vs-co-partition choice; each round is one
+    * edge join plus two map-side-combinable aggregates (count, then
+    * argmax as `max(struct(n, −lab))` — no window over raw edges
+    * anywhere). The final histogram is community-cardinality. The
+    * oracle unrolls the identical recurrence as $LpRounds CTE pairs
+    * with QUALIFY argmax — bit-exact, integers end to end. */
+  private val qLabelProp = Q("q_graph_labelprop",
+    s"""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+       |       FROM lineitem),
+       |e AS (SELECT p AS src, sp AS dst FROM li
+       |      UNION ALL SELECT sp, p FROM li),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+       |${(1 to LpRounds).map(lpIterCte).mkString(",\n")}
+       |SELECT lab, CAST(count(*) AS BIGINT) AS sz, CAST(min(id) AS BIGINT) AS min_id
+       |FROM l$LpRounds GROUP BY lab
+       |ORDER BY sz DESC, lab LIMIT 30""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val e = li.select(col("p").as("src"), col("sp").as("dst"))
+      .union(li.select(col("sp").as("src"), col("p").as("dst")))
+      .localCheckpoint() // reused each round: fence off the distinct
+    graft.operators.LabelProp(e, LpRounds)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("sz"), min(col("id")).as("min_id"))
+      .orderBy(col("sz").desc, col("lab"))
+      .limit(30)
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qLabelProp)
 }

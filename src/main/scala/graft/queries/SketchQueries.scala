@@ -365,11 +365,13 @@ object SketchQueries {
        |       JOIN e ON e.fa = p.fa AND e.fb = p.fb
        |ORDER BY p.fa, p.fb""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // read twice (sketch cut + exact audit) from the plan as-is, the
+    // q_sketch_kmv stance: the hash+distinct recompute is cheaper than
+    // an eager checkpoint barrier and keeps the scan audit-visible
     val hs = t(s, d, "lineitem")
       .select(col("l_returnflag").as("f"),
         (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
       .distinct()
-      .localCheckpoint() // reused: sketch cut + exact audit join
     // salted two-stage order statistic, as q_sketch_kmv
     val Salts = 64
     val wSalt = Window.partitionBy(col("f"), col("salt")).orderBy(col("h"))
