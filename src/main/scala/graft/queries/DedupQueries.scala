@@ -859,7 +859,105 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // --------------------------------------------------- URL canonicalization
+
+  /** Deterministic messy-URL synthesis — the SAME string expression on
+    * both engines (hash-certified), so the operator under test is the
+    * canonicalizer, not the fixture: host case, a default :443 port,
+    * a trailing slash, swapped query-param order, utm_ tracking junk,
+    * and a fragment all vary with doc_id while the canonical identity
+    * varies only with (source, doc_id mod 50, x, y). */
+  private def urlRawSql: String =
+    """'https://' ||
+      |CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+      |'.Example.com' ||
+      |CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+      |'/a/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |'?' ||
+      |CASE WHEN doc_id % 2 = 0
+      |     THEN 'x=' || CAST(doc_id % 5 AS VARCHAR) || '&y=' || CAST(doc_id % 4 AS VARCHAR)
+      |     ELSE 'y=' || CAST(doc_id % 4 AS VARCHAR) || '&x=' || CAST(doc_id % 5 AS VARCHAR) END ||
+      |CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END""".stripMargin
+      .linesIterator.mkString(" ")
+
+  private def urlRaw: Column = {
+    val id = col("doc_id")
+    concat(lit("https://"),
+      when(pmod(id, lit(2)) === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".Example.com"),
+      when(pmod(id, lit(7)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/a/"), (id % 50).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("x="), (id % 5).cast("string"), lit("&y="), (id % 4).cast("string")))
+        .otherwise(
+          concat(lit("y="), (id % 4).cast("string"), lit("&x="), (id % 5).cast("string"))),
+      when(pmod(id, lit(3)) === 0, lit("&utm_source=feed")).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  /** URL canonicalization + exact URL dedup — the FIRST dedup key of
+    * every web-crawl curation pipeline (Common Crawl dedups by
+    * canonical URL before any content pass): strip the fragment,
+    * lowercase scheme+host, drop the https default port, strip the
+    * path's trailing slash, drop utm_* tracking params, and SORT the
+    * surviving query params; then exact-group on the canonical form.
+    * Every step is a codegen'd built-in string/array expression —
+    * per-row in the scan stage; the one exchange is the canonical-key
+    * groupBy (at 100 TB key the exchange on the 64-bit digest of the
+    * canonical form and carry the string with min(), shrinking
+    * shuffle rows to fixed width — same move as q_dedup_exact).
+    * The raw URL is synthesized with the IDENTICAL expression on both
+    * engines, so the hash match certifies the canonicalizer exactly:
+    * 10 raw variants per canonical identity collapse or the count
+    * columns disagree. */
+  private val qDedupUrl = Q("q_dedup_url",
+    s"""WITH u AS (SELECT doc_id, ($urlRawSql) AS url FROM documents),
+       |s AS (SELECT doc_id, url,
+       |        string_split(url, '#')[1] AS base
+       |      FROM u),
+       |p AS (SELECT doc_id, url,
+       |        string_split(base, '?')[1] AS pre,
+       |        coalesce(string_split(base, '?')[2], '') AS q
+       |      FROM s),
+       |c AS (SELECT doc_id, url,
+       |        regexp_replace(lower(regexp_extract(pre, '^(https://[^/]+)', 1)),
+       |                       ':443$$', '')
+       |        || regexp_replace(regexp_extract(pre, '^https://[^/]+(/.*)$$', 1),
+       |                          '/$$', '') AS hp,
+       |        array_to_string(
+       |          list_sort(list_filter(string_split(q, '&'),
+       |            x -> x <> '' AND left(x, 4) <> 'utm_')), '&') AS cq
+       |      FROM p)
+       |SELECT (CASE WHEN cq = '' THEN hp ELSE hp || '?' || cq END) AS canon_url,
+       |  CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       |  CAST(min(doc_id) AS BIGINT) AS keep_id
+       |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin) { (s, d) =>
+    val u = t(s, d, "documents").select(col("doc_id"), urlRaw.as("url"))
+    val base = split(col("url"), "#").getItem(0)
+    val pre = split(base, "\\?").getItem(0)
+    val q = coalesce(element_at(split(base, "\\?"), 2), lit(""))
+    val host = regexp_replace(
+      lower(regexp_extract(pre, "^(https://[^/]+)", 1)), ":443$", "")
+    val path = regexp_replace(regexp_extract(pre, "^https://[^/]+(/.*)$", 1), "/$", "")
+    val cq = array_join(
+      sort_array(filter(split(q, "&"),
+        x => x =!= "" && substring(x, 1, 4) =!= "utm_")), "&")
+    val canon = when(cq === "", concat(host, path))
+      .otherwise(concat(host, path, lit("?"), cq))
+    u.select(col("doc_id"), col("url"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
+      .orderBy(col("canon_url"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
     qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs,
-    qDedupIncrementalNear, qSimPpjoin)
+    qDedupIncrementalNear, qSimPpjoin, qDedupUrl)
 }
