@@ -50,13 +50,21 @@ object HeavyScaleProbe {
     // sf1) and the heavy-hitter sketch path (the no-vocab-exchange
     // claim: summaries stay m-bounded while corpus AND vocabulary
     // grow 10×)
-    "q_dedup_incremental_near", "q_sketch_heavy")
+    "q_dedup_incremental_near", "q_sketch_heavy",
+    // round 10 (cont.): the prefix-filtered Jaccard join (salted
+    // copies share no tokens, so vocabulary AND corpus grow 10x with
+    // per-copy candidate structure constant - candidates must grow
+    // ~linearly, not with the cross-copy product) and synchronous LPA
+    // (10 disconnected graph copies, fixed rounds - per-round join
+    // scales with edges)
+    "q_sim_ppjoin", "q_graph_labelprop")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
   private val ExpBound = Map(
     "q_dedup_multimodal" -> 1.0, "q_decontaminate_media" -> 1.0,
-    "q_dedup_incremental_near" -> 1.0, "q_sketch_heavy" -> 1.0)
+    "q_dedup_incremental_near" -> 1.0, "q_sketch_heavy" -> 1.0,
+    "q_sim_ppjoin" -> 1.0, "q_graph_labelprop" -> 1.0)
 
   /** q_knn_ivf_trained's Q entry (round 10) joins the IVF result
     * against the in-plan brute-force top-k to emit its oracle-checked

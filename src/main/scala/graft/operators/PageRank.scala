@@ -84,6 +84,69 @@ object PageRank {
     r
   }
 
+  /** PERSONALIZED PageRank — the same fixed-point integer recurrence
+    * with the teleport mass concentrated on a seed set (Haveliwala
+    * 2002; the trust/quality-propagation form: rank = proximity to
+    * the seeds through the link structure, the TrustRank recipe for
+    * scoring a crawl from a vetted whitelist):
+    *
+    *   r₀(v)  = v ∈ S ? 10¹² : 0
+    *   r′(v) = (v ∈ S ? 0.15·10¹² : 0) + ⌊85 · Σ_{u→v} ⌊r(u)/deg(u)⌋ / 100⌋
+    *
+    * Same integer-exactness, same broadcast-vs-co-partition choice;
+    * the extra per-iteration work is one LEFT join of the node-sized
+    * update against the teleport vector (seed flags folded into a
+    * node-sized frame once, checkpointed). Seeds outside the edge
+    * set are ignored (they have no edges to propagate through). */
+  def personalized(edges: DataFrame, iters: Int, seeds: DataFrame,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("d"))
+      .localCheckpoint()
+    val folded = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("d"))
+    val useBroadcast = broadcastRanks.getOrElse {
+      deg.count() <= MaxBroadcastNodes
+    }
+    val ed = (if (useBroadcast) folded
+              else folded.repartition(col("src"))).localCheckpoint()
+    // node-sized teleport vector: tp = TeleportFp on seeds, 0 off
+    val tele = deg.select(col("src").as("id"))
+      .join(seeds.select(col("id").as("sid")), col("id") === col("sid"), "left_outer")
+      .select(col("id"),
+        when(col("sid").isNotNull, lit(TeleportFp)).otherwise(lit(0L)).as("tp"))
+      .localCheckpoint()
+    var r: DataFrame = tele.select(col("id"),
+      when(col("tp") > 0, lit(Scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val ranks = if (useBroadcast) broadcast(r) else r.hint("shuffle_merge")
+      val sc = ed.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("s"))
+        .select(col("dst").as("id"), expr("(85 * s) div 100").as("sc"))
+      r = sc.join(if (useBroadcast) broadcast(tele) else tele, "id")
+        .select(col("id"), (col("sc") + col("tp")).as("r"))
+    }
+    r
+  }
+
+  /** Sequential twin of [[personalized]]. */
+  def personalizedReference(edges: Seq[(Long, Long)], iters: Int,
+      seeds: Set[Long]): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r: Map[Long, Long] = out.keys.map(n => n -> (if (seeds(n)) Scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val sums = edges
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (s, _) => r(s) / out(s) }.sum)
+        .toMap
+      r = sums.map { case (v, sc) =>
+        v -> ((if (seeds(v)) TeleportFp else 0L) + 85 * sc / 100)
+      }
+    }
+    r
+  }
+
   /** In-memory reference of the exact same integer recurrence — the
     * property-test twin (mirrors CC's union-find reference). */
   def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {

@@ -197,5 +197,61 @@ object GraphQueries {
       .limit(30)
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qLabelProp)
+  // --------------------------------------------- personalized PageRank
+
+  private def pprIterCte(k: Int): String =
+    s"""c$k AS (SELECT e.dst AS id,
+       |          (85 * CAST(sum(p.r // g.d) AS BIGINT)) // 100 AS sc
+       |        FROM p${k - 1} p JOIN deg g ON p.id = g.src JOIN e ON e.src = p.id
+       |        GROUP BY 1),
+       |p$k AS (SELECT c.id,
+       |          c.sc + CAST(CASE WHEN sd.id IS NOT NULL
+       |                           THEN $TeleportFp ELSE 0 END AS BIGINT) AS r
+       |        FROM c$k c LEFT JOIN sd ON c.id = sd.id)""".stripMargin
+
+  /** PERSONALIZED PageRank (Haveliwala 2002) from a vetted seed set —
+    * the TrustRank recipe a crawl-curation pipeline uses to score
+    * hosts by link proximity to a whitelist: teleport mass lands ONLY
+    * on the seeds (every 10th supplier — the "audited" set), so rank
+    * measures reachability from trust, not global centrality. Same
+    * fixed-point integer recurrence as `q_pagerank` (bit-exact, no
+    * float tolerance; see [[graft.operators.PageRank.personalized]]),
+    * same broadcast-vs-co-partition choice; the extra per-iteration
+    * cost is one node-sized LEFT join against the checkpointed
+    * teleport vector. Top-20 by rank with the seed flag. */
+  private val qPprSeeded = Q("q_pagerank_seeded",
+    s"""WITH li AS (SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+       |       FROM lineitem),
+       |e AS (SELECT p AS src, sp AS dst FROM li
+       |      UNION ALL SELECT sp, p FROM li),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |sd AS (SELECT DISTINCT l_suppkey * 2 + 1 AS id FROM lineitem
+       |       WHERE l_suppkey % 10 = 0),
+       |p0 AS (SELECT g.src AS id,
+       |         CAST(CASE WHEN sd.id IS NOT NULL THEN $Scale ELSE 0 END AS BIGINT) AS r
+       |       FROM deg g LEFT JOIN sd ON g.src = sd.id),
+       |${(1 to Iters).map(pprIterCte).mkString(",\n")}
+       |SELECT p.id, p.r AS rank_fp, CAST(p.r AS DOUBLE) / 1e12 AS rank,
+       |  (sd.id IS NOT NULL) AS is_seed
+       |FROM p$Iters p LEFT JOIN sd ON p.id = sd.id
+       |ORDER BY p.r DESC, p.id LIMIT 20""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val e = li.select(col("p").as("src"), col("sp").as("dst"))
+      .union(li.select(col("sp").as("src"), col("p").as("dst")))
+      .localCheckpoint()
+    val seeds = t(s, d, "lineitem")
+      .where(col("l_suppkey") % 10 === 0)
+      .select((col("l_suppkey") * 2 + 1).as("id")).distinct()
+    graft.operators.PageRank.personalized(e, Iters, seeds)
+      .join(seeds.select(col("id"), lit(true).as("s")), Seq("id"), "left_outer")
+      .orderBy(col("r").desc, col("id"))
+      .limit(20)
+      .select(col("id"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(1e12)).as("rank"),
+        coalesce(col("s"), lit(false)).as("is_seed"))
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded)
 }

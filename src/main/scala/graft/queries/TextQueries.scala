@@ -1015,7 +1015,7 @@ object TextQueries {
     * [[BoilerWords]]-word windows, ragged tail dropped — the shared
     * line decomposition both passes derive, so the frequency pass and
     * the removal pass can never disagree on a boundary. */
-  private def boilerLines(ws: Column): Column = {
+  private[graft] def boilerLines(ws: Column): Column = {
     val n = BoilerWords
     transform(
       filter(

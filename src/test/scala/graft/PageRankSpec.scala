@@ -70,4 +70,31 @@ class PageRankSpec extends AnyFunSuite {
       .orderBy(col("id")).as[(Long, Long)].collect().toSeq
     assert(one === many)
   }
+
+  test("personalized: matches its reference, concentrates near the seeds") {
+    val df = edges.toDF("src", "dst").localCheckpoint()
+    val seedSet = Set(1L)
+    val seeds = seedSet.toSeq.toDF("id")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = PageRank.personalized(df, iters, seeds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === PageRank.personalizedReference(edges, iters, seedSet),
+        s"iters=$iters")
+    }
+    val ppr = PageRank.personalized(df, 5, seeds).as[(Long, Long)].collect().toMap
+    // trust decays with distance (a well-linked hub near the seed may
+    // outrank the seed itself — that's PPR working, not failing): the
+    // appendage (only reachable through 4 → 5 → 6) ranks below the
+    // seed and below the seed's direct successor
+    assert(ppr(5L) < ppr(1L) && ppr(6L) < ppr(1L))
+    assert(ppr(5L) < ppr(2L) && ppr(6L) < ppr(2L))
+    // a seedless far component would be rank-0: mass exists only via S
+    assert(ppr.values.sum <= PageRank.Scale)
+    // both join paths bit-equal here too
+    val bc = PageRank.personalized(df, 3, seeds, broadcastRanks = Some(true))
+      .as[(Long, Long)].collect().toMap
+    val sh = PageRank.personalized(df, 3, seeds, broadcastRanks = Some(false))
+      .as[(Long, Long)].collect().toMap
+    assert(bc === sh)
+  }
 }
