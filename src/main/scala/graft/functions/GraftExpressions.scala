@@ -441,10 +441,63 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** |A ∩ B| for two SORTED strictly-increasing int arrays — the
+    * similarity-join verify kernel (`q_sim_ppjoin` token-rank
+    * arrays): a single O(n+m) merge walk, zero allocation, vs the
+    * built-in `array_intersect`'s per-row hash-set build + result
+    * array that is immediately reduced to its size. Caller contract:
+    * both inputs sorted ascending with distinct elements (what
+    * `sort_array ∘ collect_list` over distinct ranks produces);
+    * on unsorted input the count is undefined, not an error. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements(); val m = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val xv = x.getInt(i); val yv = y.getInt(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = $a.numElements(); int $m = $b.numElements();
+           |int $i = 0, $j = 0, $c = 0;
+           |while ($i < $n && $j < $m) {
+           |  int $xv = $a.getInt($i); int $yv = $b.getInt($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def cosine_sim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 
   def clf_parse(line: Column): Column =
     bridge.column(ClfParse(bridge.expression(line)))

@@ -848,7 +848,10 @@ object DedupQueries {
           (lit(1) + least(col("na") - col("pa"), col("nb") - col("pb"))) *
             (PpNum + PpDen) >= lit(PpNum) * (col("na") + col("nb")))
       .select(col("ai"), col("bi")).distinct()
-    val inter = size(array_intersect(col("ta"), col("tb")))
+    // native O(n+m) merge over the sorted rank arrays — replaces
+    // array_intersect's per-row hash-set build + materialized result
+    val inter = graft.functions.GraftExpressions
+      .sorted_intersect_count(col("ta"), col("tb"))
     val union = size(col("ta")) + size(col("tb")) - inter
     val jac = inter / union.cast("double")
     cand

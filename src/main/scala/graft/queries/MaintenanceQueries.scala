@@ -176,5 +176,57 @@ object MaintenanceQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
-  val all: Seq[Q] = Seq(qDimMerge, qZorder, qMvRefresh)
+  // ------------------------------------------------- compaction planning
+
+  private val CompactTarget = 600000L // planner target bytes per output file
+
+  /** Small-file COMPACTION PLANNING — the decision half of the
+    * OPTIMIZE/maintenance job whose physical half is
+    * `operators.Compaction` (CompactionSpec): given a partitioned
+    * file manifest, assign fragments to target-size output groups by
+    * the greedy sequential fill over a size-descending order —
+    * bucket(f) = ⌊cumulative-bytes-before(f) / target⌋ within each
+    * partition, the deterministic form of Delta OPTIMIZE's bin
+    * packing. Output is the write-set: per (partition, bucket) the
+    * file count, byte total, and fill factor a rewrite job would
+    * execute.
+    *
+    * The manifest here is synthesized from the fact at (returnflag,
+    * linestatus, orderkey-shard) granularity with integer byte sizes
+    * (count·100 — deterministic, no float sums); in production it is
+    * the table's real file listing. Scale shape: the manifest
+    * aggregate is the only fact-scale stage (map-side combinable);
+    * everything after runs on METADATA cardinality — the per-
+    * partition window orders a bounded file list, never rows. */
+  private val qCompactPlan = Q("q_compact_plan",
+    s"""WITH f AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |             l_orderkey % 16 AS fk,
+       |             CAST(count(*) * 100 AS BIGINT) AS bytes
+       |           FROM lineitem GROUP BY 1, 2, 3),
+       |o AS (SELECT rf, bytes,
+       |        coalesce(sum(bytes) OVER (
+       |          PARTITION BY rf ORDER BY bytes DESC, ls, fk
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |      FROM f)
+       |SELECT rf, CAST(cb // $CompactTarget AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(bytes) AS BIGINT) AS bytes,
+       |  round(sum(bytes) / $CompactTarget.0, 4) AS fill
+       |FROM o GROUP BY 1, 2 ORDER BY rf, bucket""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (col("l_orderkey") % 16).as("fk"))
+      .agg((count(lit(1)) * 100).as("bytes"))
+    val w = Window.partitionBy(col("rf"))
+      .orderBy(col("bytes").desc, col("ls"), col("fk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    f.withColumn("cb", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .groupBy(col("rf"), (col("cb") / CompactTarget).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        round(sum(col("bytes")) / lit(CompactTarget.toDouble), 4).as("fill"))
+      .orderBy(col("rf"), col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(qDimMerge, qZorder, qMvRefresh, qCompactPlan)
 }

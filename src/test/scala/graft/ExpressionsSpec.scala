@@ -163,4 +163,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap === exact)
     assert(rows.forall(_._3), "hll_ok false somewhere")
   }
+
+  test("SortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[(Seq[Int], Seq[Int])] =
+      Seq( // adversarial shapes first
+        (Seq.empty[Int], Seq.empty[Int]),
+        (Seq.empty[Int], Seq(1, 2, 3)),
+        (Seq(1, 2, 3), Seq(4, 5, 6)), // disjoint
+        (Seq(1, 2, 3), Seq(1, 2, 3)), // identical
+        (Seq(1), Seq(1)),
+        (Seq(Int.MinValue, 0, Int.MaxValue), Seq(Int.MinValue, Int.MaxValue))
+      ) ++ (1 to 200).map { _ =>
+        def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60)).distinct.sorted
+        (arr(), arr())
+      }
+    val df = cases.toDF("a", "b").localCheckpoint()
+    val rows = df.select(
+      sorted_intersect_count(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // CODEGEN_ONLY: a broken doGenCode must throw, not silently
+    // degrade the ppjoin verify to interpreted dispatch
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val forced = df.select(
+        sorted_intersect_count(col("a"), col("b")).as("n")).collect()
+      assert(forced.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
