@@ -960,7 +960,61 @@ object DedupQueries {
       .orderBy(col("canon_url"))
   }
 
+  // ------------------------------------------------ template-skeleton dedup
+
+  /** Instruction-TEMPLATE dedup — the curation pass for templated
+    * text (synthetic instruction sets, log-derived corpora, form
+    * letters): normalize every record to its SKELETON — lowercase,
+    * every digit run collapsed to `0`, whitespace collapsed — and
+    * exact-group on the skeleton, so ten thousand fills of one
+    * template count as ONE training example (the repetition an
+    * instruction-tuned model most readily memorizes). The fixture
+    * renders templated rows from `events` with the IDENTICAL
+    * expression on both engines (the q_dedup_url stance), so the
+    * hash match certifies the normalizer: thousands of rows collapse
+    * to the handful of true templates, with per-template fill counts
+    * and distinct-fill cardinality as the audit columns.
+    *
+    * Scale shape: normalization is per-row codegen regex/string work
+    * fused into the scan; the one exchange is the skeleton-key
+    * count-distinct groupBy (digest-keyed at 100 TB, as
+    * q_dedup_exact). */
+  private val qDedupTemplate = Q("q_dedup_template",
+    """WITH r AS (
+      |  SELECT event_id,
+      |    event_type || ' by user ' || CAST(user_id AS VARCHAR) ||
+      |    ' took ' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) ||
+      |    ' ms' ||
+      |    CASE WHEN user_id % 3 = 0 THEN '  (RETRY scheduled)' ELSE '' END AS raw
+      |  FROM events),
+      |n AS (SELECT event_id, raw,
+      |        trim(regexp_replace(regexp_replace(lower(raw), '[0-9]+', '0', 'g'),
+      |                            ' +', ' ', 'g')) AS template
+      |      FROM r)
+      |SELECT template,
+      |  CAST(count(*) AS BIGINT) AS n_fills,
+      |  CAST(count(DISTINCT raw) AS BIGINT) AS n_distinct_fills,
+      |  CAST(min(event_id) AS BIGINT) AS keep_id
+      |FROM n GROUP BY 1 ORDER BY template""".stripMargin) { (s, d) =>
+    val raw = concat(col("event_type"), lit(" by user "),
+      col("user_id").cast("string"),
+      lit(" took "), floor(col("value") * 100).cast("long").cast("string"),
+      lit(" ms"),
+      when(pmod(col("user_id"), lit(3)) === 0, lit("  (RETRY scheduled)"))
+        .otherwise(lit("")))
+    val template = trim(regexp_replace(
+      regexp_replace(lower(col("raw")), "[0-9]+", "0"), " +", " "))
+    t(s, d, "events")
+      .select(col("event_id"), raw.as("raw"))
+      .select(col("event_id"), col("raw"), template.as("template"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_fills"),
+        countDistinct(col("raw")).as("n_distinct_fills"),
+        min(col("event_id")).as("keep_id"))
+      .orderBy(col("template"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
     qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs,
-    qDedupIncrementalNear, qSimPpjoin, qDedupUrl)
+    qDedupIncrementalNear, qSimPpjoin, qDedupUrl, qDedupTemplate)
 }

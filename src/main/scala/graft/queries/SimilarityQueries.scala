@@ -948,7 +948,62 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------ hard-negative mining
+
+  private val NegCap = 0.95
+  private val NegK = 3
+
+  /** Contrastive HARD-NEGATIVE mining — the training-pair builder of
+    * an embedding-model pipeline (the in-batch-negatives literature's
+    * offline form: for each anchor, the highest-similarity examples
+    * of a DIFFERENT class are the gradient-dominant negatives): per
+    * anchor, the top-k different-label neighbors by cosine, capped at
+    * cos ≤ 0.95 to exclude mislabeled near-duplicates (a near-dup
+    * with a different label is a labeling error, not a hard
+    * negative — feeding it to a contrastive loss is actively
+    * harmful).
+    *
+    * Scale shape: `q_knn_brute`'s serving pattern — the fixed anchor
+    * slice broadcasts, the corpus streams map-side through the
+    * different-label + cap filters, and the per-anchor top-k is a
+    * WindowGroupLimit (each task prunes to k before the per-anchor
+    * exchange). Cosine is the shared native one-pass kernel, ordered
+    * raw and rounded only for display, the knn determinism
+    * discipline. */
+  private val qMineNegatives = Q("q_mine_negatives",
+    s"""WITH $vectorsCte,
+       |an AS (SELECT * FROM e WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, a.label AS q_label,
+       |    c.vec_id AS n_id, c.label AS n_label,
+       |    list_dot_product(a.v, c.v) / (sqrt(a.n2) * sqrt(c.n2)) AS cos,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_dot_product(a.v, c.v) / (sqrt(a.n2) * sqrt(c.n2)) DESC,
+       |               c.vec_id) AS rn
+       |  FROM an a JOIN e c
+       |    ON c.label <> a.label
+       |   AND list_dot_product(a.v, c.v) / (sqrt(a.n2) * sqrt(c.n2)) <= $NegCap)
+       |SELECT q_id, q_label, n_id, n_label, CAST(rn AS INT) AS rn,
+       |  round(cos, 6) AS sim
+       |FROM scored WHERE rn <= $NegK ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val an = e.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val cos = cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    e.join(broadcast(an),
+        col("label") =!= col("q_label") && cos <= NegCap)
+      .select(col("q_id"), col("q_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= NegK)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("rn").cast("int").as("rn"), round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
-    qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic)
+    qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic, qMineNegatives)
 }
