@@ -1092,9 +1092,90 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram LM with STUPID BACKOFF (Brants et al. EMNLP'07, "Large
+    * Language Models in Machine Translation") — the web-scale LM
+    * perplexity filter: score(wᵢ | wᵢ₋₁) = nbc/ncc when the bigram was
+    * seen in training, else 0.4 · p_add1(wᵢ) — chosen over Kneser-Ney
+    * precisely because its statistics are raw mergeable COUNTS (the
+    * 100 TB property: map-side-combinable aggregates, no discount
+    * renormalization pass), which is also what makes it bit-exact
+    * cross-engine. Train slice = the `en` stream (as
+    * q_text_unigram_lm); per-token log-score rounded to 6 dp into
+    * DECIMAL before the per-doc mean (the shared discipline), verdict
+    * on the unrounded mean.
+    *
+    * Scale shape: bigram/context/unigram count tables are
+    * vocabulary²-/vocabulary-scaled map-side-combined aggregates; the
+    * scoring pass left-joins the corpus bigram stream against them —
+    * AQE broadcasts at bench scale, flips to shuffled equi-joins when
+    * the bigram table outgrows the threshold (exactly the LM-scoring
+    * join a web corpus pays); totals are a broadcast scalar. */
+  private val qBigramLm = Q("q_text_bigram_lm",
+    """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |           FROM documents),
+      |bg AS (SELECT doc_id, lang, ws[t.i] AS p, ws[t.i+1] AS c
+      |       FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+      |trb AS (SELECT p, c FROM bg WHERE lang = 'en'),
+      |bc AS (SELECT p, c, CAST(count(*) AS BIGINT) AS nbc FROM trb GROUP BY 1, 2),
+      |cc AS (SELECT p, CAST(count(*) AS BIGINT) AS ncc FROM trb GROUP BY 1),
+      |tru AS (SELECT unnest(ws) AS tok FROM w WHERE lang = 'en'),
+      |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS nu FROM tru GROUP BY tok),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tru),
+      |scored AS (
+      |  SELECT bg.doc_id, bg.lang,
+      |    CAST(round(CASE WHEN bc.nbc IS NOT NULL
+      |      THEN ln(CAST(bc.nbc AS DOUBLE) / CAST(cc.ncc AS DOUBLE))
+      |      ELSE ln(0.4 * (CAST(COALESCE(uc.nu, 0) + 1 AS DOUBLE)
+      |                     / CAST(tot.n + tot.v AS DOUBLE))) END, 6)
+      |      AS DECIMAL(18,6)) AS logp
+      |  FROM bg LEFT JOIN bc ON bc.p = bg.p AND bc.c = bg.c
+      |          LEFT JOIN cc ON cc.p = bg.p
+      |          LEFT JOIN uc ON uc.tok = bg.c
+      |          CROSS JOIN tot)
+      |SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
+      |  round(CAST(sum(logp) AS DOUBLE) / count(*), 4) AS avg_logp,
+      |  CASE WHEN CAST(sum(logp) AS DOUBLE) / count(*) >= -3.40
+      |       THEN 'keep' ELSE 'cut' END AS verdict
+      |FROM scored GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+    val bg = w.select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("p"),
+          element_at(col("ws"), i + 1).as("c")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.p").as("p"), col("b.c").as("c"))
+    val trb = bg.where(col("lang") === "en").select(col("p"), col("c"))
+    val bc = trb.groupBy(col("p"), col("c")).agg(count(lit(1)).cast("long").as("nbc"))
+    val cc = trb.groupBy(col("p")).agg(count(lit(1)).cast("long").as("ncc"))
+    val tru = w.where(col("lang") === "en")
+      .select(explode(col("ws")).as("tok"))
+    val uc = tru.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("nu"))
+    val tot = tru.agg(count(lit(1)).cast("long").as("n"),
+      countDistinct(col("tok")).cast("long").as("v"))
+    val logp = round(
+      when(col("nbc").isNotNull,
+        log(col("nbc").cast("double") / col("ncc").cast("double")))
+        .otherwise(log(lit(0.4) * ((coalesce(col("nu"), lit(0L)) + 1).cast("double")
+          / (col("n") + col("v")).cast("double")))), 6).cast("decimal(18,6)")
+    val scored = bg
+      .join(bc, Seq("p", "c"), "left_outer")
+      .join(cc, Seq("p"), "left_outer")
+      .join(uc, col("tok") === col("c"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lang"), logp.as("logp"))
+    val avg = col("sum_logp").cast("double") / col("nb")
+    scored.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nb"), sum(col("logp")).as("sum_logp"))
+      .select(col("doc_id"), col("lang"), col("nb").cast("int").as("n_bigrams"),
+        round(avg, 4).as("avg_logp"),
+        when(avg >= -3.40, "keep").otherwise("cut").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
-    qBoilerplate)
+    qBoilerplate, qBigramLm)
 }
