@@ -902,6 +902,53 @@ object DedupQueries {
       when(pmod(id, lit(5)) === 0, lit("#sec")).otherwise(lit("")))
   }
 
+  /** Clustered-URL fixture for the composed pipeline: every 7th
+    * document (doc_id ≡ 6 mod 7) carries the URL of doc_id−6 — an
+    * SF-INVARIANT ~14% duplicate rate decoupled from `source` (which
+    * is doc_id mod 20, so any mod-5-keyed rule would wipe whole
+    * sources). Same messiness knobs (case, :443, trailing slash,
+    * param order, utm, fragment); query params derive from the
+    * CLUSTER id so true variants canonicalize together. */
+  private def urlClusterSql: String =
+    """'https://' ||
+      |CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.com' ELSE 'www.example.com' END ||
+      |CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+      |'/p/' || CAST(doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END) AS VARCHAR) ||
+      |CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |'?' ||
+      |CASE WHEN doc_id % 2 = 0
+      |     THEN 'x=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 3 AS VARCHAR)
+      |          || '&y=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 11 AS VARCHAR)
+      |     ELSE 'y=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 11 AS VARCHAR)
+      |          || '&x=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 3 AS VARCHAR) END ||
+      |CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END""".stripMargin
+      .linesIterator.mkString(" ")
+
+  private def urlCluster: Column = {
+    val id = col("doc_id")
+    val cid = id - when(pmod(id, lit(7)) === 6, 6L).otherwise(0L)
+    concat(lit("https://"),
+      when(pmod(id, lit(2)) === 0, lit("WWW.Example.com"))
+        .otherwise(lit("www.example.com")),
+      when(pmod(id, lit(7)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), cid.cast("string"),
+      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("x="), (cid % 3).cast("string"), lit("&y="), (cid % 11).cast("string")))
+        .otherwise(
+          concat(lit("y="), (cid % 11).cast("string"), lit("&x="), (cid % 3).cast("string"))),
+      when(pmod(id, lit(3)) === 0, lit("&utm_source=feed")).otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  /** The pipeline-facing pair: clustered fixture through the shared
+    * canonicalizer. */
+  private[graft] def urlCanonClusteredCtes: String = urlCanonCtes(urlClusterSql)
+  private[graft] def urlCanonClustered(docs: DataFrame): DataFrame =
+    urlCanon(docs, urlCluster)
+
   /** URL canonicalization + exact URL dedup — the FIRST dedup key of
     * every web-crawl curation pipeline (Common Crawl dedups by
     * canonical URL before any content pass): strip the fragment,
@@ -917,16 +964,21 @@ object DedupQueries {
     * engines, so the hash match certifies the canonicalizer exactly:
     * 10 raw variants per canonical identity collapse or the count
     * columns disagree. */
-  private val qDedupUrl = Q("q_dedup_url",
-    s"""WITH u AS (SELECT doc_id, ($urlRawSql) AS url FROM documents),
-       |s AS (SELECT doc_id, url,
+  /** The synth→canonicalize CTE chain ending in
+    * `ucanon(doc_id, url, canon_url)` — shared by `q_dedup_url` and
+    * the composed `q_web_pipeline` oracle. */
+  private[graft] def urlCanonCtes: String = urlCanonCtes(urlRawSql)
+
+  private[graft] def urlCanonCtes(rawSql: String): String =
+    s"""uu AS (SELECT doc_id, ($rawSql) AS url FROM documents),
+       |ub AS (SELECT doc_id, url,
        |        string_split(url, '#')[1] AS base
-       |      FROM u),
-       |p AS (SELECT doc_id, url,
+       |      FROM uu),
+       |up AS (SELECT doc_id, url,
        |        string_split(base, '?')[1] AS pre,
        |        coalesce(string_split(base, '?')[2], '') AS q
-       |      FROM s),
-       |c AS (SELECT doc_id, url,
+       |      FROM ub),
+       |uh AS (SELECT doc_id, url,
        |        regexp_replace(lower(regexp_extract(pre, '^(https://[^/]+)', 1)),
        |                       ':443$$', '')
        |        || regexp_replace(regexp_extract(pre, '^https://[^/]+(/.*)$$', 1),
@@ -934,13 +986,17 @@ object DedupQueries {
        |        array_to_string(
        |          list_sort(list_filter(string_split(q, '&'),
        |            x -> x <> '' AND left(x, 4) <> 'utm_')), '&') AS cq
-       |      FROM p)
-       |SELECT (CASE WHEN cq = '' THEN hp ELSE hp || '?' || cq END) AS canon_url,
-       |  CAST(count(*) AS BIGINT) AS n_raw,
-       |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
-       |  CAST(min(doc_id) AS BIGINT) AS keep_id
-       |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin) { (s, d) =>
-    val u = t(s, d, "documents").select(col("doc_id"), urlRaw.as("url"))
+       |      FROM up),
+       |ucanon AS (SELECT doc_id, url,
+       |        (CASE WHEN cq = '' THEN hp ELSE hp || '?' || cq END) AS canon_url
+       |      FROM uh)""" // NO stripMargin: embedded in templates that strip once
+
+  /** Spark twin of [[urlCanonCtes]]: (doc_id, url, canon_url). */
+  private[graft] def urlCanon(docs: DataFrame): DataFrame =
+    urlCanon(docs, urlRaw)
+
+  private[graft] def urlCanon(docs: DataFrame, raw: Column): DataFrame = {
+    val u = docs.select(col("doc_id"), raw.as("url"))
     val base = split(col("url"), "#").getItem(0)
     val pre = split(base, "\\?").getItem(0)
     val q = coalesce(element_at(split(base, "\\?"), 2), lit(""))
@@ -953,6 +1009,16 @@ object DedupQueries {
     val canon = when(cq === "", concat(host, path))
       .otherwise(concat(host, path, lit("?"), cq))
     u.select(col("doc_id"), col("url"), canon.as("canon_url"))
+  }
+
+  private val qDedupUrl = Q("q_dedup_url",
+    s"""WITH $urlCanonCtes
+       |SELECT canon_url,
+       |  CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       |  CAST(min(doc_id) AS BIGINT) AS keep_id
+       |FROM ucanon GROUP BY 1 ORDER BY canon_url""".stripMargin) { (s, d) =>
+    urlCanon(t(s, d, "documents"))
       .groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_raw"),
         countDistinct(col("url")).as("n_variants"),

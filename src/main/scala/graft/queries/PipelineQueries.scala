@@ -1009,9 +1009,129 @@ object PipelineQueries {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  // ------------------------------------------------- web-curation funnel
+
+  /** The composed WEB-CURATION funnel — the crawl-side counterpart of
+    * `q_loader_pipeline` (which composes the loader side): URL-
+    * canonical dedup → corpus-frequency boilerplate removal → the
+    * 5-signal quality gate ON THE CLEANED TEXT → exact content dedup,
+    * reported as the per-source funnel (the drop accounting a crawl
+    * curation run publishes). Every stage is the SAME shared
+    * derivation its standalone query uses (`DedupQueries.urlCanon`,
+    * `TextQueries.boilerLines`, `TextQueries.gateSignals`, the
+    * q_dedup_exact md5 group) — the composition adds ordering, not
+    * reimplementation, so a green funnel certifies the stages
+    * compose, and stage order matters: the boilerplate frequency
+    * table is computed over the URL-KEPT corpus (dup pages would
+    * otherwise vote their own chrome past the threshold), and the
+    * gate reads cleaned text (boilerplate inflates length and
+    * repetition signals).
+    *
+    * Scale shape: each stage keeps its own audited shape (canonical-
+    * key groupBy; digest-set broadcast + map-side rewrite; zero-
+    * shuffle gate; md5-key groupBy); the composition's only
+    * additions are doc_id keep-set equi-joins (corpus-keyed,
+    * shuffled — never broadcast, keep-sets are corpus-scaled) and
+    * one source-grain funnel aggregate. */
+  private val BW = TextQueries.BoilerWords
+  private val BMD = TextQueries.BoilerMinDocs
+
+  private val qWebPipeline = Q("q_web_pipeline",
+    s"""WITH ${DedupQueries.urlCanonClusteredCtes},
+       |ukeep AS (SELECT min(doc_id) AS doc_id FROM ucanon GROUP BY canon_url),
+       |d1 AS (SELECT d.doc_id, d.text, d.lang, d.source
+       |       FROM documents d JOIN ukeep USING (doc_id)),
+       |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d1),
+       |bl AS (SELECT bw.doc_id, CAST(t.k AS INT) AS line_ix,
+       |        array_to_string(ws[t.k*$BW+1 : t.k*$BW+$BW], ' ') AS line
+       |      FROM bw, unnest(generate_series(0,
+       |        greatest(CAST(floor((len(ws) - 1) / $BW) AS INT), 0))) AS t(k)
+       |      WHERE len(ws[t.k*$BW+1 : t.k*$BW+$BW]) = $BW),
+       |bf AS (SELECT ${PortableHash.md5LongSql("line")} AS dg,
+       |        count(DISTINCT doc_id) AS nd
+       |      FROM bl GROUP BY 1),
+       |bfl AS (SELECT bl.doc_id, bl.line_ix, bl.line,
+       |         (${PortableHash.md5LongSql("bl.line")} IN
+       |            (SELECT dg FROM bf WHERE nd >= $BMD)) AS is_b
+       |       FROM bl),
+       |cl AS (SELECT doc_id,
+       |         coalesce(string_agg(line, ' ' ORDER BY line_ix)
+       |                    FILTER (WHERE NOT is_b), '') AS cleaned
+       |       FROM bfl GROUP BY doc_id),
+       |d2 AS (SELECT d1.doc_id, cl.cleaned AS text, d1.lang, d1.source
+       |       FROM d1 JOIN cl USING (doc_id)),
+       |${TextQueries.gateSignalsCtes("d2")},
+       |gk AS (SELECT doc_id FROM s
+       |       WHERE len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok),
+       |d3 AS (SELECT d2.* FROM d2 JOIN gk USING (doc_id)),
+       |fin AS (SELECT min(doc_id) AS doc_id FROM d3 GROUP BY md5(text)),
+       |d4 AS (SELECT d3.* FROM d3 JOIN fin USING (doc_id))
+       |SELECT a.source,
+       |  a.n_docs,
+       |  coalesce(b.n_url, 0) AS n_url,
+       |  coalesce(c.n_gate, 0) AS n_gate,
+       |  coalesce(e.n_final, 0) AS n_final,
+       |  coalesce(e.chars_final, 0) AS chars_final
+       |FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |      FROM documents GROUP BY 1) a
+       |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_url
+       |           FROM d1 GROUP BY 1) b USING (source)
+       |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_gate
+       |           FROM d3 GROUP BY 1) c USING (source)
+       |LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+       |             CAST(sum(length(text)) AS BIGINT) AS chars_final
+       |           FROM d4 GROUP BY 1) e USING (source)
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    // stage 1: URL-canonical dedup (keep min doc_id per canonical URL)
+    val ukeep = DedupQueries.urlCanonClustered(docs)
+      .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d1 = docs.join(ukeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // reused: boiler freq + rewrite + funnel count
+    // stage 2: boilerplate removal, frequency table over the KEPT corpus
+    val docsL = d1.select(col("doc_id"), col("lang"), col("source"),
+      TextQueries.boilerLines(split(col("text"), " ")).as("lines"))
+    def dg(l: org.apache.spark.sql.Column) = PortableHash.md5Long(l)
+    val boiler = docsL
+      .select(col("doc_id"), explode(col("lines")).as("line"))
+      .select(col("doc_id"), dg(col("line")).as("dgv"))
+      .groupBy(col("dgv")).agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= TextQueries.BoilerMinDocs)
+      .agg(sort_array(collect_set(col("dgv"))).as("bset"))
+    val d2 = docsL.crossJoin(broadcast(boiler))
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_join(filter(col("lines"),
+          l => !array_contains(col("bset"), dg(l))), " ").as("text"))
+      .localCheckpoint() // reused: gate + exact dedup + funnel count
+    // stage 3: the 5-signal gate on the CLEANED text
+    val gOk = col("len_ok") && col("marker_ok") && col("rep_ok") &&
+      col("pii_ok") && col("lr_ok")
+    val gk = TextQueries.gateSignals(d2).where(gOk).select(col("doc_id"))
+    val d3 = d2.join(gk, Seq("doc_id"), "left_semi")
+    // stage 4: exact content dedup (keep min doc_id per md5)
+    val fin = d3.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d4 = d3.join(fin, Seq("doc_id"), "left_semi")
+    // the funnel report
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(cnt(d1, "n_url_r"), Seq("source"), "left_outer")
+      .join(cnt(d3, "n_gate_r"), Seq("source"), "left_outer")
+      .join(d4.groupBy(col("source")).agg(count(lit(1)).as("n_final_r"),
+        sum(length(col("text"))).as("chars_r")), Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_url_r"), lit(0L)).as("n_url"),
+        coalesce(col("n_gate_r"), lit(0L)).as("n_gate"),
+        coalesce(col("n_final_r"), lit(0L)).as("n_final"),
+        coalesce(col("chars_r"), lit(0L)).as("chars_final"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
     qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve,
-    qShuffleEpoch, qCurriculum, qLoaderPipeline)
+    qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline)
 }

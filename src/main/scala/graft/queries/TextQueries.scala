@@ -880,15 +880,15 @@ object TextQueries {
   /** Shared CTE fragment: the per-row gate signals, with `source`
     * carried for the audit aggregation. Also the gate stage of the
     * composed `q_loader_pipeline` oracle (PipelineQueries). */
-  private[graft] val GateSignalsSql =
-    s"""WITH w AS (
+  private[graft] def gateSignalsCtes(rel: String): String =
+    s"""w AS (
       |  SELECT doc_id, source,
       |    substr(text, 1, 40)
       |      || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
       |      || CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || doc_id % 256 || '.7' ELSE '' END
       |      || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-01' || doc_id % 90 + 10 ELSE '' END AS piit,
       |    string_split(lower(text), ' ') AS ws
-      |  FROM documents),
+      |  FROM $rel),
       |s AS (
       |  SELECT doc_id, source,
       |    CAST(len(ws) AS INT) AS n_words,
@@ -900,6 +900,11 @@ object TextQueries {
       |    list_sum(list_transform(ws,
       |      w -> ((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512))) >= 0 AS lr_ok
       |  FROM w)""" // NO stripMargin: embedded in templates that strip once
+
+  /** The fragment over `documents` with its WITH prefix — the original
+    * embedding shape (q_quality_gate / q_quality_audit / the loader
+    * pipeline oracle all strip the margin once). */
+  private[graft] val GateSignalsSql = "WITH " + gateSignalsCtes("documents")
 
   /** Spark twin of [[GateSignalsSql]]: one shared tokenization, all
     * five per-row signals. `carry` names input columns threaded
