@@ -705,8 +705,12 @@ object PipelineQueries {
     * A query none of whose terms occurs in the corpus contributes no
     * output rows: its ranking is the empty set, not placeholder rows
     * (identical on both engines). */
-  private val qRagRetrieve = Q("q_rag_retrieve",
-    s"""WITH ch AS (${chunkCte(ChunkStride, ChunkSize)}),
+  /** The BM25 CTE chain (ch → … → rk, every candidate ranked) —
+    * shared by q_rag_retrieve (rnk ≤ RagTopK) and q_rag_rerank
+    * (stage-1 candidates rnk ≤ RerankCand). NO stripMargin: embedded
+    * in templates that strip once. */
+  private def bm25Ctes: String =
+    s"""ch AS (${chunkCte(ChunkStride, ChunkSize)}),
        |tk AS (SELECT doc_id, chunk_ix,
        |    unnest(string_split(lower(chunk), ' ')) AS term FROM ch),
        |tf AS (SELECT doc_id, chunk_ix, term, CAST(count(*) AS BIGINT) AS n
@@ -739,10 +743,24 @@ object PipelineQueries {
        |  FROM contrib GROUP BY 1, 2, 3),
        |rk AS (SELECT qid, doc_id, chunk_ix, sc, row_number() OVER
        |    (PARTITION BY qid ORDER BY sc DESC, doc_id, chunk_ix) AS rnk
-       |  FROM sc)
+       |  FROM sc)"""
+
+  private val qRagRetrieve = Q("q_rag_retrieve",
+    s"""WITH $bm25Ctes
        |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, chunk_ix,
        |  round(CAST(sc AS DOUBLE), 4) AS score
        |FROM rk WHERE rnk <= $RagTopK ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    bm25Ranked(s, d)
+      .where(col("rnk") <= RagTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("chunk_ix"),
+        round(col("sc").cast("double"), 4).as("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Spark twin of [[bm25Ctes]]: every (query, chunk) candidate with
+    * its exact-decimal BM25 score and per-query rank. */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ch = chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
     val tf = ch
@@ -775,11 +793,6 @@ object PipelineQueries {
       .agg(sum(col("c")).as("sc"))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sc").desc, col("doc_id"), col("chunk_ix"))))
-      .where(col("rnk") <= RagTopK)
-      .select(col("qid"), col("rnk").cast("int").as("rnk"),
-        col("doc_id"), col("chunk_ix"),
-        round(col("sc").cast("double"), 4).as("score"))
-      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Passage size (chars) for chunk-level dedup: NON-overlapping
@@ -1129,9 +1142,108 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  // ----------------------------------------------- retrieve-then-rerank
+
+  private val RerankCand = 20 // stage-1 BM25 candidates per query
+  private val EmbDim = 64     // hashed bag-of-words embedding width
+
+  /** Two-stage HYBRID retrieval — the canonical serving shape of a
+    * production RAG stack (lexical recall, dense precision): stage 1
+    * takes the BM25 top-[[RerankCand]] per query from the SHARED
+    * [[bm25Ctes]]/[[bm25Ranked]] chain, stage 2 re-ranks those
+    * candidates by cosine in a [[EmbDim]]-dim hashed bag-of-words
+    * embedding space (the feature-hashing trick: bucket =
+    * portable-digest mod dim; integer counts, so dot and both norms
+    * are EXACT integers and the cosine is one double division —
+    * bit-identical cross-engine, the q_sim_allpairs discipline).
+    *
+    * Scale shape: the rerank touches ONLY candidate-scaled data —
+    * |Q|·[[RerankCand]] rows join the chunk-bucket vectors on the
+    * chunk key; the corpus-scale work (chunk tf) is the same single
+    * pass stage 1 already paid, and the query-side vectors are
+    * literal-sized broadcasts. A candidate sharing no bucket with
+    * its query keeps cosine 0 (left join), not a dropped row —
+    * rerank is a permutation of stage 1's candidate set, never a
+    * filter. */
+  private val qRagRerank = Q("q_rag_rerank",
+    s"""WITH $bm25Ctes,
+       |cand AS (SELECT qid, doc_id, chunk_ix, sc FROM rk WHERE rnk <= $RerankCand),
+       |cb AS (SELECT tk.doc_id, tk.chunk_ix,
+       |         (${PortableHash.md5LongSql("term")} % $EmbDim) AS b,
+       |         CAST(count(*) AS BIGINT) AS cn
+       |       FROM tk GROUP BY 1, 2, 3),
+       |cnorm AS (SELECT doc_id, chunk_ix, CAST(sum(cn * cn) AS BIGINT) AS n2c
+       |          FROM cb GROUP BY 1, 2),
+       |qb AS (SELECT qid, (${PortableHash.md5LongSql("term")} % $EmbDim) AS b,
+       |         CAST(count(*) AS BIGINT) AS qn
+       |       FROM qt GROUP BY 1, 2),
+       |qnorm AS (SELECT qid, CAST(sum(qn * qn) AS BIGINT) AS n2q
+       |          FROM qb GROUP BY 1),
+       |dots AS (SELECT c.qid, c.doc_id, c.chunk_ix,
+       |           CAST(sum(qb.qn * cb.cn) AS BIGINT) AS dot
+       |         FROM cand c
+       |         JOIN qb ON qb.qid = c.qid
+       |         JOIN cb ON cb.doc_id = c.doc_id AND cb.chunk_ix = c.chunk_ix
+       |                AND cb.b = qb.b
+       |         GROUP BY 1, 2, 3),
+       |scored AS (SELECT c.qid, c.doc_id, c.chunk_ix, c.sc,
+       |             CAST(coalesce(d.dot, 0) AS DOUBLE)
+       |               / sqrt(CAST(qn.n2q AS DOUBLE) * CAST(cn.n2c AS DOUBLE)) AS cos
+       |           FROM cand c
+       |           LEFT JOIN dots d ON d.qid = c.qid AND d.doc_id = c.doc_id
+       |                           AND d.chunk_ix = c.chunk_ix
+       |           JOIN qnorm qn ON qn.qid = c.qid
+       |           JOIN cnorm cn ON cn.doc_id = c.doc_id AND cn.chunk_ix = c.chunk_ix),
+       |rr AS (SELECT qid, doc_id, chunk_ix, sc, cos, row_number() OVER
+       |         (PARTITION BY qid ORDER BY cos DESC, doc_id, chunk_ix) AS rnk
+       |       FROM scored)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, chunk_ix,
+       |  round(cos, 6) AS cos, round(CAST(sc AS DOUBLE), 4) AS bm25
+       |FROM rr WHERE rnk <= $RagTopK ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val cand = bm25Ranked(s, d).where(col("rnk") <= RerankCand)
+      .select(col("qid"), col("doc_id"), col("chunk_ix"), col("sc"))
+      // ≤ |Q|·RerankCand rows — bounded; referenced by the dot pass
+      // AND the final assembly, so fence off the whole BM25 subtree
+      .localCheckpoint()
+    val bOf = (c: org.apache.spark.sql.Column) =>
+      PortableHash.md5Long(c) % EmbDim
+    val cb = chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
+      .select(col("doc_id"), col("chunk_ix"),
+        explode(split(lower(col("chunk")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("chunk_ix"), bOf(col("term")).as("b"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+      .localCheckpoint() // reused: dots + chunk norms
+    val cnorm = cb.groupBy(col("doc_id"), col("chunk_ix"))
+      .agg(sum(col("cn") * col("cn")).cast("long").as("n2c"))
+    val qt = RagQueries.toDF("qid", "term")
+    val qb = qt.select(col("qid"), bOf(col("term")).as("b"))
+      .groupBy(col("qid"), col("b")).agg(count(lit(1)).cast("long").as("qn"))
+    val qnorm = qb.groupBy(col("qid")).agg(sum(col("qn") * col("qn")).cast("long").as("n2q"))
+    val dots = cand
+      .join(broadcast(qb), "qid")
+      .join(cb, Seq("doc_id", "chunk_ix", "b"))
+      .groupBy(col("qid"), col("doc_id"), col("chunk_ix"))
+      .agg(sum(col("qn") * col("cn")).cast("long").as("dot"))
+    val cos = coalesce(col("dot"), lit(0L)).cast("double") /
+      sqrt(col("n2q").cast("double") * col("n2c").cast("double"))
+    cand
+      .join(dots, Seq("qid", "doc_id", "chunk_ix"), "left_outer")
+      .join(broadcast(qnorm), "qid")
+      .join(cnorm, Seq("doc_id", "chunk_ix"))
+      .select(col("qid"), col("doc_id"), col("chunk_ix"), col("sc"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("doc_id"), col("chunk_ix"))))
+      .where(col("rnk") <= RagTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("doc_id"), col("chunk_ix"), round(col("cos"), 6).as("cos"),
+        round(col("sc").cast("double"), 4).as("bm25"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
     qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve,
-    qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline)
+    qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline, qRagRerank)
 }
