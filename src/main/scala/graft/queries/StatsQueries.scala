@@ -1,10 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.PortableHash
 import graft.queries.Q.t
 
 /** Statistical analytics beyond the basic moment aggregates
@@ -304,6 +305,175 @@ object StatsQueries {
       .orderBy(col("col"))
   }
 
+  /** Welch's two-sample t-test over every event-type pair — the A/B
+    * readout an experimentation pipeline serves from the events
+    * stream (and the statistical gate a data-mixture change runs
+    * before shipping: did the metric move beyond noise?). Unequal
+    * variances assumed (Welch), so no pooled-variance trap; df by
+    * Welch–Satterthwaite.
+    *
+    * Determinism: per-group n/Σx/Σx² are exact DECIMAL sums (order-
+    * independent); every downstream quantity — means, sample
+    * variances, t, df — is the same double expression tree on both
+    * engines from those identical inputs, rounded only for display;
+    * the significance verdict compares the unrounded |t| to the
+    * z-approximation cutoff 1.96 (all dfs here ≫ 30).
+    *
+    * Scale shape: ONE map-side-combined groupBy(event_type) carries
+    * everything (5 rows out); the pair frame is |types|² — a
+    * broadcast-sized self-join of the moment table, nothing
+    * fact-scaled after the scan. */
+  private val qAbTest = Q("q_ab_test",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(value AS DECIMAL(18,4))) AS sx,
+      |    sum(CAST(value * value AS DECIMAL(27,8))) AS sx2
+      |  FROM events GROUP BY event_type),
+      |v AS (
+      |  SELECT event_type, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS s2
+      |  FROM m),
+      |p AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb,
+      |    a.n AS na, b.n AS nb, a.mean AS ma, b.mean AS mb,
+      |    a.s2 / CAST(a.n AS DOUBLE) AS qa, b.s2 / CAST(b.n AS DOUBLE) AS qb
+      |  FROM v a JOIN v b ON a.event_type < b.event_type)
+      |SELECT ta, tb, na, nb,
+      |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+      |  round((ma - mb) / sqrt(qa + qb), 4) AS t,
+      |  round((qa + qb) * (qa + qb)
+      |        / (qa * qa / CAST(na - 1 AS DOUBLE)
+      |           + qb * qb / CAST(nb - 1 AS DOUBLE)), 1) AS df,
+      |  (abs((ma - mb) / sqrt(qa + qb)) > 1.96) AS significant
+      |FROM p ORDER BY ta, tb""".stripMargin) { (s, d) =>
+    val m = t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(27, 8))).as("sx2"))
+    val nD = col("n").cast("double")
+    val v = m.select(col("event_type"), col("n"),
+      (col("sx").cast("double") / nD).as("mean"),
+      ((nD * col("sx2").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+        / (nD * (col("n") - 1).cast("double"))).as("s2"))
+    val p = v.select(col("event_type").as("ta"), col("n").as("na"),
+        col("mean").as("ma"), (col("s2") / col("n").cast("double")).as("qa"))
+      .join(v.select(col("event_type").as("tb"), col("n").as("nb"),
+        col("mean").as("mb"), (col("s2") / col("n").cast("double")).as("qb")),
+        col("ta") < col("tb"))
+    val tStat = (col("ma") - col("mb")) / sqrt(col("qa") + col("qb"))
+    val dfW = (col("qa") + col("qb")) * (col("qa") + col("qb")) /
+      (col("qa") * col("qa") / (col("na") - 1).cast("double")
+        + col("qb") * col("qb") / (col("nb") - 1).cast("double"))
+    p.select(col("ta"), col("tb"), col("na"), col("nb"),
+        round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+        round(tStat, 4).as("t"), round(dfW, 1).as("df"),
+        (abs(tStat) > 1.96).as("significant"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** Poisson-bootstrap thresholds: ⌊cdf_k(Poisson(1)) · P⌋ as exact
+    * integers, so the weight CASE never compares floats — k = 0..4,
+    * tail mass (≈0.37%) draws weight 5. */
+  private val BootCum = Seq(790015083L, 1580030167L, 1975037709L,
+    2106706890L, 2139624185L)
+  private val BootB = 16
+
+  /** Distributed BOOTSTRAP confidence intervals via Poisson
+    * resampling (Chamandy et al., Google 2012, "Estimating
+    * Uncertainty for Massive Data Streams") — the error bars a
+    * corpus-statistics job publishes next to its point estimates:
+    * instead of materializing B resamples (a shuffle each), every row
+    * draws B independent Poisson(1) weights from the portable hash
+    * family, so ALL replicas ride ONE map-side-combined aggregation
+    * pass — the property that makes bootstrap viable at 100 TB.
+    *
+    * Determinism end to end: the uniform draw is the integer hash
+    * family member compared against integer ⌊cdf·P⌋ thresholds (no
+    * float boundary anywhere); replica means round to 6 dp into
+    * DECIMAL; the bootstrap SE sums EXACT decimal squared deviations
+    * (each rounded to 12 dp first) over the B replicas — no
+    * order-dependent float sum at any aggregation. */
+  private val qBootstrap = Q("q_stats_bootstrap", {
+    val wCase = BootCum.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |    (${PortableHash.md5LongSql("event_id::VARCHAR")} % ${PortableHash.P}) AS h0
+       |  FROM events),
+       |x AS (SELECT event_type, value, t.rep,
+       |        ((2 * t.rep + 1) * h0 + (7 + t.rep * t.rep)) % ${PortableHash.P} AS u
+       |      FROM r, unnest(generate_series(0, ${BootB - 1})) AS t(rep)),
+       |w AS (SELECT event_type, rep, value, $wCase AS w FROM x),
+       |rm AS (SELECT event_type, rep,
+       |        CAST(round(CAST(sum(CAST(w * value AS DECIMAL(24,6))) AS DOUBLE)
+       |             / CAST(sum(w) AS DOUBLE), 6) AS DECIMAL(18,6)) AS m
+       |      FROM w GROUP BY 1, 2),
+       |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+       |          / CAST(count(*) AS DOUBLE) AS mean
+       |      FROM events GROUP BY 1),
+       |mb AS (SELECT event_type,
+       |        CAST(sum(m) AS DOUBLE) / $BootB AS mbar,
+       |        min(m) AS lo, max(m) AS hi FROM rm GROUP BY 1),
+       |sd AS (SELECT rm.event_type,
+       |        sqrt(CAST(sum(CAST(round(
+       |            (CAST(rm.m AS DOUBLE) - mb.mbar)
+       |            * (CAST(rm.m AS DOUBLE) - mb.mbar), 12)
+       |          AS DECIMAL(30,12))) AS DOUBLE) / ${BootB - 1}) AS se
+       |      FROM rm JOIN mb ON rm.event_type = mb.event_type GROUP BY 1)
+       |SELECT pt.event_type, pt.n, round(pt.mean, 4) AS mean,
+       |  round(sd.se, 6) AS boot_se,
+       |  round(CAST(mb.lo AS DOUBLE), 4) AS boot_lo,
+       |  round(CAST(mb.hi AS DOUBLE), 4) AS boot_hi
+       |FROM pt JOIN sd ON pt.event_type = sd.event_type
+       |        JOIN mb ON pt.event_type = mb.event_type
+       |ORDER BY pt.event_type""".stripMargin
+  }) { (s, d) =>
+    val ev = t(s, d, "events")
+    val h0 = (PortableHash.md5Long(col("event_id").cast("string"))
+      % PortableHash.P).as("h0")
+    val u = ((lit(2) * col("rep") + 1) * col("h0")
+      + (lit(7) + col("rep") * col("rep"))) % PortableHash.P
+    val wCase = BootCum.zipWithIndex.foldRight(lit(5): Column) {
+      case ((t0, k), acc) => when(col("u") < t0, k).otherwise(acc)
+    }
+    val rm = ev.select(col("event_type"), col("value"), h0)
+      .select(col("event_type"), col("value"), col("h0"),
+        explode(sequence(lit(0L), lit(BootB - 1L))).as("rep"))
+      .select(col("event_type"), col("rep"), col("value"), u.as("u"))
+      .select(col("event_type"), col("rep"), col("value"), wCase.as("w"))
+      .groupBy(col("event_type"), col("rep"))
+      .agg((round(sum((col("w") * col("value")).cast(DecimalType(24, 6)))
+        .cast("double") / sum(col("w")).cast("double"), 6))
+        .cast(DecimalType(18, 6)).as("m"))
+      .localCheckpoint() // reused: mbar/lo/hi + the SE pass
+    val pt = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast(DecimalType(18, 4))).cast("double")
+          / count(lit(1)).cast("double")).as("mean"))
+    val mb = rm.groupBy(col("event_type"))
+      .agg((sum(col("m")).cast("double") / BootB).as("mbar"),
+        min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val dev = col("m").cast("double") - col("mbar")
+    val sd = rm.join(mb, "event_type")
+      .groupBy(col("event_type"))
+      .agg(sqrt(sum(round(dev * dev, 12).cast(DecimalType(30, 12)))
+        .cast("double") / (BootB - 1)).as("se"))
+    pt.join(sd, "event_type").join(mb, "event_type")
+      .select(col("event_type"), col("n"), round(col("mean"), 4).as("mean"),
+        round(col("se"), 6).as("boot_se"),
+        round(col("lo").cast("double"), 4).as("boot_lo"),
+        round(col("hi").cast("double"), 4).as("boot_hi"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(qQuantile, qCorrCov, qHist, qGroupingSets, qSampleHash,
-    qProfile, qProfileApprox)
+    qProfile, qProfileApprox, qAbTest, qBootstrap)
 }
