@@ -151,9 +151,9 @@ object GraphQueries {
 
   /** One synchronous LPA round as a CTE pair: count each in-neighbor
     * label, keep the (count desc, label asc) argmax per node. */
-  private def lpIterCte(k: Int): String =
-    s"""c$k AS (SELECT e.dst AS id, p.lab, CAST(count(*) AS BIGINT) AS n
-       |        FROM l${k - 1} p JOIN e ON e.src = p.id GROUP BY 1, 2),
+  private[graft] def lpIterCte(k: Int, edges: String = "e"): String =
+    s"""c$k AS (SELECT $edges.dst AS id, p.lab, CAST(count(*) AS BIGINT) AS n
+       |        FROM l${k - 1} p JOIN $edges ON $edges.src = p.id GROUP BY 1, 2),
        |l$k AS (SELECT id, lab FROM c$k
        |        QUALIFY row_number() OVER (PARTITION BY id
        |                                   ORDER BY n DESC, lab) = 1)""".stripMargin
@@ -180,7 +180,7 @@ object GraphQueries {
        |e AS (SELECT p AS src, sp AS dst FROM li
        |      UNION ALL SELECT sp, p FROM li),
        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
-       |${(1 to LpRounds).map(lpIterCte).mkString(",\n")}
+       |${(1 to LpRounds).map(k => lpIterCte(k)).mkString(",\n")}
        |SELECT lab, CAST(count(*) AS BIGINT) AS sz, CAST(min(id) AS BIGINT) AS min_id
        |FROM l$LpRounds GROUP BY lab
        |ORDER BY sz DESC, lab LIMIT 30""".stripMargin) { (s, d) =>

@@ -1003,7 +1003,75 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // ------------------------------------------- embedding-space clustering
+
+  private val ClusterK = 3       // kNN-graph out-degree
+  private val ClusterRounds = 3  // LPA rounds
+
+  /** Embedding-space CLUSTERING — kNN graph + label propagation, the
+    * semantic-grouping composite a curation pipeline runs to organize
+    * a corpus by topic (and the graph-side generalization of
+    * SemDeDup's cluster-then-prune): candidates from the shared LSH
+    * buckets (never all-pairs), exact-cosine top-[[ClusterK]]
+    * neighbors per vector, symmetrized into an undirected kNN graph,
+    * then [[graft.operators.LabelProp]]'s deterministic synchronous
+    * LPA ([[ClusterRounds]] rounds, min-label ties) — communities
+    * out, reported as the size histogram.
+    *
+    * Scale shape: bucket self-join fanout is Σ_b |b|² (the LSH sizing
+    * argument of q_knn_lsh); per-vector top-k is a WindowGroupLimit
+    * over vector-keyed partitions; the graph is ≤ 2·k·n edges —
+    * LINEAR in the corpus, which is the entire reason kNN-graph
+    * clustering scales where all-pairs methods cannot; LPA rides the
+    * PageRank broadcast-vs-co-partition choice. A bucket-singleton
+    * vector has no neighbors and is absent from the graph (identical
+    * on both engines — the standard isolate semantics of a bucketed
+    * kNN build). */
+  private val qEmbedCluster = Q("q_embed_cluster",
+    s"""WITH $vectorsCte,
+       |bk AS (SELECT vec_id, v, n2, ${lshBucketSql("v")} AS b FROM e),
+       |pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |         list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+       |       FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id),
+       |dir AS (SELECT ai AS src, bi AS dst, cos FROM pr
+       |        UNION ALL SELECT bi, ai, cos FROM pr),
+       |top AS (SELECT src, dst FROM (
+       |          SELECT src, dst, row_number() OVER (PARTITION BY src
+       |            ORDER BY cos DESC, dst) AS rn
+       |          FROM dir) r WHERE rn <= $ClusterK),
+       |e2 AS (SELECT DISTINCT src, dst FROM (
+       |          SELECT src, dst FROM top
+       |          UNION ALL SELECT dst, src FROM top) u),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e2),
+       |${(1 to ClusterRounds).map(k => GraphQueries.lpIterCte(k, "e2")).mkString(",\n")}
+       |SELECT lab, CAST(count(*) AS BIGINT) AS sz, CAST(min(id) AS BIGINT) AS min_id
+       |FROM l$ClusterRounds GROUP BY lab
+       |ORDER BY sz DESC, lab LIMIT 30""".stripMargin) { (s, d) =>
+    val bk = vectors(s, d)
+      .select(col("vec_id"), col("v"), lshBucket(col("v")).as("b"))
+    val pr = bk.select(col("vec_id").as("ai"), col("v").as("va"), col("b"))
+      .join(bk.select(col("vec_id").as("bi"), col("v").as("vb"), col("b").as("bb")),
+        col("b") === col("bb") && col("ai") < col("bi"))
+      .select(col("ai"), col("bi"), cosine(col("va"), col("vb")).as("cos"))
+    val dir = pr.select(col("ai").as("src"), col("bi").as("dst"), col("cos"))
+      .union(pr.select(col("bi").as("src"), col("ai").as("dst"), col("cos")))
+    val top = dir
+      .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))))
+      .where(col("rn") <= ClusterK)
+      .select(col("src"), col("dst"))
+    val e2 = top.union(top.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused each LPA round
+    graft.operators.LabelProp(e2, ClusterRounds)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("sz"), min(col("id")).as("min_id"))
+      .orderBy(col("sz").desc, col("lab"))
+      .limit(30)
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
-    qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic, qMineNegatives)
+    qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic, qMineNegatives,
+    qEmbedCluster)
 }
