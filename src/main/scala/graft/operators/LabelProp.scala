@@ -38,8 +38,12 @@ object LabelProp {
     val useBroadcast = broadcastLabels.getOrElse {
       nodes.count() <= PageRank.MaxBroadcastNodes
     }
-    val ed = (if (useBroadcast) edges
-              else edges.repartition(col("src"))).localCheckpoint()
+    // broadcast path: use the caller's (contractually pre-cached)
+    // frame as-is — re-checkpointing it would materialize the
+    // corpus-scaled edge table a second time. Only the co-partition
+    // path derives a NEW layout worth fencing.
+    val ed = if (useBroadcast) edges
+             else edges.repartition(col("src")).localCheckpoint()
     var lab: DataFrame = nodes.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to rounds) {
       val l = if (useBroadcast) broadcast(lab) else lab.hint("shuffle_merge")

@@ -870,77 +870,75 @@ object DedupQueries {
     * a trailing slash, swapped query-param order, utm_ tracking junk,
     * and a fragment all vary with doc_id while the canonical identity
     * varies only with (source, doc_id mod 50, x, y). */
-  private def urlRawSql: String =
-    """'https://' ||
-      |CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
-      |'.Example.com' ||
-      |CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
-      |'/a/' || CAST(doc_id % 50 AS VARCHAR) ||
-      |CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
-      |'?' ||
-      |CASE WHEN doc_id % 2 = 0
-      |     THEN 'x=' || CAST(doc_id % 5 AS VARCHAR) || '&y=' || CAST(doc_id % 4 AS VARCHAR)
-      |     ELSE 'y=' || CAST(doc_id % 4 AS VARCHAR) || '&x=' || CAST(doc_id % 5 AS VARCHAR) END ||
-      |CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
-      |CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END""".stripMargin
-      .linesIterator.mkString(" ")
+  /** ONE messy-URL scaffold per engine — the shared messiness knobs
+    * (host case via the caller's host expr, :443 on doc_id%7,
+    * trailing slash on %3, swapped param order on %2, utm junk on %3,
+    * fragment on %5); only host / path / param-value expressions vary
+    * between fixtures, so a knob tweak cannot desynchronize the
+    * hash-certified pairs. */
+  private def messyUrlSql(host: String, path: String, px: String, py: String): String =
+    (s"'https://' || $host || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END || " +
+      s"$path || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || '?' || " +
+      s"CASE WHEN doc_id % 2 = 0 THEN 'x=' || $px || '&y=' || $py " +
+      s"ELSE 'y=' || $py || '&x=' || $px END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END")
 
-  private def urlRaw: Column = {
+  private def messyUrl(host: Column, path: Column, px: Column, py: Column): Column = {
     val id = col("doc_id")
-    concat(lit("https://"),
-      when(pmod(id, lit(2)) === 0, upper(col("source"))).otherwise(col("source")),
-      lit(".Example.com"),
+    concat(lit("https://"), host,
       when(pmod(id, lit(7)) === 0, lit(":443")).otherwise(lit("")),
-      lit("/a/"), (id % 50).cast("string"),
+      path,
       when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
       lit("?"),
       when(pmod(id, lit(2)) === 0,
-        concat(lit("x="), (id % 5).cast("string"), lit("&y="), (id % 4).cast("string")))
-        .otherwise(
-          concat(lit("y="), (id % 4).cast("string"), lit("&x="), (id % 5).cast("string"))),
+        concat(lit("x="), px, lit("&y="), py))
+        .otherwise(concat(lit("y="), py, lit("&x="), px)),
       when(pmod(id, lit(3)) === 0, lit("&utm_source=feed")).otherwise(lit("")),
       when(pmod(id, lit(5)) === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  private def urlRawSql: String = messyUrlSql(
+    host = "CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END || '.Example.com'",
+    path = "'/a/' || CAST(doc_id % 50 AS VARCHAR)",
+    px = "CAST(doc_id % 5 AS VARCHAR)",
+    py = "CAST(doc_id % 4 AS VARCHAR)")
+
+  private def urlRaw: Column = {
+    val id = col("doc_id")
+    messyUrl(
+      host = concat(when(pmod(id, lit(2)) === 0, upper(col("source")))
+        .otherwise(col("source")), lit(".Example.com")),
+      path = concat(lit("/a/"), (id % 50).cast("string")),
+      px = (id % 5).cast("string"),
+      py = (id % 4).cast("string"))
   }
 
   /** Clustered-URL fixture for the composed pipeline: every 7th
     * document (doc_id ≡ 6 mod 7) carries the URL of doc_id−6 — an
     * SF-INVARIANT ~14% duplicate rate decoupled from `source` (which
     * is doc_id mod 20, so any mod-5-keyed rule would wipe whole
-    * sources). Same messiness knobs (case, :443, trailing slash,
-    * param order, utm, fragment); query params derive from the
-    * CLUSTER id so true variants canonicalize together. */
-  private def urlClusterSql: String =
-    """'https://' ||
-      |CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.com' ELSE 'www.example.com' END ||
-      |CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
-      |'/p/' || CAST(doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END) AS VARCHAR) ||
-      |CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
-      |'?' ||
-      |CASE WHEN doc_id % 2 = 0
-      |     THEN 'x=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 3 AS VARCHAR)
-      |          || '&y=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 11 AS VARCHAR)
-      |     ELSE 'y=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 11 AS VARCHAR)
-      |          || '&x=' || CAST((doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END)) % 3 AS VARCHAR) END ||
-      |CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END ||
-      |CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END""".stripMargin
-      .linesIterator.mkString(" ")
+    * sources). Same scaffold; query params derive from the CLUSTER id
+    * so true variants canonicalize together. */
+  private val CidSql = "(doc_id - (CASE WHEN doc_id % 7 = 6 THEN 6 ELSE 0 END))"
+
+  private def urlClusterSql: String = messyUrlSql(
+    host = "CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.com' ELSE 'www.example.com' END",
+    path = s"'/p/' || CAST($CidSql AS VARCHAR)",
+    px = s"CAST($CidSql % 3 AS VARCHAR)",
+    py = s"CAST($CidSql % 11 AS VARCHAR)")
 
   private def urlCluster: Column = {
     val id = col("doc_id")
     val cid = id - when(pmod(id, lit(7)) === 6, 6L).otherwise(0L)
-    concat(lit("https://"),
-      when(pmod(id, lit(2)) === 0, lit("WWW.Example.com"))
+    messyUrl(
+      host = when(pmod(id, lit(2)) === 0, lit("WWW.Example.com"))
         .otherwise(lit("www.example.com")),
-      when(pmod(id, lit(7)) === 0, lit(":443")).otherwise(lit("")),
-      lit("/p/"), cid.cast("string"),
-      when(pmod(id, lit(3)) === 0, lit("/")).otherwise(lit("")),
-      lit("?"),
-      when(pmod(id, lit(2)) === 0,
-        concat(lit("x="), (cid % 3).cast("string"), lit("&y="), (cid % 11).cast("string")))
-        .otherwise(
-          concat(lit("y="), (cid % 11).cast("string"), lit("&x="), (cid % 3).cast("string"))),
-      when(pmod(id, lit(3)) === 0, lit("&utm_source=feed")).otherwise(lit("")),
-      when(pmod(id, lit(5)) === 0, lit("#sec")).otherwise(lit("")))
+      path = concat(lit("/p/"), cid.cast("string")),
+      px = (cid % 3).cast("string"),
+      py = (cid % 11).cast("string"))
   }
 
   /** The pipeline-facing pair: clustered fixture through the shared

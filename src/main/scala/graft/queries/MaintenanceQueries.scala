@@ -222,7 +222,9 @@ object MaintenanceQueries {
       .orderBy(col("bytes").desc, col("ls"), col("fk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     f.withColumn("cb", coalesce(sum(col("bytes")).over(w), lit(0L)))
-      .groupBy(col("rf"), (col("cb") / CompactTarget).cast("long").as("bucket"))
+      // `div` ≙ DuckDB's `//`: exact integer division — double `/` +
+      // cast would drift at the k·target−1 boundary once cb ≳ 4.5e15
+      .groupBy(col("rf"), expr(s"cb div $CompactTarget").as("bucket"))
       .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
         round(sum(col("bytes")) / lit(CompactTarget.toDouble), 4).as("fill"))
       .orderBy(col("rf"), col("bucket"))

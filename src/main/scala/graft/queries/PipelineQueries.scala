@@ -1046,33 +1046,14 @@ object PipelineQueries {
     * additions are doc_id keep-set equi-joins (corpus-keyed,
     * shuffled — never broadcast, keep-sets are corpus-scaled) and
     * one source-grain funnel aggregate. */
-  private val BW = TextQueries.BoilerWords
-  private val BMD = TextQueries.BoilerMinDocs
-
   private val qWebPipeline = Q("q_web_pipeline",
     s"""WITH ${DedupQueries.urlCanonClusteredCtes},
        |ukeep AS (SELECT min(doc_id) AS doc_id FROM ucanon GROUP BY canon_url),
        |d1 AS (SELECT d.doc_id, d.text, d.lang, d.source
        |       FROM documents d JOIN ukeep USING (doc_id)),
-       |bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d1),
-       |bl AS (SELECT bw.doc_id, CAST(t.k AS INT) AS line_ix,
-       |        array_to_string(ws[t.k*$BW+1 : t.k*$BW+$BW], ' ') AS line
-       |      FROM bw, unnest(generate_series(0,
-       |        greatest(CAST(floor((len(ws) - 1) / $BW) AS INT), 0))) AS t(k)
-       |      WHERE len(ws[t.k*$BW+1 : t.k*$BW+$BW]) = $BW),
-       |bf AS (SELECT ${PortableHash.md5LongSql("line")} AS dg,
-       |        count(DISTINCT doc_id) AS nd
-       |      FROM bl GROUP BY 1),
-       |bfl AS (SELECT bl.doc_id, bl.line_ix, bl.line,
-       |         (${PortableHash.md5LongSql("bl.line")} IN
-       |            (SELECT dg FROM bf WHERE nd >= $BMD)) AS is_b
-       |       FROM bl),
-       |cl AS (SELECT doc_id,
-       |         coalesce(string_agg(line, ' ' ORDER BY line_ix)
-       |                    FILTER (WHERE NOT is_b), '') AS cleaned
-       |       FROM bfl GROUP BY doc_id),
-       |d2 AS (SELECT d1.doc_id, cl.cleaned AS text, d1.lang, d1.source
-       |       FROM d1 JOIN cl USING (doc_id)),
+       |${TextQueries.boilerCtes("d1")},
+       |d2 AS (SELECT d1.doc_id, bcl.cleaned AS text, d1.lang, d1.source
+       |       FROM d1 JOIN bcl USING (doc_id)),
        |${TextQueries.gateSignalsCtes("d2")},
        |gk AS (SELECT doc_id FROM s
        |       WHERE len_ok AND marker_ok AND rep_ok AND pii_ok AND lr_ok),
@@ -1102,20 +1083,13 @@ object PipelineQueries {
       .select(col("doc_id"))
     val d1 = docs.join(ukeep, Seq("doc_id"), "left_semi")
       .localCheckpoint() // reused: boiler freq + rewrite + funnel count
-    // stage 2: boilerplate removal, frequency table over the KEPT corpus
-    val docsL = d1.select(col("doc_id"), col("lang"), col("source"),
-      TextQueries.boilerLines(split(col("text"), " ")).as("lines"))
-    def dg(l: org.apache.spark.sql.Column) = PortableHash.md5Long(l)
-    val boiler = docsL
-      .select(col("doc_id"), explode(col("lines")).as("line"))
-      .select(col("doc_id"), dg(col("line")).as("dgv"))
-      .groupBy(col("dgv")).agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= TextQueries.BoilerMinDocs)
-      .agg(sort_array(collect_set(col("dgv"))).as("bset"))
-    val d2 = docsL.crossJoin(broadcast(boiler))
+    // stage 2: boilerplate removal over the KEPT corpus — the SAME
+    // shared derivation as q_text_boilerplate (boilerLined/boilerSet/
+    // boilerCleaned), so the funnel cannot drift from the standalone
+    val lined = TextQueries.boilerLined(d1, Seq("lang", "source"))
+    val d2 = lined.crossJoin(broadcast(TextQueries.boilerSet(lined)))
       .select(col("doc_id"), col("lang"), col("source"),
-        array_join(filter(col("lines"),
-          l => !array_contains(col("bset"), dg(l))), " ").as("text"))
+        TextQueries.boilerCleaned.as("text"))
       .localCheckpoint() // reused: gate + exact dedup + funnel count
     // stage 3: the 5-signal gate on the CLEANED text
     val gOk = col("len_ok") && col("marker_ok") && col("rep_ok") &&

@@ -1052,20 +1052,58 @@ object TextQueries {
     * at trillion-line scale the same pass swaps the in-array
     * membership probe for a bloom filter without changing either
     * derivation. */
-  private val qBoilerplate = Q("q_text_boilerplate",
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |l AS (SELECT w.doc_id, CAST(t.k AS INT) AS line_ix,
+  /** The boilerplate derivation as CTEs over `rel` (must expose
+    * doc_id, text): bw/bl (lines), bf (corpus line frequency), bfl
+    * (per-line strike flag), bcl (per-doc cleaned text) — shared by
+    * `q_text_boilerplate` and the composed `q_web_pipeline` so the
+    * funnel can never drift from the standalone pass. Documents with
+    * no complete line have no bl rows and are absent downstream (the
+    * membership the Spark side mirrors). NO stripMargin: embedded in
+    * templates that strip once. */
+  private[graft] def boilerCtes(rel: String): String =
+    s"""bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $rel),
+       |bl AS (SELECT bw.doc_id, CAST(t.k AS INT) AS line_ix,
        |        array_to_string(ws[t.k*$BoilerWords+1 : t.k*$BoilerWords+$BoilerWords], ' ') AS line
-       |      FROM w, unnest(generate_series(0,
+       |      FROM bw, unnest(generate_series(0,
        |        greatest(CAST(floor((len(ws) - 1) / $BoilerWords) AS INT), 0))) AS t(k)
        |      WHERE len(ws[t.k*$BoilerWords+1 : t.k*$BoilerWords+$BoilerWords]) = $BoilerWords),
-       |f AS (SELECT ${PortableHash.md5LongSql("line")} AS dg,
+       |bf AS (SELECT ${PortableHash.md5LongSql("line")} AS dg,
        |        count(DISTINCT doc_id) AS nd
-       |      FROM l GROUP BY 1),
-       |fl AS (SELECT l.doc_id, l.line_ix, l.line,
-       |         (${PortableHash.md5LongSql("l.line")} IN
-       |            (SELECT dg FROM f WHERE nd >= $BoilerMinDocs)) AS is_b
-       |       FROM l)
+       |      FROM bl GROUP BY 1),
+       |bfl AS (SELECT bl.doc_id, bl.line_ix, bl.line,
+       |         (${PortableHash.md5LongSql("bl.line")} IN
+       |            (SELECT dg FROM bf WHERE nd >= $BoilerMinDocs)) AS is_b
+       |       FROM bl),
+       |bcl AS (SELECT doc_id,
+       |         coalesce(string_agg(line, ' ' ORDER BY line_ix)
+       |                    FILTER (WHERE NOT is_b), '') AS cleaned
+       |       FROM bfl GROUP BY doc_id)"""
+
+  /** Spark twin, stage 1 of 2: (doc_id, <carry…>, lines), documents
+    * with no complete line dropped — the oracle's bl membership. */
+  private[graft] def boilerLined(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id")) ++ carry.map(col) :+
+        boilerLines(split(col("text"), " ")).as("lines"): _*)
+      .where(size(col("lines")) > 0)
+
+  /** Stage 2: the 1-row broadcastable repeated-digest set. */
+  private[graft] def boilerSet(lined: DataFrame): DataFrame =
+    lined.select(col("doc_id"), explode(col("lines")).as("line"))
+      .select(col("doc_id"), PortableHash.md5Long(col("line")).as("dgv"))
+      .groupBy(col("dgv")).agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= BoilerMinDocs)
+      .agg(sort_array(collect_set(col("dgv"))).as("bset"))
+
+  /** Per-line strike predicate against the joined `bset` column. */
+  private[graft] def boilerIsB(l: Column): Column =
+    array_contains(col("bset"), PortableHash.md5Long(l))
+
+  /** Cleaned-text expression over the `lines` column. */
+  private[graft] def boilerCleaned: Column =
+    array_join(filter(col("lines"), l => !boilerIsB(l)), " ")
+
+  private val qBoilerplate = Q("q_text_boilerplate",
+    s"""WITH ${boilerCtes("documents")}
        |SELECT doc_id,
        |  CAST(count(*) AS INT) AS n_lines,
        |  CAST(count(*) FILTER (WHERE is_b) AS INT) AS n_boiler,
@@ -1073,27 +1111,16 @@ object TextQueries {
        |        / CAST(count(*) AS DOUBLE), 4) AS retained_ratio,
        |  coalesce(string_agg(line, ' ' ORDER BY line_ix)
        |             FILTER (WHERE NOT is_b), '') AS cleaned
-       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), boilerLines(split(col("text"), " ")).as("lines"))
-    def dg(l: Column): Column = PortableHash.md5Long(l)
-    // Pass 1: the repeated-line digest set, one row.
-    val boiler = docs
-      .select(col("doc_id"), explode(col("lines")).as("line"))
-      .select(col("doc_id"), dg(col("line")).as("dgv"))
-      .groupBy(col("dgv")).agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= BoilerMinDocs)
-      .agg(sort_array(collect_set(col("dgv"))).as("bset"))
-    // Pass 2: map-side removal — per-row HOFs against the broadcast set.
-    def isB(l: Column): Column = array_contains(col("bset"), dg(l))
+       |FROM bfl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val lined = boilerLined(t(s, d, "documents"))
     val nLines = size(col("lines"))
-    val nBoiler = size(filter(col("lines"), l => isB(l)))
-    docs.crossJoin(broadcast(boiler))
+    val nBoiler = size(filter(col("lines"), l => boilerIsB(l)))
+    lined.crossJoin(broadcast(boilerSet(lined)))
       .select(col("doc_id"),
         nLines.as("n_lines"),
         nBoiler.as("n_boiler"),
         round((nLines - nBoiler) / nLines.cast("double"), 4).as("retained_ratio"),
-        array_join(filter(col("lines"), l => !isB(l)), " ").as("cleaned"))
+        boilerCleaned.as("cleaned"))
       .orderBy(col("doc_id"))
   }
 
@@ -1145,7 +1172,11 @@ object TextQueries {
       |FROM scored GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
     val w = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-    val bg = w.select(col("doc_id"), col("lang"),
+    // guard: sequence(1, 0) is DESCENDING in Spark, so a 1-word doc
+    // would evaluate element_at(ws, 0) and throw; DuckDB's series is
+    // empty — filter keeps both engines at "no bigrams, doc absent"
+    val bg = w.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
       explode(transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("p"),
           element_at(col("ws"), i + 1).as("c")))).as("b"))
