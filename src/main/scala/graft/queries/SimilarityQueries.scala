@@ -1070,8 +1070,76 @@ object SimilarityQueries {
       .limit(30)
   }
 
+  // --------------------------------------------------- coreset selection
+
+  private val CoresetM = 3 // kept per cluster, per kind
+
+  /** CORESET selection — the embedding-space data-pruning pass
+    * (SSL-prototype pruning, Sorscher et al. 2022; D4 keeps both ends
+    * of the difficulty spectrum): per cluster keep the [[CoresetM]]
+    * PROTOTYPES (nearest the centroid — the stable, representative
+    * core) and the [[CoresetM]] EDGE examples (farthest — the
+    * coverage/diversity tail), labeled. The rest of the cluster is
+    * the prune candidate set.
+    *
+    * Scale shape: q_knn_ivf's assignment pattern — centroids
+    * broadcast, corpus streams through the cross join, per-vector
+    * argmax picks the cluster; both per-cluster shortlists are
+    * rank-filtered windows sharing ONE cluster-keyed exchange (two
+    * sort orders, no second shuffle); everything after is
+    * shortlist-sized. */
+  private val qSampleCoreset = Q("q_sample_coreset",
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
+       |          FROM e WHERE vec_id < $IvfC),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) AS cs,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, cent_id AS list, cs FROM asg WHERE arn = 1),
+       |proto AS (SELECT list, 'proto' AS kind, vec_id, cs,
+       |    row_number() OVER (PARTITION BY list ORDER BY cs DESC, vec_id) AS rank
+       |  FROM assigned),
+       |edge AS (SELECT list, 'edge' AS kind, vec_id, cs,
+       |    row_number() OVER (PARTITION BY list ORDER BY cs ASC, vec_id) AS rank
+       |  FROM assigned)
+       |SELECT list, kind, CAST(rank AS INT) AS rank, vec_id,
+       |  round(cs, 6) AS sim
+       |FROM (SELECT * FROM proto WHERE rank <= $CoresetM
+       |      UNION ALL SELECT * FROM edge WHERE rank <= $CoresetM) u
+       |ORDER BY list, kind, rank""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val cents = broadcast(e.where(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cent_id"))
+    val assigned = e.crossJoin(cents)
+      .withColumn("cs", cosine(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id").as("list"), col("cs"))
+    val wProto = Window.partitionBy(col("list")).orderBy(col("cs").desc, col("vec_id"))
+    val wEdge = Window.partitionBy(col("list")).orderBy(col("cs").asc, col("vec_id"))
+    val ranked = assigned
+      .withColumn("rank_p", row_number().over(wProto))
+      .withColumn("rank_e", row_number().over(wEdge))
+    val proto = ranked.where(col("rank_p") <= CoresetM)
+      .select(col("list"), lit("proto").as("kind"),
+        col("rank_p").cast("int").as("rank"), col("vec_id"), col("cs"))
+    val edge = ranked.where(col("rank_e") <= CoresetM)
+      .select(col("list"), lit("edge").as("kind"),
+        col("rank_e").cast("int").as("rank"), col("vec_id"), col("cs"))
+    proto.union(edge)
+      .select(col("list"), col("kind"), col("rank"), col("vec_id"),
+        round(col("cs"), 6).as("sim"))
+      .orderBy(col("list"), col("kind"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
     qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic, qMineNegatives,
-    qEmbedCluster)
+    qEmbedCluster, qSampleCoreset)
 }
