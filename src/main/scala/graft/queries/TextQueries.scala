@@ -1209,9 +1209,66 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus NOVELTY decay — the diversity diagnostic a data-collection
+    * effort tracks as it scales (does the next slice of crawl still
+    * contribute unseen content, or has the source saturated?): in
+    * ingestion order (doc_id), each document's 3-gram shingles split
+    * into SEEN (some earlier document already contains them) and NEW
+    * (this document is their first occurrence — ties on simultaneous
+    * arrival resolve to the smallest doc_id, the same keep-first rule
+    * as the dedup family), reported as the per-decade novelty curve.
+    *
+    * Scale shape: "first occurrence" is a min-aggregate over the
+    * shingle key — map-side combinable, ONE corpus exchange carrying
+    * (64-bit digest, doc_id) longs (the engine side hashes; the
+    * oracle joins on the string — identical counts, the q_dedup_ngram
+    * argument); the per-doc split is a digest-keyed join back, the
+    * decade rollup is 10 rows. No window over anything corpus-scaled. */
+  private val qNovelty = Q("q_text_novelty",
+    """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(CASE WHEN len(w) >= 3
+      |                THEN list_transform(generate_series(1, len(w) - 2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |                ELSE [] END) AS sh
+      |       FROM ws),
+      |first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+      |per AS (SELECT s.doc_id,
+      |          CAST(count(*) AS BIGINT) AS n_sh,
+      |          CAST(count(*) FILTER (WHERE f.first_doc = s.doc_id) AS BIGINT) AS n_new
+      |        FROM sh s JOIN first f ON s.sh = f.sh GROUP BY 1),
+      |mx AS (SELECT max(doc_id) + 1 AS m FROM documents)
+      |SELECT CAST((per.doc_id * 10) // mx.m AS INT) AS decade,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+      |  CAST(sum(n_new) AS BIGINT) AS n_new,
+      |  round(sum(n_new) / CAST(sum(n_sh) AS DOUBLE), 4) AS novelty
+      |FROM per CROSS JOIN mx GROUP BY 1 ORDER BY decade""".stripMargin) { (s, d) =>
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingles(
+          lower(col("text")), 3, dedup = true)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .localCheckpoint() // reused: first-occurrence agg + the join back
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val per = sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+    val mx = t(s, d, "documents").agg((max(col("doc_id")) + 1).as("m"))
+    per.crossJoin(broadcast(mx))
+      .groupBy(expr("(doc_id * 10) div m").cast("int").as("decade"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_new")).as("n_new"),
+        round(sum(col("n_new")) / sum(col("n_sh")).cast("double"), 4).as("novelty"))
+      .orderBy(col("decade"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
-    qBoilerplate, qBigramLm)
+    qBoilerplate, qBigramLm, qNovelty)
 }
