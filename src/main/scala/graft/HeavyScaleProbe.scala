@@ -57,14 +57,22 @@ object HeavyScaleProbe {
     // ~linearly, not with the cross-copy product) and synchronous LPA
     // (10 disconnected graph copies, fixed rounds - per-round join
     // scales with edges)
-    "q_sim_ppjoin", "q_graph_labelprop")
+    "q_sim_ppjoin", "q_graph_labelprop",
+    // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
+    // pass-2 claim (salted copies share no lines, so the repeated-line
+    // set and per-copy strike structure are preserved while the corpus
+    // grows 10x) and the full web-curation funnel composite (the URL
+    // cluster rule is mod-7 on doc_id - the per-copy offset shifts the
+    // phase but keeps the 1-in-7 dup rate exactly)
+    "q_text_boilerplate", "q_web_pipeline")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
   private val ExpBound = Map(
     "q_dedup_multimodal" -> 1.0, "q_decontaminate_media" -> 1.0,
     "q_dedup_incremental_near" -> 1.0, "q_sketch_heavy" -> 1.0,
-    "q_sim_ppjoin" -> 1.0, "q_graph_labelprop" -> 1.0)
+    "q_sim_ppjoin" -> 1.0, "q_graph_labelprop" -> 1.0,
+    "q_text_boilerplate" -> 1.0, "q_web_pipeline" -> 1.0)
 
   /** q_knn_ivf_trained's Q entry (round 10) joins the IVF result
     * against the in-plan brute-force top-k to emit its oracle-checked
