@@ -124,13 +124,24 @@ object PageRank {
         .groupBy(col("dst"))
         .agg(sum(expr("r div d")).as("s"))
         .select(col("dst").as("id"), expr("(85 * s) div 100").as("sc"))
-      r = sc.join(if (useBroadcast) broadcast(tele) else tele, "id")
-        .select(col("id"), (col("sc") + col("tp")).as("r"))
+      // LEFT join from the teleport vector keeps the rank domain at
+      // the full src set every iteration: a seed with out-edges but no
+      // in-edges must retain its teleport mass (an inner join would
+      // silently drop it after iteration 1 on asymmetric graphs).
+      r = tele.join(if (useBroadcast) broadcast(sc) else sc, Seq("id"), "left_outer")
+        .select(col("id"), (coalesce(col("sc"), lit(0L)) + col("tp")).as("r"))
     }
     r
   }
 
-  /** Sequential twin of [[personalized]]. */
+  /** Sequential twin of [[personalized]]. The distributed operator
+    * keeps rank state only for nodes WITH out-edges (its teleport
+    * vector is keyed by `deg`'s src set, and the per-iteration inner
+    * join restricts back to it), so the twin mirrors that domain:
+    * dst-only sinks contribute nothing after the hop that reaches
+    * them, and a src node never seen as a dst reads rank 0 — hence
+    * `getOrElse` rather than a partial lookup that would throw on
+    * asymmetric graphs. */
   def personalizedReference(edges: Seq[(Long, Long)], iters: Int,
       seeds: Set[Long]): Map[Long, Long] = {
     val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
@@ -138,11 +149,11 @@ object PageRank {
     for (_ <- 1 to iters) {
       val sums = edges
         .groupBy(_._2)
-        .view.mapValues(_.map { case (s, _) => r(s) / out(s) }.sum)
+        .view.mapValues(_.map { case (s, _) => r.getOrElse(s, 0L) / out(s) }.sum)
         .toMap
-      r = sums.map { case (v, sc) =>
-        v -> ((if (seeds(v)) TeleportFp else 0L) + 85 * sc / 100)
-      }
+      r = out.keys.map { v =>
+        v -> ((if (seeds(v)) TeleportFp else 0L) + 85 * sums.getOrElse(v, 0L) / 100)
+      }.toMap
     }
     r
   }

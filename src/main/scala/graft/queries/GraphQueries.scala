@@ -199,15 +199,22 @@ object GraphQueries {
 
   // --------------------------------------------- personalized PageRank
 
+  /** One PPR round. p$k is keyed on the FULL src-node set (deg) with
+    * a LEFT join against the incoming scores — mirroring the
+    * operator's left-outer rank update, so a seed with out-edges but
+    * no in-edges keeps its teleport mass on asymmetric graphs (on the
+    * symmetrized graph here both domains coincide, but the oracle
+    * states the operator's actual contract). */
   private def pprIterCte(k: Int): String =
     s"""c$k AS (SELECT e.dst AS id,
        |          (85 * CAST(sum(p.r // g.d) AS BIGINT)) // 100 AS sc
        |        FROM p${k - 1} p JOIN deg g ON p.id = g.src JOIN e ON e.src = p.id
        |        GROUP BY 1),
-       |p$k AS (SELECT c.id,
-       |          c.sc + CAST(CASE WHEN sd.id IS NOT NULL
+       |p$k AS (SELECT g.src AS id,
+       |          COALESCE(c.sc, 0) + CAST(CASE WHEN sd.id IS NOT NULL
        |                           THEN $TeleportFp ELSE 0 END AS BIGINT) AS r
-       |        FROM c$k c LEFT JOIN sd ON c.id = sd.id)""".stripMargin
+       |        FROM deg g LEFT JOIN c$k c ON g.src = c.id
+       |                   LEFT JOIN sd ON g.src = sd.id)""".stripMargin
 
   /** PERSONALIZED PageRank (Haveliwala 2002) from a vetted seed set —
     * the TrustRank recipe a crawl-curation pipeline uses to score

@@ -455,17 +455,29 @@ object PipelineQueries {
       |  round(CAST(sum(lr) AS DOUBLE) / count(*), 4) AS score
       |FROM scored GROUP BY doc_id, source
       |ORDER BY score DESC, doc_id LIMIT 500""".stripMargin) { (s, d) =>
-    val tok = t(s, d, "documents")
+    // `tok` is deliberately NOT checkpointed: materializing the
+    // exploded corpus×tokens frame to executor disk is ~10× the corpus
+    // at 100 TB (and was measured competing with shuffle dirs for
+    // local disk in the full bench). The things worth fencing are the
+    // two VOCABULARY-sized count tables — each a map-side-combined agg
+    // over one re-derived token scan — and the 1-row totals, which
+    // fold out of `prop`/`tgt` rather than costing a third corpus
+    // pass. Net: 3 cheap scans of the raw documents, zero
+    // corpus-scale materialization.
+    def tok = t(s, d, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(lower(col("text")), " ")).as("w"))
-      .localCheckpoint() // reused: target LM, proposal LM, totals, scoring
     val tgt = tok.where(col("source") === "src0")
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("ct"))
+      .localCheckpoint()
     val prop = tok.groupBy(col("w")).agg(count(lit(1)).cast("long").as("cp"))
-    val tots = tok.agg(
-      sum(when(col("source") === "src0", 1L).otherwise(0L)).cast("long").as("nt"),
-      count(lit(1)).cast("long").as("np"),
-      countDistinct(col("w")).cast("long").as("v"))
+      .localCheckpoint()
+    // totals from the vocab tables: nt = Σct, np = Σcp, v = |prop| —
+    // identical values to aggregating the token stream directly
+    val tots = tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt"))
+      .crossJoin(prop.agg(coalesce(sum(col("cp")), lit(0L)).cast("long").as("np"),
+        count(lit(1)).cast("long").as("v")))
+      .localCheckpoint()
     val lr = round(
       log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
         / (col("nt") + col("v")).cast("double"))

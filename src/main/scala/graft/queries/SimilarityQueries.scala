@@ -350,11 +350,25 @@ object SimilarityQueries {
     * blocking-adversarial regime [[qDedupEmbed]]'s scaladoc derives);
     * SemDeDup's near-1 recall regime is near-identical embeddings
     * (θ→0), where same-cluster assignment approaches certainty. */
-  private val SemC = 8
+  /** k∝n quantizer sizing: C(n) = max([[SemCMin]], ⌈n/[[SemCell]]⌉),
+    * so expected cluster population stays ≈ [[SemCell]] as the corpus
+    * grows and the within-cluster all-pairs prune stays ≈ Cell·n/2 —
+    * linear, the published SemDeDup recipe. Integer-exact on both
+    * engines (ceil by (n+Cell−1)÷Cell, no float round-trip). The
+    * assignment pass is n·C(n) cosines — at true 100 TB scale you cut
+    * that with a hierarchical/ANN-assisted quantizer (assign against
+    * a coarse tree, not all C centroids); the cluster SIZES, which
+    * are what bound the pair joins, are what this rule pins. */
+  private val SemCMin = 8L
+  private val SemCell = 64L
+  private[graft] def semC(n: Long): Long = math.max(SemCMin, (n + SemCell - 1) / SemCell)
+
   private val qDedupSemantic = Q("q_dedup_semantic",
     s"""WITH $vectorsCte,
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |cs AS (SELECT GREATEST($SemCMin, (n + ${SemCell - 1}) // $SemCell) AS c FROM ns),
        |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
-       |          FROM e WHERE vec_id < $SemC),
+       |          FROM e CROSS JOIN cs WHERE vec_id < cs.c),
        |asg AS (
        |  SELECT vec_id, v, n2, cent_id,
        |    row_number() OVER (PARTITION BY vec_id
@@ -369,7 +383,9 @@ object SimilarityQueries {
        |    AND list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4)
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val e = vectors(s, d)
-    val cents = broadcast(e.where(col("vec_id") < SemC)
+    // bounded driver action: one count sizes the quantizer (k∝n)
+    val c = semC(t(s, d, "embeddings").count())
+    val cents = broadcast(e.where(col("vec_id") < c)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cs").desc, col("cent_id"))
@@ -1008,31 +1024,122 @@ object SimilarityQueries {
   private val ClusterK = 3       // kNN-graph out-degree
   private val ClusterRounds = 3  // LPA rounds
 
+  /** Adaptive-bucket knobs for the kNN-graph build. Bucket COUNT
+    * scales with the corpus (bits from target occupancy) and a hard
+    * per-bucket anchor cap bounds fanout even under bucket skew — the
+    * two fixes for the fixed-2^8-bucket self-join whose Σ|b|² pair
+    * volume grew quadratically with corpus size. */
+  private[graft] val ClusterOcc = 16L    // target expected bucket occupancy
+  private[graft] val ClusterMinBits = 4
+  private[graft] val ClusterMaxBits = 20 // 2^20 buckets ≈ 16M-vector corpora
+  private[graft] val ClusterAnchors = 16 // hard per-bucket pair-fanout cap
+
+  /** ±1 plane matrix for the adaptive bucket — [[ClusterMaxBits]]
+    * planes generated once; a corpus uses its first `bits(n)`. Kept
+    * separate from [[Planes]] so q_knn_lsh's fixed serving bucket is
+    * untouched. */
+  private[graft] val ClusterPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(1137)
+    Array.fill(ClusterMaxBits, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** bits(n) = MinBits + |{ j ∈ [MinBits, MaxBits) : n > Occ·2^j }| —
+    * the smallest width keeping expected occupancy n/2^bits ≲ Occ,
+    * clamped to [MinBits, MaxBits]. Pure integer comparisons (no
+    * log2/ceil float round-trip), so engine and oracle can never
+    * disagree at power-of-two boundaries. */
+  private[graft] def clusterBits(n: Long): Int =
+    ClusterMinBits + (ClusterMinBits until ClusterMaxBits)
+      .count(j => n > ClusterOcc * (1L << j))
+
+  /** SQL twin of [[clusterBits]] — the thresholds embed as literals. */
+  private def clusterBitsSql: String =
+    (ClusterMinBits until ClusterMaxBits)
+      .map(j => s"(CASE WHEN n > ${ClusterOcc * (1L << j)} THEN 1 ELSE 0 END)")
+      .mkString(s"($ClusterMinBits + ", " + ", ")")
+
+  /** First-`bits` plane bucket (engine side: `bits` is a driver
+    * constant derived from the corpus count). */
+  private def clusterBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      val plane = array(ClusterPlanes(j).map(lit(_)): _*)
+      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SQL twin: all [[ClusterMaxBits]] plane terms rendered, each
+    * masked by `j < bs.bits` — the oracle derives `bits` from its own
+    * count of the same table, so buckets stay bit-identical. */
+  private def clusterBucketSql(v: String): String =
+    (0 until ClusterMaxBits).map { j =>
+      val plane = ClusterPlanes(j).map(_.toString).mkString(",")
+      s"(CASE WHEN $j < bs.bits AND list_dot_product($v, [$plane]::DOUBLE[]) >= 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Candidate kNN-graph pairs — exposed for HeavyScaleProbe's
+    * pair-volume exponent bound. */
+  private[graft] def clusterCandidates(s: SparkSession, d: String): DataFrame = {
+    // bounded driver action: one count to size the bucket family —
+    // the same "bounded model state" pattern as k-means centroids
+    val n = t(s, d, "embeddings").count()
+    val bits = clusterBits(n)
+    val rkW = Window.partitionBy(col("b"))
+      .orderBy(md5Long(col("vec_id").cast("string"))
+        % graft.functions.PortableHash.P, col("vec_id"))
+    val rk = vectors(s, d)
+      .select(col("vec_id"), col("v"), clusterBucket(col("v"), bits).as("b"))
+      .withColumn("rnk", row_number().over(rkW))
+    rk.select(col("vec_id").as("ai"), col("v").as("va"), col("b"),
+        col("rnk").as("ra"))
+      .join(rk.select(col("vec_id").as("bi"), col("v").as("vb"),
+          col("b").as("bb"), col("rnk").as("rb")),
+        col("b") === col("bb") && col("ai") < col("bi")
+          && (col("ra") <= ClusterAnchors || col("rb") <= ClusterAnchors))
+      .select(col("ai"), col("bi"), cosine(col("va"), col("vb")).as("cos"))
+  }
+
   /** Embedding-space CLUSTERING — kNN graph + label propagation, the
     * semantic-grouping composite a curation pipeline runs to organize
     * a corpus by topic (and the graph-side generalization of
-    * SemDeDup's cluster-then-prune): candidates from the shared LSH
-    * buckets (never all-pairs), exact-cosine top-[[ClusterK]]
-    * neighbors per vector, symmetrized into an undirected kNN graph,
-    * then [[graft.operators.LabelProp]]'s deterministic synchronous
-    * LPA ([[ClusterRounds]] rounds, min-label ties) — communities
-    * out, reported as the size histogram.
+    * SemDeDup's cluster-then-prune): candidates from shared
+    * ADAPTIVE LSH buckets (never all-pairs), exact-cosine
+    * top-[[ClusterK]] neighbors per vector, symmetrized into an
+    * undirected kNN graph, then [[graft.operators.LabelProp]]'s
+    * deterministic synchronous LPA ([[ClusterRounds]] rounds,
+    * min-label ties) — communities out, as the size histogram.
     *
-    * Scale shape: bucket self-join fanout is Σ_b |b|² (the LSH sizing
-    * argument of q_knn_lsh); per-vector top-k is a WindowGroupLimit
-    * over vector-keyed partitions; the graph is ≤ 2·k·n edges —
-    * LINEAR in the corpus, which is the entire reason kNN-graph
-    * clustering scales where all-pairs methods cannot; LPA rides the
-    * PageRank broadcast-vs-co-partition choice. A bucket-singleton
-    * vector has no neighbors and is absent from the graph (identical
-    * on both engines — the standard isolate semantics of a bucketed
-    * kNN build). */
+    * Scale shape — the two bounds that keep candidate volume LINEAR:
+    * (1) bucket count scales with the corpus ([[clusterBits]]: 2^bits
+    * ≈ n/[[ClusterOcc]]), so EXPECTED pair volume Σ_b |b|² ≈ Occ·n;
+    * (2) a pair must touch one of its bucket's first
+    * [[ClusterAnchors]] members under a hash-random rank, so
+    * WORST-CASE pair volume is ≤ Anchors·n even if every vector lands
+    * in one bucket (skew/near-dup pile-ups) — the df-cap medicine of
+    * q_sim_allpairs applied to the self-join. Non-anchor vectors draw
+    * candidates from a uniform [[ClusterAnchors]]-sample of their
+    * bucket, the standard capped-candidate-generation trade.
+    * HeavyScaleProbe pins the measured pair-volume exponent at
+    * synthetic sf1. Per-vector top-k is a WindowGroupLimit; the graph
+    * is ≤ 2·k·n edges; LPA rides the PageRank
+    * broadcast-vs-co-partition choice. A bucket-singleton vector has
+    * no neighbors and is absent from the graph (identical on both
+    * engines — standard isolate semantics of a bucketed kNN build). */
   private val qEmbedCluster = Q("q_embed_cluster",
     s"""WITH $vectorsCte,
-       |bk AS (SELECT vec_id, v, n2, ${lshBucketSql("v")} AS b FROM e),
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |bs AS (SELECT $clusterBitsSql AS bits FROM ns),
+       |bk AS (SELECT vec_id, v, n2, ${clusterBucketSql("v")} AS b
+       |       FROM e CROSS JOIN bs),
+       |rk AS (SELECT vec_id, v, n2, b,
+       |         row_number() OVER (PARTITION BY b
+       |           ORDER BY ${graft.functions.PortableHash.md5LongSql(
+                     "CAST(vec_id AS VARCHAR)")} % ${graft.functions.PortableHash.P},
+       |                    vec_id) AS rnk
+       |       FROM bk),
        |pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
        |         list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
-       |       FROM bk a JOIN bk b ON a.b = b.b AND a.vec_id < b.vec_id),
+       |       FROM rk a JOIN rk b ON a.b = b.b AND a.vec_id < b.vec_id
+       |         AND (a.rnk <= $ClusterAnchors OR b.rnk <= $ClusterAnchors)),
        |dir AS (SELECT ai AS src, bi AS dst, cos FROM pr
        |        UNION ALL SELECT bi, ai, cos FROM pr),
        |top AS (SELECT src, dst FROM (
@@ -1047,12 +1154,7 @@ object SimilarityQueries {
        |SELECT lab, CAST(count(*) AS BIGINT) AS sz, CAST(min(id) AS BIGINT) AS min_id
        |FROM l$ClusterRounds GROUP BY lab
        |ORDER BY sz DESC, lab LIMIT 30""".stripMargin) { (s, d) =>
-    val bk = vectors(s, d)
-      .select(col("vec_id"), col("v"), lshBucket(col("v")).as("b"))
-    val pr = bk.select(col("vec_id").as("ai"), col("v").as("va"), col("b"))
-      .join(bk.select(col("vec_id").as("bi"), col("v").as("vb"), col("b").as("bb")),
-        col("b") === col("bb") && col("ai") < col("bi"))
-      .select(col("ai"), col("bi"), cosine(col("va"), col("vb")).as("cos"))
+    val pr = clusterCandidates(s, d)
     val dir = pr.select(col("ai").as("src"), col("bi").as("dst"), col("cos"))
       .union(pr.select(col("bi").as("src"), col("ai").as("dst"), col("cos")))
     val top = dir

@@ -357,12 +357,13 @@ object SketchQueries {
        |e AS (SELECT a.f AS fa, b.f AS fb, CAST(count(*) AS BIGINT) AS exact_inter
        |      FROM h a JOIN h b ON a.h = b.h AND a.f < b.f GROUP BY 1, 2)
        |SELECT p.fa, p.fb,
-       |  round(CAST(i.ic AS DOUBLE) * ${PortableHash.P} / p.theta, 4) AS est_inter,
-       |  round(CAST(i.ic AS DOUBLE) / u.uc, 4) AS est_jac,
-       |  e.exact_inter
-       |FROM p JOIN i ON i.fa = p.fa AND i.fb = p.fb
+       |  round(CAST(COALESCE(i.ic, 0) AS DOUBLE) * ${PortableHash.P} / p.theta, 4)
+       |    AS est_inter,
+       |  round(CAST(COALESCE(i.ic, 0) AS DOUBLE) / u.uc, 4) AS est_jac,
+       |  COALESCE(e.exact_inter, 0) AS exact_inter
+       |FROM p LEFT JOIN i ON i.fa = p.fa AND i.fb = p.fb
        |       JOIN u ON u.fa = p.fa AND u.fb = p.fb
-       |       JOIN e ON e.fa = p.fa AND e.fb = p.fb
+       |       LEFT JOIN e ON e.fa = p.fa AND e.fb = p.fb
        |ORDER BY p.fa, p.fb""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     // read twice (sketch cut + exact audit) from the plan as-is, the
@@ -402,11 +403,20 @@ object SketchQueries {
       .join(hs.select(col("f").as("fb"), col("h").as("hb")),
         col("h") === col("hb") && col("fa") < col("fb"))
       .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("exact_inter"))
-    p.join(i, Seq("fa", "fb")).join(u, Seq("fa", "fb")).join(e, Seq("fa", "fb"))
+    // LEFT joins from p keep near-disjoint pairs in the readout with a
+    // zero estimate (ic / exact_inter coalesced) — an inner join would
+    // silently drop a pair whose sketches share no hash below θ, i.e.
+    // exactly the pairs where the estimate is most interesting. `u` is
+    // provably non-empty per pair (the smaller sketch always has
+    // hashes below θ), so it stays inner.
+    p.join(i, Seq("fa", "fb"), "left_outer")
+      .join(u, Seq("fa", "fb"))
+      .join(e, Seq("fa", "fb"), "left_outer")
+      .withColumn("ic", coalesce(col("ic"), lit(0L)))
       .select(col("fa"), col("fb"),
         round(col("ic").cast("double") * PortableHash.P / col("theta"), 4).as("est_inter"),
         round(col("ic").cast("double") / col("uc"), 4).as("est_jac"),
-        col("exact_inter"))
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
       .orderBy(col("fa"), col("fb"))
   }
 

@@ -36,7 +36,17 @@ object StreamingBoilerplate {
     * stream and batch can never disagree on a boundary. */
   def lines(ws: Column): Column = graft.queries.TextQueries.boilerLines(ws)
 
-  /** docs: streaming (doc_id, text) → digests crossing `minDocs`. */
+  /** docs: streaming (doc_id, text) → digests crossing `minDocs`.
+    *
+    * Delivery contract: exactly-once per `doc_id` for the stream's
+    * lifetime. The state per digest is a bare running count, so a
+    * replayed document (at-least-once source) or one re-delivered
+    * after an `idleTimeout` eviction double-counts toward `minDocs`
+    * undetectably. For replay-prone sources, put a watermarked
+    * `dropDuplicates("doc_id")` (or `dropDuplicatesWithinWatermark`)
+    * upstream of this pass — per-doc-id dedup state is corpus-sized
+    * but watermark-bounded, whereas widening THIS operator's state to
+    * a doc-id set per digest would be corpus×lines-sized. */
   def hits(spark: SparkSession, docs: DataFrame,
       minDocs: Int = graft.queries.TextQueries.BoilerMinDocs,
       idleTimeout: Option[String] = None): Dataset[BoilerHit] = {

@@ -24,11 +24,19 @@ object StreamingMoments {
   /** Running exact moments of one group after a micro-batch. */
   case class Moments(event_type: String, n: Long, sx: JBigDecimal, sx2: JBigDecimal)
 
-  private[streaming] def gridX(v: Double): JBigDecimal =
-    new JBigDecimal(v).setScale(4, RoundingMode.HALF_UP)
+  /** Decimal grid for one observation. `JBigDecimal.valueOf` goes
+    * through `Double.toString` (shortest decimal round-trip), which is
+    * exactly how Spark's `Decimal(BigDecimal(d))` converts a double in
+    * the batch `CAST(value AS DECIMAL(18,4))` path. `new JBigDecimal(v)`
+    * would instead expand the exact binary value (2.00005 →
+    * 2.0000499999…), rounding DOWN where the batch cast rounds UP at
+    * representable boundary values — breaking the split-invariance
+    * guarantee this module exists for. */
+  private[graft] def gridX(v: Double): JBigDecimal =
+    JBigDecimal.valueOf(v).setScale(4, RoundingMode.HALF_UP)
 
-  private[streaming] def gridX2(v: Double): JBigDecimal =
-    new JBigDecimal(v * v).setScale(8, RoundingMode.HALF_UP)
+  private[graft] def gridX2(v: Double): JBigDecimal =
+    JBigDecimal.valueOf(v * v).setScale(8, RoundingMode.HALF_UP)
 
   /** events: streaming (event_type, value) → one updated [[Moments]]
     * row per group per micro-batch (Update-mode semantics). */

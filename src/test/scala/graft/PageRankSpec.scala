@@ -71,6 +71,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(one === many)
   }
 
+  test("personalized on an asymmetric graph: src-only seeds keep teleport mass") {
+    // The round-10 operator inner-joined scores against the teleport
+    // vector, silently dropping a seed with out-edges but no in-edges
+    // after iteration 1; the twin meanwhile threw on src nodes never
+    // seen as dst. This graph has both pathologies: 10 is a src-only
+    // SEED (no in-edges), 11 is dst-only (a sink).
+    val asym: Seq[(Long, Long)] = Seq(
+      10L -> 1L, // seed 10: out-edge only — must keep TeleportFp forever
+      1L -> 2L, 2L -> 1L,
+      2L -> 11L // 11: dst-only sink — outside the rank domain
+    )
+    val df = asym.toDF("src", "dst").localCheckpoint()
+    val seedSet = Set(10L)
+    val seeds = seedSet.toSeq.toDF("id")
+    for (iters <- Seq(1, 2, 4)) {
+      val got = PageRank.personalized(df, iters, seeds)
+        .as[(Long, Long)].collect().toMap
+      val want = PageRank.personalizedReference(asym, iters, seedSet)
+      assert(got === want, s"iters=$iters")
+      // the rank domain is exactly the src set; the seed keeps its
+      // teleport floor in every iteration
+      assert(got.keySet === Set(1L, 2L, 10L), s"iters=$iters")
+      assert(got(10L) >= PageRank.TeleportFp, s"iters=$iters")
+    }
+  }
+
   test("personalized: matches its reference, concentrates near the seeds") {
     val df = edges.toDF("src", "dst").localCheckpoint()
     val seedSet = Set(1L)

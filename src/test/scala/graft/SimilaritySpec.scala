@@ -99,8 +99,10 @@ class SimilaritySpec extends AnyFunSuite {
     val clusterOf = {
       val assignedDrops = kept.map(k => k._1 -> k._2).toMap
       // dropped vectors aren't in the output; recompute their cluster
-      // the same way the query does (nearest of the first-8 centroids)
-      val cents = ids.filter(_ < 8).map(c => c -> vecs(c))
+      // the same way the query does (nearest of the first-C centroids
+      // under the k∝n sizing rule)
+      val c0 = graft.queries.SimilarityQueries.semC(total)
+      val cents = ids.filter(_ < c0).map(c => c -> vecs(c))
       (v: Long) => assignedDrops.getOrElse(v,
         cents.map { case (cid, cv) => (-cos(vecs(v), cv), cid) }.min._2)
     }

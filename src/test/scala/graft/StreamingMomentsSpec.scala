@@ -63,6 +63,25 @@ class StreamingMomentsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("grid matches Spark's double→decimal cast at boundary values") {
+    // 2.00005's binary value is 2.0000499999…: an exact-binary-expansion
+    // grid (new JBigDecimal(v)) rounds it DOWN to 2.0000 while Spark's
+    // Decimal(BigDecimal(d)) cast — Double.toString semantics — rounds
+    // UP to 2.0001. The grid must follow the cast, else streamed sums
+    // diverge from batch at representable boundaries.
+    val boundary = Seq(2.00005, 0.12345, -2.00005, 1.00005, 3.141592653589793)
+    val viaCast = boundary.toDF("value")
+      .select(col("value").cast(DecimalType(18, 4)).as("x"),
+        (col("value") * col("value")).cast(DecimalType(27, 8)).as("x2"))
+      .collect()
+      .map(r => (r.getDecimal(0).stripTrailingZeros.toPlainString,
+        r.getDecimal(1).stripTrailingZeros.toPlainString))
+    val viaGrid = boundary.map(v =>
+      (StreamingMoments.gridX(v).stripTrailingZeros.toPlainString,
+        StreamingMoments.gridX2(v).stripTrailingZeros.toPlainString))
+    assert(viaGrid == viaCast.toSeq)
+  }
+
   test("Welch t from streamed moments matches q_ab_test") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Double)]
