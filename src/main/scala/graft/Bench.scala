@@ -86,8 +86,19 @@ object Bench {
         System.err.println(s"[bench] streaming probe failed: ${e.getMessage}")
         graft.streaming.ThroughputProbe.Result(0.0, 0.0, 0.0, Nil)
       }
+    // Serving-path fidelity: pipeline eps THROUGH the K1 HTTP hub
+    // (EventServer foreachBatch sink) with no subscribers vs with a
+    // stalled subscriber — the drop-oldest guarantee at pipeline
+    // level; ratio ≈ 1 means subscriber stalls don't leak
+    // backpressure into the stream (see streaming.ServingProbe).
+    val serving =
+      try graft.streaming.ServingProbe.run(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] serving probe failed: ${e.getMessage}")
+        graft.streaming.ServingProbe.Result(0.0, 0.0)
+      }
     val streamingJson =
-      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson}"""
+      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},$streamingJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's

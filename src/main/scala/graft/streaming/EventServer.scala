@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.io.{IOException, OutputStream}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors, Semaphore, TimeUnit}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong, AtomicReference}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** K1 — the reference's HTTP fan-out serving layer
+  * (`http.clj:74-107,128-131,146-148`), the product surface every
+  * user of the reference touches: the enriched event stream exposed
+  * over real sockets as
+  *
+  *  - `GET /api/events[?epm=N]` — Server-Sent Events, one
+  *    `data: {json}\n\n` frame per event (`http.clj:96-97`), with
+  *    `Content-Type: text/event-stream`, `Cache-Control: no-cache`,
+  *    `X-Accel-Buffering: no` (`http.clj:103-107`);
+  *  - `GET /api/jsonl[?epm=N]` — one `{json}\n` line per event
+  *    (`http.clj:99-100`), `Content-Type: text/jsonl` — the endpoint
+  *    the collector process subscribes to.
+  *
+  * Per-subscriber semantics, faithfully the reference's
+  * (`http.clj:74-93`):
+  *
+  *  - **1-slot latest-wins buffer** (`a/sliding-buffer 1`,
+  *    `http.clj:77`): [[publish]] NEVER blocks and never queues —
+  *    each subscriber holds exactly the newest undelivered event; a
+  *    slow or stalled subscriber silently drops older events and the
+  *    pipeline is structurally unaffected (the reference's core
+  *    operational guarantee, `server.clj:17`). Realized as an
+  *    AtomicReference swap + a binary semaphore — O(1), lock-free on
+  *    the publish path.
+  *  - **`?epm=` throttle** (`throttle-chan epm :minute`,
+  *    `http.clj:78`): at most `epm` deliveries per minute — the
+  *    writer delivers the latest buffered event, then waits
+  *    ⌈60s/epm⌉ (the [[RateSampler]] ceil convention) before taking
+  *    the next token; events arriving during the wait overwrite the
+  *    slot, so the subscriber receives the LATEST event as of each
+  *    token, exactly the sliding-buffer∘token-bucket composition of
+  *    the reference.
+  *  - **Tap lifecycle** (`a/tap`/`a/untap`, `http.clj:84,91`):
+  *    subscribe on connect, unsubscribe + close on client disconnect
+  *    (an IOException on write) or server stop.
+  *
+  * Transport is the JDK's built-in `com.sun.net.httpserver` —
+  * chunked responses on a cached thread pool (one thread per live
+  * subscriber, the jetty-virtual-threads analog at engine scale).
+  *
+  * Pipeline integration: [[attach]] runs the streaming JSONL frame
+  * through `foreachBatch`, collecting each micro-batch to the driver
+  * and publishing to the hub. The collect is deliberate and bounded:
+  * the CURATED event stream is low-rate by construction (the
+  * reference's SLO is ~100 events/s; its own server is one process
+  * holding both pipeline and HTTP fan-out), and a serving endpoint is
+  * inherently a single-socket fan-out point — the scale-out path for
+  * many subscribers is many gateway replicas each consuming the
+  * JSONL endpoint (the reference's own collector pattern), not a
+  * distributed write into one socket. On a multi-node cluster the
+  * driver hosts the endpoint; executors ship only the micro-batch.
+  */
+final class EventServer private (server: HttpServer) {
+
+  import EventServer._
+
+  /** Port actually bound (0-requested ports resolve here). */
+  val port: Int = server.getAddress.getPort
+
+  private val subs = ConcurrentHashMap.newKeySet[Subscription]()
+  private val stopped = new AtomicBoolean(false)
+  private val publishedMeter = new AtomicLong(0)
+  private val broadcastMeter = new AtomicLong(0)
+
+  /** Events offered to the hub (pipeline side). */
+  def published: Long = publishedMeter.get
+  /** Frames actually written to subscribers — the
+    * `wb-page-broadcast-meter` analog (`http.clj:71-72,87`). */
+  def broadcasts: Long = broadcastMeter.get
+  /** Live subscriber count (tests/ops). */
+  def subscriberCount: Int = subs.size
+
+  /** Non-blocking fan-out: swap each subscriber's 1-slot buffer.
+    * O(subscribers), no locks, no queues — a stalled subscriber
+    * costs one reference swap. */
+  def publish(json: String): Unit = {
+    publishedMeter.incrementAndGet()
+    subs.forEach(_.offer(json))
+  }
+
+  /** Attach a streaming DataFrame with a single string column
+    * (JSONL payload, e.g. [[StreamingFlagship.toJsonl]]) as the
+    * hub's upstream. */
+  def attach(jsonl: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    jsonl.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val col = df.columns.head
+        df.select(col).collect().foreach(r => if (!r.isNullAt(0)) publish(r.getString(0)))
+      }
+      .start()
+
+  private def handle(exchange: HttpExchange, frame: String => Array[Byte],
+      contentType: String): Unit = {
+    parseEpm(exchange.getRequestURI.getQuery) match {
+      case Left(err) =>
+        val msg = err.getBytes(StandardCharsets.UTF_8)
+        exchange.sendResponseHeaders(400, msg.length.toLong)
+        exchange.getResponseBody.write(msg)
+        exchange.close()
+      case Right(epm) =>
+        val sub = new Subscription
+        subs.add(sub)
+        try {
+          val h = exchange.getResponseHeaders
+          h.set("Content-Type", contentType)
+          h.set("Cache-Control", "no-cache")
+          h.set("X-Accel-Buffering", "no")
+          exchange.sendResponseHeaders(200, 0) // chunked: unbounded stream
+          val out = exchange.getResponseBody
+          val intervalMs = epm.map(e => (60000L + e - 1) / e)
+          writeLoop(sub, out, frame, intervalMs)
+        } catch {
+          case _: IOException => () // client went away (EofException analog)
+        } finally {
+          subs.remove(sub)
+          exchange.close()
+        }
+    }
+  }
+
+  private def writeLoop(sub: Subscription, out: OutputStream,
+      frame: String => Array[Byte], intervalMs: Option[Long]): Unit = {
+    while (!stopped.get) {
+      sub.take(250) match {
+        case Some(msg) =>
+          out.write(frame(msg))
+          out.flush()
+          broadcastMeter.incrementAndGet()
+          // token spacing AFTER delivery: the slot keeps absorbing
+          // newer events during the wait (latest-wins)
+          intervalMs.foreach(Thread.sleep)
+        case None => () // idle poll; re-check stopped
+      }
+    }
+  }
+
+  /** Stop serving: writer loops exit on their next poll, then the
+    * listener socket closes (`stop-server!`, `http.clj:139-142`). */
+  def stop(): Unit =
+    if (stopped.compareAndSet(false, true)) server.stop(1)
+}
+
+object EventServer {
+
+  /** SSE frame (`http.clj:96-97`). */
+  private[streaming] def sseFrame(json: String): Array[Byte] =
+    s"data: $json\n\n".getBytes(StandardCharsets.UTF_8)
+
+  /** JSONL frame (`http.clj:99-100`). */
+  private[streaming] def jsonlFrame(json: String): Array[Byte] =
+    s"$json\n".getBytes(StandardCharsets.UTF_8)
+
+  /** `?epm=` must be a positive int when present (`http.clj:115`:
+    * `[:and :int [:> 0]]`). */
+  private[streaming] def parseEpm(query: String): Either[String, Option[Int]] = {
+    val raw = Option(query).toSeq
+      .flatMap(_.split('&').toSeq)
+      .collectFirst { case kv if kv.startsWith("epm=") => kv.drop(4) }
+    raw match {
+      case None => Right(None)
+      case Some(v) =>
+        v.toIntOption.filter(_ > 0) match {
+          case Some(epm) => Right(Some(epm))
+          case None => Left(s"epm must be a positive integer, got '$v'")
+        }
+    }
+  }
+
+  /** One subscriber's 1-slot latest-wins buffer. */
+  private final class Subscription {
+    private val slot = new AtomicReference[String]()
+    private val ready = new Semaphore(0)
+
+    /** Publisher side: overwrite the slot; wake the writer only on a
+      * null→value transition (at most one queued permit). */
+    def offer(msg: String): Unit =
+      if (slot.getAndSet(msg) == null) ready.release()
+
+    /** Writer side: newest event, or None after `timeoutMs`. */
+    def take(timeoutMs: Long): Option[String] =
+      if (ready.tryAcquire(timeoutMs, TimeUnit.MILLISECONDS))
+        Option(slot.getAndSet(null))
+      else None
+  }
+
+  private val threadIdx = new AtomicLong(0)
+
+  /** Bind and start; `port = 0` picks a free port. */
+  def start(port: Int = 0): EventServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // one (daemon) thread per live subscriber — the cached pool is the
+    // engine-scale analog of the reference's virtual-thread executor
+    server.setExecutor(Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, s"event-server-${threadIdx.getAndIncrement()}")
+      t.setDaemon(true)
+      t
+    })
+    val es = new EventServer(server)
+    server.createContext("/api/events",
+      (x: HttpExchange) => es.handle(x, sseFrame, "text/event-stream"))
+    server.createContext("/api/jsonl",
+      (x: HttpExchange) => es.handle(x, jsonlFrame, "text/jsonl"))
+    server.createContext("/", (x: HttpExchange) => {
+      x.sendResponseHeaders(404, -1)
+      x.close()
+    })
+    server.start()
+    es
+  }
+}
