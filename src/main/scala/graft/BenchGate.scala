@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Per-query bench regression gate — the guard the round-10 drift
+  * showed was missing: `q_tpch_q2` (1.7→4.6 s) and
+  * `q_sample_importance` (1.3→4.7 s) sailed through the median-ratio
+  * discipline precisely because medians hide two-query tails.
+  *
+  * Compares the fresh full-bench table against the committed
+  * canonical per-query times and FAILS LOUDLY (exit 1) on any query
+  * slower than [[RatioGate]]× canonical with an absolute slowdown
+  * above [[AbsFloorSec]] (the floor keeps 100 ms queries' scheduler
+  * jitter out of the report; the ratio keeps genuinely slow queries
+  * honest).
+  *
+  * Protocol:
+  *  - `runMain graft.BenchGate` after every full bench (the verify
+  *    recipe runs it; see `.claude/skills/verify/SKILL.md`);
+  *  - a flagged query is either a real regression (fix it) or a
+  *    contended measurement (re-measure isolated — the round-10 q2
+  *    incident was exactly this) or a deliberate cost change (a new
+  *    in-plan verification, say) — in the last case re-record the
+  *    canonical with `runMain graft.BenchGate -- --record` and say
+  *    why in the commit;
+  *  - queries new since the canonical are listed informationally and
+  *    auto-added on `--record`.
+  *
+  * Usage: `runMain graft.BenchGate [latest [canonical]]`, default
+  * `bench/BENCH_full_latest.json` vs `bench/BENCH_canonical.json`;
+  * pass `--record` (alone or after paths) to overwrite the canonical
+  * with the latest table instead of gating. */
+object BenchGate {
+
+  val RatioGate = 1.5
+  val AbsFloorSec = 0.3
+
+  private def queryTable(path: String): Map[String, Double] = {
+    val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
+    val q = root.get("queries")
+    require(q != null, s"$path has no \"queries\" field")
+    val it = q.properties().iterator()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+    b.result()
+  }
+
+  final case class Flag(name: String, canonical: Double, latest: Double) {
+    def ratio: Double = latest / canonical
+    override def toString: String =
+      f"$name%-28s canonical ${canonical}%6.2f s → latest ${latest}%6.2f s (${ratio}%4.2fx)"
+  }
+
+  /** Pure comparison (spec-tested): flagged regressions, sorted worst
+    * first. */
+  def regressions(canonical: Map[String, Double],
+      latest: Map[String, Double]): Seq[Flag] =
+    latest.toSeq
+      .flatMap { case (name, t) =>
+        canonical.get(name) match {
+          case Some(c) if t > c * RatioGate && t - c > AbsFloorSec =>
+            Some(Flag(name, c, t))
+          case _ => None
+        }
+      }
+      .sortBy(-_.ratio)
+
+  def main(args: Array[String]): Unit = {
+    val record = args.contains("--record")
+    val paths = args.filterNot(_.startsWith("--"))
+    val latestPath = paths.headOption.getOrElse("bench/BENCH_full_latest.json")
+    val canonicalPath =
+      if (paths.length > 1) paths(1) else "bench/BENCH_canonical.json"
+    if (record) {
+      Files.copy(Paths.get(latestPath), Paths.get(canonicalPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      println(s"BENCHGATE recorded $latestPath as canonical $canonicalPath")
+      return
+    }
+    val canonical = queryTable(canonicalPath)
+    val latest = queryTable(latestPath)
+    val newcomers = (latest.keySet -- canonical.keySet).toSeq.sorted
+    val departed = (canonical.keySet -- latest.keySet).toSeq.sorted
+    if (newcomers.nonEmpty)
+      println(s"BENCHGATE new queries (no canonical yet): ${newcomers.mkString(", ")}")
+    if (departed.nonEmpty)
+      println(s"BENCHGATE queries gone from latest: ${departed.mkString(", ")}")
+    val flags = regressions(canonical, latest)
+    if (flags.isEmpty) {
+      println(f"BENCHGATE ok: ${latest.size} queries within ${RatioGate}x of canonical " +
+        f"(${canonical.size} canonical entries)")
+    } else {
+      println(s"BENCHGATE FAIL: ${flags.size} quer${if (flags.size == 1) "y" else "ies"} " +
+        f"regressed beyond ${RatioGate}x (+${AbsFloorSec}%.1f s):")
+      flags.foreach(f => println(s"  $f"))
+      println("  → re-measure isolated, fix, or re-record canonical " +
+        "(runMain graft.BenchGate -- --record) with justification")
+      sys.exit(1)
+    }
+  }
+}

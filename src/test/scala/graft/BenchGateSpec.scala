@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The regression gate's comparison semantics: ratio AND absolute
+  * floor must both trip; new/removed queries never flag. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("flags only ratio>1.5 with >0.3s absolute slowdown, worst first") {
+    val canonical = Map(
+      "q_fast" -> 0.10, // 3x but +0.2s — under the absolute floor
+      "q_slow" -> 2.00, // 1.4x — under the ratio gate
+      "q_bad" -> 1.00, // 2.0x and +1.0s — flagged
+      "q_worse" -> 1.00, // 3.0x and +2.0s — flagged, ranks first
+      "q_gone" -> 1.00) // absent from latest — ignored
+    val latest = Map(
+      "q_fast" -> 0.30,
+      "q_slow" -> 2.80,
+      "q_bad" -> 2.00,
+      "q_worse" -> 3.00,
+      "q_new" -> 9.99) // no canonical — informational, not a flag
+    val flags = BenchGate.regressions(canonical, latest)
+    assert(flags.map(_.name) == Seq("q_worse", "q_bad"))
+    assert(flags.head.ratio === 3.0)
+  }
+
+  test("threshold boundaries (binary-exact values) behave as documented") {
+    // exactly 1.5x (not >) — no flag (1.0 * 1.5 is exact in binary)
+    assert(BenchGate.regressions(Map("q" -> 1.0), Map("q" -> 1.5)).isEmpty)
+    // 2x but only +0.25s — under the absolute floor
+    assert(BenchGate.regressions(Map("q" -> 0.25), Map("q" -> 0.5)).isEmpty)
+    // 4x and +0.75s — flags
+    assert(BenchGate.regressions(Map("q" -> 0.25), Map("q" -> 1.0)).nonEmpty)
+  }
+}
