@@ -770,23 +770,47 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Spark twin of [[bm25Ctes]]: every (query, chunk) candidate with
-    * its exact-decimal BM25 score and per-query rank. */
-  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ch = chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
-    val tf = ch
-      .select(col("doc_id"), col("chunk_ix"),
-        explode(split(lower(col("chunk")), " ")).as("term"))
+  /** STATIC retrieval index — the corpus-side tables of the BM25 +
+    * rerank chain, fenced with localCheckpoint so every consumer
+    * (both batch queries per run, and [[graft.streaming.StreamingRerank]]
+    * per micro-batch) reuses them without re-scanning the corpus. The
+    * dense-vector tables (`cb`/`cnorm`) are lazy: q_rag_retrieve never
+    * pays for them. */
+  private[graft] final class RagIndex(s: org.apache.spark.sql.SparkSession, d: String) {
+    private def tk: DataFrame =
+      chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
+        .select(col("doc_id"), col("chunk_ix"),
+          explode(split(lower(col("chunk")), " ")).as("term"))
+    /** (doc_id, chunk_ix, term, n) postings. */
+    val tf: DataFrame = tk
       .groupBy(col("doc_id"), col("chunk_ix"), col("term"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint() // reused: chunk lengths + query-term df + scoring
-    val dl = tf.groupBy(col("doc_id"), col("chunk_ix"))
+    /** Chunk lengths + corpus stats (chunk-count-sized; derived from
+      * the checkpointed postings, no corpus re-scan). */
+    val dl: DataFrame = tf.groupBy(col("doc_id"), col("chunk_ix"))
       .agg(sum(col("n")).cast("long").as("len"))
-    val st = dl.agg(count(lit(1)).cast("long").as("nd"),
+    val st: DataFrame = dl.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("len")).cast("long").as("toklen"))
-    val qt = RagQueries.toDF("qid", "term")
-    val qdf = tf.join(broadcast(qt.select(col("term")).distinct()), "term")
+    /** Hashed bag-of-words chunk vectors (bucket = digest mod
+      * [[EmbDim]]) and their exact integer norms. */
+    lazy val cb: DataFrame = tk
+      .groupBy(col("doc_id"), col("chunk_ix"),
+        (PortableHash.md5Long(col("term")) % EmbDim).as("b"))
+      .agg(count(lit(1)).cast("long").as("cn"))
+      .localCheckpoint() // reused: dots + chunk norms
+    lazy val cnorm: DataFrame = cb.groupBy(col("doc_id"), col("chunk_ix"))
+      .agg(sum(col("cn") * col("cn")).cast("long").as("n2c"))
+  }
+
+  /** Spark twin of [[bm25Ctes]] for an arbitrary query set: every
+    * (query, chunk) candidate with its exact-decimal BM25 score and
+    * per-query rank. Scores are per-query independent (df is a
+    * corpus statistic), so scoring a query subset yields exactly the
+    * full run's rows for those queries — the property that makes the
+    * streaming twin ≡ batch per prefix. */
+  private[graft] def bm25For(qt: DataFrame, ix: RagIndex): DataFrame = {
+    val qdf = ix.tf.join(broadcast(qt.select(col("term")).distinct()), "term")
       .groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfreq"))
     val idf = log(lit(1) + ((col("nd") - col("dfreq")).cast("double") + 0.5)
       / (col("dfreq").cast("double") + 0.5))
@@ -796,15 +820,20 @@ object PipelineQueries {
           + lit(1.2) * (lit(0.25) + lit(0.75)
             * ((col("len") * col("nd")).cast("double")
               / col("toklen").cast("double")))), 6).cast("decimal(18,6)")
-    tf.join(broadcast(qt), "term")
+    ix.tf.join(broadcast(qt), "term")
       .join(broadcast(qdf), "term")
-      .join(dl, Seq("doc_id", "chunk_ix"))
-      .crossJoin(broadcast(st))
+      .join(ix.dl, Seq("doc_id", "chunk_ix"))
+      .crossJoin(broadcast(ix.st))
       .select(col("qid"), col("doc_id"), col("chunk_ix"), contrib.as("c"))
       .groupBy(col("qid"), col("doc_id"), col("chunk_ix"))
       .agg(sum(col("c")).as("sc"))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sc").desc, col("doc_id"), col("chunk_ix"))))
+  }
+
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bm25For(RagQueries.toDF("qid", "term"), new RagIndex(s, d))
   }
 
   /** Passage size (chars) for chunk-level dedup: NON-overlapping
@@ -1187,28 +1216,28 @@ object PipelineQueries {
        |  round(cos, 6) AS cos, round(CAST(sc AS DOUBLE), 4) AS bm25
        |FROM rr WHERE rnk <= $RagTopK ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import s.implicits._
-    val cand = bm25Ranked(s, d).where(col("rnk") <= RerankCand)
+    rerankFor(RagQueries.toDF("qid", "term"), new RagIndex(s, d))
+  }
+
+  /** The full retrieve-then-rerank chain for an arbitrary query set —
+    * the ONE derivation shared by the batch `q_rag_rerank` and the
+    * streaming serving twin ([[graft.streaming.StreamingRerank]]), so
+    * the two cannot drift. Per-query independent (see [[bm25For]]):
+    * reranking a query subset returns exactly the full run's rows for
+    * those queries. */
+  private[graft] def rerankFor(qt: DataFrame, ix: RagIndex): DataFrame = {
+    val cand = bm25For(qt, ix).where(col("rnk") <= RerankCand)
       .select(col("qid"), col("doc_id"), col("chunk_ix"), col("sc"))
       // ≤ |Q|·RerankCand rows — bounded; referenced by the dot pass
       // AND the final assembly, so fence off the whole BM25 subtree
       .localCheckpoint()
-    val bOf = (c: org.apache.spark.sql.Column) =>
-      PortableHash.md5Long(c) % EmbDim
-    val cb = chunked(t(s, d, "documents"), ChunkStride, ChunkSize)
-      .select(col("doc_id"), col("chunk_ix"),
-        explode(split(lower(col("chunk")), " ")).as("term"))
-      .groupBy(col("doc_id"), col("chunk_ix"), bOf(col("term")).as("b"))
-      .agg(count(lit(1)).cast("long").as("cn"))
-      .localCheckpoint() // reused: dots + chunk norms
-    val cnorm = cb.groupBy(col("doc_id"), col("chunk_ix"))
-      .agg(sum(col("cn") * col("cn")).cast("long").as("n2c"))
-    val qt = RagQueries.toDF("qid", "term")
-    val qb = qt.select(col("qid"), bOf(col("term")).as("b"))
+    val qb = qt.select(col("qid"),
+        (PortableHash.md5Long(col("term")) % EmbDim).as("b"))
       .groupBy(col("qid"), col("b")).agg(count(lit(1)).cast("long").as("qn"))
     val qnorm = qb.groupBy(col("qid")).agg(sum(col("qn") * col("qn")).cast("long").as("n2q"))
     val dots = cand
       .join(broadcast(qb), "qid")
-      .join(cb, Seq("doc_id", "chunk_ix", "b"))
+      .join(ix.cb, Seq("doc_id", "chunk_ix", "b"))
       .groupBy(col("qid"), col("doc_id"), col("chunk_ix"))
       .agg(sum(col("qn") * col("cn")).cast("long").as("dot"))
     val cos = coalesce(col("dot"), lit(0L)).cast("double") /
@@ -1216,7 +1245,7 @@ object PipelineQueries {
     cand
       .join(dots, Seq("qid", "doc_id", "chunk_ix"), "left_outer")
       .join(broadcast(qnorm), "qid")
-      .join(cnorm, Seq("doc_id", "chunk_ix"))
+      .join(ix.cnorm, Seq("doc_id", "chunk_ix"))
       .select(col("qid"), col("doc_id"), col("chunk_ix"), col("sc"), cos.as("cos"))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("doc_id"), col("chunk_ix"))))
