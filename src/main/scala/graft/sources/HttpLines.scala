@@ -46,8 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("url", "http://host:port/events")
   *   .option("linesPerTrigger", "500")
   *   .option("limit", "10000")          // optional
+  *   .option("sse", "true")             // optional: decode text/event-stream
   *   .load()
   * }}}
+  *
+  * With `sse=true` the transport consumes a `text/event-stream`
+  * response (the reference's OTHER wire format, the one the viz
+  * client subscribes to): `data:` frames are decoded to payload rows
+  * ([[HttpLines.sseFeed]]), so the engine can subscribe to either
+  * endpoint of a reference-shaped server — including its own
+  * [[graft.streaming.EventServer]].
   */
 class HttpLines extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -62,12 +70,33 @@ class HttpLines extends TableProvider {
       connectTimeoutMs = opts.getInt("connectTimeoutMs", 5000),
       readTimeoutMs = opts.getInt("readTimeoutMs", 5000),
       backoffBaseMs = opts.getLong("backoffBaseMs", 3000L),
-      backoffMaxMs = opts.getLong("backoffMaxMs", 60000L)))
+      backoffMaxMs = opts.getLong("backoffMaxMs", 60000L),
+      sse = opts.getBoolean("sse", false)))
   }
 }
 
 object HttpLines {
   val Schema: StructType = StructType(Seq(StructField("line", StringType)))
+
+  /** Incremental SSE decoder state: the current event's accumulated
+    * `data:` lines (reverse order). */
+  final case class SseState(parts: List[String] = Nil)
+
+  /** Feed one raw line of a `text/event-stream` response →
+    * (next state, completed event payload?). Per the SSE wire format
+    * (and the reference's `data: {json}\n\n` framing,
+    * `http.clj:96-97`): `data:` lines accumulate with one optional
+    * leading space stripped; a blank line dispatches the event
+    * (multi-line data joined by \n); every other field (`event:`,
+    * `id:`, `retry:`, `:` comments) is ignored. Pure — unit-tested
+    * independently of the transport. */
+  def sseFeed(st: SseState, line: String): (SseState, Option[String]) =
+    if (line.isEmpty) {
+      if (st.parts.isEmpty) (st, None)
+      else (SseState(), Some(st.parts.reverse.mkString("\n")))
+    } else if (line.startsWith("data:"))
+      (SseState(line.drop(5).stripPrefix(" ") :: st.parts), None)
+    else (st, None)
 
   /** `collector.clj:53` (`delay-exp 3000` capped at 60000): delay
     * before retry n (1-based) — base·2ⁿ⁻¹, capped. Pure, unit-tested:
@@ -78,7 +107,7 @@ object HttpLines {
 
 private[sources] case class HttpConfig(url: String, linesPerTrigger: Int,
     limit: Long, connectTimeoutMs: Int, readTimeoutMs: Int,
-    backoffBaseMs: Long, backoffMaxMs: Long) {
+    backoffBaseMs: Long, backoffMaxMs: Long, sse: Boolean = false) {
   require(url != null, "option 'url' is required")
 }
 
@@ -133,10 +162,20 @@ private[sources] final class HttpFetcher(cfg: HttpConfig) {
             conn.getInputStream, StandardCharsets.UTF_8))
           connections += 1
           try {
+            // SSE mode: decode `data:` frames to payload lines; a
+            // partial frame at disconnect is dropped (at-most-once,
+            // same stance as the long-poll restart)
+            var sse = HttpLines.SseState()
             var line = reader.readLine()
             while (line != null && !stopped && !limitReached) {
               attempt = 0 // a delivered line proves the link — reset backoff
-              synchronized { buf += line; fetchedCount += 1 }
+              if (cfg.sse) {
+                val (st, payload) = HttpLines.sseFeed(sse, line)
+                sse = st
+                payload.foreach { p =>
+                  synchronized { buf += p; fetchedCount += 1 }
+                }
+              } else synchronized { buf += line; fetchedCount += 1 }
               line = reader.readLine()
             }
           } finally {

@@ -170,6 +170,39 @@ class ServerEndToEndSpec extends AnyFunSuite {
     } finally es.stop()
   }
 
+  test("engine subscribes to its own SSE endpoint: HttpLines sse=true decodes frames") {
+    import spark.implicits._
+    val es = EventServer.start()
+    try {
+      val lines = spark.readStream.format("graft.sources.HttpLines")
+        .option("url", s"http://127.0.0.1:${es.port}/api/events")
+        .option("sse", "true")
+        .option("linesPerTrigger", "8")
+        .option("backoffBaseMs", "50")
+        .load()
+      val q = lines.writeStream.format("memory").queryName("srv_sse")
+        .outputMode("append").start()
+      try {
+        awaitSubs(es, 1)
+        for (i <- 1 to 5) {
+          val before = es.broadcasts
+          es.publish(event(i))
+          val deadline = System.nanoTime() + 5L * 1000000000L
+          while (es.broadcasts == before && System.nanoTime() < deadline)
+            Thread.sleep(10)
+        }
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        def got(): Seq[String] = {
+          q.processAllAvailable()
+          spark.table("srv_sse").as[String].collect().toSeq
+        }
+        while (got().size < 5 && System.nanoTime() < deadline) Thread.sleep(50)
+        // frames decode back to the exact published JSON payloads
+        assert(got().sorted == (1 to 5).map(event).sorted)
+      } finally q.stop()
+    } finally es.stop()
+  }
+
   test("server→collector loop: pipeline → JSONL endpoint → HttpLines → decode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -131,4 +131,26 @@ class HttpLinesSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("SSE decoder: data frames, multi-line data, ignored fields") {
+    import HttpLines.{sseFeed, SseState}
+    def feedAll(lines: Seq[String]): Seq[String] =
+      lines.foldLeft((SseState(), Vector.empty[String])) {
+        case ((st, out), l) =>
+          val (st2, p) = sseFeed(st, l)
+          (st2, out ++ p)
+      }._2
+    // the reference's framing: data: {json} + blank line
+    assert(feedAll(Seq("data: {\"a\":1}", "", "data: {\"b\":2}", "")) ==
+      Seq("""{"a":1}""", """{"b":2}"""))
+    // optional single space after the colon is stripped; a second
+    // space belongs to the payload; "data:" with no space works too
+    assert(feedAll(Seq("data:  x", "", "data:y", "")) == Seq(" x", "y"))
+    // multi-line data joins with \n (SSE spec)
+    assert(feedAll(Seq("data: l1", "data: l2", "")) == Seq("l1\nl2"))
+    // event:/id:/retry:/comments are ignored; blank line without
+    // pending data dispatches nothing
+    assert(feedAll(Seq(": keepalive", "event: tick", "id: 7", "retry: 100",
+      "", "data: z", "")) == Seq("z"))
+  }
 }
