@@ -582,6 +582,120 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- duplicated-SPAN removal
+
+  /** Minimum duplicated-run length (tokens) worth cutting — the
+    * token-granular analog of Lee et al.'s 50-char threshold. */
+  private val SpanMin = 8
+
+  /** Duplicated-span REMOVAL with document reassembly — the pass Lee
+    * et al. (ACL'22) actually run on training corpora, where
+    * [[qDedupSubstring]] only SCORES: find every token position
+    * covered by a word 5-gram occurring ≥ 2 times anywhere in the
+    * corpus (including within one document — self-repetition is
+    * duplicated text too), merge covered positions into maximal runs
+    * (gaps-and-islands), CUT runs of ≥ [[SpanMin]] tokens, and
+    * reassemble each document from its surviving tokens in order.
+    * Short covered runs stay: cutting a 5-token incidental overlap
+    * mid-sentence destroys more signal than it removes, which is why
+    * the threshold exists in the original. Output: per-document
+    * before/removed/after token counts and the md5 of the cleaned
+    * text (the digest keeps result rows bounded; the cleaned string
+    * itself is one `array_join` away).
+    *
+    * Scale shape: grams are digested to 60-bit longs at the scan
+    * ([[qDedupSubstring]]'s stance); the ≥2 frequency cut is a
+    * map-side-combinable digest group-by; coverage is a bounded ×5
+    * positional explode of DUPLICATED gram starts only; run-merging
+    * is a per-document window (partition = doc_id, bounded by
+    * document length — never a corpus-wide window); the reassembly
+    * shuffles kept tokens once, keyed by the unique doc_id, with the
+    * in-group sort bounded by one document (the q_chunk_dedup
+    * reassembly stance). Everything is linear in corpus size. */
+  private val qDedupSpan = Q("q_dedup_span",
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents),
+       |tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tw
+       |        FROM ws),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(w) >= 5
+       |               THEN list_transform(generate_series(1, len(w) - 4),
+       |                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] ||
+       |                         ' ' || w[i+3] || ' ' || w[i+4])
+       |               ELSE [] END) AS g,
+       |        unnest(CASE WHEN len(w) >= 5
+       |               THEN generate_series(1, len(w) - 4) ELSE [] END) AS i
+       |      FROM ws),
+       |dupg AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+       |cov AS (SELECT DISTINCT d.doc_id, d.i + k.range AS pos
+       |        FROM g d JOIN dupg USING (g) CROSS JOIN range(0, 5) k),
+       |runs AS (SELECT doc_id, pos,
+       |           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |             AS grp
+       |         FROM cov),
+       |spans AS (SELECT doc_id, grp FROM runs
+       |          GROUP BY doc_id, grp HAVING count(*) >= $SpanMin),
+       |rem AS (SELECT r.doc_id, r.pos FROM runs r
+       |        JOIN spans s ON s.doc_id = r.doc_id AND s.grp = r.grp),
+       |kept AS (SELECT t.doc_id, t.i, t.tw FROM tok t
+       |         LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.pos = t.i
+       |         WHERE r.pos IS NULL),
+       |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+       |         md5(string_agg(tw, ' ' ORDER BY i)) AS clean_md5
+       |       FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before
+       |        FROM tok GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_before,
+       |  tot.n_before - COALESCE(ka.n_after, 0) AS n_removed,
+       |  COALESCE(ka.n_after, 0) AS n_after,
+       |  COALESCE(ka.clean_md5, md5('')) AS clean_md5
+       |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+       |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+    val ws = t(s, d, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+    val tok = ws.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tw")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("tw"))
+    // gram starts, 1-based, digested (qDedupSubstring's stance)
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftExpressions.shingles(
+          lower(col("text")), 5, dedup = false)).as(Seq("p", "g5")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), md5Long(col("g5")).as("h"))
+      .localCheckpoint() // reused: frequency cut + coverage join
+    val dupg = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("h"))
+    val cov = grams.join(dupg, "h")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("pos"))
+      .distinct()
+    val runs = cov.withColumn("grp",
+      col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val spans = runs.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .where(col("len") >= SpanMin)
+      .select(col("doc_id"), col("grp"))
+    val rem = runs.join(spans, Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("pos"))
+    val kept = tok.join(rem,
+      tok("doc_id") === rem("doc_id") && tok("i") === rem("pos"), "left_anti")
+    val ka = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_after"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("tw")))),
+          x => x.getField("tw")), " ")).as("clean_md5"))
+    tok.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_before"))
+      .join(ka, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_before"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("clean_md5"), lit(Md5Empty)).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** md5("") — the cleaned-digest for a fully-removed document. */
+  private val Md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
+
   // ----------------------------------------- all-pairs cosine (inverted index)
 
   /** Posting lists longer than this are dropped from the feature
@@ -1079,6 +1193,6 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qSimAllpairs,
+    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qDedupSpan, qSimAllpairs,
     qDedupIncrementalNear, qSimPpjoin, qDedupUrl, qDedupTemplate)
 }
