@@ -541,8 +541,10 @@ object DedupQueries {
     * Scale shape: gram strings are digested to 60-bit longs at the
     * scan; the gram-frequency group-by and the position join both key
     * on the digest (map-side combinable; stopword-run hot grams are
-    * partial-agg'd before the exchange). The explode is materialized
-    * once (localCheckpoint) and feeds all three consumers. */
+    * partial-agg'd before the exchange). The DUPLICATED-digest set is
+    * the thing fenced (bounded by the repeated vocabulary); the
+    * token-scale position explode is re-derived per consumer rather
+    * than materialized to executor disk at corpus scale. */
   private val qDedupSubstring = Q("q_dedup_substring",
     """WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
       |        FROM documents),
@@ -562,14 +564,20 @@ object DedupQueries {
       |  round(coalesce(dd.n_dup, 0) / CAST(p.n_pos AS DOUBLE), 4) AS dup_ratio
       |FROM pd p LEFT JOIN dd ON p.doc_id = dd.doc_id
       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
-    val g = t(s, d, "documents")
+    // `g` is a corpus-token-scale position frame: deliberately NOT
+    // checkpointed (materializing it to executor disk is ~1× the
+    // corpus at 100 TB — the q_sample_importance lesson). Each of the
+    // three consumers re-derives it: a scan + explode + map-side work,
+    // cheaper than a corpus-scale disk round-trip. What IS fenced is
+    // the duplicated-digest set — bounded by the repeated vocabulary.
+    def g = t(s, d, "documents")
       .select(col("doc_id"),
         explode(graft.functions.GraftExpressions.shingles(
           lower(col("text")), 5, dedup = false)).as("g5"))
       .select(col("doc_id"), md5Long(col("g5")).as("h"))
-      .localCheckpoint()
     val dup = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
       .where(col("ndocs") >= 2).select(col("h"))
+      .localCheckpoint()
     val pd = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
     val dd = g.join(dup, "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
@@ -605,7 +613,11 @@ object DedupQueries {
     *
     * Scale shape: grams are digested to 60-bit longs at the scan
     * ([[qDedupSubstring]]'s stance); the ≥2 frequency cut is a
-    * map-side-combinable digest group-by; coverage is a bounded ×5
+    * map-side-combinable digest group-by whose DUPLICATED-digest
+    * output (bounded by the repeated vocabulary) is the only fenced
+    * frame — the token-scale gram explode is re-derived per consumer
+    * instead of materialized to executor disk at corpus scale;
+    * coverage is a bounded ×5
     * positional explode of DUPLICATED gram starts only; run-merging
     * is a per-document window (partition = doc_id, bounded by
     * document length — never a corpus-wide window); the reassembly
@@ -655,15 +667,17 @@ object DedupQueries {
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
     val tok = ws.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tw")))
       .select(col("doc_id"), (col("p") + 1).as("i"), col("tw"))
-    // gram starts, 1-based, digested (qDedupSubstring's stance)
-    val grams = t(s, d, "documents")
+    // gram starts, 1-based, digested (qDedupSubstring's stance) —
+    // token-scale, so re-derived per consumer; only the bounded
+    // duplicated-digest set below is fenced
+    def grams = t(s, d, "documents")
       .select(col("doc_id"),
         posexplode(graft.functions.GraftExpressions.shingles(
           lower(col("text")), 5, dedup = false)).as(Seq("p", "g5")))
       .select(col("doc_id"), (col("p") + 1).as("i"), md5Long(col("g5")).as("h"))
-      .localCheckpoint() // reused: frequency cut + coverage join
     val dupg = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select(col("h"))
+      .localCheckpoint()
     val cov = grams.join(dupg, "h")
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("pos"))
       .distinct()
@@ -767,6 +781,13 @@ object DedupQueries {
     val kept = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") <= DfCap).select(col("h"))
     // No broadcast hint: the kept-feature list is vocabulary-scaled.
+    // The df-capped feature frame IS fenced despite being
+    // ~token-scale: unlike the q_dedup_substring/q_dedup_span gram
+    // explodes (re-derived per consumer — one scan + map-side work
+    // each), re-deriving `k` costs a corpus SHUFFLE (the per-doc tf
+    // groupBy) plus the df join, three times over; at cluster scale
+    // the equivalent is persisting the feature table bucketed by `h`
+    // once and reading it thrice — a standard inverted-index build.
     val k = tf.join(kept, "h").localCheckpoint()
     // DECIMAL(38,0) sums ≙ DuckDB's HUGEINT promotion: wrap-free
     val nrm = k.groupBy(col("doc_id"))
