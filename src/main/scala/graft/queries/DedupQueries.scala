@@ -556,7 +556,7 @@ object DedupQueries {
       |               ELSE [] END) AS g
       |      FROM ws),
       |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-      |pd AS (SELECT doc_id, count(*) AS n_pos FROM g GROUP BY doc_id),
+      |pd AS (SELECT doc_id, len(w) - 4 AS n_pos FROM ws WHERE len(w) >= 5),
       |dd AS (SELECT g.doc_id, count(*) AS n_dup
       |       FROM g JOIN dup ON g.g = dup.g GROUP BY g.doc_id)
       |SELECT p.doc_id, CAST(p.n_pos AS BIGINT) AS n_pos,
@@ -566,10 +566,12 @@ object DedupQueries {
       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
     // `g` is a corpus-token-scale position frame: deliberately NOT
     // checkpointed (materializing it to executor disk is ~1× the
-    // corpus at 100 TB — the q_sample_importance lesson). Each of the
-    // three consumers re-derives it: a scan + explode + map-side work,
-    // cheaper than a corpus-scale disk round-trip. What IS fenced is
-    // the duplicated-digest set — bounded by the repeated vocabulary.
+    // corpus at 100 TB — the q_sample_importance lesson). The two
+    // gram consumers re-derive it (a scan + explode + map-side work,
+    // cheaper than a corpus-scale disk round-trip); the per-doc
+    // position COUNT needs no explode at all (n_pos = len − 4), so
+    // pd is a plain scan. What IS fenced is the duplicated-digest
+    // set — bounded by the repeated vocabulary.
     def g = t(s, d, "documents")
       .select(col("doc_id"),
         explode(graft.functions.GraftExpressions.shingles(
@@ -578,7 +580,10 @@ object DedupQueries {
     val dup = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
       .where(col("ndocs") >= 2).select(col("h"))
       .localCheckpoint()
-    val pd = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+    val pd = t(s, d, "documents")
+      .select(col("doc_id"),
+        (size(split(lower(col("text")), " ")) - 4).cast("long").as("n_pos"))
+      .where(col("n_pos") >= 1)
     val dd = g.join(dup, "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       .withColumnRenamed("doc_id", "dd_id")
@@ -655,8 +660,7 @@ object DedupQueries {
        |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
        |         md5(string_agg(tw, ' ' ORDER BY i)) AS clean_md5
        |       FROM kept GROUP BY doc_id),
-       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before
-       |        FROM tok GROUP BY doc_id)
+       |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_before FROM ws)
        |SELECT tot.doc_id, tot.n_before,
        |  tot.n_before - COALESCE(ka.n_after, 0) AS n_removed,
        |  COALESCE(ka.n_after, 0) AS n_after,
@@ -698,7 +702,8 @@ object DedupQueries {
         md5(array_join(transform(
           array_sort(collect_list(struct(col("i"), col("tw")))),
           x => x.getField("tw")), " ")).as("clean_md5"))
-    tok.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_before"))
+    // n_before = token count — a plain scan, no explode needed
+    ws.select(col("doc_id"), size(col("w")).cast("long").as("n_before"))
       .join(ka, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_before"),
         (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
