@@ -222,7 +222,9 @@ object HeavyScaleProbe {
       val n = df.count()
       (n, df.queryExecution.executedPlan.toString)
     }
-    val base = Queries.filter(ExpBound.contains)
+    // baseline counts only for the two queries the check compares —
+    // not every ExpBound query (each is an expensive sf1 run)
+    val base = Seq("q_dedup_multimodal", "q_decontaminate_media")
       .map(n => n -> run(n)._1).toMap
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -106,7 +106,7 @@ final class EventServer private (server: HttpServer) {
       .start()
 
   private def handle(exchange: HttpExchange, frame: String => Array[Byte],
-      contentType: String): Unit = {
+      keepalive: Array[Byte], contentType: String): Unit = {
     parseEpm(exchange.getRequestURI.getQuery) match {
       case Left(err) =>
         val msg = err.getBytes(StandardCharsets.UTF_8)
@@ -124,7 +124,7 @@ final class EventServer private (server: HttpServer) {
           exchange.sendResponseHeaders(200, 0) // chunked: unbounded stream
           val out = exchange.getResponseBody
           val intervalMs = epm.map(e => (60000L + e - 1) / e)
-          writeLoop(sub, out, frame, intervalMs)
+          writeLoop(sub, out, frame, keepalive, intervalMs)
         } catch {
           case _: IOException => () // client went away (EofException analog)
         } finally {
@@ -135,17 +135,37 @@ final class EventServer private (server: HttpServer) {
   }
 
   private def writeLoop(sub: Subscription, out: OutputStream,
-      frame: String => Array[Byte], intervalMs: Option[Long]): Unit = {
+      frame: String => Array[Byte], keepalive: Array[Byte],
+      intervalMs: Option[Long]): Unit = {
+    var idleMs = 0L
     while (!stopped.get) {
       sub.take(250) match {
         case Some(msg) =>
+          idleMs = 0
           out.write(frame(msg))
           out.flush()
           broadcastMeter.incrementAndGet()
           // token spacing AFTER delivery: the slot keeps absorbing
           // newer events during the wait (latest-wins)
           intervalMs.foreach(Thread.sleep)
-        case None => () // idle poll; re-check stopped
+        case None =>
+          // Idle keepalive, two jobs: (1) LIVENESS — a write to a
+          // closed socket is the only way to detect a silent client
+          // disconnect on a quiet stream; without it the subscription,
+          // its thread, and the socket leak until an event happens to
+          // flow. (2) COMPOSITION — a subscriber with a read timeout
+          // (HttpLines defaults to 5 s) must see SOMETHING during
+          // event gaps or it tears down a healthy connection and
+          // backs off, losing every event published meanwhile.
+          // Period 2 s < that 5 s default. SSE uses a spec-compliant
+          // `:` comment (ignored by sseFeed and every SSE client);
+          // JSONL uses a blank line (dropped by Collector.decode).
+          idleMs += 250
+          if (idleMs >= KeepaliveMs) {
+            idleMs = 0
+            out.write(keepalive)
+            out.flush()
+          }
       }
     }
   }
@@ -158,6 +178,10 @@ final class EventServer private (server: HttpServer) {
 
 object EventServer {
 
+  /** Idle-keepalive period — must stay below consumers' read
+    * timeouts (HttpLines defaults to 5 s). */
+  private val KeepaliveMs = 2000L
+
   /** SSE frame (`http.clj:96-97`). */
   private[streaming] def sseFrame(json: String): Array[Byte] =
     s"data: $json\n\n".getBytes(StandardCharsets.UTF_8)
@@ -165,6 +189,14 @@ object EventServer {
   /** JSONL frame (`http.clj:99-100`). */
   private[streaming] def jsonlFrame(json: String): Array[Byte] =
     s"$json\n".getBytes(StandardCharsets.UTF_8)
+
+  /** SSE comment keepalive (ignored by every SSE client). */
+  private[streaming] val SseKeepalive: Array[Byte] =
+    ": keepalive\n\n".getBytes(StandardCharsets.UTF_8)
+
+  /** JSONL keepalive: a blank line (dropped by line consumers). */
+  private[streaming] val JsonlKeepalive: Array[Byte] =
+    "\n".getBytes(StandardCharsets.UTF_8)
 
   /** `?epm=` must be a positive int when present (`http.clj:115`:
     * `[:and :int [:> 0]]`). */
@@ -213,9 +245,9 @@ object EventServer {
     })
     val es = new EventServer(server)
     server.createContext("/api/events",
-      (x: HttpExchange) => es.handle(x, sseFrame, "text/event-stream"))
+      (x: HttpExchange) => es.handle(x, sseFrame, SseKeepalive, "text/event-stream"))
     server.createContext("/api/jsonl",
-      (x: HttpExchange) => es.handle(x, jsonlFrame, "text/jsonl"))
+      (x: HttpExchange) => es.handle(x, jsonlFrame, JsonlKeepalive, "text/jsonl"))
     server.createContext("/", (x: HttpExchange) => {
       x.sendResponseHeaders(404, -1)
       x.close()

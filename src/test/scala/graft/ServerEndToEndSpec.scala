@@ -78,7 +78,9 @@ class ServerEndToEndSpec extends AnyFunSuite {
       while (!c.received.contains(event(20)) && System.nanoTime() < deadline)
         Thread.sleep(20)
       val expect = (1 to 20).map(i => s"data: ${event(i)}\n\n").mkString
-      assert(c.received == expect)
+      // idle keepalive comments may interleave on a slow run — strip
+      // them (they are exactly what every SSE client ignores)
+      assert(c.received.replace(": keepalive\n\n", "") == expect)
       c.close()
     } finally es.stop()
   }
@@ -98,6 +100,7 @@ class ServerEndToEndSpec extends AnyFunSuite {
       val elapsedMin = (System.nanoTime() - t0) / 60e9
       def lines(c: Client): Seq[String] =
         c.received.split("\n").toSeq.filter(_.nonEmpty)
+          .filterNot(_.startsWith(":")) // idle keepalives
       val fastL = lines(fast); val slowL = lines(slow)
       assert(fast.contentType.startsWith("text/jsonl"))
       // both received something; the slow one strictly less
@@ -130,6 +133,28 @@ class ServerEndToEndSpec extends AnyFunSuite {
         assert(conn.getResponseCode == 400, s"epm=$bad")
         conn.disconnect()
       }
+    } finally es.stop()
+  }
+
+  test("a disconnected subscriber is reaped on a QUIET stream (keepalive liveness)") {
+    val es = EventServer.start()
+    try {
+      val c = new Client(es.port, "/api/events")
+      awaitSubs(es, 1)
+      // deliver one event so the connection is fully established
+      es.publish(event(1))
+      val d0 = System.nanoTime() + 5L * 1000000000L
+      while (es.broadcasts == 0 && System.nanoTime() < d0) Thread.sleep(10)
+      // client goes away; NO further events are published — without
+      // the idle keepalive the writer would never touch the socket
+      // and the subscription would leak forever
+      c.close()
+      Thread.sleep(100) // let the reader thread disconnect
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (es.subscriberCount > 0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(es.subscriberCount == 0,
+        "silent disconnect on a quiet stream was never detected")
     } finally es.stop()
   }
 
