@@ -66,6 +66,13 @@ object HeavyScaleProbe {
     // k∝n so cluster populations (hence within-cluster pair joins)
     // stay constant as the corpus grows
     "q_embed_cluster", "q_dedup_semantic",
+    // round 11 (cont.): duplicated-span removal — the salted sf1
+    // preserves span structure exactly (copies share no tokens, so
+    // duplicated grams stay within-copy and per-copy runs are
+    // constant while the corpus grows 10×); the digest groupBy,
+    // coverage join, per-doc windows, and reassembly must all scale
+    // with the corpus, not the pair structure
+    "q_dedup_span",
     // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
     // pass-2 claim (salted copies share no lines, so the repeated-line
     // set and per-copy strike structure are preserved while the corpus
@@ -81,7 +88,8 @@ object HeavyScaleProbe {
     "q_dedup_incremental_near" -> 1.0, "q_sketch_heavy" -> 1.0,
     "q_sim_ppjoin" -> 1.0, "q_graph_labelprop" -> 1.0,
     "q_text_boilerplate" -> 1.0, "q_web_pipeline" -> 1.0,
-    "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0)
+    "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
+    "q_dedup_span" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the

@@ -491,6 +491,63 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Packed hyperplane-sign bits of a double vector against a LITERAL
+    * plane matrix: Σⱼ (dot(v, planeⱼ) ≥ 0 ? weightⱼ : 0) — the one
+    * loop every LSH bucket/band computation in the engine runs
+    * (q_knn_lsh, q_dedup_embed_lsh, q_knn_lsh_multi, q_embed_cluster
+    * all previously composed it from `aggregate(zip_with(...))` per
+    * plane: an interpreted lambda per ELEMENT, ×planes×rows). Each
+    * per-plane dot is the identical left-to-right double
+    * accumulation as the HOF form and DuckDB's `list_dot_product`,
+    * so buckets stay bit-identical to the oracle; the weighted sum
+    * is exact integer addition. The plane matrix rides along as a
+    * codegen reference object — no per-row materialization. */
+  case class PlaneBits(child: Expression,
+      planes: Array[Array[Double]], weights: Array[Long])
+      extends UnaryExpression {
+    require(planes.length == weights.length, "one weight per plane")
+
+    override def dataType: DataType = LongType
+
+    private lazy val flat: Array[Double] = planes.flatten
+    private lazy val dim: Int = if (planes.isEmpty) 0 else planes(0).length
+
+    override def nullSafeEval(v: Any): Any =
+      planeBitsKernel(flat, weights, dim, v.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val flatRef = ctx.addReferenceObj("planesFlat", flat, "double[]")
+      val wRef = ctx.addReferenceObj("planeWeights", weights, "long[]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"""
+           |${ev.value} = graft.functions.GraftExpressions.planeBitsKernel(
+           |  $flatRef, $wRef, $dim, $v);
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shared kernel of [[PlaneBits]] (interpreted AND generated
+    * paths): per plane, a left-to-right double dot, then the ≥ 0
+    * sign gates the exact integer weight. */
+  def planeBitsKernel(flat: Array[Double], weights: Array[Long],
+      dim: Int, v: ArrayData): Long = {
+    val n = math.min(dim, v.numElements())
+    var bits = 0L
+    var j = 0
+    while (j < weights.length) {
+      val off = j * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * flat(off + i); i += 1 }
+      if (acc >= 0) bits += weights(j)
+      j += 1
+    }
+    bits
+  }
+
   // ------------------------------------------------------- Column wrappers
 
   def cosine_sim(a: Column, b: Column): Column =
@@ -519,4 +576,8 @@ object GraftExpressions {
 
   def logreg_margin(text: Column, dim: Long, mult: Long): Column =
     bridge.column(LogregMargin(bridge.expression(text), dim, mult))
+
+  def plane_bits(v: Column, planes: Array[Array[Double]],
+      weights: Array[Long]): Column =
+    bridge.column(PlaneBits(bridge.expression(v), planes, weights))
 }

@@ -105,12 +105,13 @@ object SimilarityQueries {
     Array.fill(DedupBands * DedupRows, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** 4-bit band value: sign pattern of the band's planes. */
+  /** 4-bit band value: sign pattern of the band's planes (native
+    * [[graft.functions.GraftExpressions.PlaneBits]] kernel — same
+    * left-to-right dots as the HOF form, bit-identical buckets). */
   private def bandValue(v: Column, j: Int): Column =
-    (0 until DedupRows).map { r =>
-      val plane = array(DedupPlanes(j * DedupRows + r).map(lit(_)): _*)
-      when(dot(v, plane) >= 0, lit(1L << r)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.GraftExpressions.plane_bits(v,
+      Array.tabulate(DedupRows)(r => DedupPlanes(j * DedupRows + r)),
+      Array.tabulate(DedupRows)(r => 1L << r))
 
   private def bandValueSql(v: String, j: Int): String =
     (0 until DedupRows).map { r =>
@@ -204,12 +205,11 @@ object SimilarityQueries {
     Array.fill(LshBits, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Random-hyperplane bucket for a double-vector column. */
+  /** Random-hyperplane bucket for a double-vector column (native
+    * codegen kernel; see [[bandValue]]). */
   private[graft] def lshBucket(v: Column): Column =
-    (0 until LshBits).map { j =>
-      val plane = array(Planes(j).map(lit(_)): _*)
-      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.GraftExpressions.plane_bits(v, Planes,
+      Array.tabulate(LshBits)(j => 1L << j))
 
   /** DuckDB twin of [[lshBucket]]: the plane matrix is a deterministic
     * literal, so it embeds directly in the oracle SQL; the projection
@@ -1059,12 +1059,11 @@ object SimilarityQueries {
       .mkString(s"($ClusterMinBits + ", " + ", ")")
 
   /** First-`bits` plane bucket (engine side: `bits` is a driver
-    * constant derived from the corpus count). */
+    * constant derived from the corpus count; native codegen kernel,
+    * see [[bandValue]]). */
   private def clusterBucket(v: Column, bits: Int): Column =
-    (0 until bits).map { j =>
-      val plane = array(ClusterPlanes(j).map(lit(_)): _*)
-      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.GraftExpressions.plane_bits(v,
+      ClusterPlanes.take(bits), Array.tabulate(bits)(j => 1L << j))
 
   /** SQL twin: all [[ClusterMaxBits]] plane terms rendered, each
     * masked by `j < bs.bits` — the oracle derives `bits` from its own

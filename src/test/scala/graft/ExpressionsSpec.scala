@@ -32,6 +32,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out == Seq(Seq(), Seq(), Seq(), Seq("a b c"), Seq("a b c", "b c d")))
   }
 
+  test("PlaneBits equals the per-plane HOF sign composition bit-for-bit") {
+    import graft.functions.GraftExpressions.plane_bits
+    // real ±1 planes (the q_embed_cluster family) on real vectors
+    val planes = graft.queries.SimilarityQueries.ClusterPlanes.take(11)
+    val weights = Array.tabulate(11)(j => 1L << j)
+    val hof = planes.zip(weights).map { case (p, w) =>
+      val plane = array(p.map(lit(_)): _*)
+      val d = aggregate(zip_with(col("v"), plane, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(w)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = Tables(spark, Sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val cmp = e.select(plane_bits(col("v"), planes, weights).as("native"),
+      hof.as("hofv"))
+    assert(cmp.where(col("native") =!= col("hofv")).count() == 0)
+    // CODEGEN_ONLY: a broken doGenCode must throw, not silently
+    // fall back to interpreted dispatch in every LSH bucket build
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try assert(cmp.where(col("native") =!= col("hofv")).count() == 0)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("CosineSim equals the HOF aggregate/zip_with formulation bit-for-bit") {
     val e = Tables(spark, Sf, "embeddings").limit(100)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
