@@ -491,6 +491,45 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** dot(a, b) — plain left-to-right double dot product; the
+    * codegen'd form of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+    * (≙ DuckDB `list_dot_product`), same accumulation order, so
+    * values stay bit-identical to both. [[CosineSim]]'s loop minus
+    * the norms — for the raw-dot sites (PQ LUTs, norms). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      dot
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Packed hyperplane-sign bits of a double vector against a LITERAL
     * plane matrix: Σⱼ (dot(v, planeⱼ) ≥ 0 ? weightⱼ : 0) — the one
     * loop every LSH bucket/band computation in the engine runs
@@ -580,4 +619,7 @@ object GraftExpressions {
   def plane_bits(v: Column, planes: Array[Array[Double]],
       weights: Array[Long]): Column =
     bridge.column(PlaneBits(bridge.expression(v), planes, weights))
+
+  def dot_product(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
 }

@@ -32,11 +32,13 @@ import graft.queries.Q.t
   */
 object SimilarityQueries {
 
-  /** Left-to-right double dot product of two array<double> columns
-    * (HOF form — used for plane projections; pair cosines use the
-    * native codegen expression instead). */
+  /** Left-to-right double dot product of two array<double> columns —
+    * the native codegen kernel ([[graft.functions.GraftExpressions
+    * .DotProduct]]), same accumulation order as the HOF
+    * `aggregate(zip_with(...))` form and DuckDB `list_dot_product`,
+    * so values stay bit-identical to the oracle. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftExpressions.dot_product(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
