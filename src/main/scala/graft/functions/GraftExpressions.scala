@@ -530,6 +530,50 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Σ (aᵢ − bᵢ)² — squared euclidean distance, left-to-right; the
+    * codegen'd form of `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)),
+    * 0.0, _+_)` with the identical accumulation order, so k-means
+    * assignments (the hot loop of every trained-quantizer query)
+    * stay bit-identical to the HOF form they replace. */
+  case class SqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Packed hyperplane-sign bits of a double vector against a LITERAL
     * plane matrix: Σⱼ (dot(v, planeⱼ) ≥ 0 ? weightⱼ : 0) — the one
     * loop every LSH bucket/band computation in the engine runs
@@ -622,4 +666,7 @@ object GraftExpressions {
 
   def dot_product(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+
+  def sq_dist(a: Column, b: Column): Column =
+    bridge.column(SqDist(bridge.expression(a), bridge.expression(b)))
 }

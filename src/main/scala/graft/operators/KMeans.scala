@@ -54,8 +54,8 @@ object KMeans {
     while (seeds.length < k) {
       val d2near = array_min(array(seeds.map { c =>
         val lit_c = array(c.map(lit(_)): _*)
-        aggregate(zip_with(col("v"), lit_c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x)
+        // native codegen kernel, same l->r accumulation as the HOF form
+        graft.functions.GraftExpressions.sq_dist(col("v"), lit_c)
       }: _*))
       val far = src.select(col("id"), col("v"), d2near.as("d2"))
         .orderBy(col("d2").desc, col("id")).limit(1)
@@ -126,8 +126,7 @@ object KMeans {
   private def assign(src: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val dists: Seq[Column] = centroids.toIndexedSeq.zipWithIndex.map { case (c, j) =>
       val lit_c = array(c.map(lit(_)): _*)
-      val d2 = aggregate(zip_with(col("v"), lit_c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+      val d2 = graft.functions.GraftExpressions.sq_dist(col("v"), lit_c)
       struct(d2.as("d2"), lit(j).as("j"))
     }
     val best = array_min(array(dists: _*))

@@ -781,8 +781,7 @@ object SimilarityQueries {
     val lists = assigned.select(col("id").as("vec_id"), col("cluster").as("list"))
     val centRows = cents.toIndexedSeq.zipWithIndex.map { case (c, j) => (j, c) }
     val centDf = s.createDataFrame(centRows).toDF("cent_id", "cv")
-    val l2 = aggregate(zip_with(col("qv"), col("cv"),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val l2 = graft.functions.GraftExpressions.sq_dist(col("qv"), col("cv"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qd2"), col("cent_id"))
     val probes = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))

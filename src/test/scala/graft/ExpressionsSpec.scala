@@ -60,6 +60,27 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SqDist equals the HOF aggregate/zip_with formulation bit-for-bit") {
+    import graft.functions.GraftExpressions.sq_dist
+    val e = Tables(spark, Sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("ai"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("bi"), col("v").as("vb"))
+    val hof = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val cmp = a.join(b, col("ai") < col("bi"))
+      .select(sq_dist(col("va"), col("vb")).as("native"), hof.as("hofv"))
+    assert(cmp.where(col("native") =!= col("hofv")).count() == 0)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try assert(cmp.where(col("native") =!= col("hofv")).count() == 0)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("DotProduct equals the HOF aggregate/zip_with formulation bit-for-bit") {
     import graft.functions.GraftExpressions.dot_product
     val e = Tables(spark, Sf, "embeddings").limit(100)
