@@ -9,6 +9,35 @@ class SimilaritySpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
 
+  test("adaptive sizing invariants: clusterBits and semC for all corpus sizes") {
+    import graft.queries.SimilarityQueries._
+    val ns = (0L to 20L).flatMap(e => {
+      val p = 1L << e; Seq(p - 1, p, p + 1)
+    }) ++ Seq(0L, 1L, 500L, 2000L, 20000L, 1000000L, 16000000L)
+    var prev = Int.MinValue
+    for (n <- ns.distinct.sorted) {
+      val b = clusterBits(n)
+      // clamped
+      assert(b >= ClusterMinBits && b <= ClusterMaxBits, s"n=$n bits=$b")
+      // monotone in n
+      assert(b >= prev, s"bits not monotone at n=$n")
+      prev = b
+      // occupancy target met whenever not clamped high:
+      // n ≤ Occ·2^bits → expected bucket population ≤ Occ
+      if (b < ClusterMaxBits)
+        assert(n <= ClusterOcc * (1L << b), s"n=$n bits=$b occupancy")
+      // minimality: one fewer bit would blow the target
+      if (b > ClusterMinBits)
+        assert(n > ClusterOcc * (1L << (b - 1)), s"n=$n bits=$b not minimal")
+      // quantizer: expected cell population ≤ 64, C floored at 8,
+      // and minimal
+      val c = semC(n)
+      assert(c >= 8, s"n=$n C=$c")
+      assert(c * 64 >= n, s"n=$n C=$c cell bound")
+      if (c > 8) assert((c - 1) * 64 < n, s"n=$n C=$c not minimal")
+    }
+  }
+
   test("brute-force knn: ranks are 1..5 per query, sims non-increasing") {
     import spark.implicits._
     val rows = run("q_knn_brute")
