@@ -495,7 +495,16 @@ object GraftExpressions {
     * codegen'd form of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
     * (≙ DuckDB `list_dot_product`), same accumulation order, so
     * values stay bit-identical to both. [[CosineSim]]'s loop minus
-    * the norms — for the raw-dot sites (PQ LUTs, norms). */
+    * the norms — for the raw-dot sites (PQ LUTs, norms).
+    *
+    * Length/null stance (= [[CosineSim]]'s, the established one):
+    * the loop runs to min(|a|, |b|) and null ELEMENTS read as 0.0 —
+    * callers contract fixed-width non-null vectors (the HOF form
+    * instead returned NULL for a mismatched/null-element row; both
+    * behaviors are silent on malformed data, so the precondition is
+    * the real guarantee — [[PlaneBits]] is the strict one because a
+    * wrong BUCKET is a wrong dedup decision, while a wrong distance
+    * only perturbs a ranking). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
 
@@ -584,11 +593,19 @@ object GraftExpressions {
     * accumulation as the HOF form and DuckDB's `list_dot_product`,
     * so buckets stay bit-identical to the oracle; the weighted sum
     * is exact integer addition. The plane matrix rides along as a
-    * codegen reference object — no per-row materialization. */
+    * codegen reference object — no per-row materialization.
+    *
+    * Strictness: a NULL vector yields a NULL bucket (standard SQL
+    * null propagation; the HOF composition silently produced bucket
+    * 0), and a vector whose width differs from the planes' THROWS —
+    * a partial dot would silently set wrong sign bits and mis-route
+    * the row, a wrong dedup/clustering decision with no error. */
   case class PlaneBits(child: Expression,
       planes: Array[Array[Double]], weights: Array[Long])
       extends UnaryExpression {
     require(planes.length == weights.length, "one weight per plane")
+    require(planes.isEmpty || planes.forall(_.length == planes(0).length),
+      "ragged plane matrix: all planes must share one dimension")
 
     override def dataType: DataType = LongType
 
@@ -617,14 +634,22 @@ object GraftExpressions {
     * sign gates the exact integer weight. */
   def planeBitsKernel(flat: Array[Double], weights: Array[Long],
       dim: Int, v: ArrayData): Long = {
-    val n = math.min(dim, v.numElements())
+    // fail LOUDLY on a malformed vector (the q_chunk_dedup
+    // assert_true stance): a partial dot would silently set wrong
+    // sign bits and route the row to the wrong bucket — a wrong
+    // dedup/clustering decision with no error anywhere. (The HOF
+    // composition this replaces was itself silently wrong here: a
+    // short vector nulled every plane dot into bucket 0.)
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"plane_bits: vector has ${v.numElements()} dims, planes have $dim")
     var bits = 0L
     var j = 0
     while (j < weights.length) {
       val off = j * dim
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += v.getDouble(i) * flat(off + i); i += 1 }
+      while (i < dim) { acc += v.getDouble(i) * flat(off + i); i += 1 }
       if (acc >= 0) bits += weights(j)
       j += 1
     }

@@ -667,10 +667,6 @@ object DedupQueries {
        |  COALESCE(ka.clean_md5, md5('')) AS clean_md5
        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
        |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
-    val ws = t(s, d, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-    val tok = ws.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tw")))
-      .select(col("doc_id"), (col("p") + 1).as("i"), col("tw"))
     // gram starts, 1-based, digested (qDedupSubstring's stance) —
     // token-scale, so re-derived per consumer; only the bounded
     // duplicated-digest set below is fenced
@@ -682,8 +678,26 @@ object DedupQueries {
     val dupg = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select(col("h"))
       .localCheckpoint()
-    val cov = grams.join(dupg, "h")
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 4)).as("pos"))
+    val dupStarts = grams.join(dupg, "h")
+      .select(col("doc_id"), col("i").as("pos"))
+    spanSweep(t(s, d, "documents"), dupStarts, 5, SpanMin)
+      .select(col("doc_id"), col("n_before"), col("n_removed"),
+        col("n_after"), col("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared SPAN SWEEP — expand covered gram STARTS to positions,
+    * merge maximal runs per document (gaps-and-islands), cut runs ≥
+    * `spanMin`, reassemble each document from its surviving tokens.
+    * The ONE implementation behind both [[qDedupSpan]]'s tail and
+    * `streaming.StreamingSpanDedup.clean`, so batch and streaming
+    * cleaning semantics cannot drift. Output: (doc_id, n_before,
+    * n_removed, n_after, clean_md5, clean_text). */
+  private[graft] def spanSweep(docs: DataFrame, starts: DataFrame,
+      gram: Int, spanMin: Int): DataFrame = {
+    val cov = starts
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (gram - 1))).as("pos"))
       .distinct()
     val runs = cov.withColumn("grp",
       col("pos") - row_number().over(
@@ -691,25 +705,27 @@ object DedupQueries {
           .partitionBy(col("doc_id")).orderBy(col("pos"))))
     val spans = runs.groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("len"))
-      .where(col("len") >= SpanMin)
+      .where(col("len") >= spanMin)
       .select(col("doc_id"), col("grp"))
     val rem = runs.join(spans, Seq("doc_id", "grp"))
       .select(col("doc_id"), col("pos"))
-    val kept = tok.join(rem,
-      tok("doc_id") === rem("doc_id") && tok("i") === rem("pos"), "left_anti")
+    val ws = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(lower(col("text")), " ").as("w"))
+    val tok = ws.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tw")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("tw"))
+    val kept = tok.join(rem, Seq("doc_id", "pos"), "left_anti")
     val ka = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_after"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("i"), col("tw")))),
-          x => x.getField("tw")), " ")).as("clean_md5"))
-    // n_before = token count — a plain scan, no explode needed
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tw")))),
+          x => x.getField("tw")), " ").as("clean_text"))
     ws.select(col("doc_id"), size(col("w")).cast("long").as("n_before"))
       .join(ka, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_before"),
         (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
-        coalesce(col("clean_md5"), lit(Md5Empty)).as("clean_md5"))
-      .orderBy(col("doc_id"))
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** md5("") — the cleaned-digest for a fully-removed document. */

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -16,10 +15,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * gram, first included — the global-view vs at-arrival divergence
   * every incremental dedup in this engine documents.)
   *
-  * Crucially the covered set is BATCH-SPLIT INVARIANT: per gram
-  * digest, occurrences ordered by (doc_id, pos) are covered from the
-  * second onward, however the stream is chopped — which is what the
-  * spec pins per prefix against a sequential reference.
+  * The survivor rule, precisely: per gram digest exactly ONE
+  * occurrence is never marked — the first to ARRIVE, with ties
+  * inside a micro-batch broken by (doc_id, pos). Under doc_id-
+  * MONOTONE delivery (every batch's ids follow all prior batches' —
+  * the ingest order of a snapshot/append pipeline, and
+  * `q_dedup_incremental`'s contract) arrival order coincides with
+  * (doc_id, pos) order, so the covered set is BATCH-SPLIT INVARIANT
+  * and equal to "occurrences ordered by (doc_id, pos), covered from
+  * the second onward" — which the spec pins per prefix against a
+  * sequential reference across different chops. Under OUT-OF-ORDER
+  * delivery the per-gram mark COUNT is unchanged (all but one
+  * marked) but WHICH copy survives follows arrival, not id — the
+  * spec pins that case too.
   *
   * Architecture (mark stream-side, sweep batch-side): the stateful
   * pass keys by gram digest with a single Int of state (occurrences
@@ -60,10 +68,11 @@ object StreamingSpanDedup {
       .groupByKey(_.dg)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, it: Iterator[GramOcc], state: GroupState[Int]) => {
-          // (doc_id, pos) order within the batch makes the covered
-          // set independent of partitioning AND of the batch split:
-          // occurrence k (1-based, across the stream's life) is
-          // covered iff k ≥ 2
+          // (doc_id, pos) order WITHIN the batch makes the covered
+          // set independent of partitioning, and — under id-monotone
+          // delivery — of the batch split (see the class contract):
+          // occurrence k (1-based, in arrival order) is covered iff
+          // k ≥ 2
           val rows = it.toSeq.sortBy(r => (r.doc_id, r.pos))
           val prior = state.getOption.getOrElse(0)
           state.update(prior + rows.size)
@@ -74,41 +83,11 @@ object StreamingSpanDedup {
   }
 
   /** Batch finisher: given documents and their covered gram starts,
-    * expand to covered positions, merge maximal runs
-    * (gaps-and-islands per document), cut runs ≥ `spanMin`, and
-    * reassemble — `q_dedup_span`'s tail with the at-arrival covered
-    * set. Returns (doc_id, n_before, n_removed, n_after, clean_md5,
-    * clean_text). */
-  def clean(docs: DataFrame, covered: DataFrame, spanMin: Int): DataFrame = {
-    val cov = covered
-      .select(col("doc_id"), explode(sequence(col("pos"),
-        col("pos") + (Gram - 1))).as("pos"))
-      .distinct()
-    val runs = cov.withColumn("grp",
-      col("pos") - row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-    val rem = runs.join(
-      runs.groupBy(col("doc_id"), col("grp"))
-        .agg(count(lit(1)).as("len")).where(col("len") >= spanMin)
-        .select(col("doc_id"), col("grp")),
-      Seq("doc_id", "grp"))
-      .select(col("doc_id"), col("pos"))
-    val ws = docs.select(col("doc_id").cast("long").as("doc_id"),
-      split(lower(col("text")), " ").as("w"))
-    val tok = ws.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tw")))
-      .select(col("doc_id"), (col("p") + 1).as("pos"), col("tw"))
-    val kept = tok.join(rem, Seq("doc_id", "pos"), "left_anti")
-    val ka = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_after"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tw")))),
-          x => x.getField("tw")), " ").as("clean_text"))
-    ws.select(col("doc_id"), size(col("w")).cast("long").as("n_before"))
-      .join(ka, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_before"),
-        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
-  }
+    * expand to covered positions, merge maximal runs, cut runs ≥
+    * `spanMin`, and reassemble. Delegates to the SHARED sweep behind
+    * `q_dedup_span`'s tail (`DedupQueries.spanSweep`), so batch and
+    * streaming cleaning semantics cannot drift. Returns (doc_id,
+    * n_before, n_removed, n_after, clean_md5, clean_text). */
+  def clean(docs: DataFrame, covered: DataFrame, spanMin: Int): DataFrame =
+    graft.queries.DedupQueries.spanSweep(docs, covered, Gram, spanMin)
 }

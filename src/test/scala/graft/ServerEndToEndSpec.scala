@@ -128,19 +128,27 @@ class ServerEndToEndSpec extends AnyFunSuite {
     try {
       val clients = (1 to 10).map(i =>
         new Client(es.port, if (i % 2 == 0) "/api/jsonl" else "/api/events"))
-      awaitSubs(es, 10)
-      for (i <- 1 to 10) {
-        val before = es.broadcasts
-        es.publish(event(i))
-        // each publish fans to all 10
-        val deadline = System.nanoTime() + 5L * 1000000000L
-        while (es.broadcasts < before + 10 && System.nanoTime() < deadline)
-          Thread.sleep(10)
-      }
-      assert(es.broadcasts >= 100, s"expected 100 fan-out writes, got ${es.broadcasts}")
-      clients.foreach(c => assert(c.received.contains(event(10)),
-        "every subscriber sees the latest event"))
-      clients.foreach(_.close())
+      try {
+        awaitSubs(es, 10)
+        for (i <- 1 to 10) {
+          val before = es.broadcasts
+          es.publish(event(i))
+          // each publish fans to all 10
+          val deadline = System.nanoTime() + 5L * 1000000000L
+          while (es.broadcasts < before + 10 && System.nanoTime() < deadline)
+            Thread.sleep(10)
+        }
+        assert(es.broadcasts >= 100, s"expected 100 fan-out writes, got ${es.broadcasts}")
+        // server-side flush ≠ client-side delivery: wait for each
+        // reader thread to drain the socket before asserting
+        clients.foreach { c =>
+          val deadline = System.nanoTime() + 5L * 1000000000L
+          while (!c.received.contains(event(10)) && System.nanoTime() < deadline)
+            Thread.sleep(20)
+          assert(c.received.contains(event(10)),
+            "every subscriber sees the latest event")
+        }
+      } finally clients.foreach(_.close())
     } finally es.stop()
     // after stop every writer loop exits; nothing is left subscribed
     val deadline = System.nanoTime() + 5L * 1000000000L

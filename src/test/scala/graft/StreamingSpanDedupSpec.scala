@@ -69,6 +69,25 @@ class StreamingSpanDedupSpec extends AnyFunSuite {
     assert(b == want, "covered set is not batch-split invariant")
   }
 
+  test("out-of-order arrival: the first-ARRIVED copy survives") {
+    // two docs sharing one long passage, delivered in reverse id
+    // order across batches: the higher-id doc arrives first and must
+    // be the survivor; the per-gram mark count is unchanged
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val d9 = (9L, s"$passage unique nine tail")
+    val d3 = (3L, s"head three unique2 $passage")
+    val got = runStream(Seq(Seq(d9), Seq(d3)))
+    // every shared-gram start of doc 3 is covered; none of doc 9's
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 == 3L),
+      s"arrival-order survivor violated: marks on ${got.map(_._1).toSet}")
+    // same stream id-ordered: doc 3 (lower id, now first) survives
+    val ordered = runStream(Seq(Seq(d3), Seq(d9)))
+    assert(ordered.nonEmpty && ordered.forall(_._1 == 9L))
+    // mark counts agree: all-but-one per gram either way
+    assert(got.size == ordered.size)
+  }
+
   test("prefix semantics: first copy survives, later copies are marked") {
     val d = docs
     val half = d.take(d.length / 2)
