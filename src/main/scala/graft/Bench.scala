@@ -98,7 +98,7 @@ object Bench {
         graft.streaming.ServingProbe.Result(0.0, 0.0)
       }
     val streamingJson =
-      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f"""
+      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},$streamingJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's

@@ -37,6 +37,19 @@ object BenchGate {
   val RatioGate = 1.5
   val AbsFloorSec = 0.3
 
+  /** Absolute floors for the bench's streaming/serving scalars —
+    * round-12 addition: the per-query gate covered batch times only,
+    * so a real streaming regression (eps collapse) or a broken
+    * drop-oldest guarantee (stall ratio sinking) would have sailed
+    * through. Floors sit well under the committed canonical
+    * (448k eps / 1.00 ratio) but far above any plausible
+    * contention artifact's floor (the r11 driver-window sample read
+    * 370k / 0.88 under uniform contention): a breach means re-measure
+    * isolated; if it reproduces, it is a real regression — fix it
+    * (floors are absolute, so there is nothing to re-record). */
+  val StreamingEpsFloor = 300000.0
+  val StallRatioFloor = 0.9
+
   private def queryTable(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
     val q = root.get("queries")
@@ -46,6 +59,29 @@ object BenchGate {
     while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
     b.result()
   }
+
+  private def scalarFields(path: String): Map[String, Double] = {
+    val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
+    Seq("streaming_eps", "serving_stall_ratio").flatMap { k =>
+      Option(root.get(k)).map(k -> _.asDouble())
+    }.toMap
+  }
+
+  /** Pure floor check (spec-tested): breach messages, empty = green.
+    * A bench JSON missing a gated scalar is itself a breach — the
+    * probe failing to run must not read as green. */
+  def floorBreaches(scalars: Map[String, Double]): Seq[String] =
+    Seq(
+      ("streaming_eps", StreamingEpsFloor, f"$StreamingEpsFloor%.0f"),
+      ("serving_stall_ratio", StallRatioFloor, f"$StallRatioFloor%.2f"),
+    ).flatMap { case (k, floor, floorStr) =>
+      scalars.get(k) match {
+        case None => Some(s"$k missing from latest bench (probe did not run?)")
+        case Some(v) if v < floor =>
+          Some(f"$k $v%.2f below floor $floorStr")
+        case _ => None
+      }
+    }
 
   final case class Flag(name: String, canonical: Double, latest: Double) {
     def ratio: Double = latest / canonical
@@ -88,15 +124,24 @@ object BenchGate {
     if (departed.nonEmpty)
       println(s"BENCHGATE queries gone from latest: ${departed.mkString(", ")}")
     val flags = regressions(canonical, latest)
-    if (flags.isEmpty) {
+    val breaches = floorBreaches(scalarFields(latestPath))
+    if (flags.isEmpty && breaches.isEmpty) {
       println(f"BENCHGATE ok: ${latest.size} queries within ${RatioGate}x of canonical " +
-        f"(${canonical.size} canonical entries)")
+        f"(${canonical.size} canonical entries); streaming/serving floors green")
     } else {
-      println(s"BENCHGATE FAIL: ${flags.size} quer${if (flags.size == 1) "y" else "ies"} " +
-        f"regressed beyond ${RatioGate}x (+${AbsFloorSec}%.1f s):")
-      flags.foreach(f => println(s"  $f"))
-      println("  → re-measure isolated, fix, or re-record canonical " +
-        "(runMain graft.BenchGate -- --record) with justification")
+      if (flags.nonEmpty) {
+        println(s"BENCHGATE FAIL: ${flags.size} quer${if (flags.size == 1) "y" else "ies"} " +
+          f"regressed beyond ${RatioGate}x (+${AbsFloorSec}%.1f s):")
+        flags.foreach(f => println(s"  $f"))
+        println("  → re-measure isolated, fix, or re-record canonical " +
+          "(runMain graft.BenchGate -- --record) with justification")
+      }
+      if (breaches.nonEmpty) {
+        println(s"BENCHGATE FAIL: streaming/serving floor breach:")
+        breaches.foreach(b => println(s"  $b"))
+        println("  → re-measure isolated; a reproducing breach is a real " +
+          "regression (floors are absolute — nothing to re-record)")
+      }
       sys.exit(1)
     }
   }

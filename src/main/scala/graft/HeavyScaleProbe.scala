@@ -104,6 +104,20 @@ object HeavyScaleProbe {
     require(exp < 1.2, f"q_embed_cluster pair volume exponent $exp%.2f >= 1.2")
   }
 
+  /** Direct growth bound for the semantic-dedup ASSIGNMENT pass
+    * (round 12 — the verdict's last named scale-killer): counts the
+    * actual assignment-candidate cosines at sf0.1 and synthetic sf1
+    * and requires exponent < 1.2. The analytic ceiling is
+    * (SemAnchors + SemCMin)·n — constant per-vector work — where the
+    * replaced brute-force pass did n·C(n) ∝ n²/64. */
+  private def semVolumeCheck(spark: SparkSession): Unit = {
+    val c0 = graft.queries.SimilarityQueries.semCandidates(spark, Src).count()
+    val c1 = graft.queries.SimilarityQueries.semCandidates(spark, Dst).count()
+    val exp = math.log10(c1.toDouble / c0.toDouble)
+    println(f"SEMVOLUME q_dedup_semantic sf0.1: $c0%d cand | sf1: $c1%d cand | exp=$exp%5.2f")
+    require(exp < 1.2, f"q_dedup_semantic assignment-candidate exponent $exp%.2f >= 1.2")
+  }
+
   /** q_knn_ivf_trained's Q entry (round 10) joins the IVF result
     * against the in-plan brute-force top-k to emit its oracle-checked
     * recall verdict — a deliberately O(|Q|·N) baseline that exists
@@ -270,6 +284,7 @@ object HeavyScaleProbe {
       }
     }
     pairVolumeCheck(spark)
+    semVolumeCheck(spark)
     flipCheck(spark)
     spark.stop()
   }

@@ -136,8 +136,10 @@ object PageRank {
 
   /** Sequential twin of [[personalized]]. The distributed operator
     * keeps rank state only for nodes WITH out-edges (its teleport
-    * vector is keyed by `deg`'s src set, and the per-iteration inner
-    * join restricts back to it), so the twin mirrors that domain:
+    * vector is keyed by `deg`'s src set, and each iteration's rank
+    * update is a LEFT-OUTER join from that teleport vector — the
+    * src-set domain — with absent contribution read as 0), so the
+    * twin mirrors that domain:
     * dst-only sinks contribute nothing after the hop that reaches
     * them, and a src node never seen as a dst reads rank 0 — hence
     * `getOrElse` rather than a partial lookup that would throw on

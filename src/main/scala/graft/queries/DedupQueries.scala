@@ -629,9 +629,9 @@ object DedupQueries {
     * shuffles kept tokens once, keyed by the unique doc_id, with the
     * in-group sort bounded by one document (the q_chunk_dedup
     * reassembly stance). Everything is linear in corpus size. */
-  private val qDedupSpan = Q("q_dedup_span",
-    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-       |        FROM documents),
+  private def dedupSpanSql(prefix: String, src: String): String =
+    s"""WITH ${prefix}ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM $src),
        |tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS tw
        |        FROM ws),
        |g AS (SELECT doc_id,
@@ -666,11 +666,13 @@ object DedupQueries {
        |  COALESCE(ka.n_after, 0) AS n_after,
        |  COALESCE(ka.clean_md5, md5('')) AS clean_md5
        |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
-       |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY tot.doc_id""".stripMargin
+
+  private def dedupSpanPlan(docs: DataFrame): DataFrame = {
     // gram starts, 1-based, digested (qDedupSubstring's stance) —
     // token-scale, so re-derived per consumer; only the bounded
     // duplicated-digest set below is fenced
-    def grams = t(s, d, "documents")
+    def grams = docs
       .select(col("doc_id"),
         posexplode(graft.functions.GraftExpressions.shingles(
           lower(col("text")), 5, dedup = false)).as(Seq("p", "g5")))
@@ -680,10 +682,46 @@ object DedupQueries {
       .localCheckpoint()
     val dupStarts = grams.join(dupg, "h")
       .select(col("doc_id"), col("i").as("pos"))
-    spanSweep(t(s, d, "documents"), dupStarts, 5, SpanMin)
+    spanSweep(docs, dupStarts, 5, SpanMin)
       .select(col("doc_id"), col("n_before"), col("n_removed"),
         col("n_after"), col("clean_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  private val qDedupSpan = Q("q_dedup_span",
+    dedupSpanSql("", "documents")) { (s, d) =>
+    dedupSpanPlan(t(s, d, "documents").select(col("doc_id"), col("text")))
+  }
+
+  /** CTE prefix doubling the corpus for [[qDedupSpanXl]]: the copy is
+    * each document with its TOKEN ORDER REVERSED and `doc_id + n` —
+    * deterministic and bit-exact on both engines (pure list ops), and
+    * unlike an identical copy it does not degenerate into every gram
+    * being duplicated: reversed text shares almost no 5-gram with its
+    * original, so the duplicated-gram structure stays realistic while
+    * n doubles. */
+  private val spanXlPrefix: String =
+    """docs0 AS (SELECT doc_id, text FROM documents),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs0),
+      |documents2 AS (SELECT doc_id, text FROM docs0
+      |  UNION ALL
+      |  SELECT doc_id + nd.n,
+      |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |  FROM docs0 CROSS JOIN nd),
+      |""".stripMargin
+
+  /** [[qDedupSpan]] over the DOUBLED corpus — the third-size point of
+    * the round-12 adaptive-constant sweep applied to the span family:
+    * the whole mark/merge/cut/reassemble pipeline re-verified
+    * hash-exact at a corpus size (and duplicated-gram density)
+    * neither driver SF reaches. */
+  private val qDedupSpanXl = Q("q_dedup_span_xl",
+    dedupSpanSql(spanXlPrefix, "documents2")) { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // bounded driver action: one count for the copy's id offset
+    val n = docs.count()
+    dedupSpanPlan(docs.union(docs.select((col("doc_id") + n).as("doc_id"),
+      array_join(reverse(split(col("text"), " ")), " ").as("text"))))
   }
 
   /** Shared SPAN SWEEP — expand covered gram STARTS to positions,
@@ -727,9 +765,6 @@ object DedupQueries {
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
-
-  /** md5("") — the cleaned-digest for a fully-removed document. */
-  private val Md5Empty = "d41d8cd98f00b204e9800998ecf8427e"
 
   // ----------------------------------------- all-pairs cosine (inverted index)
 
@@ -1235,6 +1270,6 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qDedupSpan, qSimAllpairs,
-    qDedupIncrementalNear, qSimPpjoin, qDedupUrl, qDedupTemplate)
+    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qDedupSpan,
+    qDedupSpanXl, qSimAllpairs, qDedupIncrementalNear, qSimPpjoin, qDedupUrl, qDedupTemplate)
 }

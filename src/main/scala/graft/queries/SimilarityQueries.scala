@@ -57,6 +57,37 @@ object SimilarityQueries {
       |        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
       |       FROM embeddings)""".stripMargin
 
+  /** DOUBLED corpus — the third oracle point for the adaptive
+    * constants ([[clusterBits]], [[semC]]): sf0.01 and sf0.1 exercise
+    * at most two values of each, so a threshold-crossing bug in the
+    * sizing rules would be invisible to the sweep. The copy is each
+    * vector NEGATED with `vec_id + n`: negation is bit-exact on both
+    * engines ((-a)·(-b) ≡ a·b per IEEE, norms unchanged, bucket signs
+    * flip deterministically), keeps the copy's internal near-dup
+    * geometry identical to the original's, and — unlike an identical
+    * copy — creates no degenerate cos=1 pairs across halves. At
+    * sf0.01 this moves n 500→1000: bits 5→6, C 8→16 — a third value
+    * of BOTH constants under the same hash-exact oracle (and a
+    * fourth at sf0.1: 2000→4000, bits 7→8, C 32→63). */
+  private val vectorsXlCte: String =
+    """e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |        list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS n2
+      |       FROM embeddings),
+      |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e0),
+      |e AS (SELECT vec_id, label, v, n2 FROM e0
+      |      UNION ALL
+      |      SELECT vec_id + n0.n, label, list_transform(v, x -> -x), n2
+      |      FROM e0 CROSS JOIN n0)""".stripMargin
+
+  /** Engine twin of [[vectorsXlCte]]: base ∪ negated copy. */
+  private def vectorsXl(s: SparkSession, d: String): DataFrame = {
+    val e = vectors(s, d)
+    // bounded driver action: one count for the copy's id offset
+    val n = t(s, d, "embeddings").count()
+    e.union(e.select((col("vec_id") + n).as("vec_id"), col("label"),
+      transform(col("v"), x => -x).as("v")))
+  }
+
   /** EXACT near-duplicate pairs (cos ≥ 0.4) within a `label` block —
     * the full-recall VERIFICATION semantics, deliberately all-pairs
     * per block.
@@ -119,7 +150,10 @@ object SimilarityQueries {
     (0 until DedupRows).map { r =>
       val plane = DedupPlanes(j * DedupRows + r).map(_.toString).mkString(",")
       s"(CASE WHEN list_dot_product($v, [$plane]::DOUBLE[]) >= 0 THEN ${1L << r} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    }.mkString(s"(CASE WHEN $v IS NULL THEN NULL ELSE (", " + ", ") END)")
+    // the NULL guard keeps the twin bit-identical to PlaneBits'
+    // nullSafeEval on malformed rows: a NULL vector buckets to NULL on
+    // both engines instead of the oracle's every-CASE-to-ELSE-0 path
 
   /** The 100 TB near-dup shape: banded-LSH candidate generation (an
     * equi-join on (label, band, band value) — linear-ish in true
@@ -224,7 +258,8 @@ object SimilarityQueries {
       // the planes ever stop being exactly ±1
       val plane = Planes(j).map(_.toString).mkString(",")
       s"(CASE WHEN list_dot_product($v, [$plane]::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    }.mkString(s"(CASE WHEN $v IS NULL THEN NULL ELSE (", " + ", ") END)")
+    // NULL guard ≡ PlaneBits.nullSafeEval (see bandValueSql)
 
   private val qKnnLsh = Q("q_knn_lsh",
     s"""WITH $vectorsCte,
@@ -332,82 +367,16 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
-    * cluster the embedding space with a coarse quantizer, then prune
-    * near-duplicate pairs WITHIN each cluster only — the clustering
-    * bounds every comparison block by design (k is chosen ∝ corpus
-    * size, so cluster population stays roughly constant as the corpus
-    * grows), which is what makes within-cluster all-pairs the
-    * intended linear-ish scale shape here, unlike a fixed blocking
-    * key. Assignment reuses the IVF coarse-quantizer form (nearest of
-    * C deterministic centroids, row_number with cent_id tiebreak —
-    * exact on both engines); a vector is dropped when a LOWER-id
-    * vector in its cluster sits at cosine ≥ 0.4 (the deterministic
-    * keep-first policy standing in for SemDeDup's keep-one-per-
-    * neighborhood). Output: the surviving vectors with their cluster.
-    * Cross-cluster near-dups are out of contract — that recall loss
-    * vs exact dedup is the documented SemDeDup trade, measured for
-    * this corpus in SimilaritySpec: 0.29 at C=8, because the
-    * qualifying pairs sit at cos 0.40–0.48 (≈60°, the
-    * blocking-adversarial regime [[qDedupEmbed]]'s scaladoc derives);
-    * SemDeDup's near-1 recall regime is near-identical embeddings
-    * (θ→0), where same-cluster assignment approaches certainty. */
-  /** k∝n quantizer sizing: C(n) = max([[SemCMin]], ⌈n/[[SemCell]]⌉),
+  /** k∝n quantizer sizing for the SemDeDup query ([[qDedupSemantic]],
+    * defined after the adaptive-bucket machinery it now shares with
+    * the kNN-graph build): C(n) = max([[SemCMin]], ⌈n/[[SemCell]]⌉),
     * so expected cluster population stays ≈ [[SemCell]] as the corpus
     * grows and the within-cluster all-pairs prune stays ≈ Cell·n/2 —
     * linear, the published SemDeDup recipe. Integer-exact on both
-    * engines (ceil by (n+Cell−1)÷Cell, no float round-trip). The
-    * assignment pass is n·C(n) cosines — at true 100 TB scale you cut
-    * that with a hierarchical/ANN-assisted quantizer (assign against
-    * a coarse tree, not all C centroids); the cluster SIZES, which
-    * are what bound the pair joins, are what this rule pins. */
+    * engines (ceil by (n+Cell−1)÷Cell, no float round-trip). */
   private val SemCMin = 8L
   private val SemCell = 64L
   private[graft] def semC(n: Long): Long = math.max(SemCMin, (n + SemCell - 1) / SemCell)
-
-  private val qDedupSemantic = Q("q_dedup_semantic",
-    s"""WITH $vectorsCte,
-       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-       |cs AS (SELECT GREATEST($SemCMin, (n + ${SemCell - 1}) // $SemCell) AS c FROM ns),
-       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
-       |          FROM e CROSS JOIN cs WHERE vec_id < cs.c),
-       |asg AS (
-       |  SELECT vec_id, v, n2, cent_id,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC,
-       |               cent_id) AS arn
-       |  FROM e CROSS JOIN cents),
-       |a AS (SELECT vec_id, v, n2, cent_id AS cluster FROM asg WHERE arn = 1)
-       |SELECT x.vec_id, x.cluster FROM a x
-       |WHERE NOT EXISTS (
-       |  SELECT 1 FROM a y
-       |  WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
-       |    AND list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4)
-       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = vectors(s, d)
-    // bounded driver action: one count sizes the quantizer (k∝n)
-    val c = semC(t(s, d, "embeddings").count())
-    val cents = broadcast(e.where(col("vec_id") < c)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cent_id"))
-    val assigned = e.crossJoin(cents)
-      .withColumn("cs", cosine(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cluster"))
-    // within-cluster prune: a vector with a lower-id near-neighbor
-    // (cos >= 0.4) in its own cluster is dropped — the pair join is an
-    // equi-join on `cluster`, whose population the quantizer bounds
-    val drops = assigned.select(col("vec_id").as("b_id"), col("cluster"), col("v").as("vb"))
-      .join(assigned.select(col("vec_id").as("a_id"), col("cluster"), col("v").as("va")),
-        Seq("cluster"))
-      .where(col("a_id") < col("b_id") && cosine(col("va"), col("vb")) >= 0.4)
-      .select(col("b_id").as("vec_id")).distinct()
-    assigned.join(drops, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cluster"))
-      .orderBy(col("vec_id"))
-  }
 
   /** Per-label centroid — the embedding aggregation that trains IVF
     * coarse quantizers and powers class-prototype analyses. Long-form
@@ -1053,10 +1022,13 @@ object SimilarityQueries {
     ClusterMinBits + (ClusterMinBits until ClusterMaxBits)
       .count(j => n > ClusterOcc * (1L << j))
 
-  /** SQL twin of [[clusterBits]] — the thresholds embed as literals. */
-  private def clusterBitsSql: String =
+  /** SQL twin of [[clusterBits]] — the thresholds embed as literals.
+    * `cnt` is the column holding the population the bucket family is
+    * sized for (`n` for the kNN-graph build over vectors, `c` for the
+    * semantic-dedup CENTROID table). */
+  private def clusterBitsSql(cnt: String = "n"): String =
     (ClusterMinBits until ClusterMaxBits)
-      .map(j => s"(CASE WHEN n > ${ClusterOcc * (1L << j)} THEN 1 ELSE 0 END)")
+      .map(j => s"(CASE WHEN $cnt > ${ClusterOcc * (1L << j)} THEN 1 ELSE 0 END)")
       .mkString(s"($ClusterMinBits + ", " + ", ")")
 
   /** First-`bits` plane bucket (engine side: `bits` is a driver
@@ -1074,19 +1046,185 @@ object SimilarityQueries {
       val plane = ClusterPlanes(j).map(_.toString).mkString(",")
       s"(CASE WHEN $j < bs.bits AND list_dot_product($v, [$plane]::DOUBLE[]) >= 0" +
         s" THEN ${1L << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    }.mkString(s"(CASE WHEN $v IS NULL THEN NULL ELSE (", " + ", ") END)")
+    // NULL guard ≡ PlaneBits.nullSafeEval (see bandValueSql)
+
+  // -------------------------------------------- SemDeDup semantic dedup
+
+  /** Hard per-bucket centroid cap for the semantic-dedup ASSIGNMENT
+    * pass — the q_embed_cluster anchor-cap medicine applied to the
+    * vector→centroid join: a vector is scored against at most
+    * [[SemAnchors]] centroids from its LSH bucket plus the
+    * [[SemCMin]] always-present roots, so per-vector assignment work
+    * is a CONSTANT (≤ Anchors + CMin cosines) no matter how big the
+    * corpus — and C(n) — grow. */
+  private[graft] val SemAnchors = 16
+
+  /** Assignment CANDIDATE scores (vec_id, cent_id, cs) — the
+    * two-level quantizer that replaced the brute-force n·C(n) pass:
+    *
+    *  1. the C(n) = [[semC]] centroids (first-C vectors) bucket under
+    *     the ADAPTIVE plane family ([[clusterBits]] sized from C, so
+    *     expected centroids/bucket ≈ [[ClusterOcc]]), and each bucket
+    *     keeps only its [[SemAnchors]] lowest-id centroids — the hard
+    *     fanout cap under bucket skew;
+    *  2. every vector joins the capped centroids of ITS bucket (an
+    *     equi-join on the bucket key — broadcast while the capped
+    *     table fits, shuffled-hash beyond; never all-pairs) plus the
+    *     [[SemCMin]] root centroids (cent_id < CMin, broadcast — a
+    *     non-empty candidate floor for bucket-orphan vectors).
+    *
+    * Total candidate volume is ≤ (Anchors + CMin)·n by construction —
+    * HeavyScaleProbe.semVolumeCheck pins the measured exponent.
+    * Cosines are computed BEFORE the per-vector window, so the
+    * assignment shuffle carries slim (vec_id, cent_id, cs) rows, not
+    * 64-dim vectors. Exposed for the probe and SimilaritySpec. */
+  private[graft] def semCandidates(s: SparkSession, d: String): DataFrame =
+    semCandidatesFrom(vectors(s, d),
+      // bounded driver action: one count sizes quantizer + bucket family
+      t(s, d, "embeddings").count())
+
+  private def semCandidatesFrom(e: DataFrame, n: Long): DataFrame = {
+    val c = semC(n)
+    val bits = clusterBits(c)
+    val cents = e.where(col("vec_id") < c)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val capped = cents
+      .withColumn("b", clusterBucket(col("cv"), bits))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("cent_id"))))
+      .where(col("crk") <= SemAnchors)
+      .select(col("b"), col("cent_id"), col("cv"))
+    val roots = broadcast(cents.where(col("cent_id") < SemCMin))
+    val cs = cosine(col("v"), col("cv"))
+    e.select(col("vec_id"), col("v"), clusterBucket(col("v"), bits).as("b"))
+      .join(capped, Seq("b"))
+      .select(col("vec_id"), col("cent_id"), cs.as("cs"))
+      .union(e.select(col("vec_id"), col("v")).crossJoin(roots)
+        .select(col("vec_id"), col("cent_id"), cs.as("cs")))
+    // a root that is also a bucket anchor yields a duplicate
+    // (vec_id, cent_id, cs) row — harmless: the assignment window
+    // below ranks duplicates adjacently and arn=1's VALUES are
+    // deterministic either way
+  }
+
+  /** Nearest candidate centroid per vector — (vec_id, cluster),
+    * row_number with (cos desc, cent_id) tiebreak, exact on both
+    * engines over the IDENTICAL candidate set. */
+  private[graft] def semAssigned(s: SparkSession, d: String): DataFrame =
+    semAssignedFrom(semCandidates(s, d))
+
+  private def semAssignedFrom(candidates: DataFrame): DataFrame =
+    candidates
+      .withColumn("arn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cent_id"))))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then prune
+    * near-duplicate pairs WITHIN each cluster only — the clustering
+    * bounds every comparison block by design (k ∝ corpus size
+    * [[semC]], so cluster population stays roughly constant as the
+    * corpus grows), which is what makes within-cluster all-pairs the
+    * intended linear-ish scale shape here, unlike a fixed blocking
+    * key. Assignment is the CAPPED two-level pass ([[semCandidates]]:
+    * LSH-bucketed centroids + root floor, ≤ Anchors+CMin cosines per
+    * vector — the hierarchical-quantizer fix for the former
+    * brute-force n·C(n) scan, with the oracle running the IDENTICAL
+    * candidate generation so assignment stays hash-exact); a vector
+    * is dropped when a LOWER-id vector in its cluster sits at cosine
+    * ≥ 0.4 (the deterministic keep-first policy standing in for
+    * SemDeDup's keep-one-per-neighborhood). Output: the surviving
+    * vectors with their cluster. Cross-cluster near-dups are out of
+    * contract — that recall loss vs exact dedup is the documented
+    * SemDeDup trade, measured for this corpus in SimilaritySpec
+    * (pinned floor 0.25; the qualifying pairs sit at cos 0.40–0.48 ≈
+    * 60°, the blocking-adversarial regime [[qDedupEmbed]]'s scaladoc
+    * derives — SemDeDup's near-1 recall regime is near-identical
+    * embeddings, θ→0, where same-bucket+same-choice assignment
+    * approaches certainty). */
+  private def dedupSemanticSql(cte: String): String =
+    s"""WITH $cte,
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |cs AS (SELECT GREATEST($SemCMin, (n + ${SemCell - 1}) // $SemCell) AS c FROM ns),
+       |bs AS (SELECT ${clusterBitsSql("c")} AS bits FROM cs),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
+       |          FROM e CROSS JOIN cs WHERE vec_id < cs.c),
+       |cb AS (SELECT cent_id, cv, cn2, ${clusterBucketSql("cv")} AS b
+       |       FROM cents CROSS JOIN bs),
+       |cap AS (SELECT cent_id, cv, cn2, b,
+       |          row_number() OVER (PARTITION BY b ORDER BY cent_id) AS crk
+       |        FROM cb),
+       |vb AS (SELECT vec_id, v, n2, ${clusterBucketSql("v")} AS b
+       |       FROM e CROSS JOIN bs),
+       |cand AS (
+       |  SELECT vb.vec_id, cap.cent_id,
+       |    list_dot_product(vb.v, cap.cv) / (sqrt(vb.n2) * sqrt(cap.cn2)) AS sc
+       |  FROM vb JOIN cap ON vb.b = cap.b AND cap.crk <= $SemAnchors
+       |  UNION ALL
+       |  SELECT e.vec_id, r.cent_id,
+       |    list_dot_product(e.v, r.cv) / (sqrt(e.n2) * sqrt(r.cn2))
+       |  FROM e CROSS JOIN cents r WHERE r.cent_id < $SemCMin),
+       |asg AS (SELECT vec_id, cent_id,
+       |          row_number() OVER (PARTITION BY vec_id
+       |            ORDER BY sc DESC, cent_id) AS arn
+       |        FROM cand),
+       |a AS (SELECT e.vec_id, x.cluster, e.v, e.n2
+       |      FROM (SELECT vec_id, cent_id AS cluster FROM asg WHERE arn = 1) x
+       |      JOIN e ON e.vec_id = x.vec_id)
+       |SELECT x.vec_id, x.cluster FROM a x
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM a y
+       |  WHERE y.cluster = x.cluster AND y.vec_id < x.vec_id
+       |    AND list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) >= 0.4)
+       |ORDER BY vec_id""".stripMargin
+
+  private def dedupSemanticPlan(e: DataFrame, n: Long): DataFrame = {
+    val assigned = semAssignedFrom(semCandidatesFrom(e, n)).join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("cluster"))
+    // within-cluster prune: a vector with a lower-id near-neighbor
+    // (cos >= 0.4) in its own cluster is dropped — the pair join is an
+    // equi-join on `cluster`, whose population the quantizer bounds
+    val drops = assigned.select(col("vec_id").as("b_id"), col("cluster"), col("v").as("vb"))
+      .join(assigned.select(col("vec_id").as("a_id"), col("cluster"), col("v").as("va")),
+        Seq("cluster"))
+      .where(col("a_id") < col("b_id") && cosine(col("va"), col("vb")) >= 0.4)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val qDedupSemantic = Q("q_dedup_semantic",
+    dedupSemanticSql(vectorsCte)) { (s, d) =>
+    dedupSemanticPlan(vectors(s, d), t(s, d, "embeddings").count())
+  }
+
+  /** [[qDedupSemantic]] over the DOUBLED corpus ([[vectorsXlCte]]) —
+    * the third-size oracle point for [[semC]] (and [[clusterBits]]
+    * over the centroid table): at sf0.01 C crosses 8→16, so the
+    * quantizer sizing, bucket family, and capped assignment are all
+    * re-verified hash-exact at a constant value the two driver SFs
+    * never reach. */
+  private val qDedupSemanticXl = Q("q_dedup_semantic_xl",
+    dedupSemanticSql(vectorsXlCte)) { (s, d) =>
+    dedupSemanticPlan(vectorsXl(s, d), 2L * t(s, d, "embeddings").count())
+  }
 
   /** Candidate kNN-graph pairs — exposed for HeavyScaleProbe's
     * pair-volume exponent bound. */
-  private[graft] def clusterCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clusterCandidates(s: SparkSession, d: String): DataFrame =
     // bounded driver action: one count to size the bucket family —
     // the same "bounded model state" pattern as k-means centroids
-    val n = t(s, d, "embeddings").count()
+    clusterCandidatesFrom(vectors(s, d), t(s, d, "embeddings").count())
+
+  private def clusterCandidatesFrom(e: DataFrame, n: Long): DataFrame = {
     val bits = clusterBits(n)
     val rkW = Window.partitionBy(col("b"))
       .orderBy(md5Long(col("vec_id").cast("string"))
         % graft.functions.PortableHash.P, col("vec_id"))
-    val rk = vectors(s, d)
+    val rk = e
       .select(col("vec_id"), col("v"), clusterBucket(col("v"), bits).as("b"))
       .withColumn("rnk", row_number().over(rkW))
     rk.select(col("vec_id").as("ai"), col("v").as("va"), col("b"),
@@ -1124,10 +1262,10 @@ object SimilarityQueries {
     * broadcast-vs-co-partition choice. A bucket-singleton vector has
     * no neighbors and is absent from the graph (identical on both
     * engines — standard isolate semantics of a bucketed kNN build). */
-  private val qEmbedCluster = Q("q_embed_cluster",
-    s"""WITH $vectorsCte,
+  private def embedClusterSql(cte: String): String =
+    s"""WITH $cte,
        |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
-       |bs AS (SELECT $clusterBitsSql AS bits FROM ns),
+       |bs AS (SELECT ${clusterBitsSql()} AS bits FROM ns),
        |bk AS (SELECT vec_id, v, n2, ${clusterBucketSql("v")} AS b
        |       FROM e CROSS JOIN bs),
        |rk AS (SELECT vec_id, v, n2, b,
@@ -1153,8 +1291,9 @@ object SimilarityQueries {
        |${(1 to ClusterRounds).map(k => GraphQueries.lpIterCte(k, "e2")).mkString(",\n")}
        |SELECT lab, CAST(count(*) AS BIGINT) AS sz, CAST(min(id) AS BIGINT) AS min_id
        |FROM l$ClusterRounds GROUP BY lab
-       |ORDER BY sz DESC, lab LIMIT 30""".stripMargin) { (s, d) =>
-    val pr = clusterCandidates(s, d)
+       |ORDER BY sz DESC, lab LIMIT 30""".stripMargin
+
+  private def embedClusterPlan(pr: DataFrame): DataFrame = {
     val dir = pr.select(col("ai").as("src"), col("bi").as("dst"), col("cos"))
       .union(pr.select(col("bi").as("src"), col("ai").as("dst"), col("cos")))
     val top = dir
@@ -1170,6 +1309,23 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("sz"), min(col("id")).as("min_id"))
       .orderBy(col("sz").desc, col("lab"))
       .limit(30)
+  }
+
+  private val qEmbedCluster = Q("q_embed_cluster",
+    embedClusterSql(vectorsCte)) { (s, d) =>
+    embedClusterPlan(clusterCandidates(s, d))
+  }
+
+  /** [[qEmbedCluster]] over the DOUBLED corpus ([[vectorsXlCte]]) —
+    * the third-size oracle point for [[clusterBits]] over the vector
+    * table: at sf0.01 bits crosses 5→6 (and 7→8 at sf0.1), so the
+    * adaptive bucket family and anchor-capped candidate join are
+    * re-verified hash-exact at widths the two driver SFs never
+    * exercise. */
+  private val qEmbedClusterXl = Q("q_embed_cluster_xl",
+    embedClusterSql(vectorsXlCte)) { (s, d) =>
+    embedClusterPlan(clusterCandidatesFrom(vectorsXl(s, d),
+      2L * t(s, d, "embeddings").count()))
   }
 
   // --------------------------------------------------- coreset selection
@@ -1241,7 +1397,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
-    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qEmbedCov, qEmbedPca,
-    qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic, qMineNegatives,
-    qEmbedCluster, qSampleCoreset)
+    qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
+    qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
+    qMineNegatives, qEmbedCluster, qEmbedClusterXl, qSampleCoreset)
 }

@@ -73,6 +73,14 @@ final class EventServer private (server: HttpServer) {
   private val stopped = new AtomicBoolean(false)
   private val publishedMeter = new AtomicLong(0)
   private val broadcastMeter = new AtomicLong(0)
+  // publish→write latency ring: every delivered frame records the
+  // nanos from its event's publish() to the socket write completing.
+  // A fixed ring (overwrite-oldest) keeps the recording O(1) and
+  // allocation-free on the write path; readers snapshot by index
+  // range ([[latencySince]]), so a probe phase costs two counter
+  // reads. Keepalives never record.
+  private val latencyRing = new java.util.concurrent.atomic.AtomicLongArray(LatencyRingSize)
+  private val latencyCount = new AtomicLong(0)
 
   /** Events offered to the hub (pipeline side). */
   def published: Long = publishedMeter.get
@@ -82,12 +90,34 @@ final class EventServer private (server: HttpServer) {
   /** Live subscriber count (tests/ops). */
   def subscriberCount: Int = subs.size
 
+  /** Total publish→write latency samples recorded so far (monotonic;
+    * pair with [[latencySince]] to scope a measurement phase). */
+  def latencyMark: Long = latencyCount.get
+
+  /** Latency samples (nanos) recorded since `mark` — at most the
+    * last [[EventServer.LatencyRingSize]]; older samples from the
+    * window are overwritten (a probe whose phase outgrows the ring
+    * reads the newest ring-ful, which is the right bias for
+    * percentiles of a steady-state run). */
+  def latencySince(mark: Long): Array[Long] = {
+    val end = latencyCount.get
+    val start = math.max(mark, end - LatencyRingSize)
+    Array.tabulate((end - start).toInt)(i =>
+      latencyRing.get(((start + i) % LatencyRingSize).toInt))
+  }
+
+  private def recordLatency(nanos: Long): Unit = {
+    val i = latencyCount.getAndIncrement()
+    latencyRing.set((i % LatencyRingSize).toInt, nanos)
+  }
+
   /** Non-blocking fan-out: swap each subscriber's 1-slot buffer.
     * O(subscribers), no locks, no queues — a stalled subscriber
     * costs one reference swap. */
   def publish(json: String): Unit = {
     publishedMeter.incrementAndGet()
-    subs.forEach(_.offer(json))
+    val ts = System.nanoTime()
+    subs.forEach(_.offer(json, ts))
   }
 
   /** Attach a streaming DataFrame with a single string column
@@ -140,14 +170,35 @@ final class EventServer private (server: HttpServer) {
     var idleMs = 0L
     while (!stopped.get) {
       sub.take(250) match {
-        case Some(msg) =>
+        case Some(Timed(msg, publishedAt)) =>
           idleMs = 0
           out.write(frame(msg))
           out.flush()
           broadcastMeter.incrementAndGet()
-          // token spacing AFTER delivery: the slot keeps absorbing
-          // newer events during the wait (latest-wins)
-          intervalMs.foreach(Thread.sleep)
+          recordLatency(System.nanoTime() - publishedAt)
+          // token spacing AFTER delivery, as repeated 250 ms polls:
+          // the slot keeps absorbing newer events during the wait
+          // (latest-wins), and keepalives still flow every
+          // KeepaliveMs — so an epm < 12 subscriber with a short read
+          // timeout (HttpLines' 5 s default) is not torn down
+          // mid-wait, and a silent disconnect surfaces as the
+          // keepalive write's IOException instead of lingering until
+          // the next delivery.
+          intervalMs.foreach { iv =>
+            var waited = 0L
+            var quiet = 0L
+            while (waited < iv && !stopped.get) {
+              val step = math.min(250L, iv - waited)
+              Thread.sleep(step)
+              waited += step
+              quiet += step
+              if (quiet >= KeepaliveMs && waited < iv) {
+                quiet = 0
+                out.write(keepalive)
+                out.flush()
+              }
+            }
+          }
         case None =>
           // Idle keepalive, two jobs: (1) LIVENESS — a write to a
           // closed socket is the only way to detect a silent client
@@ -214,18 +265,27 @@ object EventServer {
     }
   }
 
+  /** Publish→write latency ring capacity (per server) — 4096 samples
+    * comfortably covers a probe phase at the curated stream's rate
+    * while keeping the snapshot O(ring). */
+  private[streaming] val LatencyRingSize = 4096
+
+  /** An event plus its publish() nanoTime — what rides in the slot so
+    * the writer can record end-to-end delivery latency. */
+  private final case class Timed(json: String, publishedAt: Long)
+
   /** One subscriber's 1-slot latest-wins buffer. */
   private final class Subscription {
-    private val slot = new AtomicReference[String]()
+    private val slot = new AtomicReference[Timed]()
     private val ready = new Semaphore(0)
 
     /** Publisher side: overwrite the slot; wake the writer only on a
       * null→value transition (at most one queued permit). */
-    def offer(msg: String): Unit =
-      if (slot.getAndSet(msg) == null) ready.release()
+    def offer(msg: String, publishedAt: Long): Unit =
+      if (slot.getAndSet(Timed(msg, publishedAt)) == null) ready.release()
 
     /** Writer side: newest event, or None after `timeoutMs`. */
-    def take(timeoutMs: Long): Option[String] =
+    def take(timeoutMs: Long): Option[Timed] =
       if (ready.tryAcquire(timeoutMs, TimeUnit.MILLISECONDS))
         Option(slot.getAndSet(null))
       else None

@@ -34,9 +34,20 @@ import graft.pipeline.Flagship
   * backpressure is leaking into the stream. */
 object ServingProbe {
 
-  final case class Result(freeEps: Double, stalledEps: Double) {
+  final case class Result(freeEps: Double, stalledEps: Double,
+      p50Ms: Double = -1.0, p99Ms: Double = -1.0) {
     def ratio: Double = if (freeEps > 0) stalledEps / freeEps else 0.0
   }
+
+  /** Exact percentile by rank over the sample set (nearest-rank,
+    * the conservative convention): empty → -1 (unmeasured). */
+  private[graft] def percentileMs(nanos: Array[Long], p: Double): Double =
+    if (nanos.isEmpty) -1.0
+    else {
+      val sorted = nanos.sorted
+      sorted(math.min(sorted.length - 1,
+        math.ceil(p * sorted.length).toInt - 1).max(0)) / 1e6
+    }
 
   private def measureEps(spark: SparkSession, sfDir: String,
       es: EventServer, rowsPerBatch: Long, warmupSec: Int,
@@ -71,7 +82,7 @@ object ServingProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = graft.Sessions.local(logLevel = "ERROR")
     val r = run(spark, sfDir)
-    println(f"SERVING free=${r.freeEps}%.0f eps stalled=${r.stalledEps}%.0f eps ratio=${r.ratio}%.2f")
+    println(f"SERVING free=${r.freeEps}%.0f eps stalled=${r.stalledEps}%.0f eps ratio=${r.ratio}%.2f p50=${r.p50Ms}%.1f ms p99=${r.p99Ms}%.1f ms")
     spark.stop()
   }
 
@@ -82,17 +93,39 @@ object ServingProbe {
       val free = measureEps(spark, sfDir, es, rowsPerBatch, warmupSec, measureSec)
       // stalled subscriber: full HTTP request, then never read a byte
       val sock = new Socket("127.0.0.1", es.port)
+      // plus a DRAINING subscriber in the same phase: it yields the
+      // publish→write latency percentiles (the event-to-subscriber UX
+      // number), measured while a stalled peer exists — so the sample
+      // also demonstrates fan-out independence: a healthy subscriber's
+      // latency is unaffected by the worst-case peer.
+      val drain = new Socket("127.0.0.1", es.port)
+      val drainStop = new java.util.concurrent.atomic.AtomicBoolean(false)
       try {
         sock.getOutputStream.write(
           "GET /api/events HTTP/1.1\r\nHost: localhost\r\n\r\n"
             .getBytes(StandardCharsets.UTF_8))
         sock.getOutputStream.flush()
+        drain.getOutputStream.write(
+          "GET /api/jsonl HTTP/1.1\r\nHost: localhost\r\n\r\n"
+            .getBytes(StandardCharsets.UTF_8))
+        drain.getOutputStream.flush()
+        val drainer = new Thread(() => {
+          val buf = new Array[Byte](8192)
+          try { val in = drain.getInputStream
+            while (!drainStop.get && in.read(buf) >= 0) () }
+          catch { case _: java.io.IOException => () }
+        }, "serving-probe-drain")
+        drainer.setDaemon(true)
+        drainer.start()
         val deadline = System.nanoTime() + 5L * 1000000000L
-        while (es.subscriberCount < 1 && System.nanoTime() < deadline)
+        while (es.subscriberCount < 2 && System.nanoTime() < deadline)
           Thread.sleep(20)
+        val mark = es.latencyMark
         val stalled = measureEps(spark, sfDir, es, rowsPerBatch, warmupSec, measureSec)
-        Result(free, stalled)
-      } finally sock.close()
+        val lat = es.latencySince(mark)
+        Result(free, stalled,
+          percentileMs(lat, 0.50), percentileMs(lat, 0.99))
+      } finally { drainStop.set(true); drain.close(); sock.close() }
     } finally es.stop()
   }
 }

@@ -32,4 +32,24 @@ class BenchGateSpec extends AnyFunSuite {
     // 4x and +0.75s — flags
     assert(BenchGate.regressions(Map("q" -> 0.25), Map("q" -> 1.0)).nonEmpty)
   }
+
+  test("streaming/serving floors: breach below, green at-or-above, missing = breach") {
+    // canonical-grade numbers — green
+    assert(BenchGate.floorBreaches(
+      Map("streaming_eps" -> 448000.0, "serving_stall_ratio" -> 1.00)).isEmpty)
+    // exactly at the floors — green (floor is inclusive)
+    assert(BenchGate.floorBreaches(
+      Map("streaming_eps" -> BenchGate.StreamingEpsFloor,
+          "serving_stall_ratio" -> BenchGate.StallRatioFloor)).isEmpty)
+    // eps collapse — one breach, names the field
+    val epsBreach = BenchGate.floorBreaches(
+      Map("streaming_eps" -> 120000.0, "serving_stall_ratio" -> 0.98))
+    assert(epsBreach.size == 1 && epsBreach.head.contains("streaming_eps"))
+    // stall ratio sunk — the drop-oldest guarantee broke
+    val stallBreach = BenchGate.floorBreaches(
+      Map("streaming_eps" -> 400000.0, "serving_stall_ratio" -> 0.42))
+    assert(stallBreach.size == 1 && stallBreach.head.contains("serving_stall_ratio"))
+    // probe never ran → missing fields must not read as green
+    assert(BenchGate.floorBreaches(Map.empty).size == 2)
+  }
 }

@@ -126,14 +126,15 @@ class SimilaritySpec extends AnyFunSuite {
       if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4
     } yield (ids(i), ids(j))
     val clusterOf = {
-      val assignedDrops = kept.map(k => k._1 -> k._2).toMap
-      // dropped vectors aren't in the output; recompute their cluster
-      // the same way the query does (nearest of the first-C centroids
-      // under the k∝n sizing rule)
-      val c0 = graft.queries.SimilarityQueries.semC(total)
-      val cents = ids.filter(_ < c0).map(c => c -> vecs(c))
-      (v: Long) => assignedDrops.getOrElse(v,
-        cents.map { case (cid, cv) => (-cos(vecs(v), cv), cid) }.min._2)
+      // dropped vectors aren't in the output; read the full assignment
+      // from the query's own exposed frame (the capped two-level pass)
+      val assigned = graft.queries.SimilarityQueries.semAssigned(spark, Sf)
+        .as[(Long, Long)].collect().toMap
+      assert(assigned.size.toLong == total, "assignment must cover every vector")
+      kept.foreach { case (v, cl) =>
+        assert(assigned(v) == cl, s"survivor $v cluster disagrees with semAssigned")
+      }
+      (v: Long) => assigned(v)
     }
     val (covered, nPairs) = exactPairs.foldLeft((0, 0)) { case ((c, t), (a, b)) =>
       (c + (if (clusterOf(a) == clusterOf(b)) 1 else 0), t + 1)
