@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   *    and candidate pairs by ~100 — a worst-case stress, not a
   *    scale-up);
   *  - embeddings: vec_id offset, a small per-copy constant shift so
-  *    copies are distinct points in the same cloud shape;
+  *    copies are distinct points in the same cloud shape. NOTE: the
+  *    shift preserves DIRECTION almost exactly, so cross-copy COSINE
+  *    near-dup density inflates ~quadratically in copies — for the
+  *    capped queries (q_dedup_semantic, q_embed_cluster) that is the
+  *    intended cap stress; for pair-density queries
+  *    (q_dedup_embed_incremental) it makes the probe a WORST-CASE
+  *    density run (every new vector near-duplicates all prior copies
+  *    of its base), so a sub-linear wall exponent there is a stronger
+  *    claim than on a density-preserving corpus;
   *  - lineitem: part/supp keys offset per copy — 10 disconnected
   *    copies of the co-stocking graph (component structure constant,
   *    node/edge count 10×).
@@ -73,6 +81,10 @@ object HeavyScaleProbe {
     // coverage join, per-doc windows, and reassembly must all scale
     // with the corpus, not the pair structure
     "q_dedup_span",
+    // round 12: the incremental embedding ingest — candidate volume
+    // is new×prior band collisions, so the 10× corpus must grow the
+    // pass linearly (band rows), never quadratically (pair graph)
+    "q_dedup_embed_incremental",
     // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
     // pass-2 claim (salted copies share no lines, so the repeated-line
     // set and per-copy strike structure are preserved while the corpus
@@ -89,7 +101,7 @@ object HeavyScaleProbe {
     "q_sim_ppjoin" -> 1.0, "q_graph_labelprop" -> 1.0,
     "q_text_boilerplate" -> 1.0, "q_web_pipeline" -> 1.0,
     "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
-    "q_dedup_span" -> 1.0)
+    "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
@@ -104,18 +116,32 @@ object HeavyScaleProbe {
     require(exp < 1.2, f"q_embed_cluster pair volume exponent $exp%.2f >= 1.2")
   }
 
-  /** Direct growth bound for the semantic-dedup ASSIGNMENT pass
+  /** Hard per-vector bound for the semantic-dedup ASSIGNMENT pass
     * (round 12 — the verdict's last named scale-killer): counts the
-    * actual assignment-candidate cosines at sf0.1 and synthetic sf1
-    * and requires exponent < 1.2. The analytic ceiling is
-    * (SemAnchors + SemCMin)·n — constant per-vector work — where the
-    * replaced brute-force pass did n·C(n) ∝ n²/64. */
+    * actual assignment candidates at sf0.1 and synthetic sf1 and
+    * requires candidates/vector ≤ SemAnchors + SemCMin at BOTH sizes.
+    * A growth exponent is the wrong instrument here: per-vector
+    * candidates SATURATE toward the cap as C(n) outgrows the bucket
+    * family (measured 10.1/vec at n=2k → 18.4/vec at n=20k, ceiling
+    * 24), so the decade exponent reads ~1.26 during fill-in and →1.0
+    * after — the scale-free constant ceiling is the stronger claim
+    * and the one the capped join actually guarantees. The replaced
+    * brute-force pass did n·C(n) ∝ n²/64 (312 cosines/vec at n=20k,
+    * unbounded beyond). */
   private def semVolumeCheck(spark: SparkSession): Unit = {
-    val c0 = graft.queries.SimilarityQueries.semCandidates(spark, Src).count()
-    val c1 = graft.queries.SimilarityQueries.semCandidates(spark, Dst).count()
-    val exp = math.log10(c1.toDouble / c0.toDouble)
-    println(f"SEMVOLUME q_dedup_semantic sf0.1: $c0%d cand | sf1: $c1%d cand | exp=$exp%5.2f")
-    require(exp < 1.2, f"q_dedup_semantic assignment-candidate exponent $exp%.2f >= 1.2")
+    import graft.queries.SimilarityQueries.{SemAnchors, SemCMin}
+    val cap = SemAnchors + SemCMin
+    def perVec(dir: String): (Long, Long, Double) = {
+      val n = graft.Tables(spark, dir, "embeddings").count()
+      val c = graft.queries.SimilarityQueries.semCandidates(spark, dir).count()
+      (c, n, c.toDouble / n)
+    }
+    val (c0, n0, r0) = perVec(Src)
+    val (c1, n1, r1) = perVec(Dst)
+    println(f"SEMVOLUME q_dedup_semantic sf0.1: $c0%d cand / $n0%d vec = $r0%5.1f | " +
+      f"sf1: $c1%d cand / $n1%d vec = $r1%5.1f | cap=$cap%d")
+    require(r0 <= cap, f"sf0.1 assignment candidates/vector $r0%.1f > cap $cap%d")
+    require(r1 <= cap, f"sf1 assignment candidates/vector $r1%.1f > cap $cap%d")
   }
 
   /** q_knn_ivf_trained's Q entry (round 10) joins the IVF result

@@ -203,6 +203,80 @@ object SimilarityQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Incremental EMBEDDING dedup — the daily-ingest form of the
+    * embedding near-dup pipeline (the `q_dedup_incremental_near`
+    * contract applied to vectors): flag NEW-batch vectors that
+    * near-duplicate the PRIOR corpus (cos ≥ 0.4), with the closest
+    * prior keeper. The split is deterministic on `vec_id` (prior =
+    * first ⌈4n/5⌉ ids — the corpus; the last fifth is the arriving
+    * batch). Candidate generation is the banded random-hyperplane
+    * join RESTRICTED to new×prior — the within-batch and prior×prior
+    * pair graphs never materialize, so an ingest pass costs
+    * |new|-scale band rows against the prior band manifest (which a
+    * production deployment persists once and appends to, exactly the
+    * fingerprint-manifest stance of `q_dedup_incremental`; here both
+    * sides derive in-plan from one banding pass). Verification is
+    * exact cosine on candidates only; the per-new-vector closest
+    * keeper is a row_number shortlist (sim desc, prior id). */
+  private val qDedupEmbedIncremental = Q("q_dedup_embed_incremental",
+    s"""WITH $vectorsCte,
+       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |sp AS (SELECT (4 * n + 4) // 5 AS s FROM ns),
+       |bx AS (
+       |${(0 until DedupBands).map(j =>
+          s"  SELECT vec_id, label, $j AS band, ${bandValueSql("v", j)} AS bv FROM e")
+          .mkString("\n  UNION ALL\n")}
+       |),
+       |bm AS (SELECT b.vec_id, b.label, b.band, b.bv, b.vec_id < sp.s AS prior
+       |       FROM bx b CROSS JOIN sp),
+       |cand AS (
+       |  SELECT DISTINCT nw.vec_id AS ni, p.vec_id AS pi
+       |  FROM bm nw JOIN bm p
+       |    ON nw.label = p.label AND nw.band = p.band AND nw.bv = p.bv
+       |  WHERE NOT nw.prior AND p.prior),
+       |scored AS (
+       |  SELECT c.ni, c.pi,
+       |    list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) AS sim
+       |  FROM cand c JOIN e a ON a.vec_id = c.ni JOIN e b ON b.vec_id = c.pi
+       |  WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4),
+       |ranked AS (
+       |  SELECT ni, pi, sim,
+       |    row_number() OVER (PARTITION BY ni ORDER BY sim DESC, pi) AS rn
+       |  FROM scored)
+       |SELECT ni AS new_id, pi AS dup_of, round(sim, 4) AS sim
+       |FROM ranked WHERE rn = 1 ORDER BY new_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d).localCheckpoint() // banded + verified against
+    // bounded driver action: one count fixes the new/prior split id
+    val split = (4L * t(s, d, "embeddings").count() + 4L) / 5L
+    val bands = e.select(col("vec_id"), col("label"),
+      explode(array((0 until DedupBands).map(j =>
+        struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
+      .select(col("vec_id"), col("label"), col("b.band").as("band"),
+        col("b.bv").as("bv"))
+    // a (new, prior) pair colliding in k bands appears k times —
+    // dedup ids only (cheap longs), then join the vectors back
+    val cand = bands.where(col("vec_id") >= split)
+      .select(col("vec_id").as("ni"), col("label"), col("band"), col("bv"))
+      .join(bands.where(col("vec_id") < split)
+        .select(col("vec_id").as("pi"), col("label").as("lb"),
+          col("band").as("band2"), col("bv").as("bv2")),
+        col("label") === col("lb") && col("band") === col("band2") &&
+          col("bv") === col("bv2"))
+      .select(col("ni"), col("pi")).distinct()
+    val cos = cosine(col("va"), col("vb"))
+    val w = Window.partitionBy(col("ni")).orderBy(col("sim").desc, col("pi"))
+    cand
+      .join(e.select(col("vec_id").as("ni"), col("v").as("va")), "ni")
+      .join(e.select(col("vec_id").as("pi"), col("v").as("vb")), "pi")
+      .where(cos >= 0.4)
+      .select(col("ni"), col("pi"), cos.as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("ni").as("new_id"), col("pi").as("dup_of"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy(col("new_id"))
+  }
+
   private val qKnnBrute = Q("q_knn_brute",
     s"""WITH $vectorsCte,
        |qs AS (SELECT * FROM e WHERE vec_id < 10),
@@ -374,7 +448,7 @@ object SimilarityQueries {
     * grows and the within-cluster all-pairs prune stays ≈ Cell·n/2 —
     * linear, the published SemDeDup recipe. Integer-exact on both
     * engines (ceil by (n+Cell−1)÷Cell, no float round-trip). */
-  private val SemCMin = 8L
+  private[graft] val SemCMin = 8L
   private val SemCell = 64L
   private[graft] def semC(n: Long): Long = math.max(SemCMin, (n + SemCell - 1) / SemCell)
 
@@ -1396,7 +1470,8 @@ object SimilarityQueries {
       .orderBy(col("list"), col("kind"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qKnnBrute, qKnnLsh, qKnnIvf,
+  val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qDedupEmbedIncremental,
+    qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qEmbedCluster, qEmbedClusterXl, qSampleCoreset)
