@@ -50,6 +50,17 @@ object BenchGate {
   val StreamingEpsFloor = 300000.0
   val StallRatioFloor = 0.9
 
+  /** Ceiling for the serving hop's p99 publish→write latency — the
+    * symmetric guard for the round-12 latency percentiles: canonical
+    * reads 0.01–0.02 ms (the 1-slot hub adds no measurable delay), so
+    * a 10 ms p99 means delivery started BLOCKING (a lock on the write
+    * path, a sleeping writer, an unbounded queue) — three orders of
+    * magnitude of headroom over canonical, far under anything a
+    * subscriber would call healthy. -1 (probe recorded no samples)
+    * breaches too: the drain-subscriber path failing must not read
+    * as green. */
+  val ServingP99CeilingMs = 10.0
+
   private def queryTable(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
     val q = root.get("queries")
@@ -62,16 +73,15 @@ object BenchGate {
 
   private def scalarFields(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
-    Seq("streaming_eps", "serving_stall_ratio").flatMap { k =>
-      Option(root.get(k)).map(k -> _.asDouble())
-    }.toMap
+    Seq("streaming_eps", "serving_stall_ratio", "serving_latency_p99_ms")
+      .flatMap { k => Option(root.get(k)).map(k -> _.asDouble()) }.toMap
   }
 
-  /** Pure floor check (spec-tested): breach messages, empty = green.
-    * A bench JSON missing a gated scalar is itself a breach — the
-    * probe failing to run must not read as green. */
-  def floorBreaches(scalars: Map[String, Double]): Seq[String] =
-    Seq(
+  /** Pure floor/ceiling check (spec-tested): breach messages, empty =
+    * green. A bench JSON missing a gated scalar is itself a breach —
+    * the probe failing to run must not read as green. */
+  def floorBreaches(scalars: Map[String, Double]): Seq[String] = {
+    val floors = Seq(
       ("streaming_eps", StreamingEpsFloor, f"$StreamingEpsFloor%.0f"),
       ("serving_stall_ratio", StallRatioFloor, f"$StallRatioFloor%.2f"),
     ).flatMap { case (k, floor, floorStr) =>
@@ -82,6 +92,20 @@ object BenchGate {
         case _ => None
       }
     }
+    val ceilings = Seq(
+      ("serving_latency_p99_ms", ServingP99CeilingMs),
+    ).flatMap { case (k, ceil) =>
+      scalars.get(k) match {
+        case None => Some(s"$k missing from latest bench (probe did not run?)")
+        case Some(v) if v < 0 =>
+          Some(s"$k unmeasured (-1): serving probe recorded no latency samples")
+        case Some(v) if v > ceil =>
+          Some(f"$k $v%.2f ms above ceiling $ceil%.0f ms")
+        case _ => None
+      }
+    }
+    floors ++ ceilings
+  }
 
   final case class Flag(name: String, canonical: Double, latest: Double) {
     def ratio: Double = latest / canonical

@@ -85,6 +85,10 @@ object HeavyScaleProbe {
     // is new×prior band collisions, so the 10× corpus must grow the
     // pass linearly (band rows), never quadratically (pair graph)
     "q_dedup_embed_incremental",
+    // round 12: incremental component merge — the contracted-graph
+    // CC loop must stay |new-edge|-scale while the corpus (and its
+    // prior manifest) grows 10×
+    "q_dedup_cc_incremental",
     // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
     // pass-2 claim (salted copies share no lines, so the repeated-line
     // set and per-copy strike structure are preserved while the corpus
@@ -101,7 +105,8 @@ object HeavyScaleProbe {
     "q_sim_ppjoin" -> 1.0, "q_graph_labelprop" -> 1.0,
     "q_text_boilerplate" -> 1.0, "q_web_pipeline" -> 1.0,
     "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
-    "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0)
+    "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
+    "q_dedup_cc_incremental" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the

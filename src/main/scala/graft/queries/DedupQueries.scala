@@ -303,6 +303,113 @@ object DedupQueries {
   private val qDedupCcStar = Q("q_dedup_cc_star", ccOracle)(
     ccQuery(graft.operators.ConnectedComponents.resolveAlternating))
 
+  /** INCREMENTAL cluster resolution — the ingest form of `q_dedup_cc`
+    * (completing the incremental family: exact fingerprints
+    * `q_dedup_incremental`, near-text `q_dedup_incremental_near`,
+    * embeddings `q_dedup_embed_incremental`, and now the component
+    * MERGE step): a new batch brings new verified near-dup edges
+    * (new×new and new×prior); the prior corpus already carries a
+    * component manifest (doc_id → smallest-id representative). The
+    * update CONTRACTS each prior component to its representative —
+    * exact because the representative IS the component min, so
+    * min-label over {new ids ∪ prior reps} equals min-label over the
+    * full union graph — then runs connected components over the
+    * contracted NEW-EDGE graph only, and expands merged labels back
+    * through the manifest. The per-ingest ITERATIVE work is
+    * |new-edge|-scale, never corpus-scale: the prior-side resolution
+    * here stands in for READING the persisted manifest (the
+    * `q_dedup_incremental_near` band-manifest stance — its cost
+    * belongs to the original corpus build, amortized across ingests).
+    * Output: the manifest DELTA — every new-batch document in a
+    * verified pair, every prior document whose representative
+    * changed, and prior manifest-absent singletons drawn into a
+    * component; untouched rows never appear (what an ingest commits).
+    * Oracle: recursive closure over prior-only and union graphs,
+    * emitting rows where the two labelings differ or no prior row
+    * exists. */
+  private val qDedupCcIncremental = Q("q_dedup_cc_incremental",
+    s"""WITH RECURSIVE $verifiedCtes,
+       |meta AS (SELECT doc_id, regexp_matches(source, '^src[0-9]$$') AS prior
+       |         FROM documents),
+       |pe AS (SELECT v.ai, v.bi FROM verified v
+       |       JOIN meta a ON v.ai = a.doc_id
+       |       JOIN meta b ON v.bi = b.doc_id
+       |       WHERE a.prior AND b.prior),
+       |pe2 AS (SELECT ai AS s, bi AS t FROM pe
+       |        UNION ALL SELECT bi, ai FROM pe),
+       |preach(s, t) AS (
+       |  SELECT s, t FROM pe2
+       |  UNION
+       |  SELECT r.s, e.t FROM preach r JOIN pe2 e ON r.t = e.s),
+       |plbl AS (SELECT s AS doc_id, least(s, min(t)) AS lbl
+       |         FROM preach GROUP BY s),
+       |ue2 AS (SELECT ai AS s, bi AS t FROM verified
+       |        UNION ALL SELECT bi, ai FROM verified),
+       |ureach(s, t) AS (
+       |  SELECT s, t FROM ue2
+       |  UNION
+       |  SELECT r.s, e.t FROM ureach r JOIN ue2 e ON r.t = e.s),
+       |ulbl AS (SELECT s AS doc_id, least(s, min(t)) AS lbl
+       |         FROM ureach GROUP BY s)
+       |SELECT u.doc_id, CAST(u.lbl AS BIGINT) AS cluster_id
+       |FROM ulbl u JOIN meta m ON u.doc_id = m.doc_id
+       |LEFT JOIN plbl p ON u.doc_id = p.doc_id
+       |WHERE (NOT m.prior) OR p.doc_id IS NULL OR p.lbl <> u.lbl
+       |ORDER BY u.doc_id""".stripMargin) { (s, d) =>
+    val meta = t(s, d, "documents")
+      .select(col("doc_id"), col("source").rlike("^src[0-9]$").as("prior"))
+    // pair-level frame (verified near-dups + endpoint provenance) —
+    // orders of magnitude below corpus scale, fenced once for the
+    // three consumers below
+    val vp = verifiedPairs(s, d).select(col("ai"), col("bi"))
+      .join(meta.select(col("doc_id").as("ai"), col("prior").as("pa")), "ai")
+      .join(meta.select(col("doc_id").as("bi"), col("prior").as("pb")), "bi")
+      .localCheckpoint()
+    // the persisted manifest a deployment reads (derived in-plan)
+    val plbl = graft.operators.ConnectedComponents.resolve(
+        vp.where(col("pa") && col("pb")).select(col("ai"), col("bi")))
+      .localCheckpoint()
+    val newEdges = vp.where(!(col("pa") && col("pb")))
+    // contract: prior endpoints → their representative (manifest-
+    // absent prior docs are their own rep); new endpoints unchanged
+    val ce = newEdges
+      .join(plbl.select(col("id").as("ai"), col("lbl").as("la")), Seq("ai"), "left")
+      .join(plbl.select(col("id").as("bi"), col("lbl").as("lb")), Seq("bi"), "left")
+      .select(
+        when(col("pa"), coalesce(col("la"), col("ai"))).otherwise(col("ai")).as("cs"),
+        when(col("pb"), coalesce(col("lb"), col("bi"))).otherwise(col("bi")).as("ct"))
+    // the ONLY iterative pass of the ingest — over the contracted
+    // new-edge graph, |new-edge|-scale
+    val clbl = graft.operators.ConnectedComponents.resolve(ce).localCheckpoint()
+    val newDocs = newEdges.where(!col("pa")).select(col("ai").as("doc_id"))
+      .union(newEdges.where(!col("pb")).select(col("bi").as("doc_id")))
+      .distinct()
+    val outNew = newDocs
+      .join(clbl.select(col("id").as("doc_id"), col("lbl")), "doc_id")
+      .select(col("doc_id"), col("lbl"))
+    // prior/new doc-id sets are disjoint, so contracted non-new nodes
+    // are exactly the prior representatives
+    val repLabels = ce.select(col("cs").as("id")).union(ce.select(col("ct").as("id")))
+      .distinct()
+      .join(newDocs.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .join(clbl, "id")
+      .select(col("id").as("rep"), col("lbl").as("m"))
+    // manifest members whose representative changed (shuffled
+    // equi-join — the manifest is corpus-fraction-scaled, never
+    // broadcast: the keep_best labels-join rule)
+    val memberRows = repLabels
+      .join(plbl.select(col("id").as("doc_id"), col("lbl").as("rep")), "rep")
+      .where(col("m") =!= col("rep"))
+      .select(col("doc_id"), col("m").as("lbl"))
+    // manifest-absent prior singletons drawn into a component
+    val singletonReps = repLabels
+      .join(plbl.select(col("id").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("m").as("lbl"))
+    outNew.union(memberRows).union(singletonReps)
+      .select(col("doc_id"), col("lbl").cast("long").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The dedup MANIFEST a corpus build actually ships: every document
     * resolved to its near-dup cluster (singletons included), with the
     * cluster's keeper chosen by QUALITY (most distinct words, ties to
@@ -1270,6 +1377,7 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
-    qDedupCcStar, qSimhash, qSimhashPairs, qSimhashWide, qDedupSubstring, qDedupSpan,
-    qDedupSpanXl, qSimAllpairs, qDedupIncrementalNear, qSimPpjoin, qDedupUrl, qDedupTemplate)
+    qDedupCcStar, qDedupCcIncremental, qSimhash, qSimhashPairs, qSimhashWide,
+    qDedupSubstring, qDedupSpan, qDedupSpanXl, qSimAllpairs, qDedupIncrementalNear,
+    qSimPpjoin, qDedupUrl, qDedupTemplate)
 }

@@ -33,23 +33,35 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q" -> 0.25), Map("q" -> 1.0)).nonEmpty)
   }
 
+  private val healthy = Map("streaming_eps" -> 448000.0,
+    "serving_stall_ratio" -> 1.00, "serving_latency_p99_ms" -> 0.02)
+
   test("streaming/serving floors: breach below, green at-or-above, missing = breach") {
     // canonical-grade numbers — green
-    assert(BenchGate.floorBreaches(
-      Map("streaming_eps" -> 448000.0, "serving_stall_ratio" -> 1.00)).isEmpty)
+    assert(BenchGate.floorBreaches(healthy).isEmpty)
     // exactly at the floors — green (floor is inclusive)
-    assert(BenchGate.floorBreaches(
-      Map("streaming_eps" -> BenchGate.StreamingEpsFloor,
-          "serving_stall_ratio" -> BenchGate.StallRatioFloor)).isEmpty)
+    assert(BenchGate.floorBreaches(healthy +
+      ("streaming_eps" -> BenchGate.StreamingEpsFloor) +
+      ("serving_stall_ratio" -> BenchGate.StallRatioFloor)).isEmpty)
     // eps collapse — one breach, names the field
-    val epsBreach = BenchGate.floorBreaches(
-      Map("streaming_eps" -> 120000.0, "serving_stall_ratio" -> 0.98))
+    val epsBreach = BenchGate.floorBreaches(healthy + ("streaming_eps" -> 120000.0))
     assert(epsBreach.size == 1 && epsBreach.head.contains("streaming_eps"))
     // stall ratio sunk — the drop-oldest guarantee broke
-    val stallBreach = BenchGate.floorBreaches(
-      Map("streaming_eps" -> 400000.0, "serving_stall_ratio" -> 0.42))
+    val stallBreach = BenchGate.floorBreaches(healthy + ("serving_stall_ratio" -> 0.42))
     assert(stallBreach.size == 1 && stallBreach.head.contains("serving_stall_ratio"))
     // probe never ran → missing fields must not read as green
-    assert(BenchGate.floorBreaches(Map.empty).size == 2)
+    assert(BenchGate.floorBreaches(Map.empty).size == 3)
+  }
+
+  test("serving p99 ceiling: blocking delivery or unmeasured probe breaches") {
+    // at the ceiling — green (ceiling is inclusive)
+    assert(BenchGate.floorBreaches(healthy +
+      ("serving_latency_p99_ms" -> BenchGate.ServingP99CeilingMs)).isEmpty)
+    // delivery started blocking
+    val slow = BenchGate.floorBreaches(healthy + ("serving_latency_p99_ms" -> 45.0))
+    assert(slow.size == 1 && slow.head.contains("serving_latency_p99_ms"))
+    // -1 = probe recorded no samples — must not read as green
+    val unmeasured = BenchGate.floorBreaches(healthy + ("serving_latency_p99_ms" -> -1.0))
+    assert(unmeasured.size == 1 && unmeasured.head.contains("no latency samples"))
   }
 }

@@ -80,4 +80,43 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.size == 41 && got.values.forall(_ == 0L))
   }
+
+  test("incremental contraction identity on random prior/new splits") {
+    // The identity q_dedup_cc_incremental rests on: with each prior
+    // component contracted to its REPRESENTATIVE (= its min id),
+    // min-label CC over {contracted new edges} expanded back through
+    // the prior labeling equals min-label CC over the full union
+    // graph. Adversarial shapes the corpus may not exercise — new
+    // node as the new global min, chains alternating prior/new,
+    // multi-component merges — all land here via random splits.
+    val genCase = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b0 <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, if (b0 >= a) b0 + 1 else b0))
+      priorMask <- Gen.listOfN(n + 1, Gen.prob(0.6))
+    } yield (edges, priorMask.zipWithIndex.collect {
+      case (true, i) => i.toLong
+    }.toSet)
+    val prop = Prop.forAll(genCase) { case (edges, prior) =>
+      edges.isEmpty || {
+        val priorEdges = edges.filter(e => prior(e._1) && prior(e._2))
+        val newEdges = edges.filterNot(e => prior(e._1) && prior(e._2))
+        val plbl = ufLabels(priorEdges)
+        def rep(x: Long): Long =
+          if (prior(x)) plbl.getOrElse(x, x) else x
+        val clbl = ufLabels(newEdges.map(e => (rep(e._1), rep(e._2))))
+        val want = ufLabels(edges)
+        // every union-graph node's label, reconstructed incrementally
+        want.forall { case (node, lbl) =>
+          val r = rep(node)
+          clbl.getOrElse(r, r) == lbl
+        }
+      }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
