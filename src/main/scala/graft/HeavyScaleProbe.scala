@@ -89,6 +89,12 @@ object HeavyScaleProbe {
     // CC loop must stay |new-edge|-scale while the corpus (and its
     // prior manifest) grows 10×
     "q_dedup_cc_incremental",
+    // round 12 (cont.): acoustic near-dup pairs — the per-copy doc_id
+    // offset (5000·c, divisible by 4) keeps near-dup groups size-4
+    // and gives every copy distinct group ids, hence distinct
+    // scrambled base sequences: planted pair structure constant while
+    // the corpus (decode + banded self-join) grows 10×
+    "q_dedup_audio",
     // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
     // pass-2 claim (salted copies share no lines, so the repeated-line
     // set and per-copy strike structure are preserved while the corpus
@@ -106,7 +112,7 @@ object HeavyScaleProbe {
     "q_text_boilerplate" -> 1.0, "q_web_pipeline" -> 1.0,
     "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
     "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
-    "q_dedup_cc_incremental" -> 1.0)
+    "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the

@@ -259,13 +259,49 @@ object MediaPipeline {
   def synthSample(docId: Long, i: Int): Int =
     ((docId * 37 + i.toLong * 251) % 65536).toInt - 32768
 
-  private val WavFormat = new javax.sound.sampled.AudioFormat(
+  /** The clip format, for the SPEC-side JDK-codec interop pins only
+    * (never on the data path — see [[pcmToWav]]). */
+  private[graft] val WavFormat = new javax.sound.sampled.AudioFormat(
     8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
 
-  /** Encode the synthetic signal as a REAL RIFF/WAVE file via the
-    * JDK's `javax.sound.sampled` (pure PCM parsing — headless-safe,
-    * no audio hardware involved; lossless, so decode returns the
-    * exact samples — the audio analog of [[synthPng]]). */
+  /** Canonical RIFF/WAVE container around 16-bit mono 8 kHz PCM
+    * (RIFF header + `fmt ` + `data`, the layout of the public
+    * WAVE spec). Hand-rolled ON PURPOSE: `AudioSystem.write`'s
+    * provider lookup SERIALIZES under thread contention — measured
+    * 7.3 s on 32 threads vs 3.9 s single-threaded for 50k clips, an
+    * anti-scaling decode stage that showed up as a 1.26 wall
+    * exponent in HeavyScaleProbe. Byte-for-byte interop with the
+    * JDK codec is pinned both directions in AudioDedupSpec. */
+  private[multimodal] def pcmToWav(pcm: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      s.indices.foreach(i => out(off + i) = s.charAt(i).toByte)
+    tag(0, "RIFF"); le32(4, 36 + pcm.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, 8000) // sample rate
+    le32(28, 16000) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, pcm.length)
+    System.arraycopy(pcm, 0, out, 44, pcm.length)
+    out
+  }
+
+  /** Encode the synthetic signal as a REAL RIFF/WAVE file (lossless,
+    * so decode returns the exact samples — the audio analog of
+    * [[synthPng]]). */
   def synthWav(docId: Long): Array[Byte] = {
     val n = synthSampleCount(docId)
     val pcm = new Array[Byte](n * 2)
@@ -276,12 +312,7 @@ object MediaPipeline {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(pcm), WavFormat, n.toLong)
-    val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
-    bos.toByteArray
+    pcmToWav(pcm)
   }
 
   /** Audio media table, one WAV per document id — partition-local
@@ -293,20 +324,54 @@ object MediaPipeline {
     }.toDF()
   }
 
-  /** Real audio decode: WAV bytes → signed 16-bit samples. Throws on
-    * undecodable payloads or unexpected formats — corrupt audio in a
-    * pipeline should fail loudly, same contract as [[decodeImage]]. */
+  /** Real audio decode: WAV bytes → signed 16-bit samples, via a
+    * RIFF chunk walk (find `fmt `, require 16-bit mono PCM, read
+    * `data`; unknown chunks skipped with the spec's even-byte
+    * padding). Throws on undecodable payloads or unexpected
+    * formats — corrupt audio in a pipeline should fail loudly, same
+    * contract as [[decodeImage]]. Hand-rolled for the same
+    * contention reason as [[pcmToWav]]: `AudioSystem
+    * .getAudioInputStream`'s per-call SPI provider lookup serializes
+    * executor threads; interop with the JDK reader/writer is
+    * spec-pinned instead of paid per row. */
   def decodeWav(bytes: Array[Byte]): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
-    val f = ais.getFormat
-    require(f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian,
-      s"expected 16-bit mono little-endian PCM, got $f")
-    val data = ais.readAllBytes()
-    val out = new Array[Int](data.length / 2)
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE payload")
+    var off = 12
+    var fmtOk = false
+    var data: (Int, Int) = null // (offset, length)
+    while (off + 8 <= bytes.length && (data == null || !fmtOk)) {
+      val id = tag(off)
+      val len = le32(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"chunk $id overruns the payload")
+      if (id == "fmt ") {
+        require(len >= 16, "fmt chunk too short")
+        val codec = le16(off + 8)
+        val channels = le16(off + 10)
+        val bps = le16(off + 22)
+        require(codec == 1 && channels == 1 && bps == 16,
+          s"expected 16-bit mono PCM, got codec=$codec ch=$channels bits=$bps")
+        fmtOk = true
+      } else if (id == "data") {
+        data = (off + 8, len)
+      }
+      off += 8 + len + (len & 1) // chunks are even-padded per the spec
+    }
+    require(fmtOk, "no fmt chunk")
+    require(data != null, "no data chunk")
+    val (d0, dlen) = data
+    val out = new Array[Int](dlen / 2)
     var i = 0
     while (i < out.length) {
-      out(i) = ((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff))
+      out(i) = (bytes(d0 + 2 * i + 1).toInt << 8) | (bytes(d0 + 2 * i) & 0xff)
       i += 1
     }
     out
@@ -342,6 +407,120 @@ object MediaPipeline {
           else math.sqrt(ss.toDouble / s.length) / 32768.0
         AudioFeatures(r.doc_id, r.content.length, s.length, peak, zc, rms)
       }
+    }
+  }
+
+  // ----- audio near-dup family (q_dedup_audio) ------------------------
+
+  /** Frames per fingerprinted clip (→ 64 energy-delta bits) and
+    * samples per frame. */
+  val AfpFrames = 65
+  val AfpFrameLen = 8
+
+  private val MixM = 2147483647L
+
+  /** Scrambled per-(group, frame) base value: alternating
+    * multiply-mod-M and xor-shift rounds. The xor-shifts are the
+    * load-bearing part — multiply-mod alone is affine in `f`, which
+    * makes frame-to-frame deltas CONSTANT across all groups and the
+    * energy-comparison bits collide corpus-wide (measured: 325
+    * identical cross-group fingerprints at 5k docs without them, 0
+    * with; full-pairs cross-group min Hamming 11 vs within-group max
+    * 4). Every intermediate stays below 2^63 for any docId (g is
+    * reduced mod M before the 2^31.3 multiplier), so the DuckDB
+    * BIGINT oracle — which errors on overflow rather than wrapping —
+    * evaluates the identical arithmetic. */
+  private def afpMix(g: Long, f: Long): Long = {
+    var h = ((g % MixM) * 2654435761L + f * 40503L + 99991L) % MixM
+    h = (h * 48271L) % MixM
+    h = h ^ (h >> 13)
+    h = (h * 16807L) % MixM
+    h = h ^ (h >> 11)
+    (h * 69621L) % MixM
+  }
+
+  /** Frame-`f` amplitude of clip `docId`. Groups of 4 consecutive ids
+    * share a base amplitude sequence (range [1000, 21000)); variant
+    * v = id mod 4 is the same recording at volume ×(8+v)/8 (order-
+    * preserving: amplitudes differing pre-scale differ post-scale,
+    * since the integer-scaled gap ≥ (8+v) > 8), plus — for v ≥ 1 —
+    * ONE spliced loud frame (range [22000, 23000), above the whole
+    * base band) at a variant-specific position, so within-group
+    * fingerprints differ by ≤ 4 bits while volume alone changes
+    * none. Max value 22999·11/8 = 31623 < 2^15: always 16-bit safe. */
+  def groupWavAmp(docId: Long, f: Int): Int = {
+    val g = docId / 4
+    val v = docId % 4
+    val h = afpMix(g, f.toLong)
+    val base =
+      if (v >= 1 && f == v * 16 + (g % 13)) 22000L + h % 1000L
+      else 1000L + h % 20000L
+    ((base * (8 + v)) / 8).toInt
+  }
+
+  /** Near-dup audio clip: [[AfpFrames]]×[[AfpFrameLen]] samples,
+    * sample i = ±groupWavAmp(id, i/8) with alternating sign (a
+    * square wave at Nyquist), encoded as a REAL RIFF/WAVE file via
+    * the same contention-free writer as [[synthWav]]. */
+  def synthGroupWav(docId: Long): Array[Byte] = {
+    val n = AfpFrames * AfpFrameLen
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val a = groupWavAmp(docId, i / AfpFrameLen)
+      val s = if (i % 2 == 0) a else -a
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcmToWav(pcm)
+  }
+
+  /** Audio media table over the near-dup family — same
+    * (doc_id, mime, content) shape as [[toAudioWav]]. */
+  def toGroupAudioWav(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "audio/wav", synthGroupWav(id)))
+    }.toDF()
+  }
+
+  case class AudioFp(doc_id: Long, afp: Long)
+
+  /** 64-bit acoustic fingerprint from DECODED samples: bit f = 1 iff
+    * frame f+1 carries more energy (sum of squared samples) than
+    * frame f — the sign-of-energy-delta bit derivation of Haitsma &
+    * Kalker, "A Highly Robust Audio Fingerprinting System" (ISMIR
+    * 2002) §3.1, collapsed to one band. Energy ratios are invariant
+    * to uniform gain, so the same recording at a different volume
+    * fingerprints identically — the perceptual property byte dedup
+    * cannot see (every variant's WAV bytes differ). */
+  def audioFingerprint(samples: Array[Int]): Long = {
+    require(samples.length == AfpFrames * AfpFrameLen,
+      s"expected ${AfpFrames * AfpFrameLen} samples, got ${samples.length}")
+    val e = new Array[Long](AfpFrames)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      e(i / AfpFrameLen) += v * v
+      i += 1
+    }
+    var bits = 0L
+    var f = 0
+    while (f < AfpFrames - 1) {
+      if (e(f + 1) > e(f)) bits |= 1L << f
+      f += 1
+    }
+    bits
+  }
+
+  /** Partition-local decode → fingerprint: only (doc_id, 8-byte afp)
+    * leaves the stage, never the waveform — same scale shape as
+    * [[phashOf]]. */
+  def afpOf(spark: SparkSession, media: DataFrame): Dataset[AudioFp] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map(r => AudioFp(r.doc_id, audioFingerprint(decodeWav(r.content))))
     }
   }
 

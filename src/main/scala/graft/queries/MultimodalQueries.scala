@@ -353,6 +353,111 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The acoustic fingerprint recomputed in pure SQL from the
+    * clip-generating formula ([[graft.multimodal.MediaPipeline
+    * .groupWavAmp]]): the mixed per-frame amplitudes, squared-
+    * amplitude (energy) comparisons between successive frames, bits
+    * packed with the same bit-63 signed-min special case as the
+    * phash CTE. All BIGINT-safe: every multiply is bounded by
+    * 2147483646·2654435761 < 2^63, so DuckDB (which errors on
+    * BIGINT overflow rather than wrapping) evaluates the identical
+    * arithmetic the Scala synthesizer's wrapping Longs do. */
+  private val afpSigCtes: String =
+    """frames AS (
+      |  SELECT doc_id, doc_id // 4 AS g, CAST(doc_id % 4 AS BIGINT) AS v,
+      |         CAST(fr.r AS BIGINT) AS f
+      |  FROM documents, range(0, 65) AS fr(r)),
+      |mx0 AS (
+      |  SELECT doc_id, g, v, f,
+      |    ((g % 2147483647) * 2654435761 + f * 40503 + 99991) % 2147483647 AS h0
+      |  FROM frames),
+      |mx1 AS (SELECT doc_id, g, v, f,
+      |          xor((h0 * 48271) % 2147483647,
+      |              ((h0 * 48271) % 2147483647) >> 13) AS h1 FROM mx0),
+      |mx2 AS (SELECT doc_id, g, v, f,
+      |          xor((h1 * 16807) % 2147483647,
+      |              ((h1 * 16807) % 2147483647) >> 11) AS h2 FROM mx1),
+      |mx3 AS (SELECT doc_id, g, v, f, (h2 * 69621) % 2147483647 AS h FROM mx2),
+      |amps AS (
+      |  SELECT doc_id, f,
+      |    (CASE WHEN v >= 1 AND f = v * 16 + (g % 13)
+      |          THEN 22000 + h % 1000
+      |          ELSE 1000 + h % 20000 END) * (8 + v) // 8 AS a
+      |  FROM mx3),
+      |abits AS (
+      |  SELECT l.doc_id, l.f AS k
+      |  FROM amps l JOIN amps r ON r.doc_id = l.doc_id AND r.f = l.f + 1
+      |  WHERE l.f < 64 AND r.a * r.a > l.a * l.a),
+      |asig AS (
+      |  SELECT d.doc_id,
+      |    coalesce(bit_or(CASE WHEN b.k = 63
+      |                         THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+      |                         ELSE CAST(1 AS BIGINT) << CAST(b.k AS INT) END),
+      |             CAST(0 AS BIGINT)) AS afp
+      |  FROM documents d LEFT JOIN abits b USING (doc_id)
+      |  GROUP BY d.doc_id)""".stripMargin
+
+  /** (doc_id, afp) over the near-dup audio family — ONE decode pass,
+    * checkpointed so both join sides reuse the 16-byte/row signature
+    * table (same shape as [[phashSig]]). */
+  private[graft] def afpSig(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import graft.multimodal.MediaPipeline
+    MediaPipeline.afpOf(s,
+        MediaPipeline.toGroupAudioWav(s, t(s, d, "documents")))
+      .toDF().localCheckpoint()
+  }
+
+  /** Acoustic near-dup pairs: REAL WAV decode → 64-bit energy-delta
+    * fingerprint (Haitsma & Kalker, ISMIR 2002 — bit = sign of the
+    * inter-frame energy difference, invariant to uniform gain) →
+    * pigeonhole-banded pairs at Hamming ≤ [[PhashHamMax]]. The media
+    * are the near-dup clip family ([[graft.multimodal.MediaPipeline
+    * .synthGroupWav]]): groups of 4 consecutive doc_ids are the SAME
+    * recording at 4 volumes, three with one spliced loud frame — so
+    * byte-distinct WAVs dedup acoustically (within-group Hamming ≤ 4
+    * vs cross-group min 11 at sf0.1, full-pairs measured), the
+    * perceptual property byte-level dedup cannot see. Completes the
+    * modality dedup matrix: image (`q_dedup_phash`), video
+    * (`q_dedup_video`), audio (this).
+    *
+    * Scale shape: identical to `q_dedup_phash` — payload bytes never
+    * shuffle (only the 8-byte fingerprint leaves the decode stage),
+    * banding replaces the all-pairs self-join with an equi-join on
+    * (segment, value) with exact recall at the Hamming cut, and the
+    * first-matching-segment predicate dedups k-fold candidate hits
+    * inside codegen. */
+  private val qDedupAudio = Q("q_dedup_audio",
+    s"""WITH $afpSigCtes
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+       |FROM asig a JOIN asig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= $PhashHamMax
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sig = afpSig(s, d)
+    val seg = explode(array((0 until ph.segments).map(j =>
+      struct(lit(j).as("seg"), ph.segmentValue(col("afp"), j).as("sv"))): _*))
+    val bands = sig.select(col("doc_id"), col("afp"), seg.as("b"))
+      .select(col("doc_id"), col("afp"),
+        col("b.seg").as("seg"), col("b.sv").as("sv"))
+    def segEq(j: Int) =
+      ph.segmentValue(col("sa"), j) === ph.segmentValue(col("sb"), j)
+    val earlierMatch = (0 until ph.segments - 1)
+      .map(j => col("seg") > j && segEq(j))
+      .reduce(_ || _)
+    val ham = bit_count(col("sa").bitwiseXOR(col("sb")))
+    bands
+      .select(col("doc_id").as("a_id"), col("seg"), col("sv"),
+        col("afp").as("sa"))
+      .join(bands.select(col("doc_id").as("b_id"), col("seg").as("seg2"),
+        col("sv").as("sv2"), col("afp").as("sb")),
+        col("seg") === col("seg2") && col("sv") === col("sv2") &&
+          col("a_id") < col("b_id"))
+      .where(!earlierMatch && ham <= PhashHamMax)
+      .select(col("a_id"), col("b_id"), ham.cast("int").as("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Benchmark-image decontamination — the image analog of the n-gram
     * `q_decontaminate` pass: drop training images PERCEPTUALLY
     * matching a held-out benchmark/eval set (Hamming ≤ 4 on the
@@ -533,5 +638,6 @@ object MultimodalQueries {
 
   val all: Seq[Q] =
     Seq(qMeta, qFeatures, qDedupPhash, qDedupPhashWide, qDedupPhashCc,
-      qFrames, qAudio, qDecontaminateMedia, qDedupMultimodal, qDedupVideo)
+      qFrames, qAudio, qDedupAudio, qDecontaminateMedia, qDedupMultimodal,
+      qDedupVideo)
 }
