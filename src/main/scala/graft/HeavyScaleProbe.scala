@@ -95,6 +95,15 @@ object HeavyScaleProbe {
     // scrambled base sequences: planted pair structure constant while
     // the corpus (decode + banded self-join) grows 10×
     "q_dedup_audio",
+    // round 12 (cont.): the ER pipeline and the edit-distance verify
+    // stage. The salted part table offsets ONLY p_partkey, so the 10
+    // copies are exact-field duplicate listings: every block grows
+    // 10× in SIZE at constant block count — the worst case the
+    // sorted-neighborhood window exists for (candidates must stay
+    // ≤ 2·W·L, linear, while naive in-block pairing would go 100×).
+    // q_dedup_edit rides the salted documents (copies share no
+    // shingles: banded candidate structure constant per copy).
+    "q_entity_resolution", "q_dedup_edit",
     // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
     // pass-2 claim (salted copies share no lines, so the repeated-line
     // set and per-copy strike structure are preserved while the corpus
@@ -112,7 +121,8 @@ object HeavyScaleProbe {
     "q_text_boilerplate" -> 1.0, "q_web_pipeline" -> 1.0,
     "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
     "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
-    "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0)
+    "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
+    "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
@@ -216,6 +226,19 @@ object HeavyScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Dst/lineitem.parquet")
 
+    // part: key offset only — copies are exact-field duplicates, so
+    // every (brand, typ, size) ER block grows 10× in size at constant
+    // block count (see the q_entity_resolution probe note above)
+    val part = Tables(spark, Src, "part")
+    val maxPart2 = part.agg(max(col("p_partkey"))).head().getLong(0) + 1
+    part.crossJoin(copies)
+      .select(part.columns.map {
+        case "p_partkey" => (col("p_partkey") + col("cp") * maxPart2).as("p_partkey")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Dst/part.parquet")
+
     java.nio.file.Files.createFile(java.nio.file.Paths.get(Dst, "_DONE")): Unit
   }
 
@@ -310,7 +333,10 @@ object HeavyScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(logLevel = "ERROR")
     synthesize(spark)
-    for (name <- Queries) {
+    // optional args: probe only the named queries (builder iteration;
+    // the round-close evidence run passes none and covers everything)
+    val only: Set[String] = args.toSet
+    for (name <- Queries if only.isEmpty || only(name)) {
       val (t0, sh0, r0) = measure(spark, name, Src)
       val (t1, sh1, r1) = measure(spark, name, Dst)
       val exp = math.log10(t1 / t0)
@@ -320,9 +346,11 @@ object HeavyScaleProbe {
         require(exp < bound, f"$name wall exponent $exp%.2f >= $bound")
       }
     }
-    pairVolumeCheck(spark)
-    semVolumeCheck(spark)
-    flipCheck(spark)
+    if (only.isEmpty) {
+      pairVolumeCheck(spark)
+      semVolumeCheck(spark)
+      flipCheck(spark)
+    }
     spark.stop()
   }
 }

@@ -106,6 +106,7 @@ object SparkEntry {
       MultimodalQueries.all ++
       PipelineQueries.all ++
       MaintenanceQueries.all ++
+      EntityQueries.all ++
       GraphQueries.all ++
       EventQueries.all
 

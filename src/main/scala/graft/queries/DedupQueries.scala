@@ -1376,8 +1376,92 @@ object DedupQueries {
       .orderBy(col("template"))
   }
 
+  // ------------------------------------------- edit-distance verification
+
+  /** Character budget for the edit-distance verify stage: Levenshtein
+    * is O(L²) cells (O(k·L) banded), so the verification runs on a
+    * fixed document prefix — the standard bounded-cost surrogate (two
+    * documents whose first 512 chars are within 20 % edits are
+    * near-dups for curation purposes; full-body confirmation is what
+    * `q_dedup_pipeline`'s Jaccard stage is for). */
+  private val EditPrefix = 512
+
+  /** ⌈0.2 · EditPrefix⌉ — the largest edit count the relative floor
+    * can admit, used as the banded-DP early-exit threshold. */
+  private val EditMaxLev = 103
+
+  /** MinHash-LSH candidates → EDIT-DISTANCE verification — the other
+    * standard two-stage near-dup pipeline (candidates from banding,
+    * confirmation by string distance rather than set overlap; the
+    * shape record-linkage systems use when token sets are too coarse,
+    * e.g. template-y documents whose shingle sets collide).
+    *
+    * Scale shape: candidate pairs come from the SAME linear band
+    * equi-join as `q_dedup_minhash` (never all-pairs), and the verify
+    * stage joins candidates to a (doc_id, 512-char prefix) projection
+    * — the shuffle carries one bounded prefix per side, never full
+    * bodies. The Spark Levenshtein runs the THRESHOLDED form
+    * (`levenshtein(a, b, k)` — banded O(k·L) DP that early-exits to
+    * -1 past k edits) so a far-apart false-positive candidate costs
+    * O(k·L), not O(L²); the oracle computes the plain distance and
+    * applies the same cut, and within the threshold the two agree
+    * exactly. */
+  private val qDedupEdit = Q("q_dedup_edit",
+    s"""WITH $shingleCtes,
+       |$minhashSigSql,
+       |bx AS (
+       |${(0 until B).map(j =>
+          s"  SELECT doc_id, $j AS band, ${bandHashSql(j)} AS bh FROM sig")
+          .mkString("\n  UNION ALL\n")}
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ai, b.doc_id AS bi
+       |  FROM bx a JOIN bx b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |p AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS pfx FROM documents),
+       |lv AS (
+       |  SELECT c.ai, c.bi, levenshtein(x.pfx, y.pfx) AS lev,
+       |    greatest(len(x.pfx), len(y.pfx)) AS ln
+       |  FROM cand c JOIN p x ON c.ai = x.doc_id JOIN p y ON c.bi = y.doc_id)
+       |SELECT ai AS a_id, bi AS b_id, CAST(lev AS BIGINT) AS lev,
+       |  round(1 - lev / CAST(ln AS DOUBLE), 4) AS edit_sim
+       |FROM lv
+       |WHERE lev <= $EditMaxLev AND 1 - lev / CAST(ln AS DOUBLE) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val sig = minhashSignature(s, d)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until B).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .localCheckpoint()
+    val cand = bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
+        col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("ai") < col("bi"))
+      .select(col("ai"), col("bi")).distinct()
+    val p = t(s, d, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("pfx"))
+    // Per-document prefix joins are shuffled equi-joins on the unique
+    // doc id — corpus-scaled, never a broadcast (keep_best bug class).
+    val lv = cand
+      .join(p.select(col("doc_id").as("ai"), col("pfx").as("pa")), "ai")
+      .join(p.select(col("doc_id").as("bi"), col("pfx").as("pb")), "bi")
+      .select(col("ai"), col("bi"),
+        levenshtein(col("pa"), col("pb"), EditMaxLev).cast("long").as("lev"),
+        greatest(length(col("pa")), length(col("pb"))).as("ln"))
+    val sim = lit(1) - col("lev") / col("ln").cast("double")
+    lv
+      // thresholded levenshtein reports -1 past EditMaxLev — the
+      // >= 0 guard IS the oracle's `lev <= EditMaxLev` cut
+      .where(col("lev") >= 0 && sim >= 0.8)
+      .select(col("ai").as("a_id"), col("bi").as("b_id"), col("lev"),
+        round(sim, 4).as("edit_sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
     qDedupCcStar, qDedupCcIncremental, qSimhash, qSimhashPairs, qSimhashWide,
     qDedupSubstring, qDedupSpan, qDedupSpanXl, qSimAllpairs, qDedupIncrementalNear,
-    qSimPpjoin, qDedupUrl, qDedupTemplate)
+    qSimPpjoin, qDedupUrl, qDedupTemplate, qDedupEdit)
 }
