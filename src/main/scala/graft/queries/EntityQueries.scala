@@ -70,6 +70,65 @@ object EntityQueries {
     * brand+name+size, different type) tops out ≈ 0.91. */
   private val Threshold = 0.93
 
+  /** The deterministic dirty-listing corpus (shared with
+    * [[graft.streaming.StreamingEntityResolution]]'s spec): every
+    * part, plus a name-transposed re-listing of every 5th and a
+    * type-less re-listing of every 10th. */
+  private[graft] def listings(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part")
+    val base = part.select((col("p_partkey") * 10).as("id"),
+      col("p_name").as("name"), col("p_brand").as("brand"),
+      col("p_type").as("typ"), col("p_size").as("size"))
+    val v1 = part.where(col("p_partkey") % 5 === 0)
+      .select((col("p_partkey") * 10 + 1).as("id"),
+        concat(substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1),
+          substring(col("p_name"), 2, 1), expr("substring(p_name, 4)")).as("name"),
+        col("p_brand").as("brand"), col("p_type").as("typ"),
+        col("p_size").as("size"))
+    val v2 = part.where(col("p_partkey") % 10 === 0)
+      .select((col("p_partkey") * 10 + 2).as("id"), col("p_name").as("name"),
+        col("p_brand").as("brand"), lit("").as("typ"), col("p_size").as("size"))
+    // corpus-scale listings frame: a cheap projection of the part scan
+    // — recomputed per consumer, never checkpointed (the r10 rule:
+    // only model/vocabulary-sized frames get fenced)
+    base.unionAll(v1).unionAll(v2)
+  }
+
+  /** The scored match graph (ai, bi, score ≥ [[Threshold]]) — the
+    * pair-level frame CC runs on; exposed for the streaming twin's
+    * equivalence spec. */
+  private[graft] def matchPairs(s: SparkSession, d: String): DataFrame = {
+    val l = listings(s, d)
+
+    // sorted-neighborhood pairs straight off ONE window pass per
+    // blocking key: lead(id, k) for k = 1..W emits exactly the
+    // rank-distance-≤ W pairs — no rank self-join, no second window
+    // computation, one shuffle per pass
+    def pass(cols: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(cols.map(col): _*).orderBy(col("id"))
+      l.select(col("id").as("ai"),
+          array((1 to W).map(k => lead(col("id"), k).over(w)): _*).as("nb"))
+        .select(col("ai"), explode(col("nb")).as("bi"))
+        .where(col("bi").isNotNull)
+    }
+
+    val cand = pass(Seq("brand", "typ", "size"))
+      .unionAll(pass(Seq("brand", "name"))).distinct()
+    val x = l.select(col("id").as("ai"), col("name").as("name_a"),
+      col("typ").as("typ_a"), col("size").as("size_a"))
+    val y = l.select(col("id").as("bi"), col("name").as("name_b"),
+      col("typ").as("typ_b"), col("size").as("size_b"))
+    val bothTyped = col("typ_a") =!= "" && col("typ_b") =!= ""
+    val num = lit(0.6) * jaro_winkler(col("name_a"), col("name_b")) +
+      when(bothTyped, lit(0.2) * jaro_winkler(col("typ_a"), col("typ_b")))
+        .otherwise(lit(0.0)) +
+      when(col("size_a") === col("size_b"), lit(0.2)).otherwise(lit(0.0))
+    val den = lit(0.8) + when(bothTyped, lit(0.2)).otherwise(lit(0.0))
+    cand.join(x, "ai").join(y, "bi")
+      .select(col("ai"), col("bi"), round(num / den, 4).as("score"))
+      .where(col("score") >= Threshold)
+  }
+
   private val qEntityResolution = Q("q_entity_resolution",
     s"""WITH RECURSIVE
        |l AS (
@@ -118,51 +177,8 @@ object EntityQueries {
        |  k.name AS canonical_name, k.brand AS canonical_brand
        |FROM agg g JOIN l k ON k.id = g.ent
        |ORDER BY entity_id""".stripMargin) { (s, d) =>
-    val part = t(s, d, "part")
-    val base = part.select((col("p_partkey") * 10).as("id"),
-      col("p_name").as("name"), col("p_brand").as("brand"),
-      col("p_type").as("typ"), col("p_size").as("size"))
-    val v1 = part.where(col("p_partkey") % 5 === 0)
-      .select((col("p_partkey") * 10 + 1).as("id"),
-        concat(substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1),
-          substring(col("p_name"), 2, 1), expr("substring(p_name, 4)")).as("name"),
-        col("p_brand").as("brand"), col("p_type").as("typ"),
-        col("p_size").as("size"))
-    val v2 = part.where(col("p_partkey") % 10 === 0)
-      .select((col("p_partkey") * 10 + 2).as("id"), col("p_name").as("name"),
-        col("p_brand").as("brand"), lit("").as("typ"), col("p_size").as("size"))
-    // corpus-scale listings frame: a cheap projection of the part scan
-    // — recomputed per consumer, never checkpointed (the r10 rule:
-    // only model/vocabulary-sized frames get fenced)
-    val l = base.unionAll(v1).unionAll(v2)
-
-    // sorted-neighborhood pairs straight off ONE window pass per
-    // blocking key: lead(id, k) for k = 1..W emits exactly the
-    // rank-distance-≤ W pairs — no rank self-join, no second window
-    // computation, one shuffle per pass
-    def pass(cols: Seq[String]): DataFrame = {
-      val w = Window.partitionBy(cols.map(col): _*).orderBy(col("id"))
-      l.select(col("id").as("ai"),
-          array((1 to W).map(k => lead(col("id"), k).over(w)): _*).as("nb"))
-        .select(col("ai"), explode(col("nb")).as("bi"))
-        .where(col("bi").isNotNull)
-    }
-
-    val cand = pass(Seq("brand", "typ", "size"))
-      .unionAll(pass(Seq("brand", "name"))).distinct()
-    val x = l.select(col("id").as("ai"), col("name").as("name_a"),
-      col("typ").as("typ_a"), col("size").as("size_a"))
-    val y = l.select(col("id").as("bi"), col("name").as("name_b"),
-      col("typ").as("typ_b"), col("size").as("size_b"))
-    val bothTyped = col("typ_a") =!= "" && col("typ_b") =!= ""
-    val num = lit(0.6) * jaro_winkler(col("name_a"), col("name_b")) +
-      when(bothTyped, lit(0.2) * jaro_winkler(col("typ_a"), col("typ_b")))
-        .otherwise(lit(0.0)) +
-      when(col("size_a") === col("size_b"), lit(0.2)).otherwise(lit(0.0))
-    val den = lit(0.8) + when(bothTyped, lit(0.2)).otherwise(lit(0.0))
-    val matches = cand.join(x, "ai").join(y, "bi")
-      .select(col("ai"), col("bi"), round(num / den, 4).as("score"))
-      .where(col("score") >= Threshold)
+    val l = listings(s, d)
+    val matches = matchPairs(s, d)
       .select(col("ai"), col("bi"))
       .localCheckpoint() // pair-level match graph (q_dedup_cc contract)
     // alternating-star CC, NOT plain min-propagation: a block of m
