@@ -670,10 +670,17 @@ object GraftExpressions {
     * VERIFY stage on blocked candidate pairs (bounded fields: names,
     * addresses, phones), never as a corpus self-join. */
   def jaroWinklerOf(a: UTF8String, b: UTF8String): Double = {
+    if (a.numBytes == 0 || b.numBytes == 0) return 0.0
+    // identical-string shortcut BEFORE the window walk: for strings of
+    // length ≤ 2 the match window max(l1,l2)/2 − 1 is ≤ 0 wide, so the
+    // walk alone scores jw('K','K') = 0 — DuckDB (rapidfuzz lineage)
+    // shortcuts equality to 1.0 instead, and the property spec's
+    // identity law caught the difference the 25k random sweep missed
+    // (its reference implementation carried the same shortcut)
+    if (a.equals(b)) return 1.0
     val s1 = a.toString.codePoints.toArray
     val s2 = b.toString.codePoints.toArray
     val l1 = s1.length; val l2 = s2.length
-    if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(l1, l2) / 2 - 1
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)

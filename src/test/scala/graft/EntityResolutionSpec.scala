@@ -91,6 +91,32 @@ class EntityResolutionSpec extends AnyFunSuite {
       s"$clustered clustered listings < ${v1 + v2 + sources} planted")
   }
 
+  test("JaroWinkler properties: symmetry, [0,1] range, identity") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](gen: Gen[A], n: Int): Seq[A] =
+      Iterator.from(0).map(i => gen(Gen.Parameters.default, Seed(i.toLong)))
+        .take(n).flatten.toSeq
+    val sGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' ')))
+      .map(_.mkString.take(30))
+    val pairs = samples(Gen.zip(sGen, sGen), 500)
+    import graft.functions.GraftExpressions.jaroWinklerOf
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    pairs.foreach { case (a, b) =>
+      val ab = jaroWinklerOf(u(a), u(b))
+      // symmetry: the match window and transposition count are
+      // direction-independent
+      assert(ab == jaroWinklerOf(u(b), u(a)), s"asym '$a' '$b'")
+      assert(ab >= 0.0 && ab <= 1.0, s"range '$a' '$b' -> $ab")
+    }
+    // identity is 1.0 for any NONEMPTY string (empty ⇒ 0.0, the
+    // pinned DuckDB deviation)
+    samples(sGen, 100).filter(_.nonEmpty).foreach { a =>
+      assert(jaroWinklerOf(u(a), u(a)) == 1.0, s"identity '$a'")
+    }
+    assert(jaroWinklerOf(u(""), u("")) == 0.0)
+  }
+
   test("sorted-neighborhood keeps the clustered population linearly bounded") {
     // candidates are <= 2 passes * W per listing, match edges are a
     // subset of candidates, and a clustered listing needs at least one
