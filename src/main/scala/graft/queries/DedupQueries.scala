@@ -1406,6 +1406,23 @@ object DedupQueries {
     * O(k·L), not O(L²); the oracle computes the plain distance and
     * applies the same cut, and within the threshold the two agree
     * exactly. */
+  /** The MinHash-LSH band candidate pairs (ai < bi, distinct) the
+    * edit-distance verify stage runs on — exposed for profiling. */
+  private[graft] def editCandidates(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignature(s, d)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until B).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .localCheckpoint()
+    bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
+        col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("ai") < col("bi"))
+      .select(col("ai"), col("bi")).distinct()
+  }
+
   private val qDedupEdit = Q("q_dedup_edit",
     s"""WITH $shingleCtes,
        |$minhashSigSql,
@@ -1428,18 +1445,7 @@ object DedupQueries {
        |FROM lv
        |WHERE lev <= $EditMaxLev AND 1 - lev / CAST(ln AS DOUBLE) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val sig = minhashSignature(s, d)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until B).map(j =>
-        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .localCheckpoint()
-    val cand = bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
-        col("bh").as("bh2")),
-        col("band") === col("band2") && col("bh") === col("bh2") &&
-          col("ai") < col("bi"))
-      .select(col("ai"), col("bi")).distinct()
+    val cand = editCandidates(s, d)
     val p = t(s, d, "documents")
       .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("pfx"))
     // Per-document prefix joins are shuffled equi-joins on the unique
