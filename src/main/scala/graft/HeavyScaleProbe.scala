@@ -104,6 +104,11 @@ object HeavyScaleProbe {
     // q_dedup_edit rides the salted documents (copies share no
     // shingles: banded candidate structure constant per copy).
     "q_entity_resolution", "q_dedup_edit",
+    // round 12 (cont. 2): containment dedup — the in-plan excerpts
+    // derive from the salted docs (copies share no tokens), so the
+    // planted excerpt-in-source structure is constant per copy while
+    // the df-capped inverted index grows 10×
+    "q_dedup_contain",
     // round 10 (cont. 2): the boilerplate pair - the zero-data-shuffle
     // pass-2 claim (salted copies share no lines, so the repeated-line
     // set and per-copy strike structure are preserved while the corpus
@@ -122,7 +127,8 @@ object HeavyScaleProbe {
     "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
     "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
     "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
-    "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0)
+    "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
+    "q_dedup_contain" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the

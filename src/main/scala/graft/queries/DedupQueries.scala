@@ -1406,6 +1406,103 @@ object DedupQueries {
     * O(k·L), not O(L²); the oracle computes the plain distance and
     * applies the same cut, and within the threshold the two agree
     * exactly. */
+  // --------------------------------------------------- containment dedup
+
+  /** Excerpt ids offset so derived snippets never collide with real
+    * doc ids at any SF. */
+  private val ExcerptOff = 1000000L
+
+  /** CONTAINMENT-similarity dedup — the asymmetric member of the
+    * similarity-join family (allpairs = cosine, ppjoin = Jaccard,
+    * this = c(A,B) = |A∩B| / min(|A|,|B|)): finds a document NESTED
+    * inside another (a quote, an excerpt page, a syndicated fragment),
+    * which symmetric Jaccard structurally misses — a 30-token excerpt
+    * of a 400-token source has Jaccard ≈ 0.07 but containment 1.0.
+    * The standard curation move is dropping the contained side.
+    *
+    * The corpus is documents plus an IN-PLAN excerpt of every 4th
+    * document (tokens 11–40 — both engines derive the identical
+    * snippet, so the oracle checks the detector, not a fixture).
+    *
+    * Scale shape (the `q_sim_allpairs` stance, all the way): the
+    * df ≤ [[DfCap]] cut DEFINES the feature space — containment is
+    * measured over kept features, the same semantics as allpairs'
+    * cosine (dropping boilerplate features is the standard move, and
+    * the cut bounds per-feature join fanout at df²). That stance is
+    * what makes one aggregation sufficient: |A∩B| comes straight off
+    * the capped self-join's map-side-combined count — no distinct
+    * candidate set, no full-set re-verify join (a first cut verified
+    * exact full-set containment on capped candidates and spent 8.4 s
+    * of a 19 s wall pushing 1.35M candidate pairs × per-doc shingle
+    * sets through the verify join at sf0.1 — for semantics the
+    * feature-space stance gives anyway, since A ⊆ B implies
+    * A∩K ⊆ B∩K for ANY feature filter K: a true excerpt scores 1.0
+    * in either space). Per-document kept-set sizes ride shuffled
+    * equi-joins on the unique doc id, never a broadcast. Engine joins
+    * on 64-bit shingle digests (longs through the exchanges, not
+    * strings) — identical to the oracle's string join up to 2⁻⁶⁴
+    * collisions, the qNgram precedent. */
+  private val qDedupContain = Q("q_dedup_contain",
+    s"""WITH d2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ExcerptOff,
+       |    array_to_string(string_split(text, ' ')[11:40], ' ')
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM d2),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN len(w) >= 3
+       |           THEN list_transform(generate_series(1, len(w) - 2),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |           ELSE [] END) AS g
+       |  FROM ws),
+       |kept AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= $DfCap),
+       |k AS (SELECT s.* FROM sh s JOIN kept USING (g)),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1),
+       |common AS (SELECT a.doc_id AS ai, b.doc_id AS bi,
+       |    CAST(count(*) AS BIGINT) AS cc
+       |  FROM k a JOIN k b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ct AS (SELECT ai, bi, cc, x.n AS na, y.n AS nb
+       |  FROM common JOIN cnt x ON ai = x.doc_id JOIN cnt y ON bi = y.doc_id)
+       |SELECT CASE WHEN na <= nb THEN ai ELSE bi END AS inner_id,
+       |  CASE WHEN na <= nb THEN bi ELSE ai END AS outer_id,
+       |  round(cc / CAST(least(na, nb) AS DOUBLE), 4) AS containment
+       |FROM ct WHERE cc / CAST(least(na, nb) AS DOUBLE) >= 0.9
+       |ORDER BY inner_id, outer_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val ex = docs.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + ExcerptOff).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 11, 30), " ").as("text"))
+    val d2 = docs.select(col("doc_id"), col("text")).unionAll(ex)
+    val sh = d2.select(col("doc_id"),
+        explode(graft.functions.GraftExpressions.shingles(
+          lower(col("text")), NGram, dedup = true)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val kept = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= DfCap).select(col("h"))
+    // the kept-feature index is consumed by cnt and both self-join
+    // sides — fence it once (the q_sim_allpairs inverted-index build)
+    val k = sh.join(kept, "h").localCheckpoint()
+    val cnt = k.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = k.select(col("doc_id").as("ai"), col("h"))
+      .join(k.select(col("doc_id").as("bi"), col("h").as("hb")),
+        col("h") === col("hb") && col("ai") < col("bi"))
+      .groupBy(col("ai"), col("bi")).agg(count(lit(1)).as("cc"))
+    val ctn = col("cc") / least(col("na"), col("nb")).cast("double")
+    common
+      .join(cnt.select(col("doc_id").as("ai"), col("n").as("na")), "ai")
+      .join(cnt.select(col("doc_id").as("bi"), col("n").as("nb")), "bi")
+      .where(ctn >= 0.9)
+      .select(
+        when(col("na") <= col("nb"), col("ai")).otherwise(col("bi"))
+          .as("inner_id"),
+        when(col("na") <= col("nb"), col("bi")).otherwise(col("ai"))
+          .as("outer_id"),
+        round(ctn, 4).as("containment"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
   /** The MinHash-LSH band candidate pairs (ai < bi, distinct) the
     * edit-distance verify stage runs on — exposed for profiling. */
   private[graft] def editCandidates(s: SparkSession, d: String): DataFrame = {
@@ -1469,5 +1566,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(qExact, qNgram, qMinhash, qDedupPipeline, qDedupKeepBest, qDedupCc,
     qDedupCcStar, qDedupCcIncremental, qSimhash, qSimhashPairs, qSimhashWide,
     qDedupSubstring, qDedupSpan, qDedupSpanXl, qSimAllpairs, qDedupIncrementalNear,
-    qSimPpjoin, qDedupUrl, qDedupTemplate, qDedupEdit)
+    qSimPpjoin, qDedupUrl, qDedupTemplate, qDedupEdit, qDedupContain)
 }
