@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Dev tool: connected-components scale validation.
   *
@@ -37,14 +38,14 @@ object CcScaleProbe {
       (graft.functions.PortableHash.md5Long(col("id").cast("string")) % n).as("src"),
       (graft.functions.PortableHash.md5Long(concat(col("id").cast("string"), lit("x"))) % n).as("dst"))
       .where(col("src") =!= col("dst"))
-      .localCheckpoint()
+      .fenced()
     // materialize the full label assignment INSIDE the timer — without
     // the checkpoint the final nodes⋈labels join would lazily run in
     // the untimed comparison counts and skew the variant comparison
     val a = timed(s"alternating random n=$n m=$m")(
-      resolveAlternating(rand).withColumnRenamed("lbl", "la").localCheckpoint())
+      resolveAlternating(rand).withColumnRenamed("lbl", "la").fenced())
     val b = timed(s"propagation random n=$n m=$m")(
-      resolve(rand).withColumnRenamed("lbl", "lb").localCheckpoint())
+      resolve(rand).withColumnRenamed("lbl", "lb").fenced())
     // full-outer: a node missing from either side counts as a diff
     val diff = a.join(b, Seq("id"), "full_outer")
       .where(col("la").isNull || col("lb").isNull || col("la") =!= col("lb"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.TaskContext
-import org.apache.spark.scheduler.{SparkListener, SparkListenerSpeculativeTaskSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorAdded, SparkListenerExecutorRemoved, SparkListenerSpeculativeTaskSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{LeafExpression, Nondeterministic}
@@ -110,11 +110,16 @@ object ChaosProbe {
   private final class FailureCount extends SparkListener {
     val failed = new java.util.concurrent.atomic.AtomicLong(0)
     val speculative = new java.util.concurrent.atomic.AtomicLong(0)
+    val live = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
       if (ev.reason != org.apache.spark.Success) failed.incrementAndGet(): Unit
     override def onSpeculativeTaskSubmitted(
         ev: SparkListenerSpeculativeTaskSubmitted): Unit =
       speculative.incrementAndGet(): Unit
+    override def onExecutorAdded(ev: SparkListenerExecutorAdded): Unit =
+      live.add(ev.executorId): Unit
+    override def onExecutorRemoved(ev: SparkListenerExecutorRemoved): Unit =
+      live.remove(ev.executorId): Unit
   }
 
   private val Queries = Seq(
@@ -237,6 +242,54 @@ object ChaosProbe {
     println(s"CHAOS all ${Queries.size} queries bit-identical under " +
       s"scan-fault retries (total failed tasks ${counter.failed.get}, " +
       s"speculative submissions ${counter.speculative.get})")
+
+    // Executor-LOSS demonstration — the reason graft.Fence exists.
+    // localCheckpoint stores blocks only on the executors that
+    // computed them AND truncates lineage: kill one of the four
+    // executor JVMs and a fenced frame becomes partially unreadable,
+    // unrecoverably (no lineage to recompute from) — the failure mode
+    // a 1000-executor run hits routinely. The reliable fence writes
+    // through the checkpoint filesystem and survives the same kill.
+    import graft.Fence.FenceOps
+    def lossDemo(fenceMode: String): Either[String, Long] = {
+      spark.conf.set("spark.graft.fence", fenceMode)
+      try {
+        // wait for the standalone master to restore the executor pool
+        val dl = System.nanoTime() + 60L * 1000000000L
+        while (counter.live.size < 2 && System.nanoTime() < dl) Thread.sleep(250)
+        require(counter.live.size >= 2, "executor pool never recovered")
+        val fenced = spark.range(0, 3200000L, 1, 32)
+          .selectExpr("id", "id * 2 as v").fenced()
+        val victim = counter.live.iterator().next()
+        spark.sparkContext.killExecutors(Seq(victim)): Unit
+        val dl2 = System.nanoTime() + 30L * 1000000000L
+        while (counter.live.contains(victim) && System.nanoTime() < dl2)
+          Thread.sleep(250)
+        try Right(fenced.selectExpr("sum(v)").collect()(0).getLong(0))
+        catch { case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(140)) }
+      } finally spark.conf.unset("spark.graft.fence")
+    }
+    val localLoss = lossDemo("local")
+    val reliableLoss = lossDemo("reliable")
+    val wantSum = 3199999L * 3200000L // sum of 2*id for id < 3200000
+    localLoss match {
+      case Left(msg) => println(
+        s"CHAOS fence=local: executor killed -> JOB LOST (expected: " +
+        s"lineage-truncated blocks are unrecoverable) [${msg.takeWhile(_ != '\n')}]")
+      case Right(v) => println(
+        s"CHAOS fence=local: executor killed but count survived ($v) — " +
+        "all live blocks dodged the victim this run")
+    }
+    reliableLoss match {
+      case Right(v) =>
+        require(v == wantSum, s"reliable fence returned wrong sum $v")
+        println(s"CHAOS fence=reliable: executor killed -> result exact " +
+          s"($v) through the checkpoint filesystem")
+      case Left(msg) =>
+        throw new IllegalStateException(
+          s"reliable fence did not survive executor loss: $msg")
+    }
     spark.stop()
   }
 }

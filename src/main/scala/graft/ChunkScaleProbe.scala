@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Dev tool: scale validation for the round-5 chunk/similarity
   * additions, pinning the claims their scaladocs make:
@@ -57,7 +58,7 @@ object ChunkScaleProbe {
             lower(col("text")), NGram, dedup = false)).as("g"))
         .groupBy(col("doc_id"), col("lang"), xxhash64(col("g")).as("h"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+        .fenced()
       val kept = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .where(col("df") <= DfCap).select(col("h"))
       val nFeatures = kept.count()

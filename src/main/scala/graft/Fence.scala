@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Materialization fence — the engine's single point of control for
+  * "compute this frame once and cut its lineage" (iterative-loop
+  * truncation, expensive-subtree reuse: the inverted-index builds,
+  * per-round CC frames, rank vectors).
+  *
+  * Why this exists as an abstraction and not 66 raw `localCheckpoint`
+  * calls: `localCheckpoint` stores blocks on the EXECUTORS that
+  * computed them and TRUNCATES lineage — so on a real cluster, losing
+  * one executor mid-job loses its blocks unrecoverably ("Checkpoint
+  * block rdd_N_P not found") and fails the job. A 1000-executor run
+  * hits executor loss routinely (spot reclaim, OOM kill, node drain);
+  * ChaosProbe demonstrates the failure and the fix on a real
+  * multi-JVM `local-cluster`. The mode is a session conf:
+  *
+  *  - `spark.graft.fence=local` (default): `localCheckpoint` —
+  *    executor-local blocks, no external storage, fastest. Right for
+  *    `local[*]` (one JVM — "executor loss" is process death anyway)
+  *    and for re-runnable batch jobs where a rare executor loss is
+  *    cheaper to absorb by re-running the job.
+  *  - `spark.graft.fence=reliable`: `Dataset.checkpoint` into the
+  *    context's checkpoint dir — blocks survive ANY executor loss;
+  *    the job pays one write+read through the checkpoint filesystem
+  *    per fence. Deployments set `spark.graft.fence.dir` to a
+  *    fault-tolerant FS (HDFS/S3); if unset, falls back to a
+  *    temp dir under java.io.tmpdir (correct on a single machine,
+  *    NOT fault-tolerant on a cluster — deliberately a deploy-time
+  *    decision, never silently guessed).
+  *
+  * Both modes materialize EAGERLY (same scheduling semantics), return
+  * a lineage-truncated frame, and produce identical results —
+  * FenceSpec pins representative queries bit-equal across modes.
+  */
+object Fence {
+
+  def mode(ds: Dataset[_]): String =
+    ds.sparkSession.conf.get("spark.graft.fence", "local")
+
+  def apply[T](ds: Dataset[T]): Dataset[T] = mode(ds) match {
+    case "reliable" =>
+      val sc = ds.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = ds.sparkSession.conf.get("spark.graft.fence.dir",
+          s"${System.getProperty("java.io.tmpdir")}/graft-fence-${sc.applicationId}")
+        sc.setCheckpointDir(dir)
+      }
+      ds.checkpoint()
+    case _ => ds.localCheckpoint()
+  }
+
+  /** `df.fenced()` — drop-in for `df.localCheckpoint()` call sites. */
+  implicit final class FenceOps[T](private val ds: Dataset[T]) extends AnyVal {
+    def fenced(): Dataset[T] = Fence(ds)
+  }
+}

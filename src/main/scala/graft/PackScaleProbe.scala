@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.PrefixSum
+import graft.Fence.FenceOps
 
 /** Dev probe: distributed two-phase prefix sum vs the naive global
   * window, on synthetic (id, toks) tables — the scale evidence for
@@ -20,7 +21,7 @@ object PackScaleProbe {
     }
     for (n <- Seq(10000000L, 50000000L, 100000000L)) {
       val df = spark.range(n).select(col("id"),
-        (col("id") % 997 + 1).as("toks")).localCheckpoint()
+        (col("id") % 997 + 1).as("toks")).fenced()
       val distributed = time {
         PrefixSum.cumsum(df.toDF(), "id", "toks", 64, "cum")
           .agg(max(col("cum"))).head()

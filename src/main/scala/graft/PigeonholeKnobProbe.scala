@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Pigeonhole
 import graft.queries.MultimodalQueries
+import graft.Fence.FenceOps
 
 /** Measures the pigeonhole SEGMENT-WIDTH knob (PLANS.md round-9
   * named it as "the standard knob if a corpus ever pushes the verify
@@ -43,7 +44,7 @@ object PigeonholeKnobProbe {
         col("cx") === col("cx2") && col("cv") === col("cv2") &&
           col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
-      .localCheckpoint()
+      .fenced()
     val raw = cand.count()
     val pairs = cand.dropDuplicates("a_id", "b_id")
     val distinct = pairs.count()

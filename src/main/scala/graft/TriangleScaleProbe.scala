@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Dev tool: triangle-counting scale validation on the adversarial
   * hub topology (one vertex adjacent to everything + a ring over the
@@ -35,7 +36,7 @@ object TriangleScaleProbe {
       val ring = spark.range(n).select(
         least(col("id"), (col("id") + 1) % n).as("u"),
         greatest(col("id"), (col("id") + 1) % n).as("v"))
-      spokes.union(ring).distinct().localCheckpoint()
+      spokes.union(ring).distinct().fenced()
     }
 
     val small = 5000

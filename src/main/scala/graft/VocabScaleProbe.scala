@@ -4,6 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Dev tool: vocabulary-scale validation for `q_vocab_coverage`.
   *
@@ -54,7 +55,7 @@ object VocabScaleProbe {
           col("term"), col("n0"))
         .select(concat(lit("lang"), col("l")).as("lang"), col("term"),
           (col("n0") + col("l")).cast("long").as("n"))
-        .localCheckpoint()
+        .fenced()
 
       val t0 = System.nanoTime()
       val out = graft.queries.TextQueries.coveragePlan(lt, VocabMax, Cutoffs)

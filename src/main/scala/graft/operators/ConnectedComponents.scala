@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Distributed connected components by iterative min-label
   * propagation: every node starts labelled with itself; each round a
@@ -67,9 +68,9 @@ object ConnectedComponents {
         .where(col("lo") =!= col("hi")).distinct()
     val nodes = edges.select(col(cols(0)).as("id"))
       .union(edges.select(col(cols(1)).as("id"))).distinct()
-      .localCheckpoint()
+      .fenced()
     var e = canon(edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
-      .localCheckpoint()
+      .fenced()
     var eCount = e.count()
     var stable = false
     while (!stable) {
@@ -82,7 +83,7 @@ object ConnectedComponents {
         .agg(min(least(col("v"), col("u"))).as("m"))
       val large = nbrs.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-      val afterLarge = canon(large).localCheckpoint()
+      val afterLarge = canon(large).fenced()
       // small-star over the contracted edges
       val nbrs2 = afterLarge.select(col("hi").as("u"), col("lo").as("v"))
       val mins2 = nbrs2.groupBy(col("u"))
@@ -91,7 +92,7 @@ object ConnectedComponents {
       val small = withMin2
         .select(col("v").as("src"), col("m").as("dst"))
         .union(mins2.select(col("u").as("src"), col("m").as("dst")))
-      val next = canon(small).localCheckpoint()
+      val next = canon(small).fenced()
       // termination = symmetric difference empty. Count-gated: equal
       // cardinality is a NECESSARY condition for set equality, and a
       // count over the just-checkpointed frame is a trivial job,
@@ -129,10 +130,10 @@ object ConnectedComponents {
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.toSeq}")
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
     val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .fenced()
     var labels = bi.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .fenced()
     var changed = 1L
     while (changed > 0) {
       val nbrMin = bi.join(labels, col("dst") === col("id"))
@@ -142,7 +143,7 @@ object ConnectedComponents {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nxt"))
       val stepped = next.select(col("id"), col("nxt").as("lbl"),
         (col("nxt") =!= col("lbl")).cast("long").as("moved"))
-        .localCheckpoint()
+        .fenced()
       changed = stepped.agg(coalesce(sum(col("moved")), lit(0L))).head().getLong(0)
       free(labels) // superseded checkpoint — free its blocks
       labels = stepped.select(col("id"), col("lbl"))

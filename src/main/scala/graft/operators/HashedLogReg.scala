@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
+import graft.Fence.FenceOps
 
 /** Distributed trainer for the fasttext-style hashed linear quality
   * classifier whose serving shape is `q_quality_logreg` — the learned
@@ -91,7 +92,7 @@ object HashedLogReg {
   def fit(feats: DataFrame, dim: Int, iters: Int = 15, lr: Double = 2.0)
       : (Model, Seq[Double]) = {
     require(iters >= 1 && dim >= 2, s"iters=$iters dim=$dim")
-    val f = feats.repartition(col("doc_id")).localCheckpoint()
+    val f = feats.repartition(col("doc_id")).fenced()
     val head = f.agg(countDistinct(col("doc_id")).as("n"),
       count(when(col("y") =!= 0.0 && col("y") =!= 1.0, 1)).as("bad")).first()
     val n = head.getLong(0)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Distributed Lloyd's k-means over embedding columns — the trainer
   * for the IVF coarse quantizer (`q_knn_ivf` ships deterministic
@@ -79,7 +80,7 @@ object KMeans {
       seeded: Boolean = false)
       : (DataFrame, Array[Array[Double]], Seq[Double]) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val src = vecs.toDF("id", "v").localCheckpoint() // scanned every iteration
+    val src = vecs.toDF("id", "v").fenced() // scanned every iteration
     var centroids: Array[Array[Double]] =
       if (seeded) seedFarthest(src, k)
       else src.orderBy(col("id")).limit(k)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Synchronous label propagation (Raghavan et al. 2007, the LPA
   * community-detection pass) made DETERMINISTIC: every node starts as
@@ -34,7 +35,7 @@ object LabelProp {
     * @return (id: long, lab: long) — final label per node */
   def apply(edges: DataFrame, rounds: Int,
       broadcastLabels: Option[Boolean] = None): DataFrame = {
-    val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("id")).distinct().fenced()
     val useBroadcast = broadcastLabels.getOrElse {
       nodes.count() <= PageRank.MaxBroadcastNodes
     }
@@ -43,7 +44,7 @@ object LabelProp {
     // corpus-scaled edge table a second time. Only the co-partition
     // path derives a NEW layout worth fencing.
     val ed = if (useBroadcast) edges
-             else edges.repartition(col("src")).localCheckpoint()
+             else edges.repartition(col("src")).fenced()
     var lab: DataFrame = nodes.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to rounds) {
       val l = if (useBroadcast) broadcast(lab) else lab.hint("shuffle_merge")

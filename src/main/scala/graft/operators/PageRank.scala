@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Fixed-point integer PageRank (see `queries.GraphQueries` for the
   * oracle-checked query built on this and the full determinism
@@ -57,7 +58,7 @@ object PageRank {
     // join, the rank init) — materialize the node-sized frame once
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("d"))
-      .localCheckpoint()
+      .fenced()
     // degree folded into the edge table ONCE — the loop body is then a
     // single join + partial agg per iteration, not two joins
     val folded = edges.join(deg, "src")
@@ -71,7 +72,7 @@ object PageRank {
     // BEFORE the checkpoint — LogicalRDD keeps the physical
     // partitioning, so per-iteration joins shuffle only the ranks
     val ed = (if (useBroadcast) folded
-              else folded.repartition(col("src"))).localCheckpoint()
+              else folded.repartition(col("src"))).fenced()
     var r: DataFrame = deg.select(col("src").as("id"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       val ranks = if (useBroadcast) broadcast(r) else r.hint("shuffle_merge")
@@ -102,20 +103,20 @@ object PageRank {
       broadcastRanks: Option[Boolean] = None): DataFrame = {
     val deg = edges.groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("d"))
-      .localCheckpoint()
+      .fenced()
     val folded = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("d"))
     val useBroadcast = broadcastRanks.getOrElse {
       deg.count() <= MaxBroadcastNodes
     }
     val ed = (if (useBroadcast) folded
-              else folded.repartition(col("src"))).localCheckpoint()
+              else folded.repartition(col("src"))).fenced()
     // node-sized teleport vector: tp = TeleportFp on seeds, 0 off
     val tele = deg.select(col("src").as("id"))
       .join(seeds.select(col("id").as("sid")), col("id") === col("sid"), "left_outer")
       .select(col("id"),
         when(col("sid").isNotNull, lit(TeleportFp)).otherwise(lit(0L)).as("tp"))
-      .localCheckpoint()
+      .fenced()
     var r: DataFrame = tele.select(col("id"),
       when(col("tp") > 0, lit(Scale)).otherwise(lit(0L)).as("r"))
     for (_ <- 1 to iters) {

@@ -4,6 +4,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Fence.FenceOps
 
 /** Distributed order-preserving prefix sum — the classic two-phase
   * scan (Blelloch, "Prefix Sums and Their Applications", CMU-CS-90-190)
@@ -65,7 +66,7 @@ object PrefixSum {
         run += r.getAs[Number](valueIdx).longValue()
         Row.fromSeq(r.toSeq :+ pid :+ run)
       }
-    }(Encoders.row(schema)).localCheckpoint()
+    }(Encoders.row(schema)).fenced()
     val totals = local.groupBy(col("__pid"))
       .agg(max(col(out)).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

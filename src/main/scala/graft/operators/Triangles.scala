@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Fence.FenceOps
 
 /** Distributed triangle counting over an undirected edge list.
   *
@@ -41,7 +42,7 @@ object Triangles {
       .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
         when(fwd, col("v")).otherwise(col("u")).as("dst"),
         when(fwd, col("dv")).otherwise(col("du")).as("dst_d"))
-      .localCheckpoint() // 3 reuses: both wedge sides + closing probe
+      .fenced() // 3 reuses: both wedge sides + closing probe
     val e1 = ori.select(col("src"), col("dst").as("b"), col("dst_d").as("bd"))
     val e2 = ori.select(col("src"), col("dst").as("c"), col("dst_d").as("cd"))
     val e3 = ori.select(col("src").as("b"), col("dst").as("c"))
@@ -60,7 +61,7 @@ object Triangles {
   def naiveCount(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("u").as("a"), col("v").as("b"))
       .union(pairs.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint() // both wedge sides
+      .fenced() // both wedge sides
     val w1 = sym.select(col("a"), col("b"))
     val w2 = sym.select(col("a"), col("b").as("c"))
     val close = pairs.select(col("u").as("b"), col("v").as("c"))

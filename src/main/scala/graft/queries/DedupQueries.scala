@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash._
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Training-data deduplication over `documents`:
   *
@@ -98,7 +99,7 @@ object DedupQueries {
     // oracle's string join up to 2^-64-probability collisions).
     val sh = shingleRows(t(s, d, "documents"))
       .select(col("doc_id"), col("lang"), xxhash64(col("sh")).as("sh"))
-      .localCheckpoint()
+      .fenced()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.select(col("doc_id").as("ai"), col("lang"), col("sh"))
       .join(sh.select(col("doc_id").as("bi"), col("lang").as("lb"), col("sh").as("sb")),
@@ -170,7 +171,7 @@ object DedupQueries {
       explode(array((0 until B).map(j =>
         struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .localCheckpoint()
+      .fenced()
     bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"),
         col("bh").as("bh2")),
@@ -215,7 +216,7 @@ object DedupQueries {
       explode(array((0 until B).map(j =>
         struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .localCheckpoint()
+      .fenced()
     val cand = bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
         col("bh").as("bh2")),
@@ -223,7 +224,7 @@ object DedupQueries {
           col("ai") < col("bi"))
       .select(col("ai"), col("bi")).distinct()
     val sh = shingleRows(t(s, d, "documents"))
-      .select(col("doc_id"), col("sh")).localCheckpoint()
+      .select(col("doc_id"), col("sh")).fenced()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col("doc_id").as("ai"), col("sh").as("sha")), "ai")
@@ -288,7 +289,7 @@ object DedupQueries {
 
   private def ccQuery(resolver: DataFrame => DataFrame)(
       s: SparkSession, d: String): DataFrame = {
-    val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).localCheckpoint()
+    val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).fenced()
     resolver(edges)
       .select(col("id").as("doc_id"), col("lbl").cast("long").as("cluster_id"))
       .orderBy(col("doc_id"))
@@ -364,11 +365,11 @@ object DedupQueries {
     val vp = verifiedPairs(s, d).select(col("ai"), col("bi"))
       .join(meta.select(col("doc_id").as("ai"), col("prior").as("pa")), "ai")
       .join(meta.select(col("doc_id").as("bi"), col("prior").as("pb")), "bi")
-      .localCheckpoint()
+      .fenced()
     // the persisted manifest a deployment reads (derived in-plan)
     val plbl = graft.operators.ConnectedComponents.resolve(
         vp.where(col("pa") && col("pb")).select(col("ai"), col("bi")))
-      .localCheckpoint()
+      .fenced()
     val newEdges = vp.where(!(col("pa") && col("pb")))
     // contract: prior endpoints → their representative (manifest-
     // absent prior docs are their own rep); new endpoints unchanged
@@ -380,7 +381,7 @@ object DedupQueries {
         when(col("pb"), coalesce(col("lb"), col("bi"))).otherwise(col("bi")).as("ct"))
     // the ONLY iterative pass of the ingest — over the contracted
     // new-edge graph, |new-edge|-scale
-    val clbl = graft.operators.ConnectedComponents.resolve(ce).localCheckpoint()
+    val clbl = graft.operators.ConnectedComponents.resolve(ce).fenced()
     val newDocs = newEdges.where(!col("pa")).select(col("ai").as("doc_id"))
       .union(newEdges.where(!col("pb")).select(col("bi").as("doc_id")))
       .distinct()
@@ -449,7 +450,7 @@ object DedupQueries {
        |       CAST(n_docs AS BIGINT) AS n_docs, score AS keep_score
        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).localCheckpoint()
+    val edges = verifiedPairs(s, d).select(col("ai"), col("bi")).fenced()
     val labels = graft.operators.ConnectedComponents.resolveAlternating(edges)
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
     val docsQ = t(s, d, "documents").select(col("doc_id"),
@@ -556,7 +557,7 @@ object DedupQueries {
     // the quadratic-per-lang self-join replaced by an equi-join on
     // (seg, seg value, lang). The signature travels with each banded
     // row (one long), so verification needs no join back.
-    val sig = simhashOf(s, d).localCheckpoint() // reused on both join sides
+    val sig = simhashOf(s, d).fenced() // reused on both join sides
     val seg = explode(array((0 until HamSegs).map(j =>
       struct(lit(j).as("seg"), segmentValue(col("simhash"), j).as("sv"))): _*))
     val bands = sig.select(col("doc_id"), col("lang"), col("simhash"), seg.as("b"))
@@ -608,7 +609,7 @@ object DedupQueries {
        |FROM sg a JOIN sg b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HamMaxWide
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val sig = simhashOfN(s, d, SimBitsWide).localCheckpoint()
+    val sig = simhashOfN(s, d, SimBitsWide).fenced()
     val seg = explode(array((0 until phW.segments).map(j =>
       struct(lit(j).as("seg"), phW.segmentValue(col("simhash"), j).as("sv"))): _*))
     val bands = sig.select(col("doc_id"), col("lang"), col("simhash"), seg.as("b"))
@@ -686,7 +687,7 @@ object DedupQueries {
       .select(col("doc_id"), md5Long(col("g5")).as("h"))
     val dup = g.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("ndocs"))
       .where(col("ndocs") >= 2).select(col("h"))
-      .localCheckpoint()
+      .fenced()
     val pd = t(s, d, "documents")
       .select(col("doc_id"),
         (size(split(lower(col("text")), " ")) - 4).cast("long").as("n_pos"))
@@ -786,7 +787,7 @@ object DedupQueries {
       .select(col("doc_id"), (col("p") + 1).as("i"), md5Long(col("g5")).as("h"))
     val dupg = grams.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select(col("h"))
-      .localCheckpoint()
+      .fenced()
     val dupStarts = grams.join(dupg, "h")
       .select(col("doc_id"), col("i").as("pos"))
     spanSweep(docs, dupStarts, 5, SpanMin)
@@ -951,7 +952,7 @@ object DedupQueries {
     // groupBy) plus the df join, three times over; at cluster scale
     // the equivalent is persisting the feature table bucketed by `h`
     // once and reading it thrice — a standard inverted-index build.
-    val k = tf.join(kept, "h").localCheckpoint()
+    val k = tf.join(kept, "h").fenced()
     // DECIMAL(38,0) sums ≙ DuckDB's HUGEINT promotion: wrap-free
     val nrm = k.groupBy(col("doc_id"))
       .agg(sum((col("tf") * col("tf")).cast("decimal(38,0)")).as("s"))
@@ -1030,7 +1031,7 @@ object DedupQueries {
         struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
       .join(meta, "doc_id")
-      .localCheckpoint()
+      .fenced()
     val cand = bands.where(!col("prior"))
       .select(col("doc_id").as("ni"), col("band"), col("bh"))
       .join(bands.where(col("prior")).select(col("doc_id").as("pi"),
@@ -1038,7 +1039,7 @@ object DedupQueries {
         col("band") === col("band2") && col("bh") === col("bh2"))
       .select(col("ni"), col("pi")).distinct()
     val sh = shingleRows(t(s, d, "documents"))
-      .select(col("doc_id"), col("sh")).localCheckpoint()
+      .select(col("doc_id"), col("sh")).fenced()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col("doc_id").as("ni"), col("sh").as("sha")), "ni")
@@ -1121,7 +1122,7 @@ object DedupQueries {
       .agg(sort_array(collect_list(col("rk").cast("int"))).as("rks"))
       .select(col("doc_id"), col("lang"), col("rks"),
         size(col("rks")).as("nt"))
-      .localCheckpoint()
+      .fenced()
     // ⌈(num·nt)/den⌉ in exact integers
     def ceilTau(nt: Column): Column =
       floor((lit(PpNum) * nt + lit(PpDen - 1)) / lit(PpDen)).cast("int")
@@ -1483,7 +1484,7 @@ object DedupQueries {
       .where(col("df") <= DfCap).select(col("h"))
     // the kept-feature index is consumed by cnt and both self-join
     // sides — fence it once (the q_sim_allpairs inverted-index build)
-    val k = sh.join(kept, "h").localCheckpoint()
+    val k = sh.join(kept, "h").fenced()
     val cnt = k.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = k.select(col("doc_id").as("ai"), col("h"))
       .join(k.select(col("doc_id").as("bi"), col("h").as("hb")),
@@ -1511,7 +1512,7 @@ object DedupQueries {
       explode(array((0 until B).map(j =>
         struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .localCheckpoint()
+      .fenced()
     bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
         col("bh").as("bh2")),

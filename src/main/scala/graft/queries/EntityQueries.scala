@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GraftExpressions.jaro_winkler
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Entity resolution (record linkage) over a product catalog — the
   * classic data-cleaning pipeline a training-data platform runs over
@@ -180,7 +181,7 @@ object EntityQueries {
     val l = listings(s, d)
     val matches = matchPairs(s, d)
       .select(col("ai"), col("bi"))
-      .localCheckpoint() // pair-level match graph (q_dedup_cc contract)
+      .fenced() // pair-level match graph (q_dedup_cc contract)
     // alternating-star CC, NOT plain min-propagation: a block of m
     // identical listings match-chains through the sorted windows into
     // one component of diameter ~m/W, and duplicate multiplicity is

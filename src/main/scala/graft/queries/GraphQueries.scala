@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Q.t
+import graft.Fence.FenceOps
 
 /** Graph analytics beyond connected components (the dedup CC lives in
   * `operators.ConnectedComponents`): iterative PageRank over a graph
@@ -73,7 +74,7 @@ object GraphQueries {
       .distinct()
     val e = li.select(col("p").as("src"), col("sp").as("dst"))
       .union(li.select(col("sp").as("src"), col("p").as("dst")))
-      .localCheckpoint() // reused each iteration: fence off the distinct
+      .fenced() // reused each iteration: fence off the distinct
     graft.operators.PageRank(e, Iters)
       .orderBy(col("r").desc, col("id"))
       .limit(20)
@@ -141,7 +142,7 @@ object GraphQueries {
       .select(least(col("sa"), col("sb")).as("u"),
         greatest(col("sa"), col("sb")).as("v"))
       .distinct()
-      .localCheckpoint() // reused: degree count + orientation + edge count
+      .fenced() // reused: degree count + orientation + edge count
     graft.operators.Triangles.orientedCount(pairs)
   }
 
@@ -189,7 +190,7 @@ object GraphQueries {
       .distinct()
     val e = li.select(col("p").as("src"), col("sp").as("dst"))
       .union(li.select(col("sp").as("src"), col("p").as("dst")))
-      .localCheckpoint() // reused each round: fence off the distinct
+      .fenced() // reused each round: fence off the distinct
     graft.operators.LabelProp(e, LpRounds)
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("sz"), min(col("id")).as("min_id"))
@@ -247,7 +248,7 @@ object GraphQueries {
       .distinct()
     val e = li.select(col("p").as("src"), col("sp").as("dst"))
       .union(li.select(col("sp").as("src"), col("p").as("dst")))
-      .localCheckpoint()
+      .fenced()
     val seeds = t(s, d, "lineitem")
       .where(col("l_suppkey") % 10 === 0)
       .select((col("l_suppkey") * 2 + 1).as("id")).distinct()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Multimodal plumbing: media as opaque `binary` columns with typed
   * metadata, decoded partition-locally with a REAL codec
@@ -141,7 +142,7 @@ object MultimodalQueries {
     import graft.multimodal.MediaPipeline
     MediaPipeline.phashOf(s,
         MediaPipeline.toTexturedMediaPng(s, t(s, d, "documents")))
-      .toDF().localCheckpoint()
+      .toDF().fenced()
   }
 
   private[graft] def phashCandidates(s: org.apache.spark.sql.SparkSession,
@@ -266,7 +267,7 @@ object MultimodalQueries {
        |FROM documents d LEFT JOIN lbl l USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val edges = phashPairs(s, d)
-      .select(col("a_id").as("ai"), col("b_id").as("bi")).localCheckpoint()
+      .select(col("a_id").as("ai"), col("b_id").as("bi")).fenced()
     val labels = graft.operators.ConnectedComponents.resolveAlternating(edges)
       .select(col("id").as("doc_id"), col("lbl").cast("long").as("cid"))
     t(s, d, "documents").select(col("doc_id"))
@@ -405,7 +406,7 @@ object MultimodalQueries {
     import graft.multimodal.MediaPipeline
     MediaPipeline.afpOf(s,
         MediaPipeline.toGroupAudioWav(s, t(s, d, "documents")))
-      .toDF().localCheckpoint()
+      .toDF().fenced()
   }
 
   /** Acoustic near-dup pairs: REAL WAV decode → 64-bit energy-delta
@@ -551,7 +552,7 @@ object MultimodalQueries {
     val img = phashPairs(s, d)
       .withColumnRenamed("hamming", "img_hamming")
     // slim lookup table, computed once (one corpus agg), joined twice
-    val sg = graft.queries.DedupQueries.simhashOf(s, d).localCheckpoint()
+    val sg = graft.queries.DedupQueries.simhashOf(s, d).fenced()
     val txtHam = bit_count(col("ha").bitwiseXOR(col("hb")))
     img
       .join(sg.select(col("doc_id").as("a_id"), col("lang").as("la"),
@@ -624,7 +625,7 @@ object MultimodalQueries {
       .toVideoMedia(s, t(s, d, "documents"))
     val fh = graft.multimodal.MediaPipeline
       .videoFrameHashes(s, media)
-      .toDF().localCheckpoint()
+      .toDF().fenced()
     fh.select(col("doc_id").as("a_id"), col("f"), col("fhash"))
       .join(fh.select(col("doc_id").as("b_id"), col("f").as("f2"),
         col("fhash").as("h2")),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{GraftExpressions, PortableHash}
 import graft.operators.PrefixSum
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Training-data pipeline operators beyond per-document scoring — the
   * corpus-level passes a 100 TB pretraining build runs between raw
@@ -215,7 +216,7 @@ object PipelineQueries {
     // bloom build, exact verify) would otherwise each rescan the
     // corpus and recompute the md5 normalization
     val prior = f.where(col("source").rlike("^src[0-9]$")).select(col("fp"))
-      .localCheckpoint()
+      .fenced()
     // size the bloom from the build side (as InjectRuntimeFilter does
     // from build-side stats): a fixed estimate would saturate on a
     // larger prior manifest and silently stop pruning — still correct,
@@ -469,15 +470,15 @@ object PipelineQueries {
         explode(split(lower(col("text")), " ")).as("w"))
     val tgt = tok.where(col("source") === "src0")
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("ct"))
-      .localCheckpoint()
+      .fenced()
     val prop = tok.groupBy(col("w")).agg(count(lit(1)).cast("long").as("cp"))
-      .localCheckpoint()
+      .fenced()
     // totals from the vocab tables: nt = Σct, np = Σcp, v = |prop| —
     // identical values to aggregating the token stream directly
     val tots = tgt.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt"))
       .crossJoin(prop.agg(coalesce(sum(col("cp")), lit(0L)).cast("long").as("np"),
         count(lit(1)).cast("long").as("v")))
-      .localCheckpoint()
+      .fenced()
     val lr = round(
       log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
         / (col("nt") + col("v")).cast("double"))
@@ -785,7 +786,7 @@ object PipelineQueries {
     val tf: DataFrame = tk
       .groupBy(col("doc_id"), col("chunk_ix"), col("term"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // reused: chunk lengths + query-term df + scoring
+      .fenced() // reused: chunk lengths + query-term df + scoring
     /** Chunk lengths + corpus stats (chunk-count-sized; derived from
       * the checkpointed postings, no corpus re-scan). */
     val dl: DataFrame = tf.groupBy(col("doc_id"), col("chunk_ix"))
@@ -798,7 +799,7 @@ object PipelineQueries {
       .groupBy(col("doc_id"), col("chunk_ix"),
         (PortableHash.md5Long(col("term")) % EmbDim).as("b"))
       .agg(count(lit(1)).cast("long").as("cn"))
-      .localCheckpoint() // reused: dots + chunk norms
+      .fenced() // reused: dots + chunk norms
     lazy val cnorm: DataFrame = cb.groupBy(col("doc_id"), col("chunk_ix"))
       .agg(sum(col("cn") * col("cn")).cast("long").as("n2c"))
   }
@@ -1123,7 +1124,7 @@ object PipelineQueries {
       .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val d1 = docs.join(ukeep, Seq("doc_id"), "left_semi")
-      .localCheckpoint() // reused: boiler freq + rewrite + funnel count
+      .fenced() // reused: boiler freq + rewrite + funnel count
     // stage 2: boilerplate removal over the KEPT corpus — the SAME
     // shared derivation as q_text_boilerplate (boilerLined/boilerSet/
     // boilerCleaned), so the funnel cannot drift from the standalone
@@ -1131,7 +1132,7 @@ object PipelineQueries {
     val d2 = lined.crossJoin(broadcast(TextQueries.boilerSet(lined)))
       .select(col("doc_id"), col("lang"), col("source"),
         TextQueries.boilerCleaned.as("text"))
-      .localCheckpoint() // reused: gate + exact dedup + funnel count
+      .fenced() // reused: gate + exact dedup + funnel count
     // stage 3: the 5-signal gate on the CLEANED text
     val gOk = col("len_ok") && col("marker_ok") && col("rep_ok") &&
       col("pii_ok") && col("lr_ok")
@@ -1230,7 +1231,7 @@ object PipelineQueries {
       .select(col("qid"), col("doc_id"), col("chunk_ix"), col("sc"))
       // ≤ |Q|·RerankCand rows — bounded; referenced by the dot pass
       // AND the final assembly, so fence off the whole BM25 subtree
-      .localCheckpoint()
+      .fenced()
     val qb = qt.select(col("qid"),
         (PortableHash.md5Long(col("term")) % EmbDim).as("b"))
       .groupBy(col("qid"), col("b")).agg(count(lit(1)).cast("long").as("qn"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.PortableHash.md5Long
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors):
@@ -181,7 +182,7 @@ object SimilarityQueries {
        |FROM cand c JOIN e a ON a.vec_id = c.ai JOIN e b ON b.vec_id = c.bi
        |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val e = vectors(s, d).localCheckpoint() // banded twice + verified against
+    val e = vectors(s, d).fenced() // banded twice + verified against
     val bands = e.select(col("vec_id"), col("label"),
       explode(array((0 until DedupBands).map(j =>
         struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
@@ -245,7 +246,7 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT ni AS new_id, pi AS dup_of, round(sim, 4) AS sim
        |FROM ranked WHERE rn = 1 ORDER BY new_id""".stripMargin) { (s, d) =>
-    val e = vectors(s, d).localCheckpoint() // banded + verified against
+    val e = vectors(s, d).fenced() // banded + verified against
     // bounded driver action: one count fixes the new/prior split id
     val split = (4L * t(s, d, "embeddings").count() + 4L) / 5L
     val bands = e.select(col("vec_id"), col("label"),
@@ -509,7 +510,7 @@ object SimilarityQueries {
        |  FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.n_id)
        |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(cos, 6) AS sim
        |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-    val e = vectors(s, d).localCheckpoint() // banded + scored against
+    val e = vectors(s, d).fenced() // banded + scored against
     val bands = e.select(col("vec_id"),
       explode(array((0 until DedupBands).map(j =>
         struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
@@ -929,7 +930,7 @@ object SimilarityQueries {
         posexplode(asDouble(col("embedding"))).as(Seq("p", "v")))
       .select(col("vec_id"), col("label"),
         (col("p") + 1).cast("int").as("dim"), col("v"))
-      .localCheckpoint() // reused: centroid pass + deviation terms
+      .fenced() // reused: centroid pass + deviation terms
     val c = u.groupBy(col("label"), col("dim"))
       .agg(round(sum(col("v").cast("decimal(18,8)")).cast("double")
         / count(lit(1)), 6).as("cent"))
@@ -1377,7 +1378,7 @@ object SimilarityQueries {
       .select(col("src"), col("dst"))
     val e2 = top.union(top.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint() // reused each LPA round
+      .fenced() // reused each LPA round
     graft.operators.LabelProp(e2, ClusterRounds)
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("sz"), min(col("id")).as("min_id"))

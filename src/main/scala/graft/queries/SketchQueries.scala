@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{CountMin, HeavyHitters, PortableHash}
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Sketch aggregates. `q_sketch_cms` builds a Count-Min sketch over
   * all document tokens via the custom typed Aggregator
@@ -213,7 +214,7 @@ object SketchQueries {
       .select(col("l_returnflag"), col("l_linestatus"),
         (PortableHash.md5Long(col("l_partkey").cast("string")) % PortableHash.P).as("h"))
       .distinct()
-      .localCheckpoint() // reused: fine sketches + direct path
+      .fenced() // reused: fine sketches + direct path
     // fine sketches: salted two-stage k smallest per (flag, status)
     val Salts = 64
     val wFineSalt = Window.partitionBy(col("l_returnflag"), col("l_linestatus"),
@@ -302,7 +303,7 @@ object SketchQueries {
        |FROM top t CROSS JOIN n ORDER BY cnt DESC, bigram""".stripMargin) { (s, d) =>
     val bg = bigrams(s, d)
     val c = bg.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // vocab-scale; reused for total + top-20
+      .fenced() // vocab-scale; reused for total + top-20
     val total = c.agg(sum(col("cnt")).cast("long").as("total"))
     val top = c.orderBy(col("cnt").desc, col("b")).limit(20)
     val sk = heavySketch(s, d)
@@ -384,7 +385,7 @@ object SketchQueries {
       // ≤ k·Salts·|groups| rows — bounded; the cut runs ONCE and the
       // whole set algebra below reuses it instead of re-ranking the
       // fact per reference (sk×3 + kth×2)
-      .localCheckpoint()
+      .fenced()
     val sk = ranked.where(col("rn") <= KmvK).select(col("f"), col("h"))
     val kth = ranked.where(col("rn") === KmvK).select(col("f"), col("h").as("kv"))
     val p = kth.select(col("f").as("fa"), col("kv").as("ka"))

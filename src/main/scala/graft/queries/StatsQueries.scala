@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.PortableHash
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Statistical analytics beyond the basic moment aggregates
   * (q_stats_agg): exact rank-selected quantiles, correlation /
@@ -210,7 +211,7 @@ object StatsQueries {
       countDistinct(col("o_totalprice")).as("nd_tp"),
       round(min(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mn_tp"),
       round(max(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mx_tp"))
-      .localCheckpoint() // one agg row, four projections below
+      .fenced() // one agg row, four projections below
     def row(name: String, p: String) = a.select(
       lit(name).as("col"), col("n").cast("long").as("n_rows"),
       col(s"nn_$p").cast("long").as("n_null"),
@@ -252,7 +253,7 @@ object StatsQueries {
       approx_count_distinct(col("o_totalprice")).as("nd_tp"),
       round(min(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mn_tp"),
       round(max(col("o_totalprice")), 2).cast(DecimalType(18, 2)).cast("string").as("mx_tp"))
-      .localCheckpoint() // one agg row, four projections below
+      .fenced() // one agg row, four projections below
     def row(name: String, p: String) = a.select(
       lit(name).as("col"), col("n").cast("long").as("n_rows"),
       col(s"nn_$p").cast("long").as("n_null"),
@@ -453,7 +454,7 @@ object StatsQueries {
       .agg((round(sum((col("w") * col("value")).cast(DecimalType(24, 6)))
         .cast("double") / sum(col("w")).cast("double"), 6))
         .cast(DecimalType(18, 6)).as("m"))
-      .localCheckpoint() // reused: mbar/lo/hi + the SE pass
+      .fenced() // reused: mbar/lo/hi + the SE pass
     val pt = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(col("value").cast(DecimalType(18, 4))).cast("double")

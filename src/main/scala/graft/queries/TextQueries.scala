@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 import graft.operators.Bpe
 import graft.queries.Q.t
+import graft.Fence.FenceOps
 
 /** Training-data text analysis over the `documents` table: language
   * ID (word-gram marker heuristic), quality scoring, token counting
@@ -141,7 +142,7 @@ object TextQueries {
     // derived from it AND it feeds the crossJoin, so without the
     // checkpoint the corpus scan + explode + groupBy would run twice
     val counts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .fenced()
     val total = counts.agg(sum(col("n")).cast("long").as("total"))
     counts.crossJoin(broadcast(total))
       .select(col("bigram"), col("n"),
@@ -279,7 +280,7 @@ object TextQueries {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // reused by dl, dfq, and the score join
+      .fenced() // reused by dl, dfq, and the score join
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("n")).cast("long").as("len"))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("dfreq"))
     val nd = t(s, d, "documents").agg(count(lit(1)).cast("long").as("nd"))
@@ -403,13 +404,13 @@ object TextQueries {
     // off the corpus scan + explode so each runs once
     val uc = ws.select(explode(col("ws")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("nu"))
-      .localCheckpoint()
+      .fenced()
     val total1 = uc.agg(sum(col("nu")).cast("long").as("total1"))
     val bc = t(s, d, "documents")
       .select(explode(graft.functions.GraftExpressions.shingles(
         lower(col("text")), 2, dedup = false)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("nab"))
-      .localCheckpoint()
+      .fenced()
     val total2 = bc.agg(sum(col("nab")).cast("long").as("total2"))
     bc.where(col("nab") >= 5)
       .withColumn("ta", split(col("bigram"), " ")(0))
@@ -460,7 +461,7 @@ object TextQueries {
       .groupBy(col("tok"))
       .agg(count(when(col("source") === "src0", lit(1))).as("a"),
         count(when(col("source") =!= "src0", lit(1))).as("b"))
-      .localCheckpoint() // reused: totals + the statistic below
+      .fenced() // reused: totals + the statistic below
     val tot = cts.agg(sum(col("a")).cast("long").as("c"),
       sum(col("b")).cast("long").as("d"))
     val term = (n: String, m: String) =>
@@ -521,7 +522,7 @@ object TextQueries {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // reused: doc lengths + query-term df + scoring
+      .fenced() // reused: doc lengths + query-term df + scoring
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("n")).cast("long").as("len"))
     val st = dl.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("len")).cast("long").as("toklen"))
@@ -592,7 +593,7 @@ object TextQueries {
     val cnt = t(s, d, "documents")
       .select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("n"))
-      .localCheckpoint() // reused: top-100 shortlist + Heaps totals
+      .fenced() // reused: top-100 shortlist + Heaps totals
     val top = cnt.orderBy(col("n").desc, col("w")).limit(100)
     val rk = top.withColumn("r",
       row_number().over(Window.orderBy(col("n").desc, col("w"))).cast("long"))
@@ -699,7 +700,7 @@ object TextQueries {
     val lt = t(s, d, "documents")
       .select(col("lang"), explode(words(col("text"))).as("term"))
       .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n"))
-      .localCheckpoint() // reused: totals + global ranking + coverage
+      .fenced() // reused: totals + global ranking + coverage
     coveragePlan(lt, VocabMax, VocabCutoffs)
   }
 
@@ -1250,7 +1251,7 @@ object TextQueries {
         explode(graft.functions.GraftExpressions.shingles(
           lower(col("text")), 3, dedup = true)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .localCheckpoint() // reused: first-occurrence agg + the join back
+      .fenced() // reused: first-occurrence agg + the join back
     val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
     val per = sh.join(first, "h")
       .groupBy(col("doc_id"))
