@@ -290,6 +290,34 @@ object ChaosProbe {
         throw new IllegalStateException(
           s"reliable fence did not survive executor loss: $msg")
     }
+
+    // Capstone: a FULL query survives losing an executor MID-FLIGHT.
+    // The kill lands while the ER pipeline is running, so whatever the
+    // executor held dies with it — shuffle map outputs (recovered by
+    // FetchFailed -> stage resubmission, the OTHER retry path, which
+    // task-level chaos above never exercises) and, under the reliable
+    // fence, the match-graph checkpoint reads from the checkpoint FS
+    // instead of dying with the executor. The result must still be
+    // BIT-IDENTICAL to the healthy run.
+    spark.conf.set("spark.graft.fence", "reliable")
+    try {
+      val dl3 = System.nanoTime() + 60L * 1000000000L
+      while (counter.live.size < 2 && System.nanoTime() < dl3) Thread.sleep(250)
+      val clean = canonical(spark, "q_entity_resolution", sfDir)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fut = Future(canonical(spark, "q_entity_resolution", sfDir))
+      Thread.sleep(2500) // let the pipeline get airborne
+      val victim = counter.live.iterator().next()
+      spark.sparkContext.killExecutors(Seq(victim)): Unit
+      val survived = Await.result(fut, 180.seconds)
+      require(survived == clean,
+        "mid-flight executor loss changed the ER result")
+      println(s"CHAOS mid-flight loss: executor $victim killed while " +
+        s"q_entity_resolution ran (fence=reliable) -> BIT-IDENTICAL " +
+        s"(${survived.size} rows)")
+    } finally spark.conf.unset("spark.graft.fence")
     spark.stop()
   }
 }
