@@ -43,9 +43,25 @@ object Fence {
     case "reliable" =>
       val sc = ds.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
-        val dir = ds.sparkSession.conf.get("spark.graft.fence.dir",
+        val explicit = ds.sparkSession.conf.getOption("spark.graft.fence.dir")
+        val dir = explicit.getOrElse(
           s"${System.getProperty("java.io.tmpdir")}/graft-fence-${sc.applicationId}")
         sc.setCheckpointDir(dir)
+        // the auto-created tmpdir fallback is ours to clean up at JVM
+        // exit (a user-provided fence dir is never touched); WITHIN a
+        // session, superseded frames are reclaimed per-frame by
+        // bridge.freeLocalCheckpoint, which deletes reliable
+        // checkpoint files too — iterative operators call it each
+        // round, so the checkpoint FS does not grow with iterations
+        if (explicit.isEmpty) {
+          val f = new java.io.File(dir)
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            def rm(x: java.io.File): Unit = {
+              Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+            }
+            rm(f)
+          }))
+        }
       }
       ds.checkpoint()
     case _ => ds.localCheckpoint()

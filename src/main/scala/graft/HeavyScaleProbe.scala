@@ -192,7 +192,13 @@ object HeavyScaleProbe {
   }
 
   private def synthesize(spark: SparkSession): Unit = {
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(Dst, "_DONE"))) return
+    // the guard names the synthesized TABLE SET, not just "done":
+    // a dir left by an earlier round (before part.parquet existed)
+    // must re-synthesize, and any future table addition re-triggers
+    // automatically instead of silently serving a stale subset
+    val tables = Seq("documents", "embeddings", "lineitem", "part")
+    val marker = java.nio.file.Paths.get(Dst, s"_DONE_${tables.mkString("_")}")
+    if (java.nio.file.Files.exists(marker)) return
     val copies = spark.range(Copies).select(col("id").cast("int").as("cp"))
 
     val docs = Tables(spark, Src, "documents")
@@ -245,7 +251,7 @@ object HeavyScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Dst/part.parquet")
 
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(Dst, "_DONE")): Unit
+    java.nio.file.Files.createFile(marker): Unit
   }
 
   /** Sums shuffle WRITE records across every completed stage of the

@@ -151,6 +151,31 @@ object DedupQueries {
     s"md5($parts)"
   }
 
+  /** The exploded, fenced MinHash band-hash rows (doc_id, band, bh) —
+    * the ONE construction of the LSH banding layer, shared by the
+    * band-count join (`q_dedup_minhash`), the verified-pair chain
+    * (`q_dedup_pipeline`/`q_dedup_cc*`), and the edit-distance verify
+    * (`q_dedup_edit`); a single definition so a change to B or the
+    * band hash cannot silently diverge the family. */
+  private def bandRows(s: SparkSession, d: String): DataFrame =
+    minhashSignature(s, d).select(col("doc_id"),
+      explode(array((0 until B).map(j =>
+        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .fenced()
+
+  /** Distinct band-collision candidate pairs (ai < bi) off
+    * [[bandRows]]. */
+  private def bandCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandRows(s, d)
+    bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
+        col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("ai") < col("bi"))
+      .select(col("ai"), col("bi")).distinct()
+  }
+
   private val qMinhash = Q("q_dedup_minhash",
     s"""WITH $shingleCtes,
        |$minhashSigSql,
@@ -164,14 +189,9 @@ object DedupQueries {
        |FROM bx a JOIN bx b
        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val sig = minhashSignature(s, d)
-    // Materialize band hashes once before the self-join (the signature
-    // subtree — shingle + 32 hash-min aggs — is the expensive part).
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until B).map(j =>
-        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .fenced()
+    // band hashes materialize once before the self-join (the signature
+    // subtree — shingle + 32 hash-min aggs — is the expensive part)
+    val bands = bandRows(s, d)
     bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b_id"), col("band").as("band2"),
         col("bh").as("bh2")),
@@ -211,18 +231,7 @@ object DedupQueries {
 
   /** Spark twin of [[verifiedCtes]]: DataFrame of (ai, bi, jac). */
   private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignature(s, d)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until B).map(j =>
-        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .fenced()
-    val cand = bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
-        col("bh").as("bh2")),
-        col("band") === col("band2") && col("bh") === col("bh2") &&
-          col("ai") < col("bi"))
-      .select(col("ai"), col("bi")).distinct()
+    val cand = bandCandidatePairs(s, d)
     val sh = shingleRows(t(s, d, "documents"))
       .select(col("doc_id"), col("sh")).fenced()
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1409,9 +1418,12 @@ object DedupQueries {
     * exactly. */
   // --------------------------------------------------- containment dedup
 
-  /** Excerpt ids offset so derived snippets never collide with real
-    * doc ids at any SF. */
-  private val ExcerptOff = 1000000L
+  // Excerpt ids are offset by max(doc_id)+1 — DERIVED, not a constant,
+  // so snippets can never collide with real doc ids at any corpus
+  // size (a fixed 10⁶ offset would alias against corpora past 1M
+  // documents, and both engines computing identically would make the
+  // oracle structurally blind to the collision). The engine pays one
+  // bounded scalar action; the oracle uses the scalar subquery.
 
   /** CONTAINMENT-similarity dedup — the asymmetric member of the
     * similarity-join family (allpairs = cosine, ppjoin = Jaccard,
@@ -1447,7 +1459,7 @@ object DedupQueries {
     s"""WITH d2 AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + $ExcerptOff,
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
        |    array_to_string(string_split(text, ' ')[11:40], ' ')
        |  FROM documents WHERE doc_id % 4 = 0),
        |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM d2),
@@ -1472,8 +1484,9 @@ object DedupQueries {
        |FROM ct WHERE cc / CAST(least(na, nb) AS DOUBLE) >= 0.9
        |ORDER BY inner_id, outer_id""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
+    val excerptOff = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val ex = docs.where(col("doc_id") % 4 === 0)
-      .select((col("doc_id") + ExcerptOff).as("doc_id"),
+      .select((col("doc_id") + excerptOff).as("doc_id"),
         array_join(slice(split(col("text"), " "), 11, 30), " ").as("text"))
     val d2 = docs.select(col("doc_id"), col("text")).unionAll(ex)
     val sh = d2.select(col("doc_id"),
@@ -1505,21 +1518,10 @@ object DedupQueries {
   }
 
   /** The MinHash-LSH band candidate pairs (ai < bi, distinct) the
-    * edit-distance verify stage runs on — exposed for profiling. */
-  private[graft] def editCandidates(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignature(s, d)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until B).map(j =>
-        struct(lit(j).as("band"), bandHash(j).as("bh"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .fenced()
-    bands.select(col("doc_id").as("ai"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("bi"), col("band").as("band2"),
-        col("bh").as("bh2")),
-        col("band") === col("band2") && col("bh") === col("bh2") &&
-          col("ai") < col("bi"))
-      .select(col("ai"), col("bi")).distinct()
-  }
+    * edit-distance verify stage runs on — [[bandCandidatePairs]],
+    * exposed for the recall spec and stage profiling. */
+  private[graft] def editCandidates(s: SparkSession, d: String): DataFrame =
+    bandCandidatePairs(s, d)
 
   private val qDedupEdit = Q("q_dedup_edit",
     s"""WITH $shingleCtes,

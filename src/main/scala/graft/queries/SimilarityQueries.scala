@@ -81,12 +81,14 @@ object SimilarityQueries {
       |      FROM e0 CROSS JOIN n0)""".stripMargin
 
   /** Engine twin of [[vectorsXlCte]]: base ∪ negated copy. */
-  private def vectorsXl(s: SparkSession, d: String): DataFrame = {
+  private def vectorsXl(s: SparkSession, d: String): (DataFrame, Long) = {
     val e = vectors(s, d)
-    // bounded driver action: one count for the copy's id offset
+    // bounded driver action: ONE count, returned so callers sizing
+    // adaptive constants off the doubled corpus reuse it instead of
+    // re-scanning for the same scalar
     val n = t(s, d, "embeddings").count()
-    e.union(e.select((col("vec_id") + n).as("vec_id"), col("label"),
-      transform(col("v"), x => -x).as("v")))
+    (e.union(e.select((col("vec_id") + n).as("vec_id"), col("label"),
+      transform(col("v"), x => -x).as("v"))), 2L * n)
   }
 
   /** EXACT near-duplicate pairs (cos ≥ 0.4) within a `label` block —
@@ -1284,7 +1286,8 @@ object SimilarityQueries {
     * never reach. */
   private val qDedupSemanticXl = Q("q_dedup_semantic_xl",
     dedupSemanticSql(vectorsXlCte)) { (s, d) =>
-    dedupSemanticPlan(vectorsXl(s, d), 2L * t(s, d, "embeddings").count())
+    val (vx, n2) = vectorsXl(s, d)
+    dedupSemanticPlan(vx, n2)
   }
 
   /** Candidate kNN-graph pairs — exposed for HeavyScaleProbe's
@@ -1399,8 +1402,8 @@ object SimilarityQueries {
     * exercise. */
   private val qEmbedClusterXl = Q("q_embed_cluster_xl",
     embedClusterSql(vectorsXlCte)) { (s, d) =>
-    embedClusterPlan(clusterCandidatesFrom(vectorsXl(s, d),
-      2L * t(s, d, "embeddings").count()))
+    val (vx, n2) = vectorsXl(s, d)
+    embedClusterPlan(clusterCandidatesFrom(vx, n2))
   }
 
   // --------------------------------------------------- coreset selection

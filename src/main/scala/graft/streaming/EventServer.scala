@@ -102,13 +102,19 @@ final class EventServer private (server: HttpServer) {
   def latencySince(mark: Long): Array[Long] = {
     val end = latencyCount.get
     val start = math.max(mark, end - LatencyRingSize)
+    // slots are written nanos+1 AFTER the index is claimed, so a
+    // writer preempted between claim and store leaves 0 — skip those
+    // in-flight slots instead of reading a zero/previous-lap value
+    // into the percentile tabulation
     Array.tabulate((end - start).toInt)(i =>
       latencyRing.get(((start + i) % LatencyRingSize).toInt))
+      .filter(_ != 0L).map(_ - 1L)
   }
 
   private def recordLatency(nanos: Long): Unit = {
     val i = latencyCount.getAndIncrement()
-    latencyRing.set((i % LatencyRingSize).toInt, nanos)
+    // +1 bias: 0 marks an unwritten slot (nanos can legitimately be 0)
+    latencyRing.set((i % LatencyRingSize).toInt, nanos + 1)
   }
 
   /** Non-blocking fan-out: swap each subscriber's 1-slot buffer.

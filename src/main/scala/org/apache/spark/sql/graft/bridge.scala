@@ -22,7 +22,22 @@ object bridge {
     val rdds = df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }
-    rdds.foreach(_.unpersist(blocking = false))
+    rdds.foreach { r =>
+      r.unpersist(blocking = false)
+      // a RELIABLY checkpointed frame (spark.graft.fence=reliable)
+      // holds its data as files, not blocks — unpersist alone would
+      // leak one checkpoint dir per superseded frame until the
+      // checkpoint FS fills (ContextCleaner only reclaims these with
+      // cleanCheckpoints=true AND driver GC); delete the files of the
+      // superseded frame explicitly. Caller contract unchanged: the
+      // frame is superseded and never read again.
+      r.getCheckpointFile.foreach { dir =>
+        val path = new org.apache.hadoop.fs.Path(dir)
+        path.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(path, true): Unit
+      }
+    }
     rdds.nonEmpty
   }
 }

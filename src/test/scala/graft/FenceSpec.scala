@@ -33,4 +33,24 @@ class FenceSpec extends AnyFunSuite {
     val files = new java.io.File(new java.net.URI(dir.get).getPath).listFiles()
     assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
   }
+
+  test("freeing a superseded reliable fence deletes its checkpoint files") {
+    import graft.Fence.FenceOps
+    spark.conf.set("spark.graft.fence", "reliable")
+    try {
+      val fenced = spark.range(0, 1000).toDF("id").fenced()
+      assert(fenced.count() == 1000)
+      val ckptDirs = fenced.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }.flatMap(_.getCheckpointFile)
+      assert(ckptDirs.nonEmpty, "reliable fence left no checkpoint file")
+      val paths = ckptDirs.map(d => new java.io.File(new java.net.URI(d).getPath))
+      assert(paths.forall(_.exists))
+      // iterative operators reclaim superseded rounds through this —
+      // for a reliable fence it must delete the FILES, not just
+      // unpersist blocks (the unbounded-checkpoint-FS-growth bug)
+      org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(fenced)
+      assert(paths.forall(!_.exists()), "checkpoint files leaked after free")
+    } finally spark.conf.unset("spark.graft.fence")
+  }
 }
