@@ -77,8 +77,16 @@ class ReplaySourceSpec extends AnyFunSuite {
     q1.stop() // kill with most of the file unprocessed
     val afterKill = sunk()
     assert(afterKill > 0, "kill landed before any epoch committed")
+    // processAllAvailable alone cannot drain a RATE-PACED source: it
+    // returns as soon as the source momentarily reports no new data,
+    // and right after restart the elapsed-time allowance is ~0 — so
+    // wait for the sink to catch up, then settle the final epoch
     val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
+    try {
+      val dl2 = System.nanoTime() + 60L * 1000000000L
+      while (sunk() < n && System.nanoTime() < dl2) Thread.sleep(50)
+      q2.processAllAvailable()
+    } finally q2.stop()
     val out = spark.read.parquet(s"$base/out").select("line").as[String].collect()
     assert(out.length == n, s"expected $n rows, got ${out.length} (afterKill=$afterKill)")
     assert(out.toSet == (1 to n).map(i => s"line$i").toSet)
