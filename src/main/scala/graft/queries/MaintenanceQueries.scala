@@ -230,5 +230,68 @@ object MaintenanceQueries {
       .orderBy(col("rf"), col("bucket"))
   }
 
-  val all: Seq[Q] = Seq(qDimMerge, qZorder, qMvRefresh, qCompactPlan)
+  /** Corpus SNAPSHOT DIFF — content-level change-data-capture between
+    * two crawl snapshots: the delta manifest (added / deleted /
+    * changed documents) an incremental corpus build consumes instead
+    * of reprocessing the full snapshot. This is the CONTENT
+    * counterpart of [[qDimMerge]] (which classifies latest ENTITY
+    * state and structurally cannot see deletes here): both sides are
+    * document sets keyed by doc_id, equality is the md5 content
+    * digest, and all three delta classes are live at every SF.
+    *
+    * Snapshot derivation (IDENTICAL expressions on both engines, so
+    * the oracle checks the DIFF operator, not a fixture): current =
+    * documents minus doc_id ≡ 5 (mod 13) — those rows become
+    * `deleted`; prior = documents minus doc_id ≡ 3 (mod 11) — those
+    * become `added`; prior text for doc_id ≡ 2 (mod 7) carries a
+    * draft suffix — those become `changed`.
+    *
+    * Scale shape (100 TB): the md5 digests are computed INSIDE each
+    * snapshot's scan stage, so the full-outer join exchanges only
+    * (doc_id, 32-char digest) rows — document text never shuffles.
+    * One sort-merge join on doc_id is the whole pass; recurring
+    * snapshots bucketed by doc_id (`operators.Bucketing`) co-locate
+    * it with zero exchange. The output is the DELTA ONLY — `same`
+    * rows (the overwhelming mass between adjacent crawls) are
+    * filtered before the sink, never materialized downstream; a
+    * mis-classification cannot hide there, since a changed/added/
+    * deleted row wrongly read as `same` is a missing output row the
+    * hash comparison catches. */
+  private val qSnapshotDiff = Q("q_snapshot_diff",
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |cur AS (SELECT doc_id, md5(text) AS cur_md5 FROM docs
+      |        WHERE doc_id % 13 <> 5),
+      |prior AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' (rev1)' ELSE text END)
+      |      AS prior_md5
+      |  FROM docs WHERE doc_id % 11 <> 3),
+      |delta AS (
+      |  SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+      |    CASE WHEN p.doc_id IS NULL THEN 'added'
+      |         WHEN c.doc_id IS NULL THEN 'deleted'
+      |         WHEN p.prior_md5 <> c.cur_md5 THEN 'changed'
+      |         ELSE 'same' END AS status,
+      |    p.prior_md5, c.cur_md5
+      |  FROM prior p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+      |SELECT doc_id, status, prior_md5, cur_md5 FROM delta
+      |WHERE status <> 'same' ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val cur = docs.where(pmod(col("doc_id"), lit(13)) =!= 5)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("cur_md5"))
+    val priorText = when(pmod(col("doc_id"), lit(7)) === 2,
+      concat(col("text"), lit(" (rev1)"))).otherwise(col("text"))
+    val prior = docs.where(pmod(col("doc_id"), lit(11)) =!= 3)
+      .select(col("doc_id"), md5(priorText.cast("binary")).as("prior_md5"))
+    prior.join(cur, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("prior_md5").isNull, "added")
+          .when(col("cur_md5").isNull, "deleted")
+          .when(col("prior_md5") =!= col("cur_md5"), "changed")
+          .otherwise("same").as("status"),
+        col("prior_md5"), col("cur_md5"))
+      .where(col("status") =!= "same")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(qDimMerge, qZorder, qMvRefresh, qCompactPlan, qSnapshotDiff)
 }
