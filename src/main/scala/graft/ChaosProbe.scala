@@ -323,6 +323,12 @@ object ChaosProbe {
     try {
       val dl3 = System.nanoTime() + 60L * 1000000000L
       while (counter.live.size < 2 && System.nanoTime() < dl3) Thread.sleep(250)
+      // same guard as lossDemo: with 0 live executors the victim pick
+      // throws NoSuchElementException and with exactly 1 the kill
+      // takes the whole pool — either way the probe would report a
+      // confusing downstream failure instead of the real condition
+      require(counter.live.size >= 2,
+        "executor pool never recovered before the mid-flight kill")
       val clean = canonical(spark, "q_entity_resolution", sfDir)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._

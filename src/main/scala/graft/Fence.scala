@@ -25,10 +25,13 @@ import org.apache.spark.sql.Dataset
   *    context's checkpoint dir — blocks survive ANY executor loss;
   *    the job pays one write+read through the checkpoint filesystem
   *    per fence. Deployments set `spark.graft.fence.dir` to a
-  *    fault-tolerant FS (HDFS/S3); if unset, falls back to a
-  *    temp dir under java.io.tmpdir (correct on a single machine,
-  *    NOT fault-tolerant on a cluster — deliberately a deploy-time
-  *    decision, never silently guessed).
+  *    fault-tolerant FS (HDFS/S3). If unset, a LOCAL master
+  *    (local / local-cluster — one physical box, shared /tmp) falls
+  *    back to a temp dir under java.io.tmpdir; a non-local master
+  *    REFUSES to start the fence instead (executor-local /tmp is not
+  *    shared storage — checkpoint partitions would land per-machine
+  *    and the first cross-node read dies, so guessing a dir there
+  *    would be nonfunctional, not merely non-fault-tolerant).
   *
   * Both modes materialize EAGERLY (same scheduling semantics), return
   * a lineage-truncated frame, and produce identical results —
@@ -44,6 +47,20 @@ object Fence {
       val sc = ds.sparkSession.sparkContext
       if (sc.getCheckpointDir.isEmpty) {
         val explicit = ds.sparkSession.conf.getOption("spark.graft.fence.dir")
+        // the tmpdir fallback is only correct where every executor
+        // shares the driver's filesystem (local / local-cluster on one
+        // box). On a real multi-node master, executor-local /tmp is
+        // NOT shared storage: checkpoint partitions would land
+        // per-machine and the first cross-node read dies — worse than
+        // "not fault-tolerant", it is nonfunctional. Reliable mode on
+        // a cluster therefore REQUIRES the deploy-time dir; failing
+        // fast here beats failing inside some later stage's read.
+        require(explicit.isDefined || sc.isLocal ||
+          sc.master.startsWith("local-cluster"),
+          "spark.graft.fence=reliable on a non-local master requires " +
+            "spark.graft.fence.dir to point at shared fault-tolerant " +
+            "storage (HDFS/S3/NFS); executor-local java.io.tmpdir is " +
+            "not readable across nodes")
         val dir = explicit.getOrElse(
           s"${System.getProperty("java.io.tmpdir")}/graft-fence-${sc.applicationId}")
         sc.setCheckpointDir(dir)

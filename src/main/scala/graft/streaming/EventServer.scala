@@ -102,20 +102,33 @@ final class EventServer private (server: HttpServer) {
   def latencySince(mark: Long): Array[Long] = {
     val end = latencyCount.get
     val start = math.max(mark, end - LatencyRingSize)
-    // slots are written nanos+1 AFTER the index is claimed, so a
-    // writer preempted between claim and store leaves 0 — skip those
-    // in-flight slots instead of reading a zero/previous-lap value
-    // into the percentile tabulation
-    Array.tabulate((end - start).toInt)(i =>
-      latencyRing.get(((start + i) % LatencyRingSize).toInt))
-      .filter(_ != 0L).map(_ - 1L)
+    // each slot is LAP-TAGGED (see recordLatency): a slot only counts
+    // when its stored lap matches the lap the requested absolute index
+    // lives in — so a writer preempted between claiming the index and
+    // storing leaves either tag 0 (first lap: never written) or the
+    // PREVIOUS lap's tag, and both are skipped instead of tabulated.
+    // A bare non-zero filter would stop protecting after the first
+    // wrap, when every slot holds some past lap's nonzero value.
+    Array.tabulate((end - start).toInt) { i =>
+      val pos = start + i
+      val v = latencyRing.get((pos % LatencyRingSize).toInt)
+      if ((v >>> LatencyNanosBits) == lapTag(pos)) v & LatencyNanosMask
+      else -1L
+    }.filter(_ >= 0L)
   }
 
   private def recordLatency(nanos: Long): Unit = {
     val i = latencyCount.getAndIncrement()
-    // +1 bias: 0 marks an unwritten slot (nanos can legitimately be 0)
-    latencyRing.set((i % LatencyRingSize).toInt, nanos + 1)
+    // pack (lap+1) into the high 22 bits, capped nanos into the low
+    // 42 (2^42 ns ≈ 73 min, far past any plausible delivery latency;
+    // the +1 keeps tag 0 = never-written). Tag collision needs a
+    // writer stalled for a full 2^22-lap wrap — not a real schedule.
+    latencyRing.set((i % LatencyRingSize).toInt,
+      (lapTag(i) << LatencyNanosBits) | math.min(nanos, LatencyNanosMask))
   }
+
+  private def lapTag(absoluteIndex: Long): Long =
+    ((absoluteIndex / LatencyRingSize) + 1) & ((1L << (64 - LatencyNanosBits)) - 1)
 
   /** Non-blocking fan-out: swap each subscriber's 1-slot buffer.
     * O(subscribers), no locks, no queues — a stalled subscriber
@@ -275,6 +288,10 @@ object EventServer {
     * comfortably covers a probe phase at the curated stream's rate
     * while keeping the snapshot O(ring). */
   private[streaming] val LatencyRingSize = 4096
+  // slot layout: high 22 bits = lap tag (lap+1; 0 = never written),
+  // low 42 bits = publish→write nanos, saturating
+  private val LatencyNanosBits = 42
+  private val LatencyNanosMask = (1L << LatencyNanosBits) - 1
 
   /** An event plus its publish() nanoTime — what rides in the slot so
     * the writer can record end-to-end delivery latency. */

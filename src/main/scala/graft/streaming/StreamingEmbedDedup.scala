@@ -48,10 +48,11 @@ object StreamingEmbedDedup {
   /** Left-to-right double dot — same accumulation order as the batch
     * kernel (`CosineSim`), so sims are bit-identical to the batch
     * twin's before rounding. */
-  private def cos(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cos(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length) // CosineSim's length stance
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -70,6 +71,12 @@ object StreamingEmbedDedup {
     val banded = vectors
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      // drop NULL/uncastable embeddings in the stateless prefix — the
+      // batch twin's NULL vector yields a NULL bucket that never
+      // equi-joins (≡ excluded from candidates), while here a NULL
+      // band value would hit the non-nullable Long in the tuple
+      // encoder and kill the whole streaming query
+      .where(col("v").isNotNull)
       .select(col("vec_id"), col("label"), col("v"),
         explode(array((0 until DedupBands).map(j =>
           struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*))

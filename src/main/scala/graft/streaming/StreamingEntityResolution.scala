@@ -43,23 +43,32 @@ object StreamingEntityResolution {
 
   case class MatchPair(ai: Long, bi: Long, score: Double)
 
+  /** `size` rides as its canonical string (integer-cast) so a NULL
+    * size survives the tuple encoder — a primitive Int field would
+    * throw on it and kill the query. */
   private[streaming] case class Rec(id: Long, name: String, typ: String,
-    size: Int)
+    size: String)
 
   private[streaming] case class Block(recs: Vector[Rec])
 
-  /** Mirrors the batch scorer exactly: null-aware composite JW
-    * (0.6 name + 0.2 type [weight surrendered when either side is
-    * empty] + 0.2 size-equality), HALF_UP to 4 decimals ≡ Spark's
-    * `round(num / den, 4)`. */
+  /** Mirrors the batch scorer exactly — including its NULL algebra:
+    * composite JW (0.6 name + 0.2 type [weight surrendered when
+    * either side is empty OR NULL — Catalyst's `null =!= ""` is null,
+    * so `when` falls through to 0 / den 0.8] + 0.2 size-equality
+    * [`null === x` is null → no credit, even for null = null]);
+    * a NULL name makes the batch composite NULL, which the threshold
+    * filter drops — mirrored as a never-matching score. HALF_UP to 4
+    * decimals ≡ Spark's `round(num / den, 4)`. */
   private def score(a: Rec, b: Rec): Double = {
+    if (a.name == null || b.name == null) return -1.0
     def jw(x: String, y: String): Double =
       GraftExpressions.jaroWinklerOf(
         UTF8String.fromString(x), UTF8String.fromString(y))
-    val bothTyped = a.typ.nonEmpty && b.typ.nonEmpty
+    val bothTyped = a.typ != null && a.typ.nonEmpty &&
+      b.typ != null && b.typ.nonEmpty
     val num = 0.6 * jw(a.name, b.name) +
       (if (bothTyped) 0.2 * jw(a.typ, b.typ) else 0.0) +
-      (if (a.size == b.size) 0.2 else 0.0)
+      (if (a.size != null && a.size == b.size) 0.2 else 0.0)
     val den = 0.8 + (if (bothTyped) 0.2 else 0.0)
     // java BigDecimal.valueOf (the canonical-string grid), NOT scala
     // BigDecimal(double) (the exact-binary grid): Catalyst's Round on
@@ -77,20 +86,30 @@ object StreamingEntityResolution {
       idleTimeout: Option[String] = None): Dataset[MatchPair] = {
     import spark.implicits._
     val sep = "\u0001" // unambiguous key join: "B1"+"2" != "B12"+""
+    // per-field null TAG before joining: concat_ws silently DROPS null
+    // elements together with their separator, so ('B1', NULL, '7') and
+    // ('B1', '7', NULL) would collide into one block — while the batch
+    // twin's Window.partitionBy keys NULL as its own group per column.
+    // Tagging (n = null, v<value> otherwise) keeps the streaming block
+    // key injective over the same tuples the batch window partitions on.
+    def tagged(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("n")).otherwise(concat(lit("v"), c.cast("string")))
     val keyed = listings
-      .select(col("id"), col("name"), col("typ"), col("size"),
+      .select(col("id"), col("name"), col("typ"),
+        col("size").cast("string").as("size"),
         explode(array(
-          concat_ws(sep, lit("A"), col("brand"), col("typ"),
-            col("size").cast("string")),
-          concat_ws(sep, lit("B"), col("brand"), col("name")))).as("bk"))
-      .as[(Long, String, String, Int, String)]
+          concat_ws(sep, lit("A"), tagged(col("brand")), tagged(col("typ")),
+            tagged(col("size"))),
+          concat_ws(sep, lit("B"), tagged(col("brand")), tagged(col("name")))))
+          .as("bk"))
+      .as[(Long, String, String, String, String)]
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     keyed
       .groupByKey(_._5)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        (_: String, it: Iterator[(Long, String, String, Int, String)],
+        (_: String, it: Iterator[(Long, String, String, String, String)],
             state: GroupState[Block]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {

@@ -92,4 +92,42 @@ class StreamingEmbedDedupSpec extends AnyFunSuite {
         s"cap=1 must drop (2,3): got $pairs")
     } finally q.stop()
   }
+
+  test("streaming cos is bit-identical to the CosineSim kernel, incl. unequal lengths") {
+    // the stream/batch sim equality is load-bearing (pairs dedup on
+    // the rounded sim), so pin the two loops to each other directly —
+    // any accumulation-order or length-stance drift fails here before
+    // it can show up as a .00005-grid divergence in the pair sets
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(200)((
+      Array.fill(1 + rnd.nextInt(64))(rnd.nextDouble() * 2 - 1),
+      Array.fill(1 + rnd.nextInt(64))(rnd.nextDouble() * 2 - 1)))
+    cases.foreach { case (a, b) =>
+      val viaExpr = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.GraftExpressions.cosine_sim(col("a"), col("b")))
+        .as[Double].head()
+      val viaStream = StreamingEmbedDedup.cos(a, b)
+      assert(java.lang.Double.doubleToRawLongBits(viaExpr) ==
+        java.lang.Double.doubleToRawLongBits(viaStream),
+        s"cos drift: expr=$viaExpr stream=$viaStream lens=${a.length}/${b.length}")
+    }
+  }
+
+  test("a NULL embedding is dropped in the stateless prefix, not a query killer") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, Option[Array[Double]])]
+    val q = StreamingEmbedDedup.pairs(spark,
+        mem.toDF.toDF("vec_id", "label", "embedding"))
+      .writeStream.format("memory").queryName("sembed_null")
+      .outputMode("append").start()
+    try {
+      val v = Array.fill(64)(0.5)
+      mem.addData((1L, 0, Some(v)), (2L, 0, None), (3L, 0, Some(v)))
+      q.processAllAvailable()
+      val pairs = spark.table("sembed_null")
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSeq
+      assert(pairs.distinct.toSet == Set((1L, 3L)),
+        s"null embedding must drop silently (batch-twin semantics): got $pairs")
+    } finally q.stop()
+  }
 }

@@ -133,4 +133,34 @@ class StreamingEntityResolutionSpec extends AnyFunSuite {
       assert(got.distinct.sorted == want.sorted)
     } finally q.stop()
   }
+
+  test("NULL fields: no block collision, no NPE, batch null algebra mirrored") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[String], String, Option[String], Option[Int])]
+    val q = StreamingEntityResolution.pairs(spark,
+        mem.toDF.toDF("id", "name", "brand", "typ", "size"))
+      .writeStream.format("memory").queryName("ser_null")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        // which-field-is-NULL must stay distinguishable: with naive
+        // concat_ws these two collide into one attribute block (the
+        // separator vanishes with the null) — batch partitionBy keys
+        // them apart, so the stream must too
+        (1L, Some("widget alpha"), "B1", None, Some(7)),
+        (2L, Some("widget alpha"), "B1", Some("7"), None),
+        // NULL name: batch JW is null → composite null → threshold
+        // filter drops; the stream must not throw, must not match
+        (3L, None, "B2", Some("x"), Some(1)),
+        (4L, None, "B2", Some("x"), Some(1)),
+        // control: a genuine duplicate still links
+        (5L, Some("blue gadget"), "B3", Some("STANDARD"), Some(3)),
+        (6L, Some("blue gadget"), "B3", Some("STANDARD"), Some(3)))
+      q.processAllAvailable()
+      val got = spark.table("ser_null")
+        .select(col("ai"), col("bi")).as[(Long, Long)].collect().toSeq
+      assert(got.distinct.toSet == Set((5L, 6L)),
+        s"only the control pair may link: got $got")
+    } finally q.stop()
+  }
 }
