@@ -108,6 +108,7 @@ object SparkEntry {
       MaintenanceQueries.all ++
       EntityQueries.all ++
       GraphQueries.all ++
+      ItemsetQueries.all ++
       EventQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
