@@ -115,7 +115,13 @@ object HeavyScaleProbe {
     // grows 10x) and the full web-curation funnel composite (the URL
     // cluster rule is mod-7 on doc_id - the per-copy offset shifts the
     // phase but keeps the 1-in-7 dup rate exactly)
-    "q_text_boilerplate", "q_web_pipeline")
+    "q_text_boilerplate", "q_web_pipeline",
+    // round 12 (cont. 3): k-core peeling — the salted lineitem gives
+    // 10 disconnected copies of the co-stocking graph, so peel depth
+    // and per-copy core structure are constant while nodes/edges grow
+    // 10×; each round's semi-joins + degree count must scale with
+    // edges
+    "q_graph_kcore")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -128,7 +134,7 @@ object HeavyScaleProbe {
     "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
     "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
     "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
-    "q_dedup_contain" -> 1.0)
+    "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
@@ -189,6 +195,44 @@ object HeavyScaleProbe {
     * shared with PigeonholeKnobProbe. */
   private[graft] def ensureSf1(spark: SparkSession): String = {
     synthesize(spark); Dst
+  }
+
+  /** The itemset queries need a DIFFERENT sf1 than the token-suffixed
+    * corpus: suffixed copies share no tokens, so a 10× corpus raises
+    * minsup 10× while every token's df stays per-copy — F₁ goes EMPTY
+    * and the probe would measure only the frequent-1 scan. VERBATIM
+    * copies (doc_id offset, text unchanged) are the
+    * distribution-preserving scale-up for RELATIVE-support mining: df
+    * fractions are invariant, F₁/F₂ and per-doc basket sizes are
+    * identical, so the map-side combination volume grows exactly 10×
+    * and the probe measures the claimed linear-in-documents shape. */
+  private val DstV = "/tmp/graft_sf1v"
+
+  private def synthesizeVerbatim(spark: SparkSession): Unit = {
+    val marker = java.nio.file.Paths.get(DstV, "_DONE_documents")
+    if (java.nio.file.Files.exists(marker)) return
+    val copies = spark.range(Copies).select(col("id").cast("int").as("cp"))
+    val docs = Tables(spark, Src, "documents")
+    val maxDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs.crossJoin(copies)
+      .select((col("doc_id") + col("cp") * maxDoc).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$DstV/documents.parquet")
+    java.nio.file.Files.createFile(marker): Unit
+  }
+
+  private def itemsetScaleCheck(spark: SparkSession): Unit = {
+    synthesizeVerbatim(spark)
+    for (name <- Seq("q_itemsets_pairs", "q_itemsets_triples")) {
+      val (t0, sh0, r0) = measure(spark, name, Src)
+      val (t1, sh1, r1) = measure(spark, name, DstV)
+      val exp = math.log10(t1 / t0)
+      println(f"HEAVYSCALE $name%-20s sf0.1: ${t0}%6.2f s $sh0%9d shuf $r0%7d rows | " +
+        f"sf1v: ${t1}%6.2f s $sh1%10d shuf $r1%8d rows | wall_exp=$exp%5.2f")
+      require(exp < 1.0, f"$name wall exponent $exp%.2f >= 1.0")
+      require(r1 == r0, s"$name verbatim 10× changed the frequent-set rows: $r0 -> $r1")
+    }
   }
 
   private def synthesize(spark: SparkSession): Unit = {
@@ -359,9 +403,12 @@ object HeavyScaleProbe {
       }
     }
     if (only.isEmpty) {
+      itemsetScaleCheck(spark)
       pairVolumeCheck(spark)
       semVolumeCheck(spark)
       flipCheck(spark)
+    } else if (only.exists(_.startsWith("q_itemsets"))) {
+      itemsetScaleCheck(spark)
     }
     spark.stop()
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Q.t
@@ -21,28 +22,50 @@ import graft.Fence.FenceOps
   * data so the same query text runs at every SF.
   *
   * Scale shape (100 TB): the item universe after the frequent-1 pass
-  * is tiny (minsup at corpus fraction f caps |F₁| at 1/f · avg-doc
-  * items / distinct ratio — here ≤ 1/0.10 · a few hundred), so F₁ and
-  * F₂ broadcast. Candidate generation is MAP-SIDE: each document
-  * emits combinations of its OWN frequent items (per-doc cost
-  * C(m, 2) / C(m, 3) with m = |doc ∩ F₁|, bounded by |F₁|), so the
-  * only shuffles are the two/three groupBy-count aggregations, each
-  * with map-side partial aggregation over a key space capped at
-  * C(|F₁|, r). Nothing is ever all-pairs in the corpus dimension —
-  * cost is linear in documents for fixed minsup fraction. The
-  * Apriori candidate prune (every (r−1)-subset of an emitted r-set
-  * must itself be frequent) runs as a broadcast semi-join BEFORE the
-  * counting shuffle, so on prunable corpora the shuffle volume drops
-  * by exactly the pruned fraction; on this synthetic corpus the 30
-  * frequent tokens co-occur almost everywhere, so the prune is a
-  * no-op by data, not by construction (the oracle needs no prune —
-  * by the Apriori property pruning never changes the final answer).
+  * is tiny (minsup at corpus fraction f caps |F₁| at (avg distinct
+  * items per doc)/f), so F₁ — and everything derived from it — is
+  * DICTIONARY-ENCODED: each frequent token gets a dense integer rank,
+  * per-doc baskets become sorted int arrays, and every candidate
+  * itemset is PACKED into one 64-bit key (20 bits per rank, |F₁| <
+  * 2²⁰ enforced), so the counting shuffles move longs instead of
+  * string structs and map-side combine collapses each partition to
+  * ≤ C(|F₁|, r) keys before the exchange. Candidate generation is
+  * MAP-SIDE: each document emits combinations of its OWN frequent
+  * items (per-doc cost C(m, 2) / C(m, 3) with m = |doc ∩ F₁|) — no
+  * self-join, nothing all-pairs in the corpus dimension; cost is
+  * linear in documents for fixed minsup fraction. The Apriori
+  * candidate prune (every 2-subset of an emitted triple must itself
+  * be frequent) runs as a broadcast semi-join on the packed key
+  * BEFORE the counting shuffle, so on prunable corpora the shuffle
+  * volume drops by exactly the pruned fraction; on this synthetic
+  * corpus the 30 frequent tokens co-occur almost everywhere, so the
+  * prune is a no-op by data, not by construction. The oracle needs
+  * neither the encoding nor the prune — by the Apriori property
+  * (support is antimonotone under set inclusion) pruning never
+  * changes the final answer, and the rank decode is a broadcast
+  * dimension join — so the hash match proves both devices invisible.
   *
   * Reference anchor: the reference has no itemset operator; this is
   * part of the mandated beyond-reference LLM-pipeline surface
   * (SURVEY.md §2.12 "corpus analytics").
   */
 object ItemsetQueries {
+
+  /** 20-bit rank packing: itemset {a,b} → a·2²⁰+b, {a,b,c} →
+    * a·2⁴⁰+b·2²⁰+c. Injective while |F₁| < 2²⁰ (enforced below).
+    * Public (`PackBase`) so the streaming twin packs identically. */
+  val PackBase: Long = 1L << 20
+  private val B = PackBase
+
+  /** The F₁ rank dictionary as a driver-side map `token → rank` —
+    * the broadcast-model form the streaming twin rides to its tasks
+    * (the Bpe.encode pattern: a dimension-sized model captured by a
+    * stateless stage). Dimension-sized by the minsup argument. */
+  def rankDict(s: SparkSession, d: String): Map[String, Long] = {
+    val (_, dict, _) = freqRanked(s, d)
+    dict.select(col("tok"), col("r"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Shared SQL prefix: per-doc distinct tokens, data-derived minsup,
     * frequent single items F₁, and the per-doc frequent-item stream. */
@@ -56,54 +79,75 @@ object ItemsetQueries {
       |fu AS (SELECT doc_id, tok FROM u WHERE tok IN (SELECT tok FROM f1))"""
       .stripMargin
 
-  /** Per-doc sorted frequent-item array + broadcast minsup, the shared
-    * engine prefix. Returns (per-doc array frame `(doc_id, fs)`,
-    * 1-row minsup frame). The array frame is fenced: pairs, triples
-    * and rules all re-derive from it, and the frequent-1 aggregation
-    * underneath would otherwise re-scan the corpus per consumer. */
-  private def freqArrays(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** Engine prefix: the F₁ rank dictionary `(tok, r)` (broadcast-
+    * tiny by the minsup argument), per-doc sorted rank arrays
+    * `(doc_id, rs)`, and the 1-row minsup frame. The rank array frame
+    * is fenced: pairs, triples and rules all re-derive from it, and
+    * the frequent-1 aggregation underneath would otherwise re-scan
+    * the corpus per consumer. The rank window runs over the
+    * dimension-sized F₁ frame, never the corpus. */
+  private def freqRanked(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
-    val minsup = toks.select(countDistinct(col("doc_id")).as("nd"))
+    // corpus count straight off the documents scan (NOT the exploded
+    // or frequent-filtered frames — a doc with no [frequent] tokens
+    // must still count, exactly as the oracle's `count(*) FROM w`)
+    val minsup = t(s, d, "documents")
+      .select(count(lit(1)).as("nd"))
       .select(ceil(col("nd") * lit(0.10)).cast("long").as("minsup"))
-    val f1 = toks.groupBy(col("tok"))
+    val dict = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(minsup))
       .where(col("df") >= col("minsup"))
-      .select("tok")
-    val fs = toks
-      .join(broadcast(f1), Seq("tok"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("tok"))).as("fs"))
+      .select(col("tok"), col("df"),
+        (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long").as("r"))
+      .where(col("r") < B) // 20-bit packing domain; |F₁| ≥ 2²⁰ would
+      // mean minsup admits a million-item universe — misconfigured,
+      // and the guard fails CLOSED (dropped items ⇒ missing rows ⇒
+      // oracle hash mismatch) rather than silently colliding packs
       .fenced()
-    (fs, minsup)
+    val rs = toks
+      .join(broadcast(dict.select("tok", "r")), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("r"))).as("rs"))
+      .fenced()
+    (rs, dict, minsup)
   }
 
-  /** Ordered pairs (a < b) of one sorted array, generated map-side
-    * with nested HOFs — no self-join, no shuffle. */
-  private def pairCombos(fs: Column): Column =
-    flatten(transform(fs, (a, i) =>
-      transform(slice(fs, i + 2, size(fs)), b =>
-        struct(a.as("a"), b.as("b")))))
+  /** Packed ordered pairs (rank_a < rank_b) of one sorted rank array,
+    * generated map-side with nested HOFs — no self-join, no shuffle,
+    * primitive longs only. */
+  private def pairPacks(rs: Column): Column =
+    flatten(transform(rs, (a, i) =>
+      transform(slice(rs, i + 2, size(rs)), b => a * B + b)))
 
-  /** Ordered triples (a < b < c), same map-side scheme: for element i
-    * pair with j > i, then with every element after j (1-based slice
-    * start i+j+3 because b sits at 0-based index i+1+j of `fs`). */
-  private def tripleCombos(fs: Column): Column =
-    flatten(flatten(transform(fs, (a, i) =>
-      transform(slice(fs, i + 2, size(fs)), (b, j) =>
-        transform(slice(fs, i + j + lit(3), size(fs)), c =>
-          struct(a.as("a"), b.as("b"), c.as("c")))))))
+  /** Packed ordered triples (a < b < c), same map-side scheme: for
+    * element i pair with j > i, then with every element after j
+    * (1-based slice start i+j+3 because b sits at 0-based index
+    * i+1+j of `rs`). */
+  private def triplePacks(rs: Column): Column =
+    flatten(flatten(transform(rs, (a, i) =>
+      transform(slice(rs, i + 2, size(rs)), (b, j) =>
+        transform(slice(rs, i + j + lit(3), size(rs)), c =>
+          a * B * B + b * B + c)))))
 
-  /** Frequent pairs with support, the F₂ pass. */
-  private def freqPairs(fs: DataFrame, minsup: DataFrame): DataFrame =
-    fs.select(explode(pairCombos(col("fs"))).as("p"))
-      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+  /** Packed frequent pairs `(pk, support)` — the F₂ pass. One
+    * long-keyed exchange, map-side combined to ≤ C(|F₁|,2) keys. */
+  private def freqPairsPacked(rs: DataFrame, minsup: DataFrame): DataFrame =
+    rs.select(explode(pairPacks(col("rs"))).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(minsup))
       .where(col("support") >= col("minsup"))
-      .select("item_a", "item_b", "support")
+      .select("pk", "support")
+
+  /** Broadcast rank→token decode of one packed component. */
+  private def decode(df: DataFrame, dict: DataFrame,
+      rankCol: Column, as: String): DataFrame =
+    df.join(broadcast(dict.select(col("r"), col("tok").as(as))),
+      rankCol === col("r")).drop("r")
 
   private val qPairs = Q("q_itemsets_pairs",
     s"""WITH $itemCtes,
@@ -118,19 +162,24 @@ object ItemsetQueries {
        |FROM pr GROUP BY 1, 2
        |HAVING CAST(count(*) AS BIGINT) >= (SELECT minsup FROM n)
        |ORDER BY support DESC, item_a, item_b""".stripMargin) { (s, d) =>
-    val (fs, minsup) = freqArrays(s, d)
-    freqPairs(fs, minsup)
+    val (rs, dict, minsup) = freqRanked(s, d)
+    val f2 = freqPairsPacked(rs, minsup)
+    // unpack with shift/mod — exact long arithmetic (a `/` on longs is
+    // DOUBLE division in Spark, and packed triples exceed 2⁵³)
+    val a = decode(f2, dict, shiftright(col("pk"), 20), "item_a")
+    decode(a, dict, col("pk") % B, "item_b")
+      .select("item_a", "item_b", "support")
       .orderBy(col("support").desc, col("item_a"), col("item_b"))
   }
 
   /** Frequent triples with the real Apriori staging: candidate
-    * triples are generated map-side per document, then PRUNED by a
-    * broadcast semi-join against the candidate set derived from F₂
-    * (join F₂ with itself on the first item, keep (a,b,c) only when
-    * (b,c) is also frequent) BEFORE the counting shuffle. The oracle
-    * skips the prune — by the Apriori property (support is
-    * antimonotone under set inclusion) pruning never changes which
-    * triples reach minsup, only how many rows the count shuffles. */
+    * triples are generated map-side per document as packed longs,
+    * then PRUNED by a broadcast semi-join against the packed
+    * candidate set derived from F₂ (join F₂ with itself on the first
+    * rank, keep (a,b,c) only when (b,c) is also frequent) BEFORE the
+    * counting shuffle. The oracle skips the prune — by the Apriori
+    * property pruning never changes which triples reach minsup, only
+    * how many rows the count shuffles. */
   private val qTriples = Q("q_itemsets_triples",
     s"""WITH $itemCtes,
        |fl AS (SELECT doc_id, list_sort(list(tok)) AS fs FROM fu GROUP BY doc_id),
@@ -146,22 +195,28 @@ object ItemsetQueries {
        |FROM tr GROUP BY 1, 2, 3
        |HAVING CAST(count(*) AS BIGINT) >= (SELECT minsup FROM n)
        |ORDER BY support DESC, item_a, item_b, item_c""".stripMargin) { (s, d) =>
-    val (fs, minsup) = freqArrays(s, d)
-    val f2 = freqPairs(fs, minsup)
-    // Apriori candidate generation from F₂: (a,b)⋈(a,c) with b<c,
-    // kept only if (b,c) ∈ F₂. |F₂| ≤ C(|F₁|,2) — broadcast-sized.
-    val cands = f2.select(col("item_a").as("a"), col("item_b").as("b"))
-      .join(f2.select(col("item_a").as("a"), col("item_b").as("c")), Seq("a"))
+    val (rs, dict, minsup) = freqRanked(s, d)
+    val f2 = freqPairsPacked(rs, minsup)
+    // Apriori candidate generation from F₂, in the packed domain:
+    // (a,b)⋈(a,c) with b<c, kept only if (b,c) ∈ F₂.
+    // |F₂| ≤ C(|F₁|,2) — broadcast-sized.
+    val p2 = f2.select(shiftright(col("pk"), 20).as("a"),
+      (col("pk") % B).as("b"))
+    val cands = p2
+      .join(p2.select(col("a"), col("b").as("c")), Seq("a"))
       .where(col("b") < col("c"))
-      .join(f2.select(col("item_a").as("b"), col("item_b").as("c")),
+      .join(p2.select(col("a").as("b"), col("b").as("c")),
         Seq("b", "c"), "left_semi")
-    fs.select(explode(tripleCombos(col("fs"))).as("t"))
-      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
-      .join(broadcast(cands), Seq("a", "b", "c"), "left_semi")
-      .groupBy(col("a").as("item_a"), col("b").as("item_b"), col("c").as("item_c"))
+      .select((col("a") * B * B + col("b") * B + col("c")).as("tk"))
+    val counted = rs.select(explode(triplePacks(col("rs"))).as("tk"))
+      .join(broadcast(cands), Seq("tk"), "left_semi")
+      .groupBy(col("tk"))
       .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(minsup))
       .where(col("support") >= col("minsup"))
+    val a = decode(counted, dict, shiftright(col("tk"), 40), "item_a")
+    val ab = decode(a, dict, shiftright(col("tk"), 20) % B, "item_b")
+    decode(ab, dict, col("tk") % B, "item_c")
       .select("item_a", "item_b", "item_c", "support")
       .orderBy(col("support").desc, col("item_a"), col("item_b"), col("item_c"))
   }
@@ -170,7 +225,9 @@ object ItemsetQueries {
     * supp(ab)/supp(a), lift = confidence / (supp(b)/n). Both
     * directions of every frequent pair, kept at confidence ≥ 0.75.
     * All ratios are single divisions of identical BIGINTs rounded to
-    * 4 places — the Q.scala determinism convention. */
+    * 4 places — the Q.scala determinism convention. The per-item
+    * document frequencies ride the F₁ dictionary (already counted
+    * there); only the pair counts touch the corpus. */
   private val qRules = Q("q_itemsets_rules",
     s"""WITH $itemCtes,
        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
@@ -193,19 +250,19 @@ object ItemsetQueries {
        |      FROM bi JOIN f1c ca ON ca.tok = bi.a JOIN f1c cb ON cb.tok = bi.b)
        |SELECT * FROM r WHERE confidence >= 0.75
        |ORDER BY confidence DESC, antecedent, consequent""".stripMargin) { (s, d) =>
-    val (fs, minsup) = freqArrays(s, d)
-    val nd = fs.select(count(lit(1)).cast("long").as("n"))
-    val f1c = fs.select(explode(col("fs")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val f2 = freqPairs(fs, minsup)
-      .select(col("item_a").as("a"), col("item_b").as("b"),
-        col("support").as("supp"))
-    val bi = f2.union(f2.select(col("b").as("a"), col("a").as("b"), col("supp")))
-    bi.join(broadcast(f1c.select(col("tok").as("a"), col("df").as("dfa"))), Seq("a"))
-      .join(broadcast(f1c.select(col("tok").as("b"), col("df").as("dfb"))), Seq("b"))
+    val (rs, dict, minsup) = freqRanked(s, d)
+    // all documents, not |rs| — rs only has docs with ≥1 frequent token
+    val nd = t(s, d, "documents").select(count(lit(1)).cast("long").as("n"))
+    val f2 = freqPairsPacked(rs, minsup)
+      .select(shiftright(col("pk"), 20).as("ra"),
+        (col("pk") % B).as("rb"), col("support").as("supp"))
+    val bi = f2.union(f2.select(col("rb").as("ra"), col("ra").as("rb"), col("supp")))
+    bi.join(broadcast(dict.select(col("r").as("ra"),
+        col("tok").as("antecedent"), col("df").as("dfa"))), Seq("ra"))
+      .join(broadcast(dict.select(col("r").as("rb"),
+        col("tok").as("consequent"), col("df").as("dfb"))), Seq("rb"))
       .crossJoin(broadcast(nd))
-      .select(col("a").as("antecedent"), col("b").as("consequent"),
-        col("supp").as("support"),
+      .select(col("antecedent"), col("consequent"), col("supp").as("support"),
         round(col("supp").cast("double") / col("dfa"), 4).as("confidence"),
         round(col("supp").cast("double") * col("n")
           / (col("dfa").cast("double") * col("dfb")), 4).as("lift"))
