@@ -274,8 +274,12 @@ object GraphQueries {
   private val KcoreK = 31
   private val KcorePeels = 8
 
+  // MATERIALIZED is load-bearing: each round references the previous
+  // round TWICE (src ∈ nᵢ₋₁ AND dst ∈ nᵢ₋₁) — inlined, the expansion
+  // doubles per level (2⁸ copies of the whole chain; measured 82.6 s
+  // vs 0.33 s at sf0.01)
   private def peelCte(i: Int): String =
-    s"""n$i AS (SELECT src AS id FROM e
+    s"""n$i AS MATERIALIZED (SELECT src AS id FROM e
        |  WHERE src IN (SELECT id FROM n${i - 1})
        |    AND dst IN (SELECT id FROM n${i - 1})
        |  GROUP BY src HAVING CAST(count(*) AS BIGINT) >= $KcoreK)""".stripMargin
