@@ -302,5 +302,59 @@ object GraphQueries {
       .orderBy(col("core_degree").desc, col("id"))
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore)
+  /** k-truss decomposition (k = 5) of the part co-purchase graph —
+    * `operators.KTruss` peeling to fixpoint, the edge analog of
+    * q_graph_kcore on the same substrate as q_triangle_count (the
+    * part↔supplier graph is bipartite — zero triangles — so the truss
+    * lives on the co-purchase projection). The oracle unrolls the
+    * peel as a fixed chain of 10 MATERIALIZED CTE round pairs
+    * (bidirectional survivors + the common-neighbor support count);
+    * the same monotone+idempotent argument as the k-core oracle makes
+    * the fixed unroll ≡ the engine fixpoint — measured depth ≤ 5 at
+    * sf0.001..0.1 and KTrussSpec pins depth ≤ 10 via maxIters. The
+    * oracle counts support as |N(u) ∩ N(v)| per surviving edge; the
+    * engine enumerates each triangle once (degree-ordered orientation)
+    * and explodes it into its 3 edges — identical counts, so the hash
+    * match proves the orientation device invisible. k = 5 keeps a
+    * proper nonempty truss at every SF (356 / 194 / 2 263 edges). */
+  private val KtrussK = 5
+  private val KtrussPeels = 10
+
+  private def trussCte(i: Int): String =
+    s"""b$i AS MATERIALIZED (SELECT u AS src, v AS dst FROM t${i - 1}
+       |  UNION ALL SELECT v, u FROM t${i - 1}),
+       |t$i AS MATERIALIZED (
+       |  SELECT e.u, e.v FROM t${i - 1} e
+       |  JOIN b$i x ON x.src = e.u JOIN b$i y ON y.src = e.v AND y.dst = x.dst
+       |  GROUP BY e.u, e.v
+       |  HAVING CAST(count(*) AS BIGINT) >= ${KtrussK - 2})""".stripMargin
+
+  private val qKtruss = Q("q_graph_ktruss",
+    s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS s FROM lineitem
+       |           WHERE l_partkey % 5 = 0),
+       |t0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.s, b.s) AS u, greatest(a.s, b.s) AS v
+       |  FROM li a JOIN li b ON a.k = b.k WHERE a.s <> b.s),
+       |${(1 to KtrussPeels).map(trussCte).mkString(",\n")},
+       |bf AS (SELECT u AS src, v AS dst FROM t$KtrussPeels
+       |       UNION ALL SELECT v, u FROM t$KtrussPeels)
+       |SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+       |FROM t$KtrussPeels e
+       |JOIN bf x ON x.src = e.u JOIN bf y ON y.src = e.v AND y.dst = x.dst
+       |GROUP BY e.u, e.v
+       |ORDER BY support DESC, u, v""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .where(col("l_partkey") % 5 === 0)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("s"))
+    val e = li.as("a").join(li.as("b"), "k")
+      .where(col("a.s") =!= col("b.s"))
+      .select(least(col("a.s"), col("b.s")).as("u"),
+        greatest(col("a.s"), col("b.s")).as("v"))
+      .distinct()
+    graft.operators.KTruss(e, KtrussK)
+      .orderBy(col("support").desc, col("u"), col("v"))
+  }
+
+  val all: Seq[Q] =
+    Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss)
 }
