@@ -293,5 +293,82 @@ object MaintenanceQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(qDimMerge, qZorder, qMvRefresh, qCompactPlan, qSnapshotDiff)
+  /** SCD TYPE-2 history build — the interval-versioned counterpart of
+    * `q_dim_merge`'s Type-1 classify: for each entity, the sequence of
+    * DISTINCT consecutive states across three dimension snapshots
+    * (cuts at Jan 8 / 16 / 24 — all three SFs span the full month),
+    * each version carrying [valid_from_snap, valid_to_snap) and an
+    * is_current flag — the versioned-dimension table a warehouse keeps
+    * so facts can join "the supplier AS OF the order date". Presence
+    * is monotone here (a snapshot is latest-state-so-far, so a key
+    * never disappears) — a real CDC feed adds closes-on-delete, the
+    * same lead() column.
+    *
+    * Scale shape: the three snapshots are derived in-plan from the
+    * event history FOR THE ORACLE (the q_dim_merge / q_mv_refresh
+    * stance — production reads the stored version table and merges
+    * ONE new snapshot); everything is keyed by the entity: one
+    * (snap, user) window over the cut-joined events, then
+    * dimension-grain lag/lead windows per user — high-cardinality
+    * partition keys, no corpus-wide window, nothing driver-side. */
+  private val qDimScd2 = Q("q_dim_scd2",
+    """WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
+      |            FROM events),
+      |cuts(snap, cut) AS (VALUES
+      |  (1, TIMESTAMP '2024-01-08'), (2, TIMESTAMP '2024-01-16'),
+      |  (3, TIMESTAMP '2024-01-24')),
+      |snapshots AS (SELECT snap, user_id, value FROM (
+      |    SELECT c.snap, e.user_id, e.value,
+      |      row_number() OVER (PARTITION BY c.snap, e.user_id
+      |        ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |    FROM ev e JOIN cuts c ON e.ts < c.cut) WHERE rn = 1),
+      |marked AS (SELECT user_id, snap, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY snap) AS pv,
+      |    lag(snap) OVER (PARTITION BY user_id ORDER BY snap) AS ps
+      |  FROM snapshots),
+      |vers AS (SELECT user_id, snap AS vf, value
+      |  FROM marked WHERE ps IS NULL OR value <> pv)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY vf)
+      |    AS BIGINT) AS version,
+      |  value,
+      |  CAST(vf AS BIGINT) AS valid_from_snap,
+      |  CAST(lead(vf) OVER (PARTITION BY user_id ORDER BY vf)
+      |    AS BIGINT) AS valid_to_snap,
+      |  lead(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
+      |    AS is_current
+      |FROM vers
+      |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val cuts = Seq(1 -> "2024-01-08", 2 -> "2024-01-16", 3 -> "2024-01-24")
+      .map { case (i, day) =>
+        (i, java.sql.Timestamp.valueOf(s"$day 00:00:00"))
+      }.toDF("snap", "cut")
+    val wSnap = Window.partitionBy(col("snap"), col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val snapshots = ev.join(broadcast(cuts), col("ts") < col("cut"))
+      .withColumn("rn", row_number().over(wSnap))
+      .where(col("rn") === 1)
+      .select(col("snap"), col("user_id"), col("value"))
+    val wUser = Window.partitionBy(col("user_id")).orderBy(col("snap"))
+    val vers = snapshots
+      .withColumn("pv", lag(col("value"), 1).over(wUser))
+      .withColumn("ps", lag(col("snap"), 1).over(wUser))
+      .where(col("ps").isNull || col("value") =!= col("pv"))
+      .select(col("user_id"), col("snap").as("vf"), col("value"))
+    val wVer = Window.partitionBy(col("user_id")).orderBy(col("vf"))
+    vers
+      .select(col("user_id"),
+        row_number().over(wVer).cast("long").as("version"),
+        col("value"),
+        col("vf").cast("long").as("valid_from_snap"),
+        lead(col("vf"), 1).over(wVer).cast("long").as("valid_to_snap"),
+        lead(col("vf"), 1).over(wVer).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val all: Seq[Q] =
+    Seq(qDimMerge, qZorder, qMvRefresh, qCompactPlan, qSnapshotDiff, qDimScd2)
 }
