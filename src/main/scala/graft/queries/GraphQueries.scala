@@ -355,6 +355,78 @@ object GraphQueries {
       .orderBy(col("support").desc, col("u"), col("v"))
   }
 
+  /** Deterministic random-walk corpus (DeepWalk, Perozzi et al.
+    * KDD'14 / node2vec's p=q=1 case) over the part↔supplier graph —
+    * the sequence-generation pass a graph-embedding training pipeline
+    * feeds to its skip-gram stage: one length-5 walk per seed
+    * (suppliers ≡ 0 mod 10, the PPR seed rule), where step t of walk
+    * w moves to `neighbors(cur)[ md5(w:t) mod degree(cur) ]` over the
+    * SORTED neighbor list. The portable md5 hash replaces the RNG —
+    * "random" walks that are a pure function of (walk, step), so the
+    * corpus is reproducible across engines/runs/resumes (the
+    * q_shuffle_epoch stance: a new epoch is a new salt in the hash
+    * input, md5 avalanche does the mixing) and the DuckDB oracle
+    * replays the identical walks hash-exactly.
+    *
+    * Scale shape: the adjacency (sorted neighbor arrays) is ONE
+    * corpus-scale groupBy, fenced and reused by all steps; each step
+    * is a frontier×adjacency equi-join on the current node — frontier
+    * is |seeds| rows, so the recurring cost is seed-scale against the
+    * static node-keyed adjacency (broadcast-or-shuffle by AQE as
+    * |seeds| grows). Walk length is the fixed unroll; hub nodes cost
+    * nothing extra (the walk reads ONE element of the neighbor
+    * array). A skewed-degree graph bounds nothing here — element_at
+    * is O(1) per row. */
+  private val WalkLen = 5
+
+  private def walkStepCte(t: Int): String = {
+    val h = graft.functions.PortableHash.md5LongSql(
+      s"walk_id::VARCHAR || ':' || '$t'")
+    s"""w$t AS (SELECT w.walk_id,
+       |  a.ns[(1 + $h % len(a.ns))::BIGINT] AS node
+       |  FROM w${t - 1} w JOIN adj a ON a.src = w.node)""".stripMargin
+  }
+
+  private val qWalks = Q("q_graph_walks",
+    s"""WITH $graphCtes,
+       |adj AS MATERIALIZED (
+       |  SELECT src, list_sort(list(dst)) AS ns FROM e GROUP BY src),
+       |w0 AS (SELECT DISTINCT l_suppkey * 2 + 1 AS walk_id,
+       |         l_suppkey * 2 + 1 AS node
+       |       FROM lineitem WHERE l_suppkey % 10 = 0),
+       |${(1 to WalkLen).map(walkStepCte).mkString(",\n")}
+       |SELECT walk_id, step, node FROM (
+       |${(0 to WalkLen).map(t =>
+            s"  SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM w$t")
+          .mkString("\n  UNION ALL\n")}
+       |) u ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val e = li.select(col("p").as("src"), col("sp").as("dst"))
+      .union(li.select(col("sp").as("src"), col("p").as("dst")))
+    val adj = e.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ns"))
+      .fenced() // reused by every step
+    val seeds = t(s, d, "lineitem")
+      .where(col("l_suppkey") % 10 === 0)
+      .select((col("l_suppkey") * 2 + 1).as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+    var frontier = seeds
+    val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    steps += frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (st <- 1 to WalkLen) {
+      val h = graft.functions.PortableHash.md5Long(
+        concat(col("walk_id").cast("string"), lit(s":$st")))
+      frontier = frontier.join(adj, col("node") === col("src"))
+        .select(col("walk_id"),
+          element_at(col("ns"),
+            (pmod(h, size(col("ns")).cast("long")) + 1).cast("int")).as("node"))
+      steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"), col("node"))
+    }
+    steps.result().reduce(_ union _).orderBy(col("walk_id"), col("step"))
+  }
+
   val all: Seq[Q] =
-    Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss)
+    Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss, qWalks)
 }
