@@ -387,19 +387,23 @@ object GraphQueries {
        |  FROM w${t - 1} w JOIN adj a ON a.src = w.node)""".stripMargin
   }
 
-  private val qWalks = Q("q_graph_walks",
-    s"""WITH $graphCtes,
+  /** The walk corpus as an unordered frame + its oracle CTE chain —
+    * shared by q_graph_walks and the skip-gram pair extraction. */
+  private val walkCtes: String =
+    s"""$graphCtes,
        |adj AS MATERIALIZED (
        |  SELECT src, list_sort(list(dst)) AS ns FROM e GROUP BY src),
        |w0 AS (SELECT DISTINCT l_suppkey * 2 + 1 AS walk_id,
        |         l_suppkey * 2 + 1 AS node
        |       FROM lineitem WHERE l_suppkey % 10 = 0),
-       |${(1 to WalkLen).map(walkStepCte).mkString(",\n")}
-       |SELECT walk_id, step, node FROM (
+       |${(1 to WalkLen).map(walkStepCte).mkString(",\n")},
+       |walks AS MATERIALIZED (
        |${(0 to WalkLen).map(t =>
             s"  SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM w$t")
           .mkString("\n  UNION ALL\n")}
-       |) u ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+       |)""".stripMargin
+
+  private[graft] def walksOf(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
       .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
@@ -413,7 +417,7 @@ object GraphQueries {
       .select((col("l_suppkey") * 2 + 1).as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
     var frontier = seeds
-    val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    val steps = Seq.newBuilder[DataFrame]
     steps += frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
     for (st <- 1 to WalkLen) {
       val h = graft.functions.PortableHash.md5Long(
@@ -424,9 +428,49 @@ object GraphQueries {
             (pmod(h, size(col("ns")).cast("long")) + 1).cast("int")).as("node"))
       steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"), col("node"))
     }
-    steps.result().reduce(_ union _).orderBy(col("walk_id"), col("step"))
+    steps.result().reduce(_ union _)
+  }
+
+  private val qWalks = Q("q_graph_walks",
+    s"""WITH $walkCtes
+       |SELECT walk_id, step, node FROM walks
+       |ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+    walksOf(s, d).orderBy(col("walk_id"), col("step"))
+  }
+
+  /** Skip-gram training pairs over the walk corpus — the second half
+    * of the DeepWalk recipe (walks → windowed (center, context)
+    * pairs → embedding trainer): every ordered pair of nodes within
+    * window ±2 steps on the same walk, aggregated to (center,
+    * context, distance, n_pairs) — the co-occurrence statistic a
+    * skip-gram/GloVe stage trains from. Scale shape: the pair window
+    * is a per-walk self-join bounded by the FIXED walk length (each
+    * step pairs with ≤ 2·window others), so pair volume is exactly
+    * (2·window·len-ish)·|walks| — linear in the corpus; the one
+    * exchange is the map-side-combinable pair count over a key space
+    * capped by edges within 2 hops. */
+  private val qWalkPairs = Q("q_graph_walk_pairs",
+    s"""WITH $walkCtes
+       |SELECT a.node AS center, b.node AS context,
+       |  CAST(abs(a.step - b.step) AS BIGINT) AS distance,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM walks a JOIN walks b
+       |  ON a.walk_id = b.walk_id AND a.step <> b.step
+       |  AND abs(a.step - b.step) <= 2
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_pairs DESC, center, context, distance""".stripMargin) { (s, d) =>
+    val w = walksOf(s, d).fenced() // both self-join sides
+    val a = w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
+    val b = w.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .where(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+      .groupBy(col("center"), col("context"),
+        abs(col("sa") - col("sb")).as("distance"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("center"), col("context"), col("distance"))
   }
 
   val all: Seq[Q] =
-    Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss, qWalks)
+    Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss,
+      qWalks, qWalkPairs)
 }
