@@ -59,6 +59,10 @@ object InvarianceProbe {
     }
     val spark = Sessions.local()
     val benchPartitions = Sessions.cpus
+    // hostile partition count must DIFFER from the bench one, or the
+    // negative control below compares equal and aborts the probe with
+    // a misleading "comparator is vacuous" (e.g. SPARK_GRAFT_CPUS=5)
+    val hostilePartitions = if (benchPartitions == "5") "7" else "5"
 
     def atBench[A](f: => A): A = {
       spark.conf.set("spark.sql.shuffle.partitions", benchPartitions)
@@ -66,7 +70,7 @@ object InvarianceProbe {
       f
     }
     def atHostile[A](f: => A): A = {
-      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      spark.conf.set("spark.sql.shuffle.partitions", hostilePartitions)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try f
       finally {
@@ -106,7 +110,7 @@ object InvarianceProbe {
     }
     require(allOk, s"diverged under partitioning change: ${diverged.mkString(", ")}")
     println(s"INVARIANCE all ${queries.size} queries bit-identical across " +
-      s"(partitions=$benchPartitions, AQE on) vs (partitions=5, AQE off)")
+      s"(partitions=$benchPartitions, AQE on) vs (partitions=$hostilePartitions, AQE off)")
     spark.stop()
   }
 }

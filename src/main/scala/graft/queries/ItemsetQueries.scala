@@ -103,10 +103,16 @@ object ItemsetQueries {
       .where(col("df") >= col("minsup"))
       .select(col("tok"), col("df"),
         (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long").as("r"))
-      .where(col("r") < B) // 20-bit packing domain; |F₁| ≥ 2²⁰ would
-      // mean minsup admits a million-item universe — misconfigured,
-      // and the guard fails CLOSED (dropped items ⇒ missing rows ⇒
-      // oracle hash mismatch) rather than silently colliding packs
+      // 20-bit packing domain guard: |F₁| ≥ 2²⁰ means minsup admits a
+      // million-item universe — misconfigured. Fail LOUDLY (raise_error
+      // on the first over-cap rank) rather than filter: a silent drop
+      // would return incomplete frequent sets in a standalone run where
+      // no oracle comparison is there to catch the missing rows.
+      .select(col("tok"), col("df"),
+        when(col("r") < B, col("r")).otherwise(raise_error(concat(
+          lit(s"itemset rank overflow: |F1| exceeds the 2^20 packing cap"
+            + " (raise minsup); first over-cap rank "),
+          col("r").cast("string")))).as("r"))
       .fenced()
     val rs = toks
       .join(broadcast(dict.select("tok", "r")), Seq("tok"))

@@ -276,16 +276,23 @@ object MaintenanceQueries {
       |SELECT doc_id, status, prior_md5, cur_md5 FROM delta
       |WHERE status <> 'same' ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // Presence flags, NOT digest NULL-ness, drive the added/deleted
+    // split (the oracle keys off p.doc_id/c.doc_id): a NULL-text row
+    // present in both snapshots has NULL digests on both sides and
+    // must classify through the changed/same md5 compare (where the
+    // non-null-safe <> makes it 'same', as the oracle's does).
     val cur = docs.where(pmod(col("doc_id"), lit(13)) =!= 5)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("cur_md5"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("cur_md5"),
+        lit(true).as("in_cur"))
     val priorText = when(pmod(col("doc_id"), lit(7)) === 2,
       concat(col("text"), lit(" (rev1)"))).otherwise(col("text"))
     val prior = docs.where(pmod(col("doc_id"), lit(11)) =!= 3)
-      .select(col("doc_id"), md5(priorText.cast("binary")).as("prior_md5"))
+      .select(col("doc_id"), md5(priorText.cast("binary")).as("prior_md5"),
+        lit(true).as("in_prior"))
     prior.join(cur, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("prior_md5").isNull, "added")
-          .when(col("cur_md5").isNull, "deleted")
+        when(col("in_prior").isNull, "added")
+          .when(col("in_cur").isNull, "deleted")
           .when(col("prior_md5") =!= col("cur_md5"), "changed")
           .otherwise("same").as("status"),
         col("prior_md5"), col("cur_md5"))
