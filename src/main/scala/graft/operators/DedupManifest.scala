@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Fence.FenceOps
+
+/** Persisted incremental-dedup manifests — the write→read loop a real
+  * daily-ingest deployment pays between corpus builds, extracted from
+  * the in-plan stand-ins the incremental queries used to carry.
+  *
+  * A dedup pipeline that ingests batch after batch keeps two small
+  * stores next to the corpus (reference behavior: the reference's
+  * collector keeps its rolling state in a persistent store across
+  * process restarts, `collector.clj`; here the analogous state is
+  * dedup model state, not rows):
+  *
+  *  - the COMPONENT manifest (id → smallest-id representative) of the
+  *    near-dup pair graph seen so far — what [[ccDelta]] contracts
+  *    against, so each ingest's iterative work is |new-edge|-scale;
+  *  - the BAND manifest (vec_id, label, band, bv) of every corpus
+  *    vector's LSH band values — what an arriving batch equi-joins
+  *    against, so candidate generation is |new|-scale and the prior
+  *    corpus is never re-banded.
+  *
+  * Both are parquet: mergeable, partition-prunable, and orders of
+  * magnitude smaller than the corpus (pair-graph-/band-scale). At
+  * 100 TB the band manifest is the large one (8 longs per vector) —
+  * bucket it by the join key (label, band) via
+  * [[graft.operators.Bucketing]] and the ingest join co-locates with
+  * zero exchange on the manifest side.
+  *
+  * ManifestRoundTripSpec proves the contract end to end: two CHAINED
+  * ingests (run 1 → persisted manifest → run 2), each applying its
+  * delta with [[apply]], reproduce the one-shot batch answer
+  * hash-exactly — components equal `q_dedup_cc`'s labeling and the
+  * chained verified-pair union equals `q_dedup_embed_lsh`'s pair set
+  * on the union corpus.
+  */
+object DedupManifest {
+
+  /** Canonical manifest location for a corpus identified by `tag`
+    * (the engine queries tag by their sfDir). Rooted in
+    * java.io.tmpdir, the same local-mode stance as
+    * [[graft.Fence]]'s reliable-checkpoint fallback — a deployment
+    * passes its own durable path to [[persist]] instead. */
+  def path(kind: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-manifest/$kind-" +
+      tag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Write `df` to `path` (overwrite) and hand back the PERSISTED
+    * frame — downstream plans read the parquet store, exactly what
+    * the next ingest will do, so a query routed through `persist`
+    * exercises the real write→read loop rather than an in-plan
+    * stand-in. The round trip also cuts lineage (a durable
+    * [[graft.Fence]]). */
+  def persist(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Read a previously persisted manifest. */
+  def read(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  /** One ingest's component-manifest DELTA (the iterative step of
+    * `q_dedup_cc_incremental`, shared with ManifestRoundTripSpec's
+    * chained runs):
+    *
+    * @param manifest prior component manifest (id, lbl) — lbl is the
+    *   component's smallest member id, so contracting each prior
+    *   endpoint to its lbl is EXACT: min-label over
+    *   {new ids ∪ prior reps} equals min-label over the full union
+    *   graph
+    * @param edges    the ingest's verified near-dup edges
+    *   (ai, bi, pa, pb) with per-endpoint prior flags; prior×prior
+    *   edges must be absent (they belong to earlier ingests)
+    * @param resolve  the CC variant (ConnectedComponents.resolve or
+    *   resolveAlternating) — runs over the CONTRACTED new-edge graph
+    *   only, |new-edge|-scale
+    * @return delta rows (doc_id, lbl): every new-batch document in a
+    *   verified pair, every prior document whose representative
+    *   changed, and prior manifest-absent singletons drawn into a
+    *   component — exactly what the ingest commits via [[apply]];
+    *   untouched rows never appear
+    */
+  def ccDelta(manifest: DataFrame, edges: DataFrame,
+      resolve: DataFrame => DataFrame = ConnectedComponents.resolve)
+      : DataFrame = {
+    // contract: prior endpoints → their representative (manifest-
+    // absent prior docs are their own rep); new endpoints unchanged
+    val ce = edges
+      .join(manifest.select(col("id").as("ai"), col("lbl").as("la")), Seq("ai"), "left")
+      .join(manifest.select(col("id").as("bi"), col("lbl").as("lb")), Seq("bi"), "left")
+      .select(
+        when(col("pa"), coalesce(col("la"), col("ai"))).otherwise(col("ai")).as("cs"),
+        when(col("pb"), coalesce(col("lb"), col("bi"))).otherwise(col("bi")).as("ct"))
+    // the ONLY iterative pass of the ingest — over the contracted
+    // new-edge graph, |new-edge|-scale
+    val clbl = resolve(ce).fenced()
+    val newDocs = edges.where(!col("pa")).select(col("ai").as("doc_id"))
+      .union(edges.where(!col("pb")).select(col("bi").as("doc_id")))
+      .distinct()
+    val outNew = newDocs
+      .join(clbl.select(col("id").as("doc_id"), col("lbl")), "doc_id")
+      .select(col("doc_id"), col("lbl"))
+    // prior/new doc-id sets are disjoint, so contracted non-new nodes
+    // are exactly the prior representatives
+    val repLabels = ce.select(col("cs").as("id")).union(ce.select(col("ct").as("id")))
+      .distinct()
+      .join(newDocs.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .join(clbl, "id")
+      .select(col("id").as("rep"), col("lbl").as("m"))
+    // manifest members whose representative changed (shuffled
+    // equi-join — the manifest is corpus-fraction-scaled, never
+    // broadcast: the keep_best labels-join rule)
+    val memberRows = repLabels
+      .join(manifest.select(col("id").as("doc_id"), col("lbl").as("rep")), "rep")
+      .where(col("m") =!= col("rep"))
+      .select(col("doc_id"), col("m").as("lbl"))
+    // manifest-absent prior singletons drawn into a component
+    val singletonReps = repLabels
+      .join(manifest.select(col("id").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep").as("doc_id"), col("m").as("lbl"))
+    outNew.union(memberRows).union(singletonReps)
+  }
+
+  /** Commit a [[ccDelta]] to the manifest: delta rows override,
+    * previously unseen ids append — the updated (id, lbl) manifest
+    * the NEXT ingest reads. One anti-join + union, no iteration. */
+  def apply(manifest: DataFrame, delta: DataFrame): DataFrame =
+    manifest
+      .join(delta.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+      .union(delta.select(col("doc_id").as("id"), col("lbl")))
+}

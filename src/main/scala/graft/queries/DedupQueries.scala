@@ -230,7 +230,7 @@ object DedupQueries {
        |  WHERE cc / (x.n + y.n - cc) >= 0.5)""".stripMargin
 
   /** Spark twin of [[verifiedCtes]]: DataFrame of (ai, bi, jac). */
-  private def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
     val cand = bandCandidatePairs(s, d)
     val sh = shingleRows(t(s, d, "documents"))
       .select(col("doc_id"), col("sh")).fenced()
@@ -326,10 +326,14 @@ object DedupQueries {
     * full union graph — then runs connected components over the
     * contracted NEW-EDGE graph only, and expands merged labels back
     * through the manifest. The per-ingest ITERATIVE work is
-    * |new-edge|-scale, never corpus-scale: the prior-side resolution
-    * here stands in for READING the persisted manifest (the
-    * `q_dedup_incremental_near` band-manifest stance — its cost
-    * belongs to the original corpus build, amortized across ingests).
+    * |new-edge|-scale, never corpus-scale. The manifest travels the
+    * REAL deployment path: the prior-side resolution is written to
+    * parquet and read back ([[graft.operators.DedupManifest.persist]])
+    * before the contraction joins touch it — the write→read loop an
+    * ingest N+1 pays against ingest N's store (its derivation cost
+    * belongs to the original corpus build, amortized across ingests;
+    * ManifestRoundTripSpec drives two CHAINED ingests through the
+    * same store and proves them hash-equal to the one-shot batch).
     * Output: the manifest DELTA — every new-batch document in a
     * verified pair, every prior document whose representative
     * changed, and prior manifest-absent singletons drawn into a
@@ -375,47 +379,16 @@ object DedupQueries {
       .join(meta.select(col("doc_id").as("ai"), col("prior").as("pa")), "ai")
       .join(meta.select(col("doc_id").as("bi"), col("prior").as("pb")), "bi")
       .fenced()
-    // the persisted manifest a deployment reads (derived in-plan)
-    val plbl = graft.operators.ConnectedComponents.resolve(
-        vp.where(col("pa") && col("pb")).select(col("ai"), col("bi")))
-      .fenced()
+    import graft.operators.DedupManifest
+    // the persisted manifest a deployment reads: derived from the
+    // prior-only pair graph, WRITTEN to the parquet store and read
+    // back — the contraction below consumes the store, not the plan
+    val plbl = DedupManifest.persist(
+      graft.operators.ConnectedComponents.resolve(
+        vp.where(col("pa") && col("pb")).select(col("ai"), col("bi"))),
+      DedupManifest.path("cc", d))
     val newEdges = vp.where(!(col("pa") && col("pb")))
-    // contract: prior endpoints → their representative (manifest-
-    // absent prior docs are their own rep); new endpoints unchanged
-    val ce = newEdges
-      .join(plbl.select(col("id").as("ai"), col("lbl").as("la")), Seq("ai"), "left")
-      .join(plbl.select(col("id").as("bi"), col("lbl").as("lb")), Seq("bi"), "left")
-      .select(
-        when(col("pa"), coalesce(col("la"), col("ai"))).otherwise(col("ai")).as("cs"),
-        when(col("pb"), coalesce(col("lb"), col("bi"))).otherwise(col("bi")).as("ct"))
-    // the ONLY iterative pass of the ingest — over the contracted
-    // new-edge graph, |new-edge|-scale
-    val clbl = graft.operators.ConnectedComponents.resolve(ce).fenced()
-    val newDocs = newEdges.where(!col("pa")).select(col("ai").as("doc_id"))
-      .union(newEdges.where(!col("pb")).select(col("bi").as("doc_id")))
-      .distinct()
-    val outNew = newDocs
-      .join(clbl.select(col("id").as("doc_id"), col("lbl")), "doc_id")
-      .select(col("doc_id"), col("lbl"))
-    // prior/new doc-id sets are disjoint, so contracted non-new nodes
-    // are exactly the prior representatives
-    val repLabels = ce.select(col("cs").as("id")).union(ce.select(col("ct").as("id")))
-      .distinct()
-      .join(newDocs.select(col("doc_id").as("id")), Seq("id"), "left_anti")
-      .join(clbl, "id")
-      .select(col("id").as("rep"), col("lbl").as("m"))
-    // manifest members whose representative changed (shuffled
-    // equi-join — the manifest is corpus-fraction-scaled, never
-    // broadcast: the keep_best labels-join rule)
-    val memberRows = repLabels
-      .join(plbl.select(col("id").as("doc_id"), col("lbl").as("rep")), "rep")
-      .where(col("m") =!= col("rep"))
-      .select(col("doc_id"), col("m").as("lbl"))
-    // manifest-absent prior singletons drawn into a component
-    val singletonReps = repLabels
-      .join(plbl.select(col("id").as("rep")), Seq("rep"), "left_anti")
-      .select(col("rep").as("doc_id"), col("m").as("lbl"))
-    outNew.union(memberRows).union(singletonReps)
+    DedupManifest.ccDelta(plbl, newEdges)
       .select(col("doc_id"), col("lbl").cast("long").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -44,7 +44,7 @@ object SimilarityQueries {
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** vec_id, label, v (double). */
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
 
@@ -185,14 +185,39 @@ object SimilarityQueries {
        |WHERE list_dot_product(a.v, b.v) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val e = vectors(s, d).fenced() // banded twice + verified against
-    val bands = e.select(col("vec_id"), col("label"),
+    val bands = bandRows(e)
+    embedVerifiedPairsBetween(bands, bands, e)
+      .select(col("ai").as("a_id"), col("bi").as("b_id"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The banded-LSH row set of a vector frame: (vec_id, label, band,
+    * bv) — one row per (vector, band). This IS the band manifest a
+    * deployment persists next to the corpus
+    * ([[graft.operators.DedupManifest]]): an arriving batch bands
+    * itself and equi-joins these rows, never re-banding the prior
+    * corpus. */
+  private[graft] def bandRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
       explode(array((0 until DedupBands).map(j =>
         struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
       .select(col("vec_id"), col("label"), col("b.band").as("band"), col("b.bv").as("bv"))
-    // a pair colliding in k bands appears k times — dedup ids only
-    // (cheap longs), then join the vectors back for the verify
-    val cand = bands.select(col("vec_id").as("ai"), col("label"), col("band"), col("bv"))
-      .join(bands.select(col("vec_id").as("bi"), col("label").as("lb"),
+
+  /** Verified near-dup pairs between two banded sides over a shared
+    * vector store: candidates collide on (label, band, bv) with
+    * ai < bi (a pair colliding in k bands appears k times — dedup
+    * ids only, cheap longs, then join the vectors back), verified by
+    * exact cosine ≥ 0.4. `bx = by` is the full within-corpus pair
+    * set (`q_dedup_embed_lsh`); `bx = prior manifest, by = new batch`
+    * is the |new|-scale ingest join (`q_dedup_embed_incremental`,
+    * ManifestRoundTripSpec's chained runs — prior ids sit below the
+    * batch ids, so ai < bi keeps exactly the cross pairs there).
+    * Returns (ai, bi, sim) with sim UNROUNDED — callers round for
+    * output or rank on the full double. */
+  private[graft] def embedVerifiedPairsBetween(
+      bx: DataFrame, by: DataFrame, e: DataFrame): DataFrame = {
+    val cand = bx.select(col("vec_id").as("ai"), col("label"), col("band"), col("bv"))
+      .join(by.select(col("vec_id").as("bi"), col("label").as("lb"),
         col("band").as("band2"), col("bv").as("bv2")),
         col("label") === col("lb") && col("band") === col("band2") &&
           col("bv") === col("bv2") && col("ai") < col("bi"))
@@ -202,8 +227,7 @@ object SimilarityQueries {
       .join(e.select(col("vec_id").as("ai"), col("v").as("va")), "ai")
       .join(e.select(col("vec_id").as("bi"), col("v").as("vb")), "bi")
       .where(cos >= 0.4)
-      .select(col("ai").as("a_id"), col("bi").as("b_id"), round(cos, 4).as("sim"))
-      .orderBy(col("a_id"), col("b_id"))
+      .select(col("ai"), col("bi"), cos.as("sim"))
   }
 
   /** Incremental EMBEDDING dedup — the daily-ingest form of the
@@ -215,10 +239,13 @@ object SimilarityQueries {
     * batch). Candidate generation is the banded random-hyperplane
     * join RESTRICTED to new×prior — the within-batch and prior×prior
     * pair graphs never materialize, so an ingest pass costs
-    * |new|-scale band rows against the prior band manifest (which a
-    * production deployment persists once and appends to, exactly the
-    * fingerprint-manifest stance of `q_dedup_incremental`; here both
-    * sides derive in-plan from one banding pass). Verification is
+    * |new|-scale band rows against the prior band manifest. The
+    * manifest travels the REAL deployment path: the prior corpus's
+    * band rows are written to the parquet store and read back
+    * ([[graft.operators.DedupManifest.persist]]) before the candidate
+    * join touches them — the persist-once-append-per-ingest loop of
+    * `q_dedup_incremental`'s fingerprint manifest, driven across two
+    * chained ingests by ManifestRoundTripSpec. Verification is
     * exact cosine on candidates only; the per-new-vector closest
     * keeper is a row_number shortlist (sim desc, prior id). */
   private val qDedupEmbedIncremental = Q("q_dedup_embed_incremental",
@@ -251,31 +278,19 @@ object SimilarityQueries {
     val e = vectors(s, d).fenced() // banded + verified against
     // bounded driver action: one count fixes the new/prior split id
     val split = (4L * t(s, d, "embeddings").count() + 4L) / 5L
-    val bands = e.select(col("vec_id"), col("label"),
-      explode(array((0 until DedupBands).map(j =>
-        struct(lit(j).as("band"), bandValue(col("v"), j).as("bv"))): _*)).as("b"))
-      .select(col("vec_id"), col("label"), col("b.band").as("band"),
-        col("b.bv").as("bv"))
-    // a (new, prior) pair colliding in k bands appears k times —
-    // dedup ids only (cheap longs), then join the vectors back
-    val cand = bands.where(col("vec_id") >= split)
-      .select(col("vec_id").as("ni"), col("label"), col("band"), col("bv"))
-      .join(bands.where(col("vec_id") < split)
-        .select(col("vec_id").as("pi"), col("label").as("lb"),
-          col("band").as("band2"), col("bv").as("bv2")),
-        col("label") === col("lb") && col("band") === col("band2") &&
-          col("bv") === col("bv2"))
-      .select(col("ni"), col("pi")).distinct()
-    val cos = cosine(col("va"), col("vb"))
-    val w = Window.partitionBy(col("ni")).orderBy(col("sim").desc, col("pi"))
-    cand
-      .join(e.select(col("vec_id").as("ni"), col("v").as("va")), "ni")
-      .join(e.select(col("vec_id").as("pi"), col("v").as("vb")), "pi")
-      .where(cos >= 0.4)
-      .select(col("ni"), col("pi"), cos.as("sim"))
+    val bands = bandRows(e)
+    // the band manifest the deployment persists: written to the
+    // parquet store and read back — the ingest join below consumes
+    // the store (prior ids all sit below `split`, so the helper's
+    // ai < bi keeps exactly the prior×new cross pairs)
+    val priorBands = graft.operators.DedupManifest.persist(
+      bands.where(col("vec_id") < split),
+      graft.operators.DedupManifest.path("embed-bands", d))
+    val w = Window.partitionBy(col("bi")).orderBy(col("sim").desc, col("ai"))
+    embedVerifiedPairsBetween(priorBands, bands.where(col("vec_id") >= split), e)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("ni").as("new_id"), col("pi").as("dup_of"),
+      .select(col("bi").as("new_id"), col("ai").as("dup_of"),
         round(col("sim"), 4).as("sim"))
       .orderBy(col("new_id"))
   }
@@ -373,9 +388,20 @@ object SimilarityQueries {
     * generation is an equi-join on `list`, so the corpus is scanned
     * once to assign and once per probe hit — never all-pairs. At
     * cluster scale the assignment table is the thing you persist and
-    * bucket by `list`. Assignment/probe ranking is row_number with a
-    * cent_id tiebreak (deterministic on both engines, unlike max_by
-    * under cosine ties), which is what makes the oracle exact. */
+    * bucket by `list`.
+    *
+    * Assignment is a map-side argmax: `max_by` ordered by the
+    * TOTALLY-ORDERED struct (cos, −cent_id) — no two candidates of a
+    * vector share it, so the aggregate is tie-free and deterministic
+    * (bare max_by under cosine ties would not be), and it picks
+    * exactly row_number's (cos DESC, cent_id) winner, which keeps the
+    * oracle hash. Shape: the partial aggregate collapses each
+    * vector's C centroid rows BEFORE the exchange, so the shuffle
+    * carries n rows — the crossJoin+window form it replaces shipped
+    * n×C rows (each with the full vector) through the exchange, a C×
+    * volume factor that dominates at 100 TB of embeddings. Probe
+    * ranking (top-nprobe over 10 query vectors) stays row_number —
+    * constant-size. */
   private val IvfC = 16
   private val IvfNprobe = 2
 
@@ -415,14 +441,14 @@ object SimilarityQueries {
     val cents = broadcast(e.where(col("vec_id") < IvfC)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     val simToCent = cosine(col("v"), col("cv"))
-    // inverted-list assignment: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cent_id"))
+    // inverted-list assignment: nearest centroid per corpus vector,
+    // map-side argmax (see scaladoc) — n-row exchange, not n×C
     val assigned = e.crossJoin(cents)
       .withColumn("cs", simToCent)
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("list"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("v")),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cent_id").as("list"))
     // queries probe their nprobe nearest lists
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("cent_id"))
     val probes = e.where(col("vec_id") < 10)
@@ -1185,18 +1211,23 @@ object SimilarityQueries {
     // deterministic either way
   }
 
-  /** Nearest candidate centroid per vector — (vec_id, cluster),
-    * row_number with (cos desc, cent_id) tiebreak, exact on both
-    * engines over the IDENTICAL candidate set. */
+  /** Nearest candidate centroid per vector — (vec_id, cluster) by
+    * map-side max_by over the tie-free (cos, −cent_id) struct order
+    * (picks the oracle's row_number (cos DESC, cent_id) winner; the
+    * duplicate candidate rows the root∪anchor union can emit carry
+    * identical structs, so the max is unaffected), exact on both
+    * engines over the IDENTICAL candidate set. The partial aggregate
+    * collapses each vector's ≤ Anchors+CMin candidates before the
+    * exchange. */
   private[graft] def semAssigned(s: SparkSession, d: String): DataFrame =
     semAssignedFrom(semCandidates(s, d))
 
   private def semAssignedFrom(candidates: DataFrame): DataFrame =
     candidates
-      .withColumn("arn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cent_id"))))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("cluster"))
+      .select(col("vec_id"), col("cluster"))
 
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * cluster the embedding space with a coarse quantizer, then prune
@@ -1419,8 +1450,10 @@ object SimilarityQueries {
     * the prune candidate set.
     *
     * Scale shape: q_knn_ivf's assignment pattern — centroids
-    * broadcast, corpus streams through the cross join, per-vector
-    * argmax picks the cluster; both per-cluster shortlists are
+    * broadcast, corpus streams through the cross join, a map-side
+    * max_by argmax picks the cluster (n-row exchange — see
+    * [[qKnnIvf]]'s scaladoc for the determinism argument); both
+    * per-cluster shortlists are
     * rank-filtered windows sharing ONE cluster-keyed exchange (two
     * sort orders, no second shuffle); everything after is
     * shortlist-sized. */
@@ -1450,13 +1483,15 @@ object SimilarityQueries {
     val e = vectors(s, d)
     val cents = broadcast(e.where(col("vec_id") < IvfC)
       .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("cent_id"))
+    // map-side argmax assignment ([[qKnnIvf]]'s form): the tie-free
+    // (cos, −cent_id) struct order replays row_number's winner while
+    // the partial aggregate keeps the exchange at n rows, not n×C
     val assigned = e.crossJoin(cents)
       .withColumn("cs", cosine(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("cent_id").as("list"), col("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("cs")),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("list"), col("best.cs").as("cs"))
     val wProto = Window.partitionBy(col("list")).orderBy(col("cs").desc, col("vec_id"))
     val wEdge = Window.partitionBy(col("list")).orderBy(col("cs").asc, col("vec_id"))
     val ranked = assigned
