@@ -50,6 +50,85 @@ object WbJdbc {
   /** `collector.clj:95` — rows per insert transaction. */
   val BatchSize = 128
 
+  // ------------------------------------------------- schema migration
+
+  /** `collector.clj:22-24` — the applied-migrations ledger table. */
+  val MigrationsTable = "migrations_graft_collector"
+
+  /** One ordered migration: an id (recorded in the ledger) and the
+    * DDL it applies. */
+  final case class Migration(id: String, statements: Seq[String])
+
+  /** The collector sink's schema as the reference ships it — its
+    * `001-create-wb-page-request.up.sql` re-expressed for the target
+    * database (Derby here: `SERIAL` → `GENERATED ALWAYS AS IDENTITY`,
+    * and no `IF NOT EXISTS` — idempotence comes from the ledger, as
+    * with ragtime, not from the DDL dialect). */
+  def collectorMigrations: Seq[Migration] = Seq(
+    Migration("001-create-wb-page-request", Seq(
+      """CREATE TABLE wb_page_request (
+        |  id INTEGER GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        |  ts TIMESTAMP NOT NULL,
+        |  lemma VARCHAR(128) NOT NULL,
+        |  article_type VARCHAR(64),
+        |  article_source VARCHAR(64),
+        |  article_date DATE)""".stripMargin,
+      "CREATE INDEX wb_page_request_ts ON wb_page_request (ts)",
+      "CREATE INDEX wb_page_request_lemma ON wb_page_request (lemma)",
+      "CREATE INDEX wb_page_request_source ON wb_page_request (article_source)")))
+
+  /** `collector.clj:25-30` (`init-db!`, ragtime) — idempotent schema
+    * migration. A ledger table records each applied migration id;
+    * `migrate` applies, IN ORDER, only ids absent from the ledger,
+    * one transaction per migration (the DDL and its ledger row commit
+    * together, so a failed migration neither half-applies nor marks
+    * itself done — Derby DDL is transactional). Re-running the whole
+    * call is a no-op, which is what lets every process start
+    * unconditionally `init-db!` the way the reference does.
+    *
+    * @return the ids applied by THIS call (empty on a no-op re-run —
+    *         JdbcRoundTripSpec pins that contract) */
+  def migrate(url: String,
+      migrations: Seq[Migration] = collectorMigrations): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val tables = conn.getMetaData.getTables(
+        null, null, MigrationsTable.toUpperCase, null)
+      val ledgerExists = try tables.next() finally tables.close()
+      if (!ledgerExists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"CREATE TABLE $MigrationsTable (" +
+          "id VARCHAR(255) PRIMARY KEY, applied_at TIMESTAMP NOT NULL)"): Unit
+        finally st.close()
+      }
+      val done = scala.collection.mutable.Set.empty[String]
+      val q = conn.createStatement()
+      try {
+        val rs = q.executeQuery(s"SELECT id FROM $MigrationsTable")
+        try while (rs.next()) done += rs.getString(1)
+        finally rs.close()
+      } finally q.close()
+      conn.setAutoCommit(false)
+      val applied = Seq.newBuilder[String]
+      migrations.filterNot(m => done(m.id)).foreach { m =>
+        try {
+          m.statements.foreach { sql =>
+            val st = conn.createStatement()
+            try st.executeUpdate(sql): Unit
+            finally st.close()
+          }
+          val ins = conn.prepareStatement(s"INSERT INTO $MigrationsTable " +
+            "(id, applied_at) VALUES (?, CURRENT_TIMESTAMP)")
+          try { ins.setString(1, m.id); ins.executeUpdate(): Unit }
+          finally ins.close()
+          conn.commit()
+          applied += m.id
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      }
+      applied.result()
+    } finally conn.close()
+  }
+
   /** S3: dimension scan over a real JDBC connection. `table` may be a
     * table name or a derived-table subquery (the reference's
     * `lemma ⋈ article` join is pushed to the database the same way:

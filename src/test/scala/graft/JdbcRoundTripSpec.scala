@@ -114,4 +114,32 @@ class JdbcRoundTripSpec extends AnyFunSuite {
       assert(queryLong("SELECT COUNT(*) FROM wb_page_request_epoch") == 3)
     } finally q.stop()
   }
+
+  test("init-db!: schema migration applies once, re-run is a no-op, " +
+      "insert works against the migrated schema (collector.clj:25-30)") {
+    // fresh database — the suite-level db pre-creates these tables
+    val dir = java.nio.file.Files.createTempDirectory("derby-mig").toString + "/wb"
+    val mUrl = s"jdbc:derby:$dir;create=true"
+    def count(sql: String): Long = {
+      val conn = DriverManager.getConnection(mUrl)
+      try {
+        val st = conn.createStatement()
+        try { val rs = st.executeQuery(sql); rs.next(); rs.getLong(1) }
+        finally st.close()
+      } finally conn.close()
+    }
+    assert(WbJdbc.migrate(mUrl) == Seq("001-create-wb-page-request"))
+    // second run: no-op — nothing applied, ledger unchanged
+    assert(WbJdbc.migrate(mUrl).isEmpty)
+    assert(count(s"SELECT COUNT(*) FROM ${WbJdbc.MigrationsTable}") == 1)
+    // the migrated schema takes the collector's insert path (the id
+    // identity column must not collide with Spark's append)
+    val facts = Seq(("2024-12-08 23:00:18", "Haus", "Vollartikel", "DWDS", "2024-01-01"))
+      .toDF("ts", "lemma", "article_type", "article_source", "article_date")
+      .select(col("ts").cast("timestamp").as("ts"), col("lemma"),
+        col("article_type"), col("article_source"),
+        col("article_date").cast("date").as("article_date"))
+    WbJdbc.writeFacts(facts, mUrl, "wb_page_request")
+    assert(count("SELECT COUNT(*) FROM wb_page_request WHERE lemma = 'Haus'") == 1)
+  }
 }
