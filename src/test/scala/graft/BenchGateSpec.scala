@@ -64,4 +64,35 @@ class BenchGateSpec extends AnyFunSuite {
     val unmeasured = BenchGate.floorBreaches(healthy + ("serving_latency_p99_ms" -> -1.0))
     assert(unmeasured.size == 1 && unmeasured.head.contains("no latency samples"))
   }
+
+  test("contention normalization: a uniformly inflated sample passes the eps " +
+      "floor, a genuinely regressed one fails (the r12 driver-window shape)") {
+    val canonical = (1 to 30).map(i => s"q$i" -> 1.0).toMap
+    val inflated = canonical.map { case (k, v) => k -> v * 1.26 } // r12's driver sample
+    val quiet = canonical
+    val mrInflated = BenchGate.medianRatio(canonical, inflated)
+    assert(mrInflated.exists(m => math.abs(m - 1.26) < 1e-9))
+    // 266k eps on a 1.26x-contended host → normalized 335k clears 300k:
+    // breach moves to a note, run passes
+    val sample = healthy + ("streaming_eps" -> 266000.0)
+    val (b1, n1) = BenchGate.normalizedFloorBreaches(sample, mrInflated)
+    assert(b1.isEmpty && n1.size == 1 && n1.head.contains("normalized"))
+    // same eps on a QUIET host (median ratio 1.0) → real regression, fails
+    val (b2, n2) = BenchGate.normalizedFloorBreaches(sample,
+      BenchGate.medianRatio(canonical, quiet))
+    assert(b2.exists(_.contains("streaming_eps")) && n2.isEmpty)
+    // contended AND collapsed: 150k × 1.26 = 189k still under the floor —
+    // the breach survives normalization
+    val (b3, _) = BenchGate.normalizedFloorBreaches(
+      healthy + ("streaming_eps" -> 150000.0), mrInflated)
+    assert(b3.exists(_.contains("streaming_eps")))
+    // too few common queries for the median to mean anything → no
+    // normalization (raw verdict stands)
+    assert(BenchGate.medianRatio(Map("q1" -> 1.0), Map("q1" -> 1.3)).isEmpty)
+    // other floors never normalize: a sunk stall ratio on a contended
+    // host is still a breach
+    val (b4, _) = BenchGate.normalizedFloorBreaches(
+      healthy + ("serving_stall_ratio" -> 0.42), mrInflated)
+    assert(b4.exists(_.contains("serving_stall_ratio")))
+  }
 }
