@@ -100,4 +100,49 @@ class StreamingItemsetsSpec extends AnyFunSuite {
       assert(sups.nonEmpty && sups.forall(_ == minsup))
     } finally q.stop()
   }
+
+  test("kill mid-stream, restart from checkpoint: pair emission is exactly-once") {
+    // T6/T7 for the stateful miner (the family standard the ER/embed
+    // twins already meet): a stream killed between epochs and
+    // restarted from its checkpoint recovers BOTH the committed
+    // offsets and the per-pair count state — the resumed run must
+    // neither re-emit pairs the dead run already committed (that
+    // would be resurrected state double-crossing the threshold) nor
+    // miss pairs whose support spans the kill point (lost counts).
+    import java.nio.file.Files
+    assert(docs.forall(!_._2.contains('\t')))
+    val f = Files.createTempFile("sitems", ".tsv")
+    Files.write(f, docs.map { case (id, t) => s"$id\t$t" }
+      .mkString("\n").getBytes("UTF-8"))
+    val base = Files.createTempDirectory("sitems_restart").toString
+    def start() = {
+      val lines = spark.readStream.format("graft.sources.ReplayLines")
+        .option("path", f.toString)
+        .option("linesPerTrigger", "5")
+        .option("ratePerSecond", "50") // slow drain so the kill lands mid-run
+        .load()
+      val parsed = lines
+        .select(split(col("line"), "\t", 2).as("c"))
+        .select(col("c").getItem(0).cast("long").as("doc_id"),
+          col("c").getItem(1).as("text"))
+      graft.streaming.Sinks.appendParquet(
+        StreamingItemsets.hits(spark, parsed, dict, minsup).toDF(),
+        s"$base/out", s"$base/ckpt")
+    }
+    def sunk(): Long =
+      try spark.read.parquet(s"$base/out").count() catch { case _: Throwable => 0L }
+    val q1 = start()
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (sunk() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+    q1.stop() // kill with most of the file unprocessed
+    assert(sunk() > 0, "kill landed before any crossing committed")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select($"pk", $"support").as[(Long, Int)].collect().toSeq
+    assert(got.map(_._1).distinct.length == got.length,
+      "a pair crossed the threshold twice — state lost or epoch replayed")
+    assert(got.map(_._1).toSet == brute(docs, minsup).keySet)
+    assert(got.forall(_._2 >= minsup))
+  }
 }
