@@ -967,10 +967,13 @@ object DedupQueries {
     * Verification is the exact-Jaccard kernel on candidates only;
     * the per-new-doc closest keeper is a WindowGroupLimit shortlist
     * (rank over jac desc, prior id — candidates prune to 1 per task
-    * before the exchange). Prior-side band/shingle manifests are
-    * snapshot artifacts a production deployment persists (the
-    * fingerprint-manifest stance of `q_dedup_incremental`); here both
-    * derive in-plan from the shared signature pass. */
+    * before the exchange). The prior BAND manifest travels the real
+    * deployment path — written to the parquet store and read back
+    * ([[graft.operators.DedupManifest.persist]]) before the candidate
+    * join probes it, the same persist-once-append-per-ingest loop as
+    * the embed twin; prior shingles stay in-plan (verification reads
+    * them from the corpus store in production, not from a manifest —
+    * shingle rows are corpus-scaled, band rows are not). */
   private val qDedupIncrementalNear = Q("q_dedup_incremental_near",
     s"""WITH $shingleCtes,
        |$minhashSigSql,
@@ -1014,9 +1017,13 @@ object DedupQueries {
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
       .join(meta, "doc_id")
       .fenced()
+    // the prior band manifest, through the persisted store
+    val priorBands = graft.operators.DedupManifest.persist(
+      bands.where(col("prior")).select(col("doc_id"), col("band"), col("bh")),
+      graft.operators.DedupManifest.path("near-bands", d))
     val cand = bands.where(!col("prior"))
       .select(col("doc_id").as("ni"), col("band"), col("bh"))
-      .join(bands.where(col("prior")).select(col("doc_id").as("pi"),
+      .join(priorBands.select(col("doc_id").as("pi"),
         col("band").as("band2"), col("bh").as("bh2")),
         col("band") === col("band2") && col("bh") === col("bh2"))
       .select(col("ni"), col("pi")).distinct()

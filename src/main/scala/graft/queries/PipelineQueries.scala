@@ -156,7 +156,11 @@ object PipelineQueries {
     * anti-join carries 16-byte hashes only — at 100 TB the prior
     * corpus side is a fingerprint manifest, not the texts, and the
     * join is a hash equi-join (broadcastable when the manifest of the
-    * prior snapshot fits, shuffled otherwise). */
+    * prior snapshot fits, shuffled otherwise). The manifest travels
+    * the REAL deployment path: written to the parquet store and read
+    * back ([[graft.operators.DedupManifest.persist]]) before the
+    * anti-join probes it — the persist-once-probe-per-ingest loop,
+    * same stance as the CC/embed incremental queries. */
   private val qDedupIncremental = Q("q_dedup_incremental",
     """WITH f AS (SELECT doc_id, source,
       |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -169,8 +173,9 @@ object PipelineQueries {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val f = t(s, d, "documents").select(col("doc_id"), col("source"),
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
-    val prior = f.where(col("source").rlike("^src[0-9]$"))
-      .select(col("fp")).distinct()
+    val prior = graft.operators.DedupManifest.persist(
+      f.where(col("source").rlike("^src[0-9]$")).select(col("fp")).distinct(),
+      graft.operators.DedupManifest.path("fp", d))
     f.where(!col("source").rlike("^src[0-9]$"))
       .join(broadcast(prior), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("source"))
