@@ -1037,120 +1037,6 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  // --------------------------------------------------- bitext mining
-
-  /** Margin-criterion knobs: k neighbors in the denominator average,
-    * and the acceptance floor. 1.05 keeps only pairs whose cosine
-    * clears their neighborhoods' average by ≥ 5% — the
-    * hubness-robust criterion the paper motivates (an absolute
-    * cosine threshold misfires where the embedding space has dense
-    * hubs; the RATIO to each side's local neighborhood does not). */
-  private val BitextK = 4
-  private val BitextMarginMin = 1.05
-
-  /** Margin-based BITEXT MINING (public technique: Artetxe & Schwenk,
-    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
-    * Embeddings", ACL'19) — the parallel-data miner of a multilingual
-    * training pipeline: given two sides of a corpus embedded in one
-    * space (here the even/odd `label` parity split stands in for the
-    * two languages), emit candidate translation pairs scored by the
-    * MARGIN — the pair's cosine over the mean of each side's k-NN
-    * cosines — keeping mutual best matches above the margin floor
-    * (the paper's "intersection" strategy).
-    *
-    * Scale shape: candidate generation is the SAME banded
-    * random-hyperplane machinery as the dedup family (plane literals
-    * shared with [[qDedupEmbedLsh]] — an equi-join on (band, bv),
-    * never the |A|×|B| product), with the label-parity filter on the
-    * two join sides; k-NN averages and both mutual-rank windows run
-    * over candidate rows only. The oracle runs the IDENTICAL banding,
-    * so candidate sets — and therefore margins — are hash-exact.
-    *
-    * Determinism: cosines are the shared native kernel (bit-identical
-    * to `list_dot_product`); each side's k-NN mean sums cosines
-    * ROUNDED into DECIMAL(18,6) (order-free — float sums are not
-    * associative) and divides as double; the margin is then pure
-    * double arithmetic over identical operands, compared unrounded on
-    * both engines, with (margin DESC, id) row_number tiebreaks. The
-    * denominator-positive guard drops the degenerate
-    * all-negative-neighborhood case identically on both engines
-    * (division by a near-zero mean would otherwise make the margin an
-    * unstable sign-flipping ratio). */
-  private val qMineBitext = Q("q_mine_bitext",
-    s"""WITH $vectorsCte,
-       |bx AS (
-       |${(0 until DedupBands).map(j =>
-          s"  SELECT vec_id, label, $j AS band, ${bandValueSql("v", j)} AS bv FROM e")
-          .mkString("\n  UNION ALL\n")}
-       |),
-       |cand AS (
-       |  SELECT DISTINCT x.vec_id AS ai, y.vec_id AS bi
-       |  FROM bx x JOIN bx y ON x.band = y.band AND x.bv = y.bv
-       |  WHERE x.label % 2 = 0 AND y.label % 2 = 1),
-       |sc AS (
-       |  SELECT c.ai, c.bi,
-       |    list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
-       |  FROM cand c JOIN e x ON x.vec_id = c.ai JOIN e y ON y.vec_id = c.bi),
-       |ka AS (SELECT ai, CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
-       |           / count(*) AS da
-       |       FROM (SELECT ai, cos, row_number() OVER (PARTITION BY ai
-       |               ORDER BY cos DESC, bi) AS rk FROM sc) t
-       |       WHERE rk <= $BitextK GROUP BY ai),
-       |kb AS (SELECT bi, CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
-       |           / count(*) AS db
-       |       FROM (SELECT bi, cos, row_number() OVER (PARTITION BY bi
-       |               ORDER BY cos DESC, ai) AS rk FROM sc) t
-       |       WHERE rk <= $BitextK GROUP BY bi),
-       |m AS (SELECT sc.ai, sc.bi, sc.cos,
-       |        sc.cos / (0.5 * (ka.da + kb.db)) AS margin
-       |      FROM sc JOIN ka ON sc.ai = ka.ai JOIN kb ON sc.bi = kb.bi
-       |      WHERE 0.5 * (ka.da + kb.db) > 0),
-       |r AS (SELECT ai, bi, cos, margin,
-       |        row_number() OVER (PARTITION BY ai ORDER BY margin DESC, bi) AS ra,
-       |        row_number() OVER (PARTITION BY bi ORDER BY margin DESC, ai) AS rb
-       |      FROM m)
-       |SELECT ai AS a_id, bi AS b_id, round(cos, 4) AS cos,
-       |  round(margin, 4) AS margin
-       |FROM r WHERE ra = 1 AND rb = 1 AND margin >= $BitextMarginMin
-       |ORDER BY a_id""".stripMargin) { (s, d) =>
-    val e = vectors(s, d).fenced() // banded + scored against, twice
-    val bands = bandRows(e)
-    val cand = bands.where(pmod(col("label"), lit(2)) === 0)
-      .select(col("vec_id").as("ai"), col("band"), col("bv"))
-      .join(bands.where(pmod(col("label"), lit(2)) === 1)
-        .select(col("vec_id").as("bi"), col("band").as("band2"),
-          col("bv").as("bv2")),
-        col("band") === col("band2") && col("bv") === col("bv2"))
-      .select(col("ai"), col("bi")).distinct()
-    val cos = cosine(col("va"), col("vb"))
-    val sc = cand
-      .join(e.select(col("vec_id").as("ai"), col("v").as("va")), "ai")
-      .join(e.select(col("vec_id").as("bi"), col("v").as("vb")), "bi")
-      .select(col("ai"), col("bi"), cos.as("cos"))
-      .fenced() // k-NN means + margin windows all read it
-    def knnMean(side: String, other: String, out: String) = sc
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(side)).orderBy(col("cos").desc, col(other))))
-      .where(col("rk") <= BitextK)
-      .groupBy(col(side))
-      .agg((sum(round(col("cos"), 6).cast("decimal(18,6)")).cast("double")
-        / count(lit(1))).as(out))
-    val m = sc
-      .join(knnMean("ai", "bi", "da"), "ai")
-      .join(knnMean("bi", "ai", "db"), "bi")
-      .withColumn("margin", col("cos") / (lit(0.5) * (col("da") + col("db"))))
-      .where(lit(0.5) * (col("da") + col("db")) > 0)
-    m.withColumn("ra", row_number().over(
-        Window.partitionBy(col("ai")).orderBy(col("margin").desc, col("bi"))))
-      .withColumn("rb", row_number().over(
-        Window.partitionBy(col("bi")).orderBy(col("margin").desc, col("ai"))))
-      .where(col("ra") === 1 && col("rb") === 1 &&
-        col("margin") >= BitextMarginMin)
-      .select(col("ai").as("a_id"), col("bi").as("b_id"),
-        round(col("cos"), 4).as("cos"), round(col("margin"), 4).as("margin"))
-      .orderBy(col("a_id"))
-  }
-
   // ------------------------------------------------ hard-negative mining
 
   private val NegCap = 0.95
@@ -1366,9 +1252,13 @@ object SimilarityQueries {
     * derives — SemDeDup's near-1 recall regime is near-identical
     * embeddings, θ→0, where same-bucket+same-choice assignment
     * approaches certainty). */
-  private def dedupSemanticSql(cte: String): String =
-    s"""WITH $cte,
-       |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+  /** The capped two-level quantizer ASSIGNMENT as reusable CTE text
+    * (references the `e` vector frame; final CTE `asg` exposes
+    * (vec_id, cent_id, arn) — arn=1 is the assignment): shared by the
+    * SemDeDup twins and [[qMineBitext]], the SQL twin of
+    * [[semCandidatesFrom]]→[[semAssignedFrom]]. */
+  private val semAsgCtes: String =
+    s"""ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |cs AS (SELECT GREATEST($SemCMin, (n + ${SemCell - 1}) // $SemCell) AS c FROM ns),
        |bs AS (SELECT ${clusterBitsSql("c")} AS bits FROM cs),
        |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
@@ -1391,7 +1281,11 @@ object SimilarityQueries {
        |asg AS (SELECT vec_id, cent_id,
        |          row_number() OVER (PARTITION BY vec_id
        |            ORDER BY sc DESC, cent_id) AS arn
-       |        FROM cand),
+       |        FROM cand)""".stripMargin
+
+  private def dedupSemanticSql(cte: String): String =
+    s"""WITH $cte,
+       |$semAsgCtes,
        |a AS (SELECT e.vec_id, x.cluster, e.v, e.n2
        |      FROM (SELECT vec_id, cent_id AS cluster FROM asg WHERE arn = 1) x
        |      JOIN e ON e.vec_id = x.vec_id)
@@ -1433,6 +1327,122 @@ object SimilarityQueries {
     dedupSemanticSql(vectorsXlCte)) { (s, d) =>
     val (vx, n2) = vectorsXl(s, d)
     dedupSemanticPlan(vx, n2)
+  }
+
+  // --------------------------------------------------- bitext mining
+
+  /** Margin-criterion knobs: k neighbors in the denominator average,
+    * and the acceptance floor. 1.05 keeps only pairs whose cosine
+    * clears their neighborhoods' average by ≥ 5% — the
+    * hubness-robust criterion the paper motivates (an absolute
+    * cosine threshold misfires where the embedding space has dense
+    * hubs; the RATIO to each side's local neighborhood does not). */
+  private val BitextK = 4
+  private val BitextMarginMin = 1.05
+
+  /** Margin-based BITEXT MINING (public technique: Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL'19) — the parallel-data miner of a multilingual
+    * training pipeline: given two sides of a corpus embedded in one
+    * space (here the even/odd `label` parity split stands in for the
+    * two languages), emit candidate translation pairs scored by the
+    * MARGIN — the pair's cosine over the mean of each side's k-NN
+    * cosines — keeping mutual best matches above the margin floor
+    * (the paper's "intersection" strategy).
+    *
+    * Scale shape — why candidates are CLUSTER-cosharing, not banded:
+    * bitext cannot block on `label` (the pair is cross-language by
+    * definition), and an 8×4-bit hyperplane banding without a block
+    * key collides ~40% of RANDOM cross pairs (p≈(1/2)⁴ per band,
+    * any-of-8) — a constant fraction of |A|×|B|, quadratic at scale.
+    * So candidates come from the capped two-level quantizer the
+    * SemDeDup family already carries ([[semAssignedFrom]] /
+    * [[semAsgCtes]] — k ∝ n cells of ≈ [[SemCell]] expected
+    * population): a pair is a candidate iff both sides land in the
+    * same cell, so candidate volume is Σ_cells |A_c|·|B_c| ≈
+    * Cell·n/4 — LINEAR, the IVF retrieval shape the paper's own
+    * systems (FAISS) use. Cross-cell translation pairs are the
+    * documented recall trade, the same one [[qDedupSemantic]]'s
+    * scaladoc derives.
+    *
+    * Determinism: cosines are the shared native kernel (bit-identical
+    * to `list_dot_product`); each side's k-NN mean sums cosines
+    * ROUNDED into DECIMAL(18,6) (order-free — float sums are not
+    * associative) and divides as double; the margin is then pure
+    * double arithmetic over identical operands, compared unrounded on
+    * both engines, with (margin DESC, id) row_number tiebreaks. The
+    * denominator-positive guard drops the degenerate
+    * all-negative-neighborhood case identically on both engines
+    * (division by a near-zero mean would otherwise make the margin an
+    * unstable sign-flipping ratio). */
+  private val qMineBitext = Q("q_mine_bitext",
+    s"""WITH $vectorsCte,
+       |$semAsgCtes,
+       |asn AS (SELECT x.vec_id, x.cent_id AS cluster, e.label, e.v, e.n2
+       |        FROM (SELECT vec_id, cent_id FROM asg WHERE arn = 1) x
+       |        JOIN e ON e.vec_id = x.vec_id),
+       |sc AS (
+       |  SELECT x.vec_id AS ai, y.vec_id AS bi,
+       |    list_dot_product(x.v, y.v) / (sqrt(x.n2) * sqrt(y.n2)) AS cos
+       |  FROM asn x JOIN asn y ON x.cluster = y.cluster
+       |  WHERE x.label % 2 = 0 AND y.label % 2 = 1),
+       |ka AS (SELECT ai, CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |           / count(*) AS da
+       |       FROM (SELECT ai, cos, row_number() OVER (PARTITION BY ai
+       |               ORDER BY cos DESC, bi) AS rk FROM sc) t
+       |       WHERE rk <= $BitextK GROUP BY ai),
+       |kb AS (SELECT bi, CAST(sum(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |           / count(*) AS db
+       |       FROM (SELECT bi, cos, row_number() OVER (PARTITION BY bi
+       |               ORDER BY cos DESC, ai) AS rk FROM sc) t
+       |       WHERE rk <= $BitextK GROUP BY bi),
+       |m AS (SELECT sc.ai, sc.bi, sc.cos,
+       |        sc.cos / (0.5 * (ka.da + kb.db)) AS margin
+       |      FROM sc JOIN ka ON sc.ai = ka.ai JOIN kb ON sc.bi = kb.bi
+       |      WHERE 0.5 * (ka.da + kb.db) > 0),
+       |r AS (SELECT ai, bi, cos, margin,
+       |        row_number() OVER (PARTITION BY ai ORDER BY margin DESC, bi) AS ra,
+       |        row_number() OVER (PARTITION BY bi ORDER BY margin DESC, ai) AS rb
+       |      FROM m)
+       |SELECT ai AS a_id, bi AS b_id, round(cos, 4) AS cos,
+       |  round(margin, 4) AS margin
+       |FROM r WHERE ra = 1 AND rb = 1 AND margin >= $BitextMarginMin
+       |ORDER BY a_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d).fenced() // assignment + scoring both read it
+    // bounded driver action: one count sizes the quantizer (the
+    // q_dedup_semantic stance)
+    val asn = semAssignedFrom(semCandidatesFrom(e, t(s, d, "embeddings").count()))
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("label"), col("v"))
+    val cos = cosine(col("va"), col("vb"))
+    val sc = asn.where(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id").as("ai"), col("cluster"), col("v").as("va"))
+      .join(asn.where(pmod(col("label"), lit(2)) === 1)
+        .select(col("vec_id").as("bi"), col("cluster"), col("v").as("vb")),
+        Seq("cluster"))
+      .select(col("ai"), col("bi"), cos.as("cos"))
+      .fenced() // k-NN means + margin windows all read it
+    def knnMean(side: String, other: String, out: String) = sc
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(side)).orderBy(col("cos").desc, col(other))))
+      .where(col("rk") <= BitextK)
+      .groupBy(col(side))
+      .agg((sum(round(col("cos"), 6).cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as(out))
+    val m = sc
+      .join(knnMean("ai", "bi", "da"), "ai")
+      .join(knnMean("bi", "ai", "db"), "bi")
+      .withColumn("margin", col("cos") / (lit(0.5) * (col("da") + col("db"))))
+      .where(lit(0.5) * (col("da") + col("db")) > 0)
+    m.withColumn("ra", row_number().over(
+        Window.partitionBy(col("ai")).orderBy(col("margin").desc, col("bi"))))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col("bi")).orderBy(col("margin").desc, col("ai"))))
+      .where(col("ra") === 1 && col("rb") === 1 &&
+        col("margin") >= BitextMarginMin)
+      .select(col("ai").as("a_id"), col("bi").as("b_id"),
+        round(col("cos"), 4).as("cos"), round(col("margin"), 4).as("margin"))
+      .orderBy(col("a_id"))
   }
 
   /** Candidate kNN-graph pairs — exposed for HeavyScaleProbe's
