@@ -121,7 +121,13 @@ object HeavyScaleProbe {
     // and per-copy core structure are constant while nodes/edges grow
     // 10×; each round's semi-joins + degree count must scale with
     // edges
-    "q_graph_kcore")
+    "q_graph_kcore",
+    // round 13: bitext mining — candidates coshare cells of the k∝n
+    // quantizer, so the 10× corpus must grow candidate volume (and
+    // the margin windows over it) linearly; the same-direction
+    // per-copy shift makes cross-copy vectors pile into shared cells,
+    // so this is ALSO the cap stress for the cell-population sizing
+    "q_mine_bitext")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -134,7 +140,8 @@ object HeavyScaleProbe {
     "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
     "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
     "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
-    "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0)
+    "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0,
+    "q_mine_bitext" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
