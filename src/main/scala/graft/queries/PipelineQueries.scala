@@ -645,6 +645,65 @@ object PipelineQueries {
           .as("ks_d"))
   }
 
+  /** PSI bin width over the n_chars feature. */
+  private val PsiBin = 64L
+
+  /** POPULATION STABILITY INDEX between the prior corpus (src0–src9)
+    * and the new crawl batch (src10+), over binned document length —
+    * the standard production drift score next to [[qQualityKs]]'s
+    * two-sample KS: where KS answers "are these the same
+    * distribution?" with a single sup-gap, PSI decomposes the drift
+    * per bin ((p−q)·ln(p/q), summable, the score ML monitoring alerts
+    * on at 0.1/0.25 thresholds), so the report says WHERE the mass
+    * moved. Laplace smoothing (+1 per bin over n+B) keeps empty bins
+    * finite on both engines.
+    *
+    * Determinism: bin counts are exact integers (width-[[PsiBin]]
+    * integer division of n_chars); p and q divide identical longs as
+    * doubles, the ln runs over the identical quotient, and each term
+    * rounds to 6 dp — the [[TextQueries]] log-family discipline (pmi,
+    * keyness). The overall PSI is the SUM of the emitted terms; it is
+    * left to the consumer because a cross-bin float sum has no
+    * deterministic order in either engine.
+    *
+    * Scale shape: one partial-aggregable groupBy on the bin key (the
+    * exchange carries ≤ |bins| rows per upstream partition), a 1-row
+    * totals frame broadcast back — nothing corpus-scaled past the
+    * scan. */
+  private val qQualityPsi = Q("q_quality_psi",
+    s"""WITH b AS (
+       |  SELECT n_chars // $PsiBin AS bin,
+       |    CASE WHEN regexp_matches(source, '^src[0-9]$$') THEN 1 ELSE 0 END AS ia,
+       |    CASE WHEN regexp_matches(source, '^src[0-9]$$') THEN 0 ELSE 1 END AS ib
+       |  FROM documents),
+       |c AS (SELECT bin, CAST(sum(ia) AS BIGINT) AS ca,
+       |        CAST(sum(ib) AS BIGINT) AS cb
+       |      FROM b GROUP BY bin),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+       |        CAST(count(*) AS BIGINT) AS nbins FROM c)
+       |SELECT c.bin, c.ca AS cnt_prior, c.cb AS cnt_cur,
+       |  round(((c.ca + 1.0) / (t.na + t.nbins) - (c.cb + 1.0) / (t.nb + t.nbins))
+       |    * ln(((c.ca + 1.0) / (t.na + t.nbins))
+       |          / ((c.cb + 1.0) / (t.nb + t.nbins))), 6) AS psi_term
+       |FROM c CROSS JOIN t ORDER BY bin""".stripMargin) { (s, d) =>
+    val prior = col("source").rlike("^src[0-9]$")
+    val b = t(s, d, "documents").select(
+      (col("n_chars").cast("long") / PsiBin).cast("long").as("bin"),
+      when(prior, 1L).otherwise(0L).as("ia"),
+      when(prior, 0L).otherwise(1L).as("ib"))
+    val c = b.groupBy(col("bin"))
+      .agg(sum(col("ia")).cast("long").as("ca"), sum(col("ib")).cast("long").as("cb"))
+      .fenced() // totals + per-bin terms both read it
+    val tot = c.agg(sum(col("ca")).cast("long").as("na"),
+      sum(col("cb")).cast("long").as("nb"), count(lit(1)).cast("long").as("nbins"))
+    val p = (col("ca") + 1.0) / (col("na") + col("nbins"))
+    val q = (col("cb") + 1.0) / (col("nb") + col("nbins"))
+    c.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca").as("cnt_prior"), col("cb").as("cnt_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
   /** Chunk window/stride (chars): 25% overlap, the standard RAG
     * retrieval-chunking shape. */
   private[graft] val ChunkSize = 256
@@ -1265,6 +1324,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain, qQualityKs, qChunkDocs, qChunkDedup, qRagRetrieve,
+    qSplitTrain, qQualityKs, qQualityPsi, qChunkDocs, qChunkDedup, qRagRetrieve,
     qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline, qRagRerank)
 }

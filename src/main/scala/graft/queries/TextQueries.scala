@@ -202,6 +202,67 @@ object TextQueries {
 
   private def nWsOf(c: String): Column = size(col(c)).cast("double")
 
+  /** The classic double-decode artifacts (UTF-8 bytes re-read as
+    * cp1252) and their repairs — the top of every real mojibake
+    * table: é→Ã©, ’→â€™, ü→Ã¼. */
+  private val Mojibake: Seq[(String, String)] =
+    Seq("Ã©" -> "é", "â€™" -> "’", "Ã¼" -> "ü")
+
+  /** ENCODING-ARTIFACT (mojibake) detection + repair — the curation
+    * pass every web-corpus build runs before tokenization (CCNet/
+    * C4-class pipelines): text that went through a UTF-8→cp1252
+    * double decode carries characteristic artifact sequences; a
+    * tokenizer trained on them fragments, and the artifacts leak into
+    * generations. The corpus is synthetic, so artifacts are injected
+    * deterministically per doc_id residue — identically on both
+    * engines (the [[qPii]] stance) — then counted (per-artifact
+    * occurrence count via exact length arithmetic: (len −
+    * len(removed)) / len(artifact), pure integers) and repaired by
+    * chained literal replacement. Only flagged documents are emitted:
+    * the overwhelming clean mass never leaves the scan stage.
+    *
+    * Scale shape: per-row expressions and a final filter — zero
+    * shuffles at any corpus size (the oracle's ORDER BY is the only
+    * sort). */
+  private val qMojibake = Q("q_text_mojibake",
+    s"""WITH p AS (
+       |  SELECT doc_id, substr(text, 1, 40)
+       |    || CASE WHEN doc_id % 6 = 1 THEN ' visit the cafÃ© today' ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 3 THEN ' donâ€™t stop' ELSE '' END
+       |    || CASE WHEN doc_id % 9 = 4 THEN ' Ã¼ber alles Ã¼brig' ELSE '' END
+       |    AS t
+       |  FROM documents),
+       |n AS (SELECT doc_id, t,
+       |${Mojibake.zipWithIndex.map { case ((bad, _), i) =>
+           s"    (length(t) - length(replace(t, '$bad', ''))) // ${bad.length} AS c$i"
+         }.mkString(",\n")}
+       |  FROM p)
+       |SELECT doc_id, CAST(${Mojibake.indices.map("c" + _).mkString(" + ")} AS INT) AS n_bad,
+       |  ${Mojibake.foldLeft("t") { case (acc, (bad, good)) =>
+           s"replace($acc, '$bad', '$good')" }} AS repaired
+       |FROM n WHERE ${Mojibake.indices.map("c" + _).mkString(" + ")} > 0
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    val injected = concat(
+      substring(col("text"), 1, 40),
+      when(pmod(id, lit(6)) === 1, " visit the cafÃ© today").otherwise(""),
+      when(pmod(id, lit(6)) === 3, " donâ€™t stop").otherwise(""),
+      when(pmod(id, lit(9)) === 4, " Ã¼ber alles Ã¼brig").otherwise(""))
+    val counts = Mojibake.map { case (bad, _) =>
+      ((length(col("t")) - length(regexp_replace(col("t"), lit(bad), lit(""))))
+        / bad.length).cast("long")
+    }
+    val nBad = counts.reduce(_ + _)
+    val repaired = Mojibake.foldLeft(col("t")) { case (acc, (bad, good)) =>
+      regexp_replace(acc, lit(bad), lit(good))
+    }
+    t(s, d, "documents")
+      .select(id, injected.as("t"))
+      .select(id, nBad.cast("int").as("n_bad"), repaired.as("repaired"))
+      .where(col("n_bad") > 0)
+      .orderBy(id)
+  }
+
   /** PII detection + redaction. The corpus is synthetic, so PII-like
     * spans (email, IPv4, phone) are injected deterministically per
     * doc_id residue — identically on both sides — then detected and
@@ -1268,7 +1329,7 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
-    qRepetition, qPii, qTfidf,
+    qRepetition, qPii, qMojibake, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
     qBoilerplate, qBigramLm, qNovelty)
