@@ -1,0 +1,189 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, PortableHash}
+import graft.Fence.FenceOps
+
+/** Distributed SKIP-GRAM WITH NEGATIVE SAMPLING (word2vec SGNS,
+  * Mikolov et al. NIPS'13) over a co-occurrence pair table — the
+  * embedding-training stage that completes the DeepWalk recipe
+  * (Perozzi et al. KDD'14) the graph family already generates inputs
+  * for: `q_graph_walks` → `q_graph_walk_pairs` → THIS → the ANN/dedup
+  * machinery consumes the vectors.
+  *
+  * Design point: the pair table is AGGREGATED ((center, context,
+  * weight) with weight = co-occurrence count), so one epoch is
+  * full-batch GD over weighted pairs rather than SGD over the raw
+  * stream — the formulation that is (a) order-free, hence
+  * deterministic under any partitioning, and (b) map-side combinable.
+  * Negatives are k hash-derived vocabulary draws per pair
+  * (`md5(center:context:k) mod V` over the SORTED vocabulary — the
+  * q_shuffle_epoch stance: the portable digest replaces the RNG, so
+  * "sampling" is a pure function and the whole run replays exactly).
+  *
+  * Scale shape per iteration (the KMeans/HashedLogReg contract —
+  * executors hold nothing iterative, the driver holds only the
+  * model):
+  *
+  *  - the pair table is fenced once; each iteration scans it,
+  *    explodes k+1 (positive + k negative) examples per pair
+  *    map-side, and joins the V-bounded model tables BROADCAST;
+  *  - the only exchanges are the two (node, dim)-bounded gradient
+  *    frames, map-side combined;
+  *  - the driver update is O(V·dim) doubles.
+  *
+  * Determinism is the exact-decimal discipline: model weights live on
+  * the 6-decimal grid; scores are left-to-right double dots of grid
+  * values (the shared [[GraftExpressions.dot_product]] kernel);
+  * per-example errors round to 6 decimals into DECIMAL; gradient
+  * contributions are DECIMAL products (error × grid weight × integer
+  * pair count) summed as DECIMAL — order-independent — and the update
+  * re-rounds to the grid. SgnsSpec pins `fit` EXACTLY against a
+  * sequential in-memory reference, not to a tolerance.
+  */
+object Sgns {
+
+  /** `nodes` is the sorted vocabulary; `in(i)`/`out(i)` are the
+    * center/context vectors of `nodes(i)`, on the 6-decimal grid. */
+  case class Model(dim: Int, nodes: Array[Long],
+      in: Array[Array[Double]], out: Array[Array[Double]]) {
+    def vector(node: Long): Option[Array[Double]] = {
+      val i = java.util.Arrays.binarySearch(nodes, node)
+      if (i >= 0) Some(in(i)) else None
+    }
+  }
+
+  /** Driver-side twin of the executor-side `round(x, 6)`. */
+  def round6(x: Double): Double =
+    new JBig(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  /** Deterministic init: component j of node n's in-vector is
+    * `(md5(n:in:j) mod 1000 − 499.5) / 5000` — a ±0.1 grid value,
+    * pure function of (node, side, dim index), identical on the
+    * driver and in any reference implementation. */
+  def initComponent(node: Long, side: String, j: Int): Double =
+    round6((PortableHash.digest60(s"$node:$side:$j") % 1000L - 499.5) / 5000.0)
+
+  /** Full-batch SGNS over an aggregated pair table.
+    *
+    * @param pairs (center, context, weight) — weight the integer
+    *   co-occurrence count (e.g. `n_pairs` of q_graph_walk_pairs)
+    * @param dim   embedding width
+    * @param negK  hash-derived negatives per positive pair
+    * @return trained model + per-iteration mean logistic loss
+    *   (monitoring, computed before that iteration's update) */
+  def fit(pairs: DataFrame, dim: Int, iters: Int = 15, negK: Int = 3,
+      lr: Double = 1.0): (Model, Seq[Double]) = {
+    require(dim >= 2 && iters >= 1 && negK >= 1, s"dim=$dim iters=$iters negK=$negK")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p0 = pairs.toDF("center", "context", "wt")
+      .select(col("center").cast("long"), col("context").cast("long"),
+        col("wt").cast("long"))
+      .fenced() // scanned every iteration
+    // vocabulary: sorted distinct nodes — model-sized driver state
+    // (the KMeans-centroid pattern)
+    val nodes = p0.select(col("center").as("n"))
+      .union(p0.select(col("context").as("n")))
+      .distinct().as[Long].collect().sorted
+    val v = nodes.length
+    require(v >= 2, s"need at least 2 nodes, got $v")
+    val idxDf = broadcast(nodes.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("nidx", "nnode").fenced())
+    var in = Array.tabulate(v, dim)((i, j) => initComponent(nodes(i), "in", j))
+    var out = Array.tabulate(v, dim)((i, j) => initComponent(nodes(i), "out", j))
+    // the example SKELETON (center, x, y, wt) — negatives are a pure
+    // function of (center, context, k), so it is iteration-invariant
+    // and built once
+    val skeleton = p0
+      .select(col("center"), col("context"), col("wt"),
+        explode(sequence(lit(0), lit(negK))).as("k"))
+      .withColumn("nidx",
+        when(col("k") === 0, lit(null).cast("long")).otherwise(
+          pmod(PortableHash.md5Long(concat(
+            col("center").cast("string"), lit(":"),
+            col("context").cast("string"), lit(":"),
+            col("k").cast("string"))), lit(v.toLong))))
+      .join(idxDf, Seq("nidx"), "left")
+      .select(col("center"),
+        when(col("k") === 0, col("context")).otherwise(col("nnode")).as("x"),
+        when(col("k") === 0, 1.0).otherwise(0.0).as("y"), col("wt"))
+      .fenced() // scanned every iteration
+    // PER-NODE example mass — the update normalizer. Dividing each
+    // node's gradient by ITS OWN weighted example count makes the
+    // step a per-node MEAN gradient, so convergence speed is
+    // corpus-size-free (a global-mass normalizer shrinks every step
+    // as the corpus grows — the full-batch trap). Exact integers,
+    // bounded driver state (V-sized, like the centroids).
+    val massRows = skeleton.select(lit("in").as("side"), col("center").as("gn"), col("wt"))
+      .union(skeleton.select(lit("out").as("side"), col("x").as("gn"), col("wt")))
+      .groupBy(col("side"), col("gn")).agg(sum(col("wt")).as("mw"))
+      .as[(String, Long, Long)].collect()
+    val massIn = massRows.collect { case ("in", n, m) => n -> m }.toMap
+    val massOut = massRows.collect { case ("out", n, m) => n -> m }.toMap
+    // total mass — the loss monitor normalizer only
+    val nAll = massIn.values.sum.toDouble
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      def vecDf(m: Array[Array[Double]], vcol: String) = broadcast(
+        nodes.indices.map(i => (nodes(i), m(i).toSeq)).toDF("vnode", vcol))
+      val examples = skeleton
+        .join(vecDf(in, "vin"), col("center") === col("vnode")).drop("vnode")
+        .join(vecDf(out, "vout"), col("x") === col("vnode")).drop("vnode")
+      val m = GraftExpressions.dot_product(col("vin"), col("vout"))
+      val prob = lit(1.0) / (lit(1.0) + exp(-m))
+      val scored = examples
+        .select(col("center"), col("x"), col("wt"), col("vin"), col("vout"),
+          round(prob - col("y"), 6).cast("decimal(12,6)").as("e"),
+          // monitoring only (decimal sum keeps it order-free too);
+          // clamp keeps saturation finite
+          ((-(col("y") * log(greatest(prob, lit(1e-12))) +
+            (lit(1.0) - col("y")) * log(greatest(lit(1.0) - prob, lit(1e-12)))))
+            * col("wt")).cast("decimal(38,12)").as("ll"))
+      // gradient contribution: multiply (e × wt) FIRST — (12,6)×(12,0)
+      // = (25,6), then ×(12,6) = (38,12), exactly the 38-precision
+      // cap. The naive left-assoc (e×c)×wt hits (25,12)×(20,0) = 46
+      // > 38 and Spark silently SHRINKS the scale to fit — off the
+      // exact grid.
+      // ONE action and ONE pass per iteration: both gradient sides
+      // ride a 2-way struct explode off the same scored rows (a union
+      // would recompute the scored subtree per branch), and the loss
+      // piggybacks as a second aggregate emitted once per example
+      // (side = in, j = 0). The per-iteration wall is pure job
+      // overhead at model scale, so actions are the cost unit.
+      val rows = scored
+        .select(col("e"), col("wt"), col("ll"), explode(array(
+          struct(lit("in").as("side"), col("center").as("gn"),
+            col("vout").as("vec")),
+          struct(lit("out").as("side"), col("x").as("gn"),
+            col("vin").as("vec")))).as("sx"))
+        .select(col("sx.side").as("side"), col("sx.gn").as("gn"),
+          col("e"), col("wt"), col("ll"),
+          posexplode(col("sx.vec")).as(Seq("j", "c")))
+        .groupBy(col("side"), col("gn"), col("j"))
+        .agg(sum(((col("e") * col("wt").cast("decimal(12,0)"))
+            * col("c").cast("decimal(12,6)")).cast("decimal(38,12)")).as("g"),
+          sum(when(col("side") === "in" && col("j") === 0, col("ll"))).as("lp"))
+        .collect()
+      def side(tag: String) = rows.iterator
+        .filter(_.getString(0) == tag)
+        .map(r => (r.getLong(1), r.getInt(2)) -> r.getDecimal(3).doubleValue)
+        .toMap
+      val (gIn, gOut) = (side("in"), side("out"))
+      losses += rows.iterator
+        .filter(r => r.getString(0) == "in" && r.getInt(2) == 0 && !r.isNullAt(4))
+        .map(_.getDecimal(4).doubleValue).sum / nAll
+      in = Array.tabulate(v, dim)((i, j) =>
+        round6(in(i)(j) - lr * gIn.getOrElse((nodes(i), j), 0.0)
+          / massIn.getOrElse(nodes(i), 1L).toDouble))
+      out = Array.tabulate(v, dim)((i, j) =>
+        round6(out(i)(j) - lr * gOut.getOrElse((nodes(i), j), 0.0)
+          / massOut.getOrElse(nodes(i), 1L).toDouble))
+    }
+    (Model(dim, nodes, in, out), losses.result())
+  }
+}

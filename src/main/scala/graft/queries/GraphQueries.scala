@@ -449,6 +449,20 @@ object GraphQueries {
     * (2·window·len-ish)·|walks| — linear in the corpus; the one
     * exchange is the map-side-combinable pair count over a key space
     * capped by edges within 2 hops. */
+  /** The aggregated skip-gram pair frame (center, context, distance,
+    * n_pairs) — shared by q_graph_walk_pairs and the SGNS trainer
+    * query. */
+  private[graft] def walkPairsOf(s: SparkSession, d: String): DataFrame = {
+    val w = walksOf(s, d).fenced() // both self-join sides
+    val a = w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
+    val b = w.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .where(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+      .groupBy(col("center"), col("context"),
+        abs(col("sa") - col("sb")).as("distance"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   private val qWalkPairs = Q("q_graph_walk_pairs",
     s"""WITH $walkCtes
        |SELECT a.node AS center, b.node AS context,
@@ -459,18 +473,84 @@ object GraphQueries {
        |  AND abs(a.step - b.step) <= 2
        |GROUP BY 1, 2, 3
        |ORDER BY n_pairs DESC, center, context, distance""".stripMargin) { (s, d) =>
-    val w = walksOf(s, d).fenced() // both self-join sides
-    val a = w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
-    val b = w.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
-    a.join(b, Seq("walk_id"))
-      .where(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
-      .groupBy(col("center"), col("context"),
-        abs(col("sa") - col("sb")).as("distance"))
-      .agg(count(lit(1)).as("n_pairs"))
+    walkPairsOf(s, d)
       .orderBy(col("n_pairs").desc, col("center"), col("context"), col("distance"))
+  }
+
+  /** q_graph_embed training knobs — the operating point SgnsSpec's
+    * separation test validates on the walk corpus. */
+  private val EmbedDim = 8
+  private val EmbedIters = 15
+  private val EmbedNegK = 3
+  private val EmbedLr = 2.0
+
+  /** GRAPH-EMBEDDING TRAINING — the third stage of the DeepWalk
+    * recipe (walks → skip-gram pairs → SGNS), closing the loop:
+    * [[graft.operators.Sgns]] trains node vectors from
+    * [[walkPairsOf]]'s co-occurrence table with hash-derived
+    * negatives, full-batch over the exact-decimal grid so the run is
+    * bit-reproducible (SgnsSpec pins `fit` against a sequential
+    * reference EXACTLY).
+    *
+    * Oracle (guarantee stance — the q_knn_ivf_trained pattern): the
+    * embedding VALUES are a fixpoint of iterative training, not
+    * SQL-expressible, so the oracle asserts what both engines can
+    * agree on — the model covers EXACTLY the walk-corpus node set —
+    * while Spark computes the real verdicts in-plan: every vector has
+    * a finite positive norm, and the corpus-level separation holds
+    * (mean cosine over co-occurring pairs exceeds mean cosine over
+    * hash-random self-excluded pairs — the property the embeddings
+    * exist to have; both means reduce as order-free decimal sums).
+    *
+    * Scale shape: training is [[graft.operators.Sgns]]'s contract
+    * (pair-table scans against broadcast V-bounded model tables; only
+    * (node, dim) gradient frames exchange); the verdict pass joins the
+    * V-bounded embedding table to the pair table once — nothing
+    * corpus-scaled, the walk corpus is seed-scale by construction. */
+  private val qGraphEmbed = Q("q_graph_embed",
+    s"""WITH $walkCtes
+       |SELECT node, CAST($EmbedDim AS INT) AS dim, true AS embed_ok
+       |FROM (SELECT DISTINCT node FROM walks) n
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    import graft.operators.Sgns
+    val pairs = walkPairsOf(s, d)
+      .groupBy(col("center"), col("context")).agg(sum(col("n_pairs")).as("wt"))
+      .fenced() // trained on (iteratively) + verdict-joined
+    val (model, _) =
+      Sgns.fit(pairs, dim = EmbedDim, iters = EmbedIters,
+        negK = EmbedNegK, lr = EmbedLr)
+    val spark = s
+    import spark.implicits._
+    val v = model.nodes.length
+    val emb = broadcast(model.nodes.indices
+      .map(i => (model.nodes(i), model.in(i).toSeq)).toDF("node", "vin")
+      .fenced())
+    // hash-random self-excluded partner per node (V-bounded model
+    // state, like the centroid tables)
+    val rnd = broadcast(model.nodes.zipWithIndex.map { case (n, i) =>
+      (n, model.nodes(((i + 1 +
+        graft.functions.PortableHash.digest60(s"rnd:$n") % (v - 1)) % v).toInt))
+    }.toSeq.toDF("node", "partner").fenced())
+    val cosNat = graft.functions.GraftExpressions.cosine_sim(col("va"), col("vb"))
+    def meanCos(pairDf: DataFrame, a: String, b: String, out: String) = pairDf
+      .join(emb.select(col("node").as(a), col("vin").as("va")), a)
+      .join(emb.select(col("node").as(b), col("vin").as("vb")), b)
+      .agg((sum(round(cosNat, 6).cast("decimal(18,6)")).cast("double")
+        / count(lit(1))).as(out))
+    val sep = meanCos(pairs.select(col("center"), col("context")),
+        "center", "context", "co")
+      .crossJoin(meanCos(rnd, "node", "partner", "rn"))
+      .select((col("co") > col("rn")).as("sep_ok"))
+    val normOk = graft.functions.GraftExpressions.dot_product(
+      col("vin"), col("vin")) > 0.0
+    emb.select(col("node"), normOk.as("norm_ok"))
+      .crossJoin(broadcast(sep))
+      .select(col("node"), lit(EmbedDim).cast("int").as("dim"),
+        (col("norm_ok") && col("sep_ok")).as("embed_ok"))
+      .orderBy(col("node"))
   }
 
   val all: Seq[Q] =
     Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss,
-      qWalks, qWalkPairs)
+      qWalks, qWalkPairs, qGraphEmbed)
 }
