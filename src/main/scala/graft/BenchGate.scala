@@ -125,15 +125,26 @@ object BenchGate {
     floors ++ ceilings
   }
 
+  /** Interquartile-range ceiling for the contention index: the
+    * BASELINE diagnosis rule is UNIFORM inflation, and a median alone
+    * cannot see dispersion — a broad code regression hitting half the
+    * queries at 1.6× while the rest sit at 1.0× has a high median too
+    * but is NOT contention. Normalization only engages when the
+    * ratios move together (IQR ≤ this). */
+  val UniformIqrMax = 0.25
+
   /** Median latest/canonical ratio over the common query set — the
-    * contention index. None when the common set is too small for the
-    * median to mean anything. */
+    * contention index — with its UNIFORMITY verdict (IQR ≤
+    * [[UniformIqrMax]]). None when the common set is too small for
+    * either statistic to mean anything. */
   def medianRatio(canonical: Map[String, Double],
-      latest: Map[String, Double]): Option[Double] = {
+      latest: Map[String, Double]): Option[(Double, Boolean)] = {
     val rs = latest.toSeq
       .flatMap { case (k, v) => canonical.get(k).filter(_ > 0).map(v / _) }
       .sorted
-    if (rs.size < MinCommonForMedian) None else Some(rs(rs.size / 2))
+    if (rs.size < MinCommonForMedian) None
+    else Some((rs(rs.size / 2),
+      rs(3 * rs.size / 4) - rs(rs.size / 4) <= UniformIqrMax))
   }
 
   /** [[floorBreaches]] with the contention diagnosis applied: an eps
@@ -142,15 +153,16 @@ object BenchGate {
     * @return (surviving breaches, contention notes) — a normalized-
     *   away breach moves to the notes so the run log still records it */
   def normalizedFloorBreaches(scalars: Map[String, Double],
-      mr: Option[Double]): (Seq[String], Seq[String]) = {
+      mr: Option[(Double, Boolean)]): (Seq[String], Seq[String]) = {
     val raw = floorBreaches(scalars)
     (scalars.get("streaming_eps"), mr) match {
-      case (Some(eps), Some(m))
-          if eps < StreamingEpsFloor && m >= ContentionMinRatio &&
-            eps * m >= StreamingEpsFloor =>
+      case (Some(eps), Some((m, uniform)))
+          if eps < StreamingEpsFloor && uniform &&
+            m >= ContentionMinRatio && eps * m >= StreamingEpsFloor =>
         (raw.filterNot(_.startsWith("streaming_eps")),
           Seq(f"streaming_eps $eps%.0f below floor $StreamingEpsFloor%.0f " +
-            f"under uniform host contention (median query ratio $m%.2f); " +
+            f"under uniform host contention (median query ratio $m%.2f, " +
+            f"IQR within $UniformIqrMax%.2f); " +
             f"normalized ${eps * m}%.0f clears the floor"))
       case _ => (raw, Nil)
     }

@@ -41,12 +41,33 @@ object DedupManifest {
 
   /** Canonical manifest location for a corpus identified by `tag`
     * (the engine queries tag by their sfDir). Rooted in
-    * java.io.tmpdir, the same local-mode stance as
-    * [[graft.Fence]]'s reliable-checkpoint fallback — a deployment
-    * passes its own durable path to [[persist]] instead. */
-  def path(kind: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-manifest/$kind-" +
-      tag.replaceAll("[^A-Za-z0-9._-]", "_")
+    * java.io.tmpdir UNDER THE SESSION's application id — two JVMs on
+    * one host (a bench and a probe, say) must not race a
+    * mode(overwrite) delete against the other's lazy read, and the
+    * appId scope also keeps sanitized tags that happen to collide
+    * ('/a/sf0.1' vs '_a_sf0.1') from sharing a store. The same
+    * local-mode stance as [[graft.Fence]]'s reliable-checkpoint
+    * fallback, cleaned up at JVM exit — a deployment passes its own
+    * durable path to [[persist]] instead (never touched by the
+    * cleanup). */
+  def path(spark: SparkSession, kind: String, tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-manifest/" +
+      spark.sparkContext.applicationId
+    registerCleanup(root)
+    s"$root/$kind-" + tag.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
+  private def registerCleanup(root: String): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      val f = new java.io.File(root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+    }
 
   /** Write `df` to `path` (overwrite) and hand back the PERSISTED
     * frame — downstream plans read the parquet store, exactly what

@@ -386,7 +386,7 @@ object DedupQueries {
     val plbl = DedupManifest.persist(
       graft.operators.ConnectedComponents.resolve(
         vp.where(col("pa") && col("pb")).select(col("ai"), col("bi"))),
-      DedupManifest.path("cc", d))
+      DedupManifest.path(s, "cc", d))
     val newEdges = vp.where(!(col("pa") && col("pb")))
     DedupManifest.ccDelta(plbl, newEdges)
       .select(col("doc_id"), col("lbl").cast("long").as("cluster_id"))
@@ -1020,7 +1020,7 @@ object DedupQueries {
     // the prior band manifest, through the persisted store
     val priorBands = graft.operators.DedupManifest.persist(
       bands.where(col("prior")).select(col("doc_id"), col("band"), col("bh")),
-      graft.operators.DedupManifest.path("near-bands", d))
+      graft.operators.DedupManifest.path(s, "near-bands", d))
     val cand = bands.where(!col("prior"))
       .select(col("doc_id").as("ni"), col("band"), col("bh"))
       .join(priorBands.select(col("doc_id").as("pi"),

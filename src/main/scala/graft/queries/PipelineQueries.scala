@@ -175,7 +175,7 @@ object PipelineQueries {
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
     val prior = graft.operators.DedupManifest.persist(
       f.where(col("source").rlike("^src[0-9]$")).select(col("fp")).distinct(),
-      graft.operators.DedupManifest.path("fp", d))
+      graft.operators.DedupManifest.path(s, "fp", d))
     f.where(!col("source").rlike("^src[0-9]$"))
       .join(broadcast(prior), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("source"))

@@ -285,7 +285,7 @@ object SimilarityQueries {
     // ai < bi keeps exactly the prior×new cross pairs)
     val priorBands = graft.operators.DedupManifest.persist(
       bands.where(col("vec_id") < split),
-      graft.operators.DedupManifest.path("embed-bands", d))
+      graft.operators.DedupManifest.path(s, "embed-bands", d))
     val w = Window.partitionBy(col("bi")).orderBy(col("sim").desc, col("ai"))
     embedVerifiedPairsBetween(priorBands, bands.where(col("vec_id") >= split), e)
       .withColumn("rn", row_number().over(w))

@@ -205,8 +205,16 @@ object TextQueries {
   /** The classic double-decode artifacts (UTF-8 bytes re-read as
     * cp1252) and their repairs — the top of every real mojibake
     * table: é→Ã©, ’→â€™, ü→Ã¼. */
-  private val Mojibake: Seq[(String, String)] =
-    Seq("Ã©" -> "é", "â€™" -> "’", "Ã¼" -> "ü")
+  private val Mojibake: Seq[(String, String)] = {
+    val m = Seq("Ã©" -> "é", "â€™" -> "’", "Ã¼" -> "ü")
+    // both engines use LITERAL replace, so regex metacharacters in an
+    // artifact are fine — but the table is spliced into oracle SQL
+    // string literals, where a single quote would break the generated
+    // SQL: fail at class init, not with a downstream parse error
+    require(m.forall { case (b, g) => !b.contains("'") && !g.contains("'") },
+      "mojibake artifacts must not contain single quotes (oracle SQL splice)")
+    m
+  }
 
   /** ENCODING-ARTIFACT (mojibake) detection + repair — the curation
     * pass every web-corpus build runs before tokenization (CCNet/
@@ -248,13 +256,16 @@ object TextQueries {
       when(pmod(id, lit(6)) === 1, " visit the cafÃ© today").otherwise(""),
       when(pmod(id, lit(6)) === 3, " donâ€™t stop").otherwise(""),
       when(pmod(id, lit(9)) === 4, " Ã¼ber alles Ã¼brig").otherwise(""))
+    // LITERAL replace on both engines (Spark `replace` ≙ DuckDB
+    // `replace`) — regexp_replace would diverge from the oracle the
+    // moment an artifact contains a regex metacharacter
     val counts = Mojibake.map { case (bad, _) =>
-      ((length(col("t")) - length(regexp_replace(col("t"), lit(bad), lit(""))))
+      ((length(col("t")) - length(replace(col("t"), lit(bad), lit(""))))
         / bad.length).cast("long")
     }
     val nBad = counts.reduce(_ + _)
     val repaired = Mojibake.foldLeft(col("t")) { case (acc, (bad, good)) =>
-      regexp_replace(acc, lit(bad), lit(good))
+      replace(acc, lit(bad), lit(good))
     }
     t(s, d, "documents")
       .select(id, injected.as("t"))

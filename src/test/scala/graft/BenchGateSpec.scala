@@ -71,7 +71,7 @@ class BenchGateSpec extends AnyFunSuite {
     val inflated = canonical.map { case (k, v) => k -> v * 1.26 } // r12's driver sample
     val quiet = canonical
     val mrInflated = BenchGate.medianRatio(canonical, inflated)
-    assert(mrInflated.exists(m => math.abs(m - 1.26) < 1e-9))
+    assert(mrInflated.exists { case (m, uniform) => math.abs(m - 1.26) < 1e-9 && uniform })
     // 266k eps on a 1.26x-contended host → normalized 335k clears 300k:
     // breach moves to a note, run passes
     val sample = healthy + ("streaming_eps" -> 266000.0)
@@ -89,6 +89,15 @@ class BenchGateSpec extends AnyFunSuite {
     // too few common queries for the median to mean anything → no
     // normalization (raw verdict stands)
     assert(BenchGate.medianRatio(Map("q1" -> 1.0), Map("q1" -> 1.3)).isEmpty)
+    // DISPERSED inflation is not contention: half the queries at 1.0x,
+    // half at 1.6x has median >= 1.1 but fails the uniformity (IQR)
+    // test — a broad code regression must not excuse an eps breach
+    val dispersed = canonical.map { case (k, v) =>
+      k -> (if (k.stripPrefix("q").toInt % 2 == 0) v else v * 1.6) }
+    val mrDispersed = BenchGate.medianRatio(canonical, dispersed)
+    assert(mrDispersed.exists { case (m, uniform) => m >= 1.1 && !uniform })
+    val (b5, n5) = BenchGate.normalizedFloorBreaches(sample, mrDispersed)
+    assert(b5.exists(_.contains("streaming_eps")) && n5.isEmpty)
     // other floors never normalize: a sunk stall ratio on a contended
     // host is still a breach
     val (b4, _) = BenchGate.normalizedFloorBreaches(

@@ -119,7 +119,7 @@ class StreamingItemsetsSpec extends AnyFunSuite {
       val lines = spark.readStream.format("graft.sources.ReplayLines")
         .option("path", f.toString)
         .option("linesPerTrigger", "5")
-        .option("ratePerSecond", "50") // slow drain so the kill lands mid-run
+        .option("ratePerSecond", "20") // slow drain so the kill lands mid-run
         .load()
       val parsed = lines
         .select(split(col("line"), "\t", 2).as("c"))
@@ -136,6 +136,10 @@ class StreamingItemsetsSpec extends AnyFunSuite {
     while (sunk() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
     q1.stop() // kill with most of the file unprocessed
     assert(sunk() > 0, "kill landed before any crossing committed")
+    // the kill must land MID-stream or the restart never exercises
+    // checkpoint recovery and the exactly-once assertions go vacuous
+    assert(sunk() < brute(docs, minsup).size,
+      "drain completed before the kill — slow the replay rate")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val got = spark.read.parquet(s"$base/out")

@@ -100,8 +100,8 @@ class StreamingScd2Spec extends AnyFunSuite {
     def start() = {
       val lines = spark.readStream.format("graft.sources.ReplayLines")
         .option("path", f.toString)
-        .option("linesPerTrigger", "40")
-        .option("ratePerSecond", "400") // slow drain so the kill lands mid-run
+        .option("linesPerTrigger", "20")
+        .option("ratePerSecond", "150") // slow drain so the kill lands mid-run
         .load()
       val parsed = lines
         .select(split(col("line"), "\t", -1).as("c"))
@@ -120,6 +120,10 @@ class StreamingScd2Spec extends AnyFunSuite {
     while (sunk() < 3 && System.nanoTime() < deadline) Thread.sleep(20)
     q1.stop() // kill with most of the file unprocessed
     assert(sunk() > 0, "kill landed before any close committed")
+    // the kill must land MID-stream or the restart never exercises
+    // checkpoint recovery and the exactly-once assertions go vacuous
+    assert(sunk() < brute(rows).size,
+      "drain completed before the kill — slow the replay rate")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val got = spark.read.parquet(s"$base/out")
