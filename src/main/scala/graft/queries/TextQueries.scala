@@ -914,8 +914,13 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         logregMarginNum(col("text")).as("margin_num"),
         size(toks).cast("long").as("n_tok"))
+      // + 0.0 normalizes the signed zero: a tiny negative margin
+      // rounds to -0.0 in DuckDB but to 0.0 through Spark's
+      // BigDecimal-based round (BigDecimal has no -0) — a strict
+      // string-repr hash would split on the sign bit; IEEE
+      // -0.0 + 0.0 = +0.0 and every other value is unchanged
       .withColumn("score",
-        round(col("margin_num") / (col("n_tok") * lit(1024.0)), 4))
+        round(col("margin_num") / (col("n_tok") * lit(1024.0)), 4) + lit(0.0))
       .withColumn("keep", col("margin_num") >= 0L)
   }
 
@@ -929,7 +934,7 @@ object TextQueries {
       |    CAST(count(*) AS BIGINT) AS n_tok
       |  FROM tk GROUP BY doc_id, lang)
       |SELECT doc_id, lang, margin_num, n_tok,
-      |  round(margin_num / (n_tok * 1024.0), 4) AS score,
+      |  round(margin_num / (n_tok * 1024.0), 4) + 0.0 AS score,
       |  margin_num >= 0 AS keep
       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
     logregScore(t(s, d, "documents")).orderBy(col("doc_id"))
