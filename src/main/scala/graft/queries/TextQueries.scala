@@ -274,6 +274,57 @@ object TextQueries {
       .orderBy(id)
   }
 
+  /** FLESCH READING-EASE readability scoring (Flesch 1948; the
+    * formula-based sibling of the classifier quality gates — corpus
+    * builds band documents by audience level before mixing):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * with the standard computable proxies — syllables ≈ vowel-group
+    * runs, sentences ≈ terminal-punctuation runs (floored at 1 so a
+    * fragment without punctuation still scores). All three inputs
+    * are EXACT integers from identical regex counts on both engines
+    * (Spark `regexp_count` ≙ DuckDB `len(regexp_extract_all(...))`
+    * on these alternation-free patterns); the score is one double
+    * formula over identical longs, the band CASE compares the
+    * UNROUNDED score so the label can never disagree with the
+    * rounded display value's provenance.
+    *
+    * Scale shape: pure per-row expressions over one scan — zero
+    * shuffles before the presentation sort. */
+  private val qReadability = Q("q_text_readability",
+    """WITH m AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |s AS (SELECT doc_id,
+      |    CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+      |    GREATEST(CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT), 1)
+      |      AS n_sentences,
+      |    CAST(len(regexp_extract_all(t, '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM m),
+      |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+      |      - 84.6 * (n_syllables * 1.0 / n_words) AS fre
+      |  FROM s WHERE n_words > 0)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(fre, 4) AS flesch,
+      |  CASE WHEN fre >= 80 THEN 'easy' WHEN fre >= 60 THEN 'standard'
+      |       WHEN fre >= 30 THEN 'difficult' ELSE 'very_difficult' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t0 = lower(col("text"))
+    val sDf = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(t0, " ")).cast("long").as("n_words"),
+        greatest(regexp_count(t0, lit("[.!?]+")).cast("long"), lit(1L))
+          .as("n_sentences"),
+        regexp_count(t0, lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .where(col("n_words") > 0)
+    val fre = lit(206.835) -
+      lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences")) -
+      lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words"))
+    sDf.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), round(fre, 4).as("flesch"),
+        when(fre >= 80, "easy").when(fre >= 60, "standard")
+          .when(fre >= 30, "difficult").otherwise("very_difficult").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII detection + redaction. The corpus is synthetic, so PII-like
     * spans (email, IPv4, phone) are injected deterministically per
     * doc_id residue — identically on both sides — then detected and
@@ -1345,7 +1396,7 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
-    qRepetition, qPii, qMojibake, qTfidf,
+    qRepetition, qPii, qMojibake, qReadability, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
     qBoilerplate, qBigramLm, qNovelty)
