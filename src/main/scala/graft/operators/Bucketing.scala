@@ -46,12 +46,40 @@ object Bucketing {
 
   /** Write `df` as a bucketed managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
-    dropManaged(df.sparkSession, table)
-    df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .mode("overwrite")
+      buckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets)
+
+  /** Write `df` as a managed table hash-bucketed by `bucketKeys` and
+    * sorted by `sortKeys` (which must extend `bucketKeys`) — the
+    * layout for joins whose equi-keys extend the bucket key:
+    * HashPartitioning on a PREFIX of the join keys still satisfies
+    * the join's clustered distribution, so the bucketed side joins
+    * with zero exchange while the other side shuffles to match. The
+    * sort order covering the full join key keeps per-file min/max
+    * stats tight (the merge-join still re-sorts partition-locally:
+    * stock Spark distrusts bucket sort order unless the legacy
+    * bucketedTableScan.outputOrdering flag is on). The pre-write
+    * `repartition(buckets, bucketKeys)` makes each write task hold
+    * exactly one bucket (repartition and bucketBy share the murmur3
+    * `pmod` bucket function), so every bucket is ONE file — fewest
+    * read tasks, and the layout the legacy ordering flag could
+    * exploit. With `append = true` the rows
+    * ADD to an existing table of the identical spec — the
+    * incremental-manifest growth path: bucket-aligned file appends,
+    * no table rewrite (buckets go multi-file, so appends trade the
+    * sort elision away while keeping the zero-exchange property). */
+  def writeBucketedMulti(df: DataFrame, table: String, bucketKeys: Seq[String],
+      buckets: Int, sortKeys: Seq[String] = Nil,
+      append: Boolean = false): Unit = {
+    val sk = if (sortKeys.isEmpty) bucketKeys else sortKeys
+    require(sk.startsWith(bucketKeys),
+      s"sortKeys $sk must extend bucketKeys $bucketKeys")
+    if (!append) dropManaged(df.sparkSession, table)
+    df.repartition(buckets, bucketKeys.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .bucketBy(buckets, bucketKeys.head, bucketKeys.tail: _*)
+      .sortBy(sk.head, sk.tail: _*)
+      .mode(if (append) "append" else "overwrite")
       .format("parquet")
       .saveAsTable(table)
   }

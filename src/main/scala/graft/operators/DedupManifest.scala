@@ -26,9 +26,14 @@ import graft.Fence.FenceOps
   * Both are parquet: mergeable, partition-prunable, and orders of
   * magnitude smaller than the corpus (pair-graph-/band-scale). At
   * 100 TB the band manifest is the large one (8 longs per vector) —
-  * bucket it by the join key (label, band) via
-  * [[graft.operators.Bucketing]] and the ingest join co-locates with
-  * zero exchange on the manifest side.
+  * [[persistBucketed]] writes it hash-bucketed by the FULL candidate
+  * join key (label, band, bv) (stock Spark requires all clustering
+  * keys for join co-partitioning, so a key prefix would re-exchange),
+  * and each ingest's band equi-join then co-locates with ZERO
+  * exchange on the manifest side — only the |new|-scale batch
+  * shuffles; what remains is one partition-local sort, since stock
+  * Spark no longer trusts bucket sort order (ManifestRoundTripSpec
+  * pins the plan).
   *
   * ManifestRoundTripSpec proves the contract end to end: two CHAINED
   * ingests (run 1 → persisted manifest → run 2), each applying its
@@ -69,19 +74,60 @@ object DedupManifest {
       }))
     }
 
-  /** Write `df` to `path` (overwrite) and hand back the PERSISTED
-    * frame — downstream plans read the parquet store, exactly what
-    * the next ingest will do, so a query routed through `persist`
-    * exercises the real write→read loop rather than an in-plan
-    * stand-in. The round trip also cuts lineage (a durable
-    * [[graft.Fence]]). */
+  /** Session-global persist counter — every [[persist]] (and
+    * [[persistBucketed]] table) lands in a FRESH version, so
+    * rebuilding the same query in one session never deletes files a
+    * previously returned read-frame still points at (r13 advice: a
+    * reused mode(overwrite) path raced retained earlier frames with
+    * FileNotFoundException). */
+  private val version = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Write `df` to a fresh version subdirectory under `path` and hand
+    * back the PERSISTED frame — downstream plans read the parquet
+    * store, exactly what the next ingest will do, so a query routed
+    * through `persist` exercises the real write→read loop rather than
+    * an in-plan stand-in. The round trip also cuts lineage (a durable
+    * [[graft.Fence]]). [[read]] resolves the highest version — the
+    * store a subsequent ingest consumes. */
   def persist(df: DataFrame, path: String): DataFrame = {
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    val p = s"$path/v${version.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
   }
 
-  /** Read a previously persisted manifest. */
-  def read(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+  /** Read the LATEST version of a previously persisted manifest. */
+  def read(s: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.matches("v\\d+"))
+    require(vs.nonEmpty, s"no persisted manifest versions under $path")
+    s.read.parquet(s"$path/${vs.maxBy(_.drop(1).toLong)}")
+  }
+
+  /** [[persist]] for the BAND manifest — the store that outgrows
+    * broadcast first (DedupBands longs per corpus vector). Written as
+    * a managed table hash-bucketed AND sorted by the candidate join
+    * key (via [[Bucketing.writeBucketedMulti]] — plain parquet cannot
+    * carry bucket metadata; pass the FULL join key, stock Spark
+    * re-exchanges a prefix), so every subsequent ingest's band
+    * equi-join arrives pre-partitioned: ZERO exchange on the
+    * manifest side, only the |new|-scale batch shuffles — one
+    * partition-local sort remains, stock Spark no longer trusts
+    * bucket sort order (ManifestRoundTripSpec pins the plan). The bucket-spec shuffle
+    * is paid once at ingest-commit time and amortized over every
+    * later ingest — and appends ([[Bucketing.writeBucketedMulti]]
+    * `append = true` on the returned table name) grow the manifest
+    * bucket-aligned with no rewrite.
+    *
+    * @return (versioned table name — the append target, read frame) */
+  def persistBucketed(df: DataFrame, tableBase: String,
+      bucketKeys: Seq[String], buckets: Int,
+      sortKeys: Seq[String] = Nil): (String, DataFrame) = {
+    val table = s"${tableBase}_v${version.incrementAndGet()}"
+    Bucketing.writeBucketedMulti(df, table, bucketKeys, buckets, sortKeys)
+    (table, df.sparkSession.table(table))
+  }
 
   /** One ingest's component-manifest DELTA (the iterative step of
     * `q_dedup_cc_incremental`, shared with ManifestRoundTripSpec's

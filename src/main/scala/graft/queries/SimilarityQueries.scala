@@ -241,11 +241,14 @@ object SimilarityQueries {
     * pair graphs never materialize, so an ingest pass costs
     * |new|-scale band rows against the prior band manifest. The
     * manifest travels the REAL deployment path: the prior corpus's
-    * band rows are written to the parquet store and read back
-    * ([[graft.operators.DedupManifest.persist]]) before the candidate
-    * join touches them — the persist-once-append-per-ingest loop of
-    * `q_dedup_incremental`'s fingerprint manifest, driven across two
-    * chained ingests by ManifestRoundTripSpec. Verification is
+    * band rows are written to the band store and read back
+    * ([[graft.operators.DedupManifest.persistBucketed]] — hash-
+    * bucketed by the candidate join key (label, band, bv), so the
+    * ingest join consumes the manifest with ZERO exchange on the
+    * manifest side) before the candidate join touches them — the
+    * persist-once-append-per-ingest loop of `q_dedup_incremental`'s
+    * fingerprint manifest, driven across two chained ingests (and
+    * plan-pinned) by ManifestRoundTripSpec. Verification is
     * exact cosine on candidates only; the per-new-vector closest
     * keeper is a row_number shortlist (sim desc, prior id). */
   private val qDedupEmbedIncremental = Q("q_dedup_embed_incremental",
@@ -283,9 +286,17 @@ object SimilarityQueries {
     // parquet store and read back — the ingest join below consumes
     // the store (prior ids all sit below `split`, so the helper's
     // ai < bi keeps exactly the prior×new cross pairs)
-    val priorBands = graft.operators.DedupManifest.persist(
+    // bucketed by the candidate join key prefix: the ingest join
+    // below reads the manifest pre-partitioned — zero exchange/sort
+    // on the manifest side, only the new batch shuffles
+    // bucketed by the FULL candidate join key: stock Spark requires
+    // all clustering keys for co-partitioning (a (label, band) prefix
+    // would be re-exchanged), so (label, band, bv) is the spec that
+    // actually engages
+    val (_, priorBands) = graft.operators.DedupManifest.persistBucketed(
       bands.where(col("vec_id") < split),
-      graft.operators.DedupManifest.path(s, "embed-bands", d))
+      graft.operators.Bucketing.datasetTable("graft_embed_bands", d),
+      Seq("label", "band", "bv"), buckets = 8)
     val w = Window.partitionBy(col("bi")).orderBy(col("sim").desc, col("ai"))
     embedVerifiedPairsBetween(priorBands, bands.where(col("vec_id") >= split), e)
       .withColumn("rn", row_number().over(w))

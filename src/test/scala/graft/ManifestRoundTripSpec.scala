@@ -128,4 +128,71 @@ class ManifestRoundTripSpec extends AnyFunSuite {
     assert(pairs1.nonEmpty && pairs2.nonEmpty,
       "chained ingests must each contribute pairs or the chain proves nothing")
   }
+
+  test("bucketed band manifest: the ingest candidate join reads the store " +
+      "with ZERO exchange on the manifest side, pairs unchanged") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+    val e = SimilarityQueries.vectors(spark, Sf)
+    val n = e.count()
+    val split = (3L * n) / 5L
+    val bands = SimilarityQueries.bandRows(e)
+    val (_, manifest) = DedupManifest.persistBucketed(
+      bands.where(col("vec_id") < split),
+      "graft_spec_embed_bands", Seq("label", "band", "bv"), buckets = 8)
+    val newBands = bands.where(col("vec_id") >= split)
+
+    // pairs identical to the plain-parquet manifest path
+    val wantPairs = SimilarityQueries.embedVerifiedPairsBetween(
+      DedupManifest.persist(bands.where(col("vec_id") < split),
+        tmp("manifest-bucketed-ref")),
+      newBands, e)
+      .select(col("ai"), col("bi"), round(col("sim"), 4).as("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    // force the shuffled-join regime a corpus-scale manifest reaches
+    // (a broadcast pick would make the zero-exchange claim vacuous);
+    // AQE off so the executed plan is inspectable as one tree
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = SimilarityQueries.embedVerifiedPairsBetween(manifest, newBands, e)
+      val gotPairs = joined
+        .select(col("ai"), col("bi"), round(col("sim"), 4).as("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gotPairs == wantPairs)
+
+      // the band candidate join is the INNERMOST join whose left
+      // (manifest) side holds the bucketed-table scan: that subtree
+      // must contain no exchange — the bucketing replaced it. (One
+      // partition-local Sort remains by design: stock Spark no longer
+      // trusts bucket sort order — legacy bucketedTableScan
+      // outputOrdering is off — so zero-EXCHANGE is the scale claim.)
+      def isJoin(p: SparkPlan) = p.isInstanceOf[BaseJoinExec]
+      val plan = joined.queryExecution.executedPlan
+      val bandSides = plan.collect {
+        case j: SortMergeJoinExec
+            if j.left.toString.contains("graft_spec_embed_bands") &&
+              !j.left.exists(isJoin) => j.left
+        case j: ShuffledHashJoinExec
+            if j.left.toString.contains("graft_spec_embed_bands") &&
+              !j.left.exists(isJoin) => j.left
+      }
+      assert(bandSides.nonEmpty,
+        s"no shuffled band join over the bucketed manifest found in:\n$plan")
+      for (side <- bandSides) {
+        assert(side.toString.contains("Bucketed: true"),
+          s"manifest scan is not a bucketed read:\n$side")
+        assert(side.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+          s"manifest side of the ingest join re-shuffled despite bucketing:\n$side")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      spark.conf.set("spark.sql.adaptive.enabled", savedA)
+    }
+  }
 }
