@@ -47,6 +47,17 @@ import graft.Fence.FenceOps
   */
 object Sgns {
 
+  /** Hard vocabulary ceiling for [[fit]] (r13 verdict item 5 — the
+    * itemsets-F₁-bound stance): the trainer's driver state is
+    * 2·V·dim doubles and each iteration broadcasts both model tables,
+    * so V is the one input dimension that can silently OOM the
+    * driver. At the ceiling (2²⁰ nodes, dim 8) the raw vector payload
+    * is 2·2²⁰·8·8 B = 128 MiB per iteration's broadcasts — the upper
+    * edge of the graph-embedding regime this full-batch formulation
+    * targets. A pathological pair table now fails LOUDLY with sizing
+    * arithmetic instead of an executor-side OOM. */
+  val MaxVocab: Int = 1 << 20
+
   /** `nodes` is the sorted vocabulary; `in(i)`/`out(i)` are the
     * center/context vectors of `nodes(i)`, on the 6-decimal grid. */
   case class Model(dim: Int, nodes: Array[Long],
@@ -92,6 +103,12 @@ object Sgns {
       .distinct().as[Long].collect().sorted
     val v = nodes.length
     require(v >= 2, s"need at least 2 nodes, got $v")
+    require(v <= MaxVocab,
+      s"vocabulary $v exceeds MaxVocab=$MaxVocab: driver holds 2·V·dim " +
+        s"doubles and every iteration broadcasts both model tables " +
+        s"(~${2L * v * dim * 8 / (1 << 20)} MiB of raw vector payload at " +
+        s"dim=$dim) — beyond this the full-batch-broadcast formulation is " +
+        "the wrong tool; shard the model or train on a pair-table subset")
     val idxDf = broadcast(nodes.zipWithIndex
       .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("nidx", "nnode").fenced())
     var in = Array.tabulate(v, dim)((i, j) => initComponent(nodes(i), "in", j))

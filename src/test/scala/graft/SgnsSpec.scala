@@ -89,6 +89,21 @@ class SgnsSpec extends AnyFunSuite {
     assert(losses.size == 4)
   }
 
+  test("a past-MaxVocab pair table fails loudly BEFORE any model " +
+      "allocation or broadcast") {
+    // MaxVocab+1 distinct nodes in a chain pair table: the vocabulary
+    // collect (8 MB of longs — harmless) happens first, then the
+    // guard must fire before the V×dim weight arrays exist
+    val v = Sgns.MaxVocab + 1
+    val pairs = spark.range(v - 1L)
+      .select(col("id").as("center"), (col("id") + 1L).as("context"),
+        lit(1L).as("wt"))
+    val e = intercept[IllegalArgumentException] {
+      Sgns.fit(pairs, dim = Dim, iters = 1, negK = NegK, lr = Lr)
+    }
+    assert(e.getMessage.contains("MaxVocab"), e.getMessage)
+  }
+
   test("training loss decreases") {
     val (_, losses) = Sgns.fit(
       toyPairs.toDF("center", "context", "wt"), dim = Dim, iters = 6,
@@ -97,11 +112,16 @@ class SgnsSpec extends AnyFunSuite {
       s"loss did not improve: ${losses.head} -> ${losses.last}")
   }
 
-  test("walk-corpus embeddings: co-occurring nodes beat hash-random pairs") {
+  test("walk-corpus embeddings: co-occurring nodes beat hash-random pairs " +
+      "at q_graph_embed's SHIPPED operating point") {
+    import graft.queries.GraphQueries
     val pairs = SparkEntry.queries("q_graph_walk_pairs")(spark, TestSpark.Sf)
       .groupBy(col("center"), col("context"))
       .agg(sum(col("n_pairs")).as("wt"))
-    val (model, _) = Sgns.fit(pairs, dim = 8, iters = 15, negK = NegK, lr = 1.0)
+    // the query's own knobs — spec and query cannot drift
+    val (model, _) = Sgns.fit(pairs, dim = GraphQueries.EmbedDim,
+      iters = GraphQueries.EmbedIters, negK = GraphQueries.EmbedNegK,
+      lr = GraphQueries.EmbedLr)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var (d, na, nb) = (0.0, 0.0, 0.0)
       for (j <- a.indices) { d += a(j) * b(j); na += a(j) * a(j); nb += b(j) * b(j) }
