@@ -88,6 +88,15 @@ object WbJdbc {
     *
     * @return the ids applied by THIS call (empty on a no-op re-run —
     *         JdbcRoundTripSpec pins that contract) */
+  /** Concurrent-safe since round 14 (reference ragtime's datastore
+    * has table-level locking semantics, so two simultaneous
+    * `init-db!` calls degrade to one applier + one no-op — this must
+    * too): ledger creation swallows Derby's already-exists SQLState
+    * (X0Y32 — the loser of a create race no-ops), and each migration
+    * transaction takes an EXCLUSIVE ledger lock then re-reads the
+    * ledger INSIDE the transaction before applying, so a concurrent
+    * initializer blocks on the lock and then sees the winner's ledger
+    * row instead of crashing on duplicate DDL. */
   def migrate(url: String,
       migrations: Seq[Migration] = collectorMigrations): Seq[String] = {
     val conn = java.sql.DriverManager.getConnection(url)
@@ -99,30 +108,46 @@ object WbJdbc {
         val st = conn.createStatement()
         try st.executeUpdate(s"CREATE TABLE $MigrationsTable (" +
           "id VARCHAR(255) PRIMARY KEY, applied_at TIMESTAMP NOT NULL)"): Unit
+        catch {
+          // lost a concurrent-create race: X0Y32 = already exists
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
         finally st.close()
       }
-      val done = scala.collection.mutable.Set.empty[String]
-      val q = conn.createStatement()
-      try {
-        val rs = q.executeQuery(s"SELECT id FROM $MigrationsTable")
-        try while (rs.next()) done += rs.getString(1)
-        finally rs.close()
-      } finally q.close()
       conn.setAutoCommit(false)
-      val applied = Seq.newBuilder[String]
-      migrations.filterNot(m => done(m.id)).foreach { m =>
+      def isApplied(id: String): Boolean = {
+        val q = conn.prepareStatement(
+          s"SELECT 1 FROM $MigrationsTable WHERE id = ?")
         try {
-          m.statements.foreach { sql =>
-            val st = conn.createStatement()
-            try st.executeUpdate(sql): Unit
-            finally st.close()
+          q.setString(1, id)
+          val rs = q.executeQuery()
+          try rs.next() finally rs.close()
+        } finally q.close()
+      }
+      val applied = Seq.newBuilder[String]
+      migrations.foreach { m =>
+        try {
+          // serialize initializers: the lock holds until this
+          // migration's commit/rollback, and the re-read happens
+          // INSIDE the locked transaction — a concurrent migrate
+          // blocks here, then sees the winner's ledger row and no-ops
+          val lk = conn.createStatement()
+          try lk.execute(
+            s"LOCK TABLE $MigrationsTable IN EXCLUSIVE MODE"): Unit
+          finally lk.close()
+          if (!isApplied(m.id)) {
+            m.statements.foreach { sql =>
+              val st = conn.createStatement()
+              try st.executeUpdate(sql): Unit
+              finally st.close()
+            }
+            val ins = conn.prepareStatement(s"INSERT INTO $MigrationsTable " +
+              "(id, applied_at) VALUES (?, CURRENT_TIMESTAMP)")
+            try { ins.setString(1, m.id); ins.executeUpdate(): Unit }
+            finally ins.close()
+            applied += m.id
           }
-          val ins = conn.prepareStatement(s"INSERT INTO $MigrationsTable " +
-            "(id, applied_at) VALUES (?, CURRENT_TIMESTAMP)")
-          try { ins.setString(1, m.id); ins.executeUpdate(): Unit }
-          finally ins.close()
-          conn.commit()
-          applied += m.id
+          conn.commit() // releases the ledger lock either way
         } catch { case e: Throwable => conn.rollback(); throw e }
       }
       applied.result()

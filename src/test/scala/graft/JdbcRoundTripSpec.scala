@@ -142,4 +142,40 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     WbJdbc.writeFacts(facts, mUrl, "wb_page_request")
     assert(count("SELECT COUNT(*) FROM wb_page_request WHERE lemma = 'Haus'") == 1)
   }
+
+  test("init-db!: CONCURRENT initializers on a fresh database degrade to " +
+      "one applier + no-ops, never a crash (ragtime's locking semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("derby-race").toString + "/wb"
+    val mUrl = s"jdbc:derby:$dir;create=true"
+    val workers = 4
+    val gate = new java.util.concurrent.CountDownLatch(workers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+    try {
+      val futures = (1 to workers).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = {
+            gate.countDown(); gate.await() // all start at once
+            WbJdbc.migrate(mUrl)
+          }
+        })
+      }
+      // every call returns (no duplicate-DDL / duplicate-PK crash)…
+      val results = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // …exactly one applied the migration set, the rest no-oped
+      assert(results.count(_.nonEmpty) == 1,
+        s"expected exactly one applier, got $results")
+      assert(results.flatten == Seq("001-create-wb-page-request"))
+      // the ledger holds one row and the schema is usable
+      val conn = DriverManager.getConnection(mUrl)
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT COUNT(*) FROM ${WbJdbc.MigrationsTable}")
+          rs.next()
+          assert(rs.getLong(1) == 1)
+        } finally st.close()
+      } finally conn.close()
+    } finally pool.shutdownNow()
+  }
 }
