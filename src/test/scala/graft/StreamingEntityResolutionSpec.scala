@@ -67,8 +67,7 @@ class StreamingEntityResolutionSpec extends AnyFunSuite {
     def start() = {
       val lines = spark.readStream.format("graft.sources.ReplayLines")
         .option("path", f.toString)
-        .option("linesPerTrigger", "40")
-        .option("ratePerSecond", "400") // slow drain so the kill lands mid-run
+        .option("linesPerTrigger", "40") // many batches — the kill lands between them
         .load()
       val parsed = lines
         .select(split(col("line"), "\t", -1).as("c"))
@@ -83,9 +82,10 @@ class StreamingEntityResolutionSpec extends AnyFunSuite {
     def sunk(): Long =
       try spark.read.parquet(s"$base/out").count() catch { case _: Throwable => 0L }
     val q1 = start()
-    val deadline = System.nanoTime() + 30L * 1000000000L
-    while (sunk() < 5 && System.nanoTime() < deadline) Thread.sleep(20)
-    q1.stop() // kill with most of the file unprocessed
+    // kill deterministically on PROGRESS: the listener stops q1 at
+    // the batch boundary where enough pairs committed (r13 advice —
+    // wall-clock pacing was host-timing-sensitive)
+    StreamKill.afterCommit(spark, q1, () => sunk() >= 5)
     assert(sunk() > 0, "kill landed before any epoch committed")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()

@@ -100,8 +100,7 @@ class StreamingScd2Spec extends AnyFunSuite {
     def start() = {
       val lines = spark.readStream.format("graft.sources.ReplayLines")
         .option("path", f.toString)
-        .option("linesPerTrigger", "20")
-        .option("ratePerSecond", "150") // slow drain so the kill lands mid-run
+        .option("linesPerTrigger", "20") // many batches — the kill lands between them
         .load()
       val parsed = lines
         .select(split(col("line"), "\t", -1).as("c"))
@@ -116,9 +115,10 @@ class StreamingScd2Spec extends AnyFunSuite {
     def sunk(): Long =
       try spark.read.parquet(s"$base/out").count() catch { case _: Throwable => 0L }
     val q1 = start()
-    val deadline = System.nanoTime() + 30L * 1000000000L
-    while (sunk() < 3 && System.nanoTime() < deadline) Thread.sleep(20)
-    q1.stop() // kill with most of the file unprocessed
+    // kill deterministically on PROGRESS: the listener stops q1 at
+    // the batch boundary where enough closes committed (r13 advice —
+    // wall-clock pacing was host-timing-sensitive)
+    StreamKill.afterCommit(spark, q1, () => sunk() >= 3)
     assert(sunk() > 0, "kill landed before any close committed")
     // the kill must land MID-stream or the restart never exercises
     // checkpoint recovery and the exactly-once assertions go vacuous
