@@ -5,6 +5,13 @@ object Bench {
     // ERROR-level logging: the driver parses the final stdout line as
     // JSON, so nothing may print after it (shutdown WARNs included).
     val spark = Sessions.local(logLevel = "ERROR")
+    // Independent host-load signal, measured before AND after the
+    // timed work (min of the two): a single-threaded fixed spin whose
+    // cost depends only on host contention, never on engine code —
+    // what lets BenchGate corroborate (or refuse) its uniform-
+    // inflation contention diagnosis instead of inferring contention
+    // from the victim measurements alone.
+    val calibStart = CalibProbe.ms()
     // Warm-up pass at the smallest SF: absorbs JIT + codegen compile
     // so the timed pass measures steady-state throughput.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
@@ -97,8 +104,9 @@ object Bench {
         System.err.println(s"[bench] serving probe failed: ${e.getMessage}")
         graft.streaming.ServingProbe.Result(0.0, 0.0)
       }
+    val calibMs = math.min(calibStart, CalibProbe.ms())
     val streamingJson =
-      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f"""
+      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f,"calib_ms":$calibMs%.1f"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},$streamingJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's

@@ -68,6 +68,20 @@ object BenchGate {
   val ContentionMinRatio = 1.1
   val MinCommonForMedian = 20
 
+  /** Calibration corroboration (round 14 — the r13 advice): a uniform
+    * 1.1–1.5× inflation signature is produced both by host contention
+    * AND by a real global code regression, so the victim measurements
+    * alone cannot authorize the eps rescale. [[graft.CalibProbe]]
+    * gives the independent signal: a single-threaded fixed spin whose
+    * cost moves only with host load (engine code never touches it).
+    * Normalization now engages only when the run's calib_ms ALSO
+    * inflated ≥ this ratio vs canonical; a uniform query inflation on
+    * a calibration-quiet host is treated as the regression it is, and
+    * a run missing calibration data (either side) normalizes only
+    * PROVISIONALLY — the note demands a quiet-host re-measure before
+    * any canonical recording. */
+  val CalibCorroborationMin = 1.1
+
   /** Ceiling for the serving hop's p99 publish→write latency — the
     * symmetric guard for the round-12 latency percentiles: canonical
     * reads 0.01–0.02 ms (the 1-slot hub adds no measurable delay), so
@@ -149,23 +163,52 @@ object BenchGate {
 
   /** [[floorBreaches]] with the contention diagnosis applied: an eps
     * floor breach on a run whose median ratio shows uniform inflation
-    * is re-judged at eps × medianRatio (see [[ContentionMinRatio]]).
+    * is re-judged at eps × medianRatio (see [[ContentionMinRatio]]) —
+    * but only when the independent calibration signal corroborates
+    * the contention reading (see [[CalibCorroborationMin]]); with
+    * calibration data missing the rescale is PROVISIONAL, and with a
+    * quiet calibration it is refused outright.
+    * @param calibRatio latest calib_ms / canonical calib_ms, when
+    *   both artifacts carry the calibration scalar
     * @return (surviving breaches, contention notes) — a normalized-
     *   away breach moves to the notes so the run log still records it */
   def normalizedFloorBreaches(scalars: Map[String, Double],
-      mr: Option[(Double, Boolean)]): (Seq[String], Seq[String]) = {
+      mr: Option[(Double, Boolean)],
+      calibRatio: Option[Double] = None): (Seq[String], Seq[String]) = {
     val raw = floorBreaches(scalars)
     (scalars.get("streaming_eps"), mr) match {
       case (Some(eps), Some((m, uniform)))
           if eps < StreamingEpsFloor && uniform &&
             m >= ContentionMinRatio && eps * m >= StreamingEpsFloor =>
-        (raw.filterNot(_.startsWith("streaming_eps")),
-          Seq(f"streaming_eps $eps%.0f below floor $StreamingEpsFloor%.0f " +
-            f"under uniform host contention (median query ratio $m%.2f, " +
-            f"IQR within $UniformIqrMax%.2f); " +
-            f"normalized ${eps * m}%.0f clears the floor"))
+        val diagnosis = f"streaming_eps $eps%.0f below floor " +
+          f"$StreamingEpsFloor%.0f under uniform inflation (median query " +
+          f"ratio $m%.2f, IQR within $UniformIqrMax%.2f); " +
+          f"normalized ${eps * m}%.0f clears the floor"
+        calibRatio match {
+          case Some(c) if c >= CalibCorroborationMin =>
+            (raw.filterNot(_.startsWith("streaming_eps")),
+              Seq(diagnosis +
+                f" — contention CORROBORATED by calibration (${c}%.2fx)"))
+          case Some(c) =>
+            // quiet calibration: the uniform inflation is code, not
+            // host — the breach stands
+            (raw, Seq(f"uniform inflation (median $m%.2f) NOT corroborated " +
+              f"by calibration (${c}%.2fx < $CalibCorroborationMin%.2fx): " +
+              "treating the eps breach as a real regression"))
+          case None =>
+            (raw.filterNot(_.startsWith("streaming_eps")),
+              Seq(diagnosis + " — PROVISIONAL: no calibration scalar on " +
+                "one side; re-measure on a quiet host before recording " +
+                "any canonical"))
+        }
       case _ => (raw, Nil)
     }
+  }
+
+  /** The calib_ms scalar of a bench artifact, when present. */
+  def calibOf(path: String): Option[Double] = {
+    val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
+    Option(root.get("calib_ms")).map(_.asDouble()).filter(_ > 0)
   }
 
   final case class Flag(name: String, canonical: Double, latest: Double) {
@@ -210,8 +253,12 @@ object BenchGate {
       println(s"BENCHGATE queries gone from latest: ${departed.mkString(", ")}")
     val flags = regressions(canonical, latest)
     val mr = medianRatio(canonical, latest)
+    val calibRatio = for {
+      c <- calibOf(canonicalPath)
+      l <- calibOf(latestPath)
+    } yield l / c
     val (breaches, contentionNotes) =
-      normalizedFloorBreaches(scalarFields(latestPath), mr)
+      normalizedFloorBreaches(scalarFields(latestPath), mr, calibRatio)
     contentionNotes.foreach(n => println(s"BENCHGATE note: $n"))
     if (flags.isEmpty && breaches.isEmpty) {
       println(f"BENCHGATE ok: ${latest.size} queries within ${RatioGate}x of canonical " +

@@ -104,4 +104,28 @@ class BenchGateSpec extends AnyFunSuite {
       healthy + ("serving_stall_ratio" -> 0.42), mrInflated)
     assert(b4.exists(_.contains("serving_stall_ratio")))
   }
+
+  test("calibration corroboration: uniform inflation normalizes only when " +
+      "the independent spin signal agrees it was the host (r13 advice)") {
+    val canonical = (1 to 30).map(i => s"q$i" -> 1.0).toMap
+    val inflated = canonical.map { case (k, v) => k -> v * 1.26 }
+    val mr = BenchGate.medianRatio(canonical, inflated)
+    val sample = healthy + ("streaming_eps" -> 266000.0)
+    // calibration also inflated → contention CORROBORATED, normalize
+    val (b1, n1) = BenchGate.normalizedFloorBreaches(sample, mr, Some(1.3))
+    assert(b1.isEmpty && n1.exists(_.contains("CORROBORATED")))
+    // calibration quiet → the uniform inflation is CODE: breach stands
+    // (this is exactly the signature a real global regression leaves)
+    val (b2, n2) = BenchGate.normalizedFloorBreaches(sample, mr, Some(1.0))
+    assert(b2.exists(_.contains("streaming_eps")))
+    assert(n2.exists(_.contains("NOT corroborated")))
+    // no calibration data (pre-r14 canonical) → normalize PROVISIONALLY,
+    // the note demands a quiet-host re-measure
+    val (b3, n3) = BenchGate.normalizedFloorBreaches(sample, mr, None)
+    assert(b3.isEmpty && n3.exists(_.contains("PROVISIONAL")))
+    // a quiet calibration never blocks a run that needs no normalizing
+    val (b4, n4) = BenchGate.normalizedFloorBreaches(healthy,
+      BenchGate.medianRatio(canonical, canonical), Some(1.0))
+    assert(b4.isEmpty && n4.isEmpty)
+  }
 }
