@@ -662,9 +662,13 @@ object PipelineQueries {
     * integer division of n_chars); p and q divide identical longs as
     * doubles, the ln runs over the identical quotient, and each term
     * rounds to 6 dp — the [[TextQueries]] log-family discipline (pmi,
-    * keyness). The overall PSI is the SUM of the emitted terms; it is
-    * left to the consumer because a cross-bin float sum has no
-    * deterministic order in either engine.
+    * keyness). The overall PSI (`psi_total`, identical on every row)
+    * is the EXACT DECIMAL SUM of the 6 dp terms — order-free, so both
+    * engines agree bit-for-bit without any float-sum order
+    * dependence, and the scalar equals
+    * [[graft.streaming.StreamingPsiGate]]'s verdict from the same
+    * counts by construction (the r13 stretch: both surfaces now
+    * expose the alert-ready number, not just the decomposition).
     *
     * Scale shape: one partial-aggregable groupBy on the bin key (the
     * exchange carries ≤ |bins| rows per upstream partition), a 1-row
@@ -680,12 +684,18 @@ object PipelineQueries {
        |        CAST(sum(ib) AS BIGINT) AS cb
        |      FROM b GROUP BY bin),
        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-       |        CAST(count(*) AS BIGINT) AS nbins FROM c)
-       |SELECT c.bin, c.ca AS cnt_prior, c.cb AS cnt_cur,
-       |  round(((c.ca + 1.0) / (t.na + t.nbins) - (c.cb + 1.0) / (t.nb + t.nbins))
-       |    * ln(((c.ca + 1.0) / (t.na + t.nbins))
-       |          / ((c.cb + 1.0) / (t.nb + t.nbins))), 6) AS psi_term
-       |FROM c CROSS JOIN t ORDER BY bin""".stripMargin) { (s, d) =>
+       |        CAST(count(*) AS BIGINT) AS nbins FROM c),
+       |terms AS (
+       |  SELECT c.bin, c.ca AS cnt_prior, c.cb AS cnt_cur,
+       |    round(((c.ca + 1.0) / (t.na + t.nbins) - (c.cb + 1.0) / (t.nb + t.nbins))
+       |      * ln(((c.ca + 1.0) / (t.na + t.nbins))
+       |            / ((c.cb + 1.0) / (t.nb + t.nbins))), 6) AS psi_term
+       |  FROM c CROSS JOIN t),
+       |tt AS (SELECT CAST(sum(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE)
+       |         AS psi_total FROM terms)
+       |SELECT terms.bin, terms.cnt_prior, terms.cnt_cur, terms.psi_term,
+       |  tt.psi_total
+       |FROM terms CROSS JOIN tt ORDER BY bin""".stripMargin) { (s, d) =>
     val prior = col("source").rlike("^src[0-9]$")
     val b = t(s, d, "documents").select(
       (col("n_chars").cast("long") / PsiBin).cast("long").as("bin"),
@@ -698,9 +708,14 @@ object PipelineQueries {
       sum(col("cb")).cast("long").as("nb"), count(lit(1)).cast("long").as("nbins"))
     val p = (col("ca") + 1.0) / (col("na") + col("nbins"))
     val q = (col("cb") + 1.0) / (col("nb") + col("nbins"))
-    c.crossJoin(broadcast(tot))
+    val terms = c.crossJoin(broadcast(tot))
       .select(col("bin"), col("ca").as("cnt_prior"), col("cb").as("cnt_cur"),
         round((p - q) * log(p / q), 6).as("psi_term"))
+    // the alert scalar: exact decimal sum of the grid terms —
+    // order-free, bins-scale, identical to StreamingPsiGate's verdict
+    val total = terms.agg(
+      sum(col("psi_term").cast("decimal(18,6)")).cast("double").as("psi_total"))
+    terms.crossJoin(broadcast(total))
       .orderBy(col("bin"))
   }
 

@@ -30,30 +30,35 @@ object StreamingPsiGate {
   case class PsiVerdict(nRef: Long, nCur: Long, psi: Double, worstBin: Long)
 
   /** Shared PSI formula (the `q_quality_psi` construction: Laplace
-    * +1-per-bin smoothing over n+B, (p−q)·ln(p/q) terms), folded in
-    * sorted-bin order and rounded once at the end. Returns the
-    * verdict plus the per-bin terms (rounded 6 dp — the batch query's
-    * emitted grain, so the two stay cross-checkable). */
+    * +1-per-bin smoothing over n+B, (p−q)·ln(p/q) terms). The scalar
+    * is the EXACT DECIMAL SUM of the 6 dp-rounded per-bin terms —
+    * order-free (decimal addition is exact), so this verdict and the
+    * batch query's `psi_total` column expose the IDENTICAL
+    * alert-ready number from the same counts (r13 verdict item 7:
+    * the batch surface used to defer the sum to the consumer because
+    * a cross-bin float sum has no deterministic order; the decimal
+    * fold over grid terms removes the order dependence on both
+    * surfaces). Returns the verdict plus the per-bin terms (6 dp —
+    * the batch query's emitted grain, so the two stay
+    * cross-checkable). */
   def psi(ref: Map[Long, Long], cur: Map[Long, Long])
       : (PsiVerdict, Seq[(Long, Double)]) = {
     val bins = (ref.keySet ++ cur.keySet).toSeq.sorted
     val b = bins.size.toLong
     val nRef = ref.valuesIterator.sum
     val nCur = cur.valuesIterator.sum
-    var total = 0.0
+    var total = BigDecimal(0)
     var worst = (-1L, -1.0)
     val terms = bins.map { bin =>
       val p = (ref.getOrElse(bin, 0L) + 1.0) / (nRef + b)
       val q = (cur.getOrElse(bin, 0L) + 1.0) / (nCur + b)
       val t = (p - q) * math.log(p / q)
-      total += t
       if (t > worst._2) worst = (bin, t)
-      bin -> BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+      val r = BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      total += r
+      bin -> r.toDouble
     }
-    val rounded = BigDecimal(total)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    (PsiVerdict(nRef, nCur, rounded, worst._1), terms)
+    (PsiVerdict(nRef, nCur, total.toDouble, worst._1), terms)
   }
 
   /** rows: (bin, count) per-micro-batch partial counts of the

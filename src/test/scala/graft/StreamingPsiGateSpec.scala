@@ -26,13 +26,20 @@ class StreamingPsiGateSpec extends AnyFunSuite {
   private def histOf(rows: Seq[Long]): Map[Long, Long] =
     rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
 
-  test("per-bin terms of the shared formula equal q_quality_psi's rows") {
+  test("per-bin terms of the shared formula equal q_quality_psi's rows, " +
+      "and BOTH surfaces expose the identical alert scalar") {
     val ref = histOf(binned.filter(_._2).map(_._1))
     val cur = histOf(binned.filterNot(_._2).map(_._1))
-    val (_, terms) = StreamingPsiGate.psi(ref, cur)
+    val (verdict, terms) = StreamingPsiGate.psi(ref, cur)
     val batch = SparkEntry.queries("q_quality_psi")(spark, TestSpark.Sf)
-      .select($"bin", $"psi_term").as[(Long, Double)].collect().toSeq.sorted
-    assert(terms.sorted == batch)
+      .select($"bin", $"psi_term", $"psi_total")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(terms.sorted == batch.map(r => (r._1, r._2)).sorted)
+    // r13 stretch: the batch psi_total column and the streaming
+    // verdict are the SAME decimal fold of the same grid terms
+    val totals = batch.map(_._3).distinct
+    assert(totals == Seq(verdict.psi),
+      s"batch psi_total $totals != gate verdict ${verdict.psi}")
   }
 
   test("gate re-issues the exact verdict over every stream prefix") {
