@@ -1419,6 +1419,15 @@ object SimilarityQueries {
        |  round(margin, 4) AS margin
        |FROM r WHERE ra = 1 AND rb = 1 AND margin >= $BitextMarginMin
        |ORDER BY a_id""".stripMargin) { (s, d) =>
+    bitextSweep(bitextScores(s, d)).orderBy(col("a_id"))
+  }
+
+  /** The batch candidate SCORE table (ai, bi, cos — unrounded):
+    * cross-language same-cluster cosines under the capped two-level
+    * quantizer assignment. Shared by [[qMineBitext]] and
+    * StreamingBitextSpec (the streaming twin's at-arrival candidate
+    * set must equal this frame exactly). */
+  private[graft] def bitextScores(s: SparkSession, d: String): DataFrame = {
     val e = vectors(s, d).fenced() // assignment + scoring both read it
     // bounded driver action: one count sizes the quantizer (the
     // q_dedup_semantic stance)
@@ -1426,13 +1435,25 @@ object SimilarityQueries {
       .join(e, Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("label"), col("v"))
     val cos = cosine(col("va"), col("vb"))
-    val sc = asn.where(pmod(col("label"), lit(2)) === 0)
+    asn.where(pmod(col("label"), lit(2)) === 0)
       .select(col("vec_id").as("ai"), col("cluster"), col("v").as("va"))
       .join(asn.where(pmod(col("label"), lit(2)) === 1)
         .select(col("vec_id").as("bi"), col("cluster"), col("v").as("vb")),
         Seq("cluster"))
       .select(col("ai"), col("bi"), cos.as("cos"))
-      .fenced() // k-NN means + margin windows all read it
+  }
+
+  /** Margin finalization over a scored cross-language candidate frame
+    * (ai, bi, cos) — the mark-then-sweep TAIL shared by
+    * [[qMineBitext]] and [[graft.streaming.StreamingBitext]]: per-side
+    * k-NN means (decimal-summed over rounded cosines), the Artetxe &
+    * Schwenk ratio margin, mutual-best selection, threshold. The
+    * streaming twin MARKS candidates at arrival (cluster-resident
+    * state, score on second-member arrival) and runs this identical
+    * sweep as its finalization batch — so stream and batch cannot
+    * fork in the margin math. */
+  private[graft] def bitextSweep(scRaw: DataFrame): DataFrame = {
+    val sc = scRaw.fenced() // k-NN means + margin windows all read it
     def knnMean(side: String, other: String, out: String) = sc
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(side)).orderBy(col("cos").desc, col(other))))
@@ -1453,7 +1474,58 @@ object SimilarityQueries {
         col("margin") >= BitextMarginMin)
       .select(col("ai").as("a_id"), col("bi").as("b_id"),
         round(col("cos"), 4).as("cos"), round(col("margin"), 4).as("margin"))
-      .orderBy(col("a_id"))
+  }
+
+  /** Collected quantizer for [[graft.streaming.StreamingBitext]]'s
+    * at-arrival cluster assignment: (bits, bucket → capped centroid
+    * list, root centroids) — EXACTLY [[semCandidatesFrom]]'s candidate
+    * generation, materialized once. Driver/broadcast state is
+    * quantizer-sized (C(n) = n/[[SemCell]] centroids of the REFERENCE
+    * corpus, ≤ [[SemAnchors]] per bucket — the KMeans model-state
+    * stance; a deployment trains it on the prior corpus and ships it
+    * to the stream, the StreamingPsiGate fixed-reference pattern). */
+  private[graft] def bitextModel(s: SparkSession, d: String)
+      : (Int, Map[Long, Array[(Long, Array[Double])]], Array[(Long, Array[Double])]) = {
+    import s.implicits._
+    val e = vectors(s, d)
+    val n = t(s, d, "embeddings").count()
+    val c = semC(n)
+    val bits = clusterBits(c)
+    val cents = e.where(col("vec_id") < c)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val capped = cents
+      .withColumn("b", clusterBucket(col("cv"), bits))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("cent_id"))))
+      .where(col("crk") <= SemAnchors)
+      .select(col("b"), col("cent_id"), col("cv"))
+      .as[(Long, Long, Array[Double])].collect()
+    val roots = cents.where(col("cent_id") < SemCMin)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val buckets = capped.groupBy(_._1).map { case (b, rows) =>
+      b -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    (bits, buckets, roots)
+  }
+
+  /** Scala twin of [[clusterBucket]] for the streaming key function —
+    * the [[graft.functions.GraftExpressions.planeBitsKernel]] math
+    * (left-to-right plane dots, ≥ 0 sign gates the 2^j weight) over
+    * [[ClusterPlanes]]. */
+  private[graft] def clusterBucketOf(v: Array[Double], bits: Int): Long = {
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      val plane = ClusterPlanes(j)
+      require(v.length == plane.length,
+        s"plane_bits: vector has ${v.length} dims, planes have ${plane.length}")
+      var acc = 0.0
+      var i = 0
+      while (i < plane.length) { acc += v(i) * plane(i); i += 1 }
+      if (acc >= 0) out += 1L << j
+      j += 1
+    }
+    out
   }
 
   /** Candidate kNN-graph pairs — exposed for HeavyScaleProbe's
