@@ -968,8 +968,10 @@ object DedupQueries {
     * the per-new-doc closest keeper is a WindowGroupLimit shortlist
     * (rank over jac desc, prior id — candidates prune to 1 per task
     * before the exchange). The prior BAND manifest travels the real
-    * deployment path — written to the parquet store and read back
-    * ([[graft.operators.DedupManifest.persist]]) before the candidate
+    * deployment path — written to the band store and read back
+    * ([[graft.operators.DedupManifest.persistBucketed]], hash-bucketed
+    * by the candidate join key (band, bh) so the ingest join consumes
+    * it with zero exchange on the manifest side) before the candidate
     * join probes it, the same persist-once-append-per-ingest loop as
     * the embed twin; prior shingles stay in-plan (verification reads
     * them from the corpus store in production, not from a manifest —
@@ -1017,10 +1019,14 @@ object DedupQueries {
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
       .join(meta, "doc_id")
       .fenced()
-    // the prior band manifest, through the persisted store
-    val priorBands = graft.operators.DedupManifest.persist(
+    // the prior band manifest, through the persisted store — bucketed
+    // by the full candidate join key so the ingest join reads it
+    // pre-partitioned (zero exchange on the manifest side, the embed
+    // twin's r14 treatment)
+    val (_, priorBands) = graft.operators.DedupManifest.persistBucketed(
       bands.where(col("prior")).select(col("doc_id"), col("band"), col("bh")),
-      graft.operators.DedupManifest.path(s, "near-bands", d))
+      graft.operators.Bucketing.datasetTable("graft_near_bands", d),
+      Seq("band", "bh"), buckets = 8)
     val cand = bands.where(!col("prior"))
       .select(col("doc_id").as("ni"), col("band"), col("bh"))
       .join(priorBands.select(col("doc_id").as("pi"),
