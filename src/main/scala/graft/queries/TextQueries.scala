@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
@@ -1271,8 +1271,13 @@ object TextQueries {
     * AQE broadcasts at bench scale, flips to shuffled equi-joins when
     * the bigram table outgrows the threshold (exactly the LM-scoring
     * join a web corpus pays); totals are a broadcast scalar. */
-  private val qBigramLm = Q("q_text_bigram_lm",
-    """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+  /** Shared CTE chain of the bigram-LM family: trains the stupid-
+    * backoff LM on the `en` stream, scores every document's bigrams,
+    * and exposes `perdoc` (doc_id, lang, nb, um = unrounded mean
+    * log-score) — consumed by [[qBigramLm]] (threshold verdict) and
+    * [[qPplBand]] (CCNet perplexity terciles). */
+  private val bigramLmCtes: String =
+    """w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
       |           FROM documents),
       |bg AS (SELECT doc_id, lang, ws[t.i] AS p, ws[t.i+1] AS c
       |       FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
@@ -1293,12 +1298,28 @@ object TextQueries {
       |  FROM bg LEFT JOIN bc ON bc.p = bg.p AND bc.c = bg.c
       |          LEFT JOIN cc ON cc.p = bg.p
       |          LEFT JOIN uc ON uc.tok = bg.c
-      |          CROSS JOIN tot)
-      |SELECT doc_id, lang, CAST(count(*) AS INT) AS n_bigrams,
-      |  round(CAST(sum(logp) AS DOUBLE) / count(*), 4) AS avg_logp,
-      |  CASE WHEN CAST(sum(logp) AS DOUBLE) / count(*) >= -3.40
-      |       THEN 'keep' ELSE 'cut' END AS verdict
-      |FROM scored GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |          CROSS JOIN tot),
+      |perdoc AS (
+      |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(sum(logp) AS DOUBLE) / count(*) AS um
+      |  FROM scored GROUP BY doc_id, lang)""".stripMargin
+
+  private val qBigramLm = Q("q_text_bigram_lm",
+    s"""WITH $bigramLmCtes
+      |SELECT doc_id, lang, CAST(nb AS INT) AS n_bigrams,
+      |  round(um, 4) AS avg_logp,
+      |  CASE WHEN um >= -3.40 THEN 'keep' ELSE 'cut' END AS verdict
+      |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bigramDocScores(s, d)
+      .select(col("doc_id"), col("lang"), col("nb").cast("int").as("n_bigrams"),
+        round(col("um"), 4).as("avg_logp"),
+        when(col("um") >= -3.40, "keep").otherwise("cut").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document bigram-LM scores (doc_id, lang, nb, um) — the Spark
+    * twin of [[bigramLmCtes]]'s `perdoc`. */
+  private def bigramDocScores(s: SparkSession, d: String): DataFrame = {
     val w = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
     // guard: sequence(1, 0) is DESCENDING in Spark, so a 1-word doc
@@ -1329,12 +1350,66 @@ object TextQueries {
       .join(uc, col("tok") === col("c"), "left_outer")
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lang"), logp.as("logp"))
-    val avg = col("sum_logp").cast("double") / col("nb")
     scored.groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("nb"), sum(col("logp")).as("sum_logp"))
-      .select(col("doc_id"), col("lang"), col("nb").cast("int").as("n_bigrams"),
-        round(avg, 4).as("avg_logp"),
-        when(avg >= -3.40, "keep").otherwise("cut").as("verdict"))
+      .agg(count(lit(1)).cast("long").as("nb"), sum(col("logp")).as("sum_logp"))
+      .select(col("doc_id"), col("lang"), col("nb"),
+        (col("sum_logp").cast("double") / col("nb")).as("um"))
+  }
+
+  /** CCNET PERPLEXITY BUCKETS (Wenzek et al., LREC 2020 — the
+    * head/middle/tail split every CommonCrawl-derived training corpus
+    * inherits): per LANGUAGE, documents rank by LM quality (here the
+    * bigram stupid-backoff mean log-score, best first) and split into
+    * equal-count terciles — `head` is the cleanest third a curriculum
+    * trains on first, `tail` the candidate for dropping. Banding is
+    * integer math over an exact rank: band = ⌊3·(rank−1)/n_lang⌋ on
+    * the (round(um,4) DESC, doc_id) total order, so both engines
+    * agree on every boundary document.
+    *
+    * Scale shape: scoring is [[bigramDocScores]]'s contract; the
+    * per-language rank is [[graft.operators.PrefixSum.cumsumBy]]'s
+    * two-phase range scan over (lang, −avg, doc_id) — NEVER a
+    * corpus-wide window (a row_number partitioned by lang would
+    * funnel each language, i.e. most of a monolingual crawl, through
+    * one task) — and the per-language offsets/totals that turn the
+    * global running count into within-language ranks are a
+    * |languages|-sized driver table (a domain constant, the KMeans
+    * bound stance). */
+  private val qPplBand = Q("q_text_ppl_band",
+    s"""WITH $bigramLmCtes,
+      |ranked AS (
+      |  SELECT doc_id, lang, round(um, 4) AS avg_logp,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY round(um, 4) DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS nl
+      |  FROM perdoc)
+      |SELECT doc_id, lang, avg_logp,
+      |  CASE CAST(3 * (rn - 1) // nl AS INT)
+      |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS band
+      |FROM ranked ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val perdoc = bigramDocScores(s, d)
+      .select(col("doc_id"), col("lang"), round(col("um"), 4).as("avg_logp"))
+      .withColumn("neg", -col("avg_logp"))
+      .fenced() // ranked by the two-phase scan + banded
+    // global running count over the (lang, −avg, doc_id) total order…
+    val ranked = graft.operators.PrefixSum.cumsumBy(
+      perdoc.withColumn("one", lit(1L)),
+      Seq("lang", "neg", "doc_id"), "one", 8, "gcum")
+    // …minus each language's start offset = the within-language rank.
+    // |languages| rows — a domain constant, broadcast back.
+    val langCounts = perdoc.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = langCounts.map(_._1)
+      .zip(langCounts.map(_._2).scanLeft(0L)(_ + _).init)
+    import s.implicits._
+    val offDf = broadcast(offsets.zip(langCounts.map(_._2)).map {
+      case ((lang, off), nl) => (lang, off, nl)
+    }.toSeq.toDF("lang", "off", "nl"))
+    val band = ((col("gcum") - col("off") - 1) * 3 / col("nl")).cast("int")
+    ranked.join(offDf, "lang")
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(band === 0, "head").when(band === 1, "middle")
+          .otherwise("tail").as("band"))
       .orderBy(col("doc_id"))
   }
 
@@ -1399,5 +1474,5 @@ object TextQueries {
     qRepetition, qPii, qMojibake, qReadability, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
-    qBoilerplate, qBigramLm, qNovelty)
+    qBoilerplate, qBigramLm, qPplBand, qNovelty)
 }
