@@ -129,6 +129,47 @@ class ManifestRoundTripSpec extends AnyFunSuite {
       "chained ingests must each contribute pairs or the chain proves nothing")
   }
 
+  test("bucketed manifest APPEND: an ingest's band rows add to the store " +
+      "bucket-aligned, and the grown manifest answers the next ingest " +
+      "identically to a rebuilt one") {
+    import graft.operators.Bucketing
+    val e = SimilarityQueries.vectors(spark, Sf)
+    val n = e.count()
+    val (s1, s2) = ((3L * n) / 5L, (4L * n) / 5L)
+    val bands = SimilarityQueries.bandRows(e)
+    val keys = Seq("label", "band", "bv")
+    // corpus build: bucketed store of the prior bands…
+    val (table, m0) = DedupManifest.persistBucketed(
+      bands.where(col("vec_id") < s1), "graft_spec_append_bands", keys, 8)
+    assert(m0.count() == bands.where(col("vec_id") < s1).count())
+    // …ingest 1 APPENDS its band rows (no table rewrite — the
+    // incremental growth path writeBucketedMulti documents)…
+    Bucketing.writeBucketedMulti(
+      bands.where(col("vec_id") >= s1 && col("vec_id") < s2),
+      table, keys, 8, append = true)
+    val grown = spark.table(table)
+    // …and ingest 2's pairs against the grown store equal the pairs
+    // against a from-scratch rebuild of the same manifest
+    val nb2 = bands.where(col("vec_id") >= s2)
+    def pairsOf(m: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.embedVerifiedPairsBetween(m, nb2, e)
+        .select(col("ai"), col("bi"), round(col("sim"), 4).as("sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    val (_, rebuilt) = DedupManifest.persistBucketed(
+      bands.where(col("vec_id") < s2), "graft_spec_append_ref", keys, 8)
+    assert(pairsOf(grown) == pairsOf(rebuilt))
+    assert(pairsOf(grown).nonEmpty)
+    // the appended store kept its bucket spec (still a bucketed read)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SimilarityQueries.embedVerifiedPairsBetween(grown, nb2, e)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"appended table lost its bucketed read:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed band manifest: the ingest candidate join reads the store " +
       "with ZERO exchange on the manifest side, pairs unchanged") {
     import org.apache.spark.sql.execution.SparkPlan
