@@ -54,19 +54,15 @@ import graft.Fence.FenceOps
 object RandomWalk {
 
   /** Long-row adjacency for [[walks]]: `(src, rank, dst)` with rank =
-    * 1-based position of `dst` in the sorted neighbor list, plus the
-    * `(src, degree)` side. `edges` MUST be distinct (src, dst) pairs —
-    * duplicates would inflate ranks past the sorted-set positions the
-    * hash stepping (and any array/oracle twin) indexes. */
-  def rankedAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
-    val adj = edges.select(col("src"), col("dst"),
+    * 1-based position of `dst` in the sorted neighbor list. `edges`
+    * MUST be distinct (src, dst) pairs — duplicates would inflate
+    * ranks past the sorted-set positions the hash stepping (and any
+    * array/oracle twin) indexes. */
+  def rankedAdjacency(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"),
       row_number()
         .over(Window.partitionBy(col("src")).orderBy(col("dst")))
         .cast("long").as("rank"))
-    val deg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("degree"))
-    (adj, deg)
-  }
 
   /** The walk corpus `(walk_id, step, node)`, step 0..len, one walk
     * per seed row.
@@ -80,12 +76,15 @@ object RandomWalk {
     *                 `stepHash(w, t) mod degree` */
   def walks(edges: DataFrame, seeds: DataFrame, len: Int,
       stepHash: (Column, Int) => Column): DataFrame = {
-    val (adjRaw, degRaw) = rankedAdjacency(edges)
-    val adj = adjRaw
+    val adj = rankedAdjacency(edges)
       .select(col("src").as("node"), col("rank"), col("dst"))
       .fenced() // reused by every step
-    val deg = degRaw
-      .select(col("src").as("node"), col("degree"))
+    // degree = max rank, derived FROM the fenced adjacency — the
+    // edge-build lineage (typically a corpus-scale distinct) runs
+    // once, not once per side (a duplicate build cost the bench 2×
+    // on q_graph_walks before this read the checkpoint instead)
+    val deg = adj.groupBy(col("node"))
+      .agg(max(col("rank")).as("degree"))
       .fenced() // reused by every step
     var frontier = seeds.select(col("walk_id"), col("node"))
     val steps = Seq.newBuilder[DataFrame]
