@@ -22,12 +22,13 @@ import graft.Fence.FenceOps
   *  - `(src, rank, dst)` with `rank = row_number() OVER (PARTITION BY
   *    src ORDER BY dst)` — one plain row per edge, so a hub's
   *    neighbors hash-spread across tasks like any other rows;
-  *  - a `(src, degree)` side (map-side-combinable count);
-  *  - each step resolves `rank = pmod(h, degree) + 1` against the
-  *    degree side, then EQUI-JOINS on `(node = src, rank)` — the
-  *    composite key spreads even a hub's rows across the full shuffle
-  *    space, and skew beyond that is ordinary join skew (AQE/salting
-  *    territory), not a structural single-row bottleneck.
+  *  - every adjacency row CARRIES its destination's degree, so a
+  *    frontier row always knows its current node's degree, computes
+  *    `rank = pmod(h, degree) + 1` locally, and each step is ONE
+  *    equi-join on `(node = src, rank)` — the composite key spreads
+  *    even a hub's rows across the full shuffle space, and skew
+  *    beyond that is ordinary join skew (AQE/salting territory), not
+  *    a structural single-row bottleneck.
   *
   * Determinism: `rank` order ≡ sorted-neighbor order (edges are
   * distinct, `row_number` over a total order is unique), so step t of
@@ -76,27 +77,36 @@ object RandomWalk {
     *                 `stepHash(w, t) mod degree` */
   def walks(edges: DataFrame, seeds: DataFrame, len: Int,
       stepHash: (Column, Int) => Column): DataFrame = {
-    val adj = rankedAdjacency(edges)
+    val raw = rankedAdjacency(edges)
       .select(col("src").as("node"), col("rank"), col("dst"))
-      .fenced() // reused by every step
-    // degree = max rank, derived FROM the fenced adjacency — the
-    // edge-build lineage (typically a corpus-scale distinct) runs
-    // once, not once per side (a duplicate build cost the bench 2×
-    // on q_graph_walks before this read the checkpoint instead)
-    val deg = adj.groupBy(col("node"))
-      .agg(max(col("rank")).as("degree"))
+      .fenced() // edge build runs ONCE; degree + enriched rows derive
+    // degree = max rank, read from the checkpoint (computing it from
+    // the raw edges would re-run the corpus-scale edge build)
+    val deg = raw.groupBy(col("node")).agg(max(col("rank")).as("degree"))
+    // carry the DESTINATION's degree on every adjacency row: each
+    // step then needs ONE (node, rank) equi-join — the frontier
+    // already knows its current node's degree, computes the rank
+    // locally, and receives the next node's degree with the hop
+    // (the two-join form paid a second degree lookup per step)
+    val adj = raw
+      .join(deg.select(col("node").as("dst"), col("degree").as("dst_degree")),
+        Seq("dst"), "left")
+      .select(col("node"), col("rank"), col("dst"), col("dst_degree"))
       .fenced() // reused by every step
     var frontier = seeds.select(col("walk_id"), col("node"))
+      .join(deg, Seq("node"), "left") // (walk_id, node, degree)
     val steps = Seq.newBuilder[DataFrame]
     steps += frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
     for (st <- 1 to len) {
       val h = stepHash(col("walk_id"), st)
-      frontier = frontier
-        .join(deg, "node") // dead ends (no out-edges) end their walk
+      // dead ends (no out-edges → degree null) end their walk: the
+      // arrival row above still emitted, no further steps
+      frontier = frontier.where(col("degree").isNotNull)
         .select(col("walk_id"), col("node"),
           (pmod(h, col("degree")) + 1L).as("rank"))
         .join(adj, Seq("node", "rank"))
-        .select(col("walk_id"), col("dst").as("node"))
+        .select(col("walk_id"), col("dst").as("node"),
+          col("dst_degree").as("degree"))
       steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"),
         col("node"))
     }
