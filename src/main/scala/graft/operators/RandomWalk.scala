@@ -65,6 +65,24 @@ object RandomWalk {
         .over(Window.partitionBy(col("src")).orderBy(col("dst")))
         .cast("long").as("rank"))
 
+  /** Shared fenced adjacency build: (adj, deg) where adj =
+    * (node, rank, dst, dst_degree) and deg = (node, degree). The edge
+    * build runs ONCE (degree and the enriched rows both derive from
+    * the checkpoint — computing either from the raw edges would
+    * re-run the corpus-scale edge build). */
+  private def buildAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    val raw = rankedAdjacency(edges)
+      .select(col("src").as("node"), col("rank"), col("dst"))
+      .fenced()
+    val deg = raw.groupBy(col("node")).agg(max(col("rank")).as("degree"))
+    val adj = raw
+      .join(deg.select(col("node").as("dst"), col("degree").as("dst_degree")),
+        Seq("dst"), "left")
+      .select(col("node"), col("rank"), col("dst"), col("dst_degree"))
+      .fenced() // reused by every step
+    (adj, deg)
+  }
+
   /** The walk corpus `(walk_id, step, node)`, step 0..len, one walk
     * per seed row.
     *
@@ -77,22 +95,7 @@ object RandomWalk {
     *                 `stepHash(w, t) mod degree` */
   def walks(edges: DataFrame, seeds: DataFrame, len: Int,
       stepHash: (Column, Int) => Column): DataFrame = {
-    val raw = rankedAdjacency(edges)
-      .select(col("src").as("node"), col("rank"), col("dst"))
-      .fenced() // edge build runs ONCE; degree + enriched rows derive
-    // degree = max rank, read from the checkpoint (computing it from
-    // the raw edges would re-run the corpus-scale edge build)
-    val deg = raw.groupBy(col("node")).agg(max(col("rank")).as("degree"))
-    // carry the DESTINATION's degree on every adjacency row: each
-    // step then needs ONE (node, rank) equi-join — the frontier
-    // already knows its current node's degree, computes the rank
-    // locally, and receives the next node's degree with the hop
-    // (the two-join form paid a second degree lookup per step)
-    val adj = raw
-      .join(deg.select(col("node").as("dst"), col("degree").as("dst_degree")),
-        Seq("dst"), "left")
-      .select(col("node"), col("rank"), col("dst"), col("dst_degree"))
-      .fenced() // reused by every step
+    val (adj, deg) = buildAdjacency(edges)
     var frontier = seeds.select(col("walk_id"), col("node"))
       .join(deg, Seq("node"), "left") // (walk_id, node, degree)
     val steps = Seq.newBuilder[DataFrame]
@@ -107,6 +110,76 @@ object RandomWalk {
         .join(adj, Seq("node", "rank"))
         .select(col("walk_id"), col("dst").as("node"),
           col("dst_degree").as("degree"))
+      steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"),
+        col("node"))
+    }
+    steps.result().reduce(_ union _)
+  }
+
+  /** SECOND-ORDER biased walks (node2vec, Grover & Leskovec KDD'16):
+    * from state (prev, cur), neighbor x of cur draws unnormalized
+    * search bias α = 1/p when x = prev (return), 1 when x ∈ N(prev)
+    * (BFS-ish stay-close), 1/q otherwise (DFS-ish explore) — here as
+    * the EXACT INTEGER weights `(wBack, wCommon, wFar)` (e.g. p=1/2,
+    * q=2 → 4/2/1), so the cumulative-weight pick
+    * `first neighbor with cum > stepHash(w,t) mod Σw` is pure integer
+    * arithmetic and replays identically in any engine. Step 1 has no
+    * prev and is the uniform first-order step.
+    *
+    * Scale shape: steps 2+ inherently touch ALL of cur's neighbors
+    * (the bias normalizer Σw is degree-mass — node2vec's own cost,
+    * not an implementation artifact): each step equi-joins the
+    * frontier against the long-row adjacency on `node = cur`
+    * (deg(cur) rows per walk), marks the return/common/far class by a
+    * LEFT join on `(prev, dst)` edge membership, and resolves the
+    * pick with a PER-WALK cumulative window — partitions are
+    * walk-sized (one visit's neighbor list), so a hub visit costs
+    * deg(hub) rows in one spillable per-walk partition, never the
+    * whole frontier in one task. First-order [[walks]] stays the
+    * O(1)-per-step form for p = q = 1.
+    *
+    * @return `(walk_id, step, node)`, step 0..len */
+  def biasedWalks(edges: DataFrame, seeds: DataFrame, len: Int,
+      stepHash: (Column, Int) => Column,
+      wBack: Long = 4L, wCommon: Long = 2L, wFar: Long = 1L): DataFrame = {
+    require(len >= 1 && wBack > 0 && wCommon > 0 && wFar > 0,
+      s"len=$len weights=($wBack,$wCommon,$wFar)")
+    val (adj, deg) = buildAdjacency(edges)
+    // membership side for the α classes: is (prev → dst) an edge?
+    val memb = adj.select(col("node").as("prev"), col("dst"),
+      lit(true).as("is_common"))
+    val steps = Seq.newBuilder[DataFrame]
+    val seeded = seeds.select(col("walk_id"), col("node"))
+      .join(deg, Seq("node"), "left")
+    steps += seeded.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    // step 1: uniform first-order (no prev yet — the node2vec start)
+    val h1 = stepHash(col("walk_id"), 1)
+    var frontier = seeded.where(col("degree").isNotNull)
+      .select(col("walk_id"), col("node"),
+        (pmod(h1, col("degree")) + 1L).as("rank"))
+      .join(adj, Seq("node", "rank"))
+      .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"))
+    steps += frontier.select(col("walk_id"), lit(1L).as("step"), col("node"))
+    for (st <- 2 to len) {
+      val h = stepHash(col("walk_id"), st)
+      val wt = when(col("dst") === col("prev"), wBack)
+        .when(col("is_common"), wCommon)
+        .otherwise(wFar)
+      val wWalk = Window.partitionBy(col("walk_id"))
+      val cand = frontier
+        .join(adj.select(col("node").as("cnode"), col("rank"), col("dst")),
+          col("node") === col("cnode"))
+        .join(memb, Seq("prev", "dst"), "left")
+        .select(col("walk_id"), col("prev"), col("node"), col("rank"),
+          col("dst"), wt.as("wt"))
+      val picked = cand
+        .withColumn("cum",
+          sum(col("wt")).over(wWalk.orderBy(col("rank"))))
+        .withColumn("wtot", sum(col("wt")).over(wWalk))
+        .withColumn("r", pmod(h, col("wtot")))
+        .where(col("cum") > col("r") && col("cum") - col("wt") <= col("r"))
+      frontier = picked
+        .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"))
       steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"),
         col("node"))
     }

@@ -424,6 +424,93 @@ object GraphQueries {
     walksOf(s, d).orderBy(col("walk_id"), col("step"))
   }
 
+  /** The shared (edges, seeds) derivation of the walk family. */
+  private def walkGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val li = t(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val e = li.select(col("p").as("src"), col("sp").as("dst"))
+      .union(li.select(col("sp").as("src"), col("p").as("dst")))
+    val seeds = t(s, d, "lineitem")
+      .where(col("l_suppkey") % 10 === 0)
+      .select((col("l_suppkey") * 2 + 1).as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("node"))
+    (e, seeds)
+  }
+
+  /** node2vec search-bias weights as EXACT INTEGERS: p = 1/2, q = 2 →
+    * α(return)=2, α(common)=1, α(far)=1/2, scaled ×2 to (4, 2, 1). */
+  private val WBack = 4L
+  private val WCommon = 2L
+  private val WFar = 1L
+
+  private def biasedStepCtes(t: Int): String = {
+    val h = graft.functions.PortableHash.md5LongSql(
+      s"walk_id::VARCHAR || ':b' || '$t'")
+    s"""c$t AS (
+       |  SELECT w.walk_id, w.node AS cur, t.i AS idx, ac.ns[t.i] AS dst,
+       |    CASE WHEN ac.ns[t.i] = w.prev THEN $WBack
+       |         WHEN ap.src IS NOT NULL AND list_contains(ap.ns, ac.ns[t.i])
+       |           THEN $WCommon
+       |         ELSE $WFar END AS wt
+       |  FROM b${t - 1} w
+       |  JOIN adj ac ON ac.src = w.node
+       |  LEFT JOIN adj ap ON ap.src = w.prev,
+       |  unnest(generate_series(1, len(ac.ns))) AS t(i)),
+       |s$t AS (
+       |  SELECT walk_id, cur, dst, wt,
+       |    sum(wt) OVER (PARTITION BY walk_id ORDER BY idx) AS cum,
+       |    sum(wt) OVER (PARTITION BY walk_id) AS wtot
+       |  FROM c$t),
+       |b$t AS (SELECT walk_id, cur AS prev, dst AS node FROM s$t
+       |        WHERE cum > $h % wtot AND cum - wt <= $h % wtot)""".stripMargin
+  }
+
+  /** SECOND-ORDER biased walk corpus (node2vec, Grover & Leskovec
+    * KDD'16) — the p/q-biased generalization of [[qWalks]] (its
+    * p = q = 1 case): from state (prev, cur), neighbors of cur draw
+    * the search bias α = 1/p (return), 1 (common neighbor — BFS-ish),
+    * 1/q (explore — DFS-ish), here the exact integer triple
+    * ([[WBack]], [[WCommon]], [[WFar]]) = p 1/2 / q 2, and the step
+    * takes the first sorted neighbor whose cumulative weight exceeds
+    * `md5(w:b:t) mod Σw` — pure integer arithmetic, so the DuckDB
+    * oracle replays the identical biased corpus hash-exactly (the
+    * portable hash replaces the RNG, the [[qWalks]] stance). Step 1
+    * is the uniform first-order start (no prev yet).
+    *
+    * Scale shape: [[graft.operators.RandomWalk.biasedWalks]] — steps
+    * 2+ inherently touch all of cur's neighbors (the bias normalizer
+    * Σw is degree-mass, node2vec's own cost); the candidate join is
+    * the long-row (node = cur) equi-join and the pick is a PER-WALK
+    * cumulative window (one visit's neighbor list per partition —
+    * spillable, never the frontier through one task). */
+  private val qWalksBiased = Q("q_graph_walks_biased",
+    s"""WITH $graphCtes,
+       |adj AS MATERIALIZED (
+       |  SELECT src, list_sort(list(dst)) AS ns FROM e GROUP BY src),
+       |bw0 AS (SELECT DISTINCT l_suppkey * 2 + 1 AS walk_id,
+       |          l_suppkey * 2 + 1 AS node
+       |        FROM lineitem WHERE l_suppkey % 10 = 0),
+       |b1 AS (SELECT w.walk_id, w.node AS prev,
+       |         a.ns[(1 + ${graft.functions.PortableHash.md5LongSql(
+                  "walk_id::VARCHAR || ':b' || '1'")} % len(a.ns))::BIGINT]
+       |           AS node
+       |       FROM bw0 w JOIN adj a ON a.src = w.node),
+       |${(2 to WalkLen).map(biasedStepCtes).mkString(",\n")}
+       |SELECT walk_id, step, node FROM (
+       |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM bw0
+       |${(1 to WalkLen).map(t =>
+          s"  UNION ALL SELECT walk_id, CAST($t AS BIGINT), node FROM b$t")
+          .mkString("\n")}
+       |) ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+    val (e, seeds) = walkGraph(s, d)
+    graft.operators.RandomWalk.biasedWalks(e, seeds, WalkLen,
+      (wid, st) => graft.functions.PortableHash.md5Long(
+        concat(wid.cast("string"), lit(s":b$st"))),
+      WBack, WCommon, WFar)
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   /** Skip-gram training pairs over the walk corpus — the second half
     * of the DeepWalk recipe (walks → windowed (center, context)
     * pairs → embedding trainer): every ordered pair of nodes within
@@ -542,5 +629,5 @@ object GraphQueries {
 
   val all: Seq[Q] =
     Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss,
-      qWalks, qWalkPairs, qGraphEmbed)
+      qWalks, qWalksBiased, qWalkPairs, qGraphEmbed)
 }
