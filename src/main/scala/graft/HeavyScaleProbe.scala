@@ -127,7 +127,14 @@ object HeavyScaleProbe {
     // the margin windows over it) linearly; the same-direction
     // per-copy shift makes cross-copy vectors pile into shared cells,
     // so this is ALSO the cap stress for the cell-population sizing
-    "q_mine_bitext")
+    "q_mine_bitext",
+    // round 14: second-order biased walks — per-step work is
+    // Σ deg(cur) over the frontier (node2vec's inherent degree-mass
+    // normalizer); the salted lineitem gives 10 disconnected graph
+    // copies with per-copy degrees constant, so seeds AND per-step
+    // candidate volume grow ~10× — the pass must scale linearly,
+    // never with any cross-copy product
+    "q_graph_walks_biased")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -141,7 +148,7 @@ object HeavyScaleProbe {
     "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
     "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
     "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0,
-    "q_mine_bitext" -> 1.0)
+    "q_mine_bitext" -> 1.0, "q_graph_walks_biased" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
