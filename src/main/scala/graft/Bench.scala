@@ -12,6 +12,12 @@ object Bench {
     // inflation contention diagnosis instead of inferring contention
     // from the victim measurements alone.
     val calibStart = CalibProbe.ms()
+    // Parallel (cores-wide) spin — the scalar BenchGate's contention
+    // corroboration actually keys on (round 15): a lone spin thread
+    // reads quiet under partial-core competitor load (it still gets a
+    // full core — the r14 live miss), while a cores-wide section
+    // inflates with the same runnable/cores ratio as the bench.
+    val calibParStart = CalibProbe.msParallel()
     // Warm-up pass at the smallest SF: absorbs JIT + codegen compile
     // so the timed pass measures steady-state throughput.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
@@ -105,8 +111,9 @@ object Bench {
         graft.streaming.ServingProbe.Result(0.0, 0.0)
       }
     val calibMs = math.min(calibStart, CalibProbe.ms())
+    val calibParMs = math.min(calibParStart, CalibProbe.msParallel())
     val streamingJson =
-      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f,"calib_ms":$calibMs%.1f"""
+      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f,"calib_ms":$calibMs%.1f,"calib_par_ms":$calibParMs%.1f"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},$streamingJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's

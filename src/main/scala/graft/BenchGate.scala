@@ -74,13 +74,35 @@ object BenchGate {
     * alone cannot authorize the eps rescale. [[graft.CalibProbe]]
     * gives the independent signal: a single-threaded fixed spin whose
     * cost moves only with host load (engine code never touches it).
-    * Normalization now engages only when the run's calib_ms ALSO
+    * Normalization now engages only when the run's calibration ALSO
     * inflated ≥ this ratio vs canonical; a uniform query inflation on
     * a calibration-quiet host is treated as the regression it is, and
-    * a run missing calibration data (either side) normalizes only
-    * PROVISIONALLY — the note demands a quiet-host re-measure before
-    * any canonical recording. */
+    * a run missing calibration data (either side) FAILS CLOSED
+    * (round 15, the r14 advice: the old PROVISIONAL rescale let a
+    * real regression benched against a pre-calibration canonical
+    * pass) — re-measure on a quiet host or re-bench against a
+    * calibration-carrying canonical.
+    *
+    * Round 15: the decision keys on the PARALLEL (cores-wide)
+    * `calib_par_ms` scalar when both artifacts carry it — the r14
+    * live miss was a driver run at query-median 1.099× whose
+    * single-thread calib read 1.01× (a lone spin still gets a full
+    * core under partial-core competitor load); a cores-wide section
+    * inflates with the same runnable/cores ratio as the 32-way bench
+    * itself. `calib_ms` (1-thread) remains the fallback against
+    * pre-r15 canonicals. */
   val CalibCorroborationMin = 1.1
+
+  /** The calibration ratio (latest / canonical) the normalization
+    * decision keys on, with the scalar it came from: `calib_par_ms`
+    * preferred whenever BOTH sides carry it, `calib_ms` otherwise;
+    * None when either side lacks both (→ fail closed downstream). */
+  def pickCalibRatio(canonical: Map[String, Double],
+      latest: Map[String, Double]): Option[(Double, String)] =
+    Seq("calib_par_ms", "calib_ms").flatMap { k =>
+      for { c <- canonical.get(k).filter(_ > 0); l <- latest.get(k) }
+        yield (l / c, k)
+    }.headOption
 
   /** Ceiling for the serving hop's p99 publish→write latency — the
     * symmetric guard for the round-12 latency percentiles: canonical
@@ -166,10 +188,11 @@ object BenchGate {
     * is re-judged at eps × medianRatio (see [[ContentionMinRatio]]) —
     * but only when the independent calibration signal corroborates
     * the contention reading (see [[CalibCorroborationMin]]); with
-    * calibration data missing the rescale is PROVISIONAL, and with a
-    * quiet calibration it is refused outright.
-    * @param calibRatio latest calib_ms / canonical calib_ms, when
-    *   both artifacts carry the calibration scalar
+    * calibration data missing the breach STANDS (fail closed), and
+    * with a quiet calibration the rescale is refused outright.
+    * @param calibRatio latest/canonical calibration ratio from
+    *   [[pickCalibRatio]] (parallel scalar preferred), when both
+    *   artifacts carry a calibration scalar
     * @return (surviving breaches, contention notes) — a normalized-
     *   away breach moves to the notes so the run log still records it */
   def normalizedFloorBreaches(scalars: Map[String, Double],
@@ -196,19 +219,25 @@ object BenchGate {
               f"by calibration (${c}%.2fx < $CalibCorroborationMin%.2fx): " +
               "treating the eps breach as a real regression"))
           case None =>
-            (raw.filterNot(_.startsWith("streaming_eps")),
-              Seq(diagnosis + " — PROVISIONAL: no calibration scalar on " +
-                "one side; re-measure on a quiet host before recording " +
-                "any canonical"))
+            // fail CLOSED (r15): without the independent signal the
+            // uniform inflation could as well be a real global
+            // regression — the breach stands
+            (raw, Seq(f"uniform inflation (median $m%.2f) suggests " +
+              "contention but NO calibration scalar on one side — " +
+              "failing closed: re-measure on a quiet host or re-bench " +
+              "against a calibration-carrying canonical"))
         }
       case _ => (raw, Nil)
     }
   }
 
-  /** The calib_ms scalar of a bench artifact, when present. */
-  def calibOf(path: String): Option[Double] = {
+  /** The calibration scalars of a bench artifact (whichever of
+    * calib_ms / calib_par_ms are present). */
+  def calibScalarsOf(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
-    Option(root.get("calib_ms")).map(_.asDouble()).filter(_ > 0)
+    Seq("calib_ms", "calib_par_ms")
+      .flatMap(k => Option(root.get(k)).map(k -> _.asDouble()))
+      .filter(_._2 > 0).toMap
   }
 
   final case class Flag(name: String, canonical: Double, latest: Double) {
@@ -253,12 +282,14 @@ object BenchGate {
       println(s"BENCHGATE queries gone from latest: ${departed.mkString(", ")}")
     val flags = regressions(canonical, latest)
     val mr = medianRatio(canonical, latest)
-    val calibRatio = for {
-      c <- calibOf(canonicalPath)
-      l <- calibOf(latestPath)
-    } yield l / c
+    val picked =
+      pickCalibRatio(calibScalarsOf(canonicalPath), calibScalarsOf(latestPath))
+    picked.foreach { case (r, k) =>
+      println(f"BENCHGATE calibration: $k ratio $r%.2fx" +
+        (if (k == "calib_ms") " (1-thread fallback — canonical lacks calib_par_ms)" else ""))
+    }
     val (breaches, contentionNotes) =
-      normalizedFloorBreaches(scalarFields(latestPath), mr, calibRatio)
+      normalizedFloorBreaches(scalarFields(latestPath), mr, picked.map(_._1))
     contentionNotes.foreach(n => println(s"BENCHGATE note: $n"))
     if (flags.isEmpty && breaches.isEmpty) {
       println(f"BENCHGATE ok: ${latest.size} queries within ${RatioGate}x of canonical " +

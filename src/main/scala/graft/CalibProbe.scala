@@ -24,9 +24,11 @@ object CalibProbe {
   /** ~10⁸ splitmix64 steps ≈ 100–300 ms single-threaded. */
   private val Steps = 100000000L
 
-  /** One timed spin. */
-  private def once(): (Double, Long) = {
-    var x = 0x9e3779b97f4a7c15L
+  /** One timed spin. `seed` varies per thread in the parallel probe so
+    * the JIT cannot share/specialize across threads in a way a lone
+    * spin wouldn't see. */
+  private def once(seed: Long = 0x9e3779b97f4a7c15L): (Double, Long) = {
+    var x = seed
     var acc = 0L
     var i = 0L
     val t0 = System.nanoTime()
@@ -54,6 +56,46 @@ object CalibProbe {
     }
     // publish the fold so the whole computation is observably live
     if (fold == 42L) System.err.println("[calib] improbable fold")
+    best
+  }
+
+  /** One parallel spin section: `threads` concurrent [[once]] loops,
+    * wall time from first start to last join. */
+  private def oncePar(threads: Int): Double = {
+    val folds = new Array[Long](threads)
+    val ts = (0 until threads).map { i =>
+      new Thread(() => folds(i) = once(0x9e3779b97f4a7c15L * (i + 1)) ._2)
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    val t = (System.nanoTime() - t0) / 1e6
+    if (folds.foldLeft(0L)(_ ^ _) == 42L)
+      System.err.println("[calib] improbable fold")
+    t
+  }
+
+  /** Min-of-`reps` PARALLEL calibration wall time in ms — `threads`
+    * concurrent spins (default = available cores, mimicking the
+    * 32-way bench's own parallelism).
+    *
+    * The round-14 verdict's live gap: a SINGLE spin thread on a
+    * partially-contended host (competitor load < cores) still gets a
+    * full core and reads quiet (r14 driver run: query median 1.099×
+    * with 1-thread calib 1.01×), so BenchGate refused to corroborate
+    * real contention. A cores-wide spin section is subject to the
+    * same runnable/cores ratio as the bench itself: any competitor
+    * load pushes total runnable past the core count and the section
+    * wall inflates proportionally — partial-core load now moves the
+    * independent signal. The 1-thread [[ms]] stays published for
+    * continuity/diagnosis; the gate keys on this scalar when both
+    * artifacts carry it. */
+  def msParallel(threads: Int = Runtime.getRuntime.availableProcessors(),
+      reps: Int = 3): Double = {
+    require(threads >= 1, s"threads=$threads")
+    oncePar(threads) // warm-up: JIT + thread-pool page-in
+    var best = Double.MaxValue
+    for (_ <- 1 to reps) best = math.min(best, oncePar(threads))
     best
   }
 }

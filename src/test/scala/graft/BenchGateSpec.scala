@@ -72,19 +72,20 @@ class BenchGateSpec extends AnyFunSuite {
     val quiet = canonical
     val mrInflated = BenchGate.medianRatio(canonical, inflated)
     assert(mrInflated.exists { case (m, uniform) => math.abs(m - 1.26) < 1e-9 && uniform })
-    // 266k eps on a 1.26x-contended host → normalized 335k clears 300k:
-    // breach moves to a note, run passes
+    // 266k eps on a 1.26x-contended host (calibration agreeing) →
+    // normalized 335k clears 300k: breach moves to a note, run passes
+    val calib = Some(1.26)
     val sample = healthy + ("streaming_eps" -> 266000.0)
-    val (b1, n1) = BenchGate.normalizedFloorBreaches(sample, mrInflated)
+    val (b1, n1) = BenchGate.normalizedFloorBreaches(sample, mrInflated, calib)
     assert(b1.isEmpty && n1.size == 1 && n1.head.contains("normalized"))
     // same eps on a QUIET host (median ratio 1.0) → real regression, fails
     val (b2, n2) = BenchGate.normalizedFloorBreaches(sample,
-      BenchGate.medianRatio(canonical, quiet))
+      BenchGate.medianRatio(canonical, quiet), calib)
     assert(b2.exists(_.contains("streaming_eps")) && n2.isEmpty)
     // contended AND collapsed: 150k × 1.26 = 189k still under the floor —
     // the breach survives normalization
     val (b3, _) = BenchGate.normalizedFloorBreaches(
-      healthy + ("streaming_eps" -> 150000.0), mrInflated)
+      healthy + ("streaming_eps" -> 150000.0), mrInflated, calib)
     assert(b3.exists(_.contains("streaming_eps")))
     // too few common queries for the median to mean anything → no
     // normalization (raw verdict stands)
@@ -119,13 +120,78 @@ class BenchGateSpec extends AnyFunSuite {
     val (b2, n2) = BenchGate.normalizedFloorBreaches(sample, mr, Some(1.0))
     assert(b2.exists(_.contains("streaming_eps")))
     assert(n2.exists(_.contains("NOT corroborated")))
-    // no calibration data (pre-r14 canonical) → normalize PROVISIONALLY,
-    // the note demands a quiet-host re-measure
+    // no calibration data (pre-r14 canonical) → FAIL CLOSED (r15, the
+    // r14 advice: the old provisional rescale let a regression benched
+    // against a calib-less canonical pass)
     val (b3, n3) = BenchGate.normalizedFloorBreaches(sample, mr, None)
-    assert(b3.isEmpty && n3.exists(_.contains("PROVISIONAL")))
+    assert(b3.exists(_.contains("streaming_eps")))
+    assert(n3.exists(_.contains("failing closed")))
     // a quiet calibration never blocks a run that needs no normalizing
     val (b4, n4) = BenchGate.normalizedFloorBreaches(healthy,
       BenchGate.medianRatio(canonical, canonical), Some(1.0))
     assert(b4.isEmpty && n4.isEmpty)
+  }
+
+  test("calibration ratio keys on the PARALLEL scalar when both sides " +
+      "carry it, 1-thread fallback otherwise (r15)") {
+    val canonBoth = Map("calib_ms" -> 85.0, "calib_par_ms" -> 200.0)
+    // the r14 live-miss shape: single-thread spin flat (86/85 ≈ 1.01)
+    // while the cores-wide section inflated 1.4× — the decision must
+    // see the 1.4
+    val latest = Map("calib_ms" -> 86.0, "calib_par_ms" -> 280.0)
+    assert(BenchGate.pickCalibRatio(canonBoth, latest).exists {
+      case (r, k) => k == "calib_par_ms" && math.abs(r - 1.4) < 1e-9 })
+    // pre-r15 canonical (no parallel scalar) → 1-thread fallback
+    val canonOld = Map("calib_ms" -> 85.0)
+    assert(BenchGate.pickCalibRatio(canonOld, latest).exists {
+      case (r, k) => k == "calib_ms" && math.abs(r - 86.0 / 85.0) < 1e-9 })
+    // either side lacking both → None (downstream fails closed)
+    assert(BenchGate.pickCalibRatio(Map.empty, latest).isEmpty)
+    assert(BenchGate.pickCalibRatio(canonBoth, Map.empty).isEmpty)
+    // a zero/garbage canonical scalar never divides
+    assert(BenchGate.pickCalibRatio(Map("calib_par_ms" -> 0.0),
+      Map("calib_par_ms" -> 100.0)).isEmpty)
+  }
+
+  test("LIVE: partial-core competitor load inflates the parallel spin " +
+      "while the 1-thread spin stays flat (the r14 driver-window miss)") {
+    val cores = Runtime.getRuntime.availableProcessors()
+    assume(cores >= 8, s"needs a many-core host, have $cores")
+    // unloaded baselines
+    val single0 = CalibProbe.ms()
+    val par0 = CalibProbe.msParallel()
+    // synthetic competitor: busy-spin on ~3/4 of the cores — the
+    // partial-core contention shape (competitor < cores) the r14
+    // 1-thread probe could not see
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val load = (1 to (3 * cores) / 4).map { i =>
+      val t = new Thread(() => {
+        var x = i.toLong
+        while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+        sink.addAndGet(x): Unit
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val single1 = CalibProbe.ms()
+      val par1 = CalibProbe.msParallel()
+      val singleRatio = single1 / single0
+      val parRatio = par1 / par0
+      info(f"single $single0%.0f→$single1%.0f ms (${singleRatio}%.2fx), " +
+        f"parallel $par0%.0f→$par1%.0f ms (${parRatio}%.2fx) under " +
+        f"${load.size} competitor threads on $cores cores")
+      // the lone spin still finds a free core: near-flat
+      assert(singleRatio < 1.3,
+        f"1-thread spin inflated ${singleRatio}%.2fx under partial-core load")
+      // the cores-wide section shares cores with the competitor:
+      // runnable/cores ≈ 1.75 → expect ≥ 1.1× (theory ~1.7×)
+      assert(parRatio >= BenchGate.CalibCorroborationMin,
+        f"parallel spin only ${parRatio}%.2fx under partial-core load — " +
+          "the contention signal the gate keys on did not move")
+    } finally {
+      stop.set(true)
+      load.foreach(_.join(2000))
+    }
   }
 }
