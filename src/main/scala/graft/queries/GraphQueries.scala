@@ -484,8 +484,11 @@ object GraphQueries {
     * the long-row (node = cur) equi-join and the pick is a PER-WALK
     * cumulative window (one visit's neighbor list per partition —
     * spillable, never the frontier through one task). */
-  private val qWalksBiased = Q("q_graph_walks_biased",
-    s"""WITH $graphCtes,
+  /** The biased walk corpus's oracle CTE chain, ending in
+    * `bwalks(walk_id, step, node)` — shared by q_graph_walks_biased
+    * and the biased embedding's coverage oracle. */
+  private val biasedWalkCtes: String =
+    s"""$graphCtes,
        |adj AS MATERIALIZED (
        |  SELECT src, list_sort(list(dst)) AS ns FROM e GROUP BY src),
        |bw0 AS (SELECT DISTINCT l_suppkey * 2 + 1 AS walk_id,
@@ -496,19 +499,29 @@ object GraphQueries {
                   "walk_id::VARCHAR || ':b' || '1'")} % len(a.ns))::BIGINT]
        |           AS node
        |       FROM bw0 w JOIN adj a ON a.src = w.node),
-       |${(2 to WalkLen).map(biasedStepCtes).mkString(",\n")}
-       |SELECT walk_id, step, node FROM (
+       |${(2 to WalkLen).map(biasedStepCtes).mkString(",\n")},
+       |bwalks AS MATERIALIZED (
        |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM bw0
        |${(1 to WalkLen).map(t =>
           s"  UNION ALL SELECT walk_id, CAST($t AS BIGINT), node FROM b$t")
           .mkString("\n")}
-       |) ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+       |)""".stripMargin
+
+  /** The biased walk corpus as an unordered frame — shared by
+    * q_graph_walks_biased and the biased skip-gram pair extraction. */
+  private[graft] def biasedWalksOf(s: SparkSession, d: String): DataFrame = {
     val (e, seeds) = walkGraph(s, d)
     graft.operators.RandomWalk.biasedWalks(e, seeds, WalkLen,
       (wid, st) => graft.functions.PortableHash.md5Long(
         concat(wid.cast("string"), lit(s":b$st"))),
       WBack, WCommon, WFar)
-      .orderBy(col("walk_id"), col("step"))
+  }
+
+  private val qWalksBiased = Q("q_graph_walks_biased",
+    s"""WITH $biasedWalkCtes
+       |SELECT walk_id, step, node FROM bwalks
+       |ORDER BY walk_id, step""".stripMargin) { (s, d) =>
+    biasedWalksOf(s, d).orderBy(col("walk_id"), col("step"))
   }
 
   /** Skip-gram training pairs over the walk corpus — the second half
@@ -525,8 +538,8 @@ object GraphQueries {
   /** The aggregated skip-gram pair frame (center, context, distance,
     * n_pairs) — shared by q_graph_walk_pairs and the SGNS trainer
     * query. */
-  private[graft] def walkPairsOf(s: SparkSession, d: String): DataFrame = {
-    val w = walksOf(s, d).fenced() // both self-join sides
+  private def pairsFrom(corpus: DataFrame): DataFrame = {
+    val w = corpus.fenced() // both self-join sides
     val a = w.select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
     val b = w.select(col("walk_id"), col("step").as("sb"), col("node").as("context"))
     a.join(b, Seq("walk_id"))
@@ -535,6 +548,15 @@ object GraphQueries {
         abs(col("sa") - col("sb")).as("distance"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+
+  private[graft] def walkPairsOf(s: SparkSession, d: String): DataFrame =
+    pairsFrom(walksOf(s, d))
+
+  /** Skip-gram pairs over the BIASED (node2vec) corpus — the pair
+    * window is corpus-agnostic, so the derivation is [[pairsFrom]]
+    * verbatim; only the walk generator differs. */
+  private[graft] def biasedWalkPairsOf(s: SparkSession, d: String): DataFrame =
+    pairsFrom(biasedWalksOf(s, d))
 
   private val qWalkPairs = Q("q_graph_walk_pairs",
     s"""WITH $walkCtes
@@ -584,13 +606,14 @@ object GraphQueries {
     * (node, dim) gradient frames exchange); the verdict pass joins the
     * V-bounded embedding table to the pair table once — nothing
     * corpus-scaled, the walk corpus is seed-scale by construction. */
-  private val qGraphEmbed = Q("q_graph_embed",
-    s"""WITH $walkCtes
-       |SELECT node, CAST($EmbedDim AS INT) AS dim, true AS embed_ok
-       |FROM (SELECT DISTINCT node FROM walks) n
-       |ORDER BY node""".stripMargin) { (s, d) =>
+  /** Shared SGNS train-and-verdict body for the embedding queries:
+    * trains at the SHIPPED operating point on the given raw pair
+    * frame and returns (node, dim, embed_ok) — norm and corpus-level
+    * separation verdicts computed in-plan (see [[qGraphEmbed]]'s
+    * guarantee-stance contract). */
+  private def sgnsEmbedQuery(s: SparkSession, rawPairs: DataFrame): DataFrame = {
     import graft.operators.Sgns
-    val pairs = walkPairsOf(s, d)
+    val pairs = rawPairs
       .groupBy(col("center"), col("context")).agg(sum(col("n_pairs")).as("wt"))
       .fenced() // trained on (iteratively) + verdict-joined
     val (model, _) =
@@ -627,7 +650,31 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  private val qGraphEmbed = Q("q_graph_embed",
+    s"""WITH $walkCtes
+       |SELECT node, CAST($EmbedDim AS INT) AS dim, true AS embed_ok
+       |FROM (SELECT DISTINCT node FROM walks) n
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    sgnsEmbedQuery(s, walkPairsOf(s, d))
+  }
+
+  /** node2vec LOOP CLOSED (round 15 — the r14 verdict's item 3): SGNS
+    * trained on the BIASED (second-order, p=1/2 q=2) walk corpus, the
+    * actual Grover & Leskovec §3.2 recipe — biased walks → windowed
+    * skip-gram pairs → SGNS. Training, verdicts, and the
+    * guarantee-stance oracle (model covers EXACTLY the biased-corpus
+    * node set; norms finite-positive and co-occurring-vs-random
+    * separation verified in-plan) are [[sgnsEmbedQuery]] verbatim —
+    * only the corpus generator differs. */
+  private val qGraphEmbedBiased = Q("q_graph_embed_biased",
+    s"""WITH $biasedWalkCtes
+       |SELECT node, CAST($EmbedDim AS INT) AS dim, true AS embed_ok
+       |FROM (SELECT DISTINCT node FROM bwalks) n
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    sgnsEmbedQuery(s, biasedWalkPairsOf(s, d))
+  }
+
   val all: Seq[Q] =
     Seq(qPagerank, qTriangles, qLabelProp, qPprSeeded, qKcore, qKtruss,
-      qWalks, qWalksBiased, qWalkPairs, qGraphEmbed)
+      qWalks, qWalksBiased, qWalkPairs, qGraphEmbed, qGraphEmbedBiased)
 }
