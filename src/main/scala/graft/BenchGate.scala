@@ -50,6 +50,18 @@ object BenchGate {
   val StreamingEpsFloor = 300000.0
   val StallRatioFloor = 0.9
 
+  /** Floor for the serving hub's free-running fan-out throughput —
+    * round 15 (r14 verdict stretch 7): `serving_eps_free` swung 25k →
+    * 9k between a quiet and a contended run with no gate watching, so
+    * a real serving regression could hide in host noise. Floor at
+    * half the canonical (29.5k). The serving hop is a thread-bound
+    * HTTP loop, far MORE contention-sensitive than the batch queries
+    * (r14: serving 3.2× down while query median read 1.099×), so its
+    * contention rescale keys on the cores-wide CALIBRATION ratio (the
+    * scheduler-pressure signal), not the query median — see
+    * [[normalizedFloorBreaches]]. */
+  val ServingEpsFreeFloor = 15000.0
+
   /** Contention normalization (round-13): every driver-window sample
     * in round 12 breached the eps floor while every quiet canonical
     * re-measure passed — a gate that only ever passes on quiet
@@ -127,7 +139,8 @@ object BenchGate {
 
   private def scalarFields(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
-    Seq("streaming_eps", "serving_stall_ratio", "serving_latency_p99_ms")
+    Seq("streaming_eps", "serving_eps_free", "serving_stall_ratio",
+      "serving_latency_p99_ms")
       .flatMap { k => Option(root.get(k)).map(k -> _.asDouble()) }.toMap
   }
 
@@ -137,6 +150,7 @@ object BenchGate {
   def floorBreaches(scalars: Map[String, Double]): Seq[String] = {
     val floors = Seq(
       ("streaming_eps", StreamingEpsFloor, f"$StreamingEpsFloor%.0f"),
+      ("serving_eps_free", ServingEpsFreeFloor, f"$ServingEpsFreeFloor%.0f"),
       ("serving_stall_ratio", StallRatioFloor, f"$StallRatioFloor%.2f"),
     ).flatMap { case (k, floor, floorStr) =>
       scalars.get(k) match {
@@ -199,19 +213,41 @@ object BenchGate {
       mr: Option[(Double, Boolean)],
       calibRatio: Option[Double] = None): (Seq[String], Seq[String]) = {
     val raw = floorBreaches(scalars)
-    (scalars.get("streaming_eps"), mr) match {
-      case (Some(eps), Some((m, uniform)))
-          if eps < StreamingEpsFloor && uniform &&
-            m >= ContentionMinRatio && eps * m >= StreamingEpsFloor =>
-        val diagnosis = f"streaming_eps $eps%.0f below floor " +
-          f"$StreamingEpsFloor%.0f under uniform inflation (median query " +
-          f"ratio $m%.2f, IQR within $UniformIqrMax%.2f); " +
-          f"normalized ${eps * m}%.0f clears the floor"
+    val epsLow = scalars.get("streaming_eps").exists(_ < StreamingEpsFloor)
+    val servLow =
+      scalars.get("serving_eps_free").exists(_ < ServingEpsFreeFloor)
+    mr match {
+      case Some((m, uniform))
+          if (epsLow || servLow) && uniform && m >= ContentionMinRatio =>
         calibRatio match {
           case Some(c) if c >= CalibCorroborationMin =>
-            (raw.filterNot(_.startsWith("streaming_eps")),
-              Seq(diagnosis +
-                f" — contention CORROBORATED by calibration (${c}%.2fx)"))
+            var out = raw
+            val notes = Seq.newBuilder[String]
+            // streaming_eps rescales by the QUERY median (the stream
+            // is the same Spark work the queries are)
+            for (eps <- scalars.get("streaming_eps")
+                if epsLow && eps * m >= StreamingEpsFloor) {
+              out = out.filterNot(_.startsWith("streaming_eps"))
+              notes += f"streaming_eps $eps%.0f below floor " +
+                f"$StreamingEpsFloor%.0f under uniform inflation (median " +
+                f"query ratio $m%.2f, IQR within $UniformIqrMax%.2f); " +
+                f"normalized ${eps * m}%.0f clears the floor — contention " +
+                f"CORROBORATED by calibration (${c}%.2fx)"
+            }
+            // serving_eps_free rescales by the CALIBRATION ratio: the
+            // serving hop is a thread-bound loop whose throughput
+            // tracks scheduler pressure (the cores-wide spin), not
+            // the batch-query median (r14: serving 3.2× down, query
+            // median 1.099×)
+            for (se <- scalars.get("serving_eps_free")
+                if servLow && se * c >= ServingEpsFreeFloor) {
+              out = out.filterNot(_.startsWith("serving_eps_free"))
+              notes += f"serving_eps_free $se%.0f below floor " +
+                f"$ServingEpsFreeFloor%.0f under CORROBORATED contention; " +
+                f"normalized by the calibration ratio (${c}%.2fx) to " +
+                f"${se * c}%.0f — clears the floor"
+            }
+            (out, notes.result())
           case Some(c) =>
             // quiet calibration: the uniform inflation is code, not
             // host — the breach stands

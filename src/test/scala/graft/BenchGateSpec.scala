@@ -34,6 +34,7 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   private val healthy = Map("streaming_eps" -> 448000.0,
+    "serving_eps_free" -> 29000.0,
     "serving_stall_ratio" -> 1.00, "serving_latency_p99_ms" -> 0.02)
 
   test("streaming/serving floors: breach below, green at-or-above, missing = breach") {
@@ -42,15 +43,19 @@ class BenchGateSpec extends AnyFunSuite {
     // exactly at the floors — green (floor is inclusive)
     assert(BenchGate.floorBreaches(healthy +
       ("streaming_eps" -> BenchGate.StreamingEpsFloor) +
+      ("serving_eps_free" -> BenchGate.ServingEpsFreeFloor) +
       ("serving_stall_ratio" -> BenchGate.StallRatioFloor)).isEmpty)
     // eps collapse — one breach, names the field
     val epsBreach = BenchGate.floorBreaches(healthy + ("streaming_eps" -> 120000.0))
     assert(epsBreach.size == 1 && epsBreach.head.contains("streaming_eps"))
+    // serving fan-out collapse (r15 — previously unguarded)
+    val servBreach = BenchGate.floorBreaches(healthy + ("serving_eps_free" -> 5000.0))
+    assert(servBreach.size == 1 && servBreach.head.contains("serving_eps_free"))
     // stall ratio sunk — the drop-oldest guarantee broke
     val stallBreach = BenchGate.floorBreaches(healthy + ("serving_stall_ratio" -> 0.42))
     assert(stallBreach.size == 1 && stallBreach.head.contains("serving_stall_ratio"))
     // probe never ran → missing fields must not read as green
-    assert(BenchGate.floorBreaches(Map.empty).size == 3)
+    assert(BenchGate.floorBreaches(Map.empty).size == 4)
   }
 
   test("serving p99 ceiling: blocking delivery or unmeasured probe breaches") {
@@ -130,6 +135,37 @@ class BenchGateSpec extends AnyFunSuite {
     val (b4, n4) = BenchGate.normalizedFloorBreaches(healthy,
       BenchGate.medianRatio(canonical, canonical), Some(1.0))
     assert(b4.isEmpty && n4.isEmpty)
+  }
+
+  test("serving_eps_free normalizes by the CALIBRATION ratio, not the " +
+      "query median — and only under corroborated contention (r15)") {
+    val canonical = (1 to 30).map(i => s"q$i" -> 1.0).toMap
+    val inflated = canonical.map { case (k, v) => k -> v * 1.12 }
+    val mr = BenchGate.medianRatio(canonical, inflated)
+    // the r14 contended-driver shape: query median only 1.12 but the
+    // thread-bound serving hop 3.2× down (9.1k vs 29.5k canonical);
+    // a cores-wide calibration reading 1.75× rescales 9138 → 15992,
+    // clearing the 15k floor
+    val sample = healthy + ("serving_eps_free" -> 9138.0)
+    val (b1, n1) = BenchGate.normalizedFloorBreaches(sample, mr, Some(1.75))
+    assert(b1.isEmpty, b1.mkString("; "))
+    assert(n1.exists(n => n.contains("serving_eps_free") && n.contains("calibration ratio")))
+    // the query median alone (1.12) could never have cleared it:
+    // 9138 × 1.12 ≈ 10.2k < 15k — keyed on the median this sample
+    // would fail on every contended host (the r12 lesson)
+    assert(9138.0 * 1.12 < BenchGate.ServingEpsFreeFloor)
+    // mild calibration inflation that cannot explain the collapse →
+    // the breach SURVIVES normalization (a real serving regression
+    // cannot hide behind mild contention)
+    val (b2, _) = BenchGate.normalizedFloorBreaches(sample, mr, Some(1.2))
+    assert(b2.exists(_.contains("serving_eps_free")))
+    // quiet calibration → no rescale at all
+    val (b3, _) = BenchGate.normalizedFloorBreaches(sample, mr, Some(1.0))
+    assert(b3.exists(_.contains("serving_eps_free")))
+    // stall ratio still never normalizes
+    val (b4, _) = BenchGate.normalizedFloorBreaches(
+      healthy + ("serving_stall_ratio" -> 0.42), mr, Some(1.75))
+    assert(b4.exists(_.contains("serving_stall_ratio")))
   }
 
   test("calibration ratio keys on the PARALLEL scalar when both sides " +
