@@ -82,16 +82,47 @@ object DedupManifest {
     * FileNotFoundException). */
   private val version = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Retention window per store (r14 advice: fresh-version-per-persist
+    * traded the overwrite race for unbounded warehouse growth across
+    * repeated runs in one session). Once version N is durably written,
+    * versions ≤ N−[[KeepVersions]] of the SAME store are dropped:
+    * the newest prior version stays readable (a chained ingest reads
+    * run k−1's frame while writing run k — the ManifestRoundTripSpec
+    * shape), anything older is past the documented contract ("a
+    * returned frame remains readable until two further persists of
+    * its store") and is reclaimed. */
+  val KeepVersions = 2
+
+  private val storeVersions =
+    scala.collection.mutable.Map.empty[String, List[String]]
+
+  /** Record version `v` of `store` and return the versions that just
+    * fell out of the retention window (to be reclaimed by the
+    * caller — AFTER the new version is durably written). */
+  private def retire(store: String, v: String): Seq[String] =
+    storeVersions.synchronized {
+      val vs = v :: storeVersions.getOrElse(store, Nil)
+      storeVersions(store) = vs.take(KeepVersions)
+      vs.drop(KeepVersions)
+    }
+
   /** Write `df` to a fresh version subdirectory under `path` and hand
     * back the PERSISTED frame — downstream plans read the parquet
     * store, exactly what the next ingest will do, so a query routed
     * through `persist` exercises the real write→read loop rather than
     * an in-plan stand-in. The round trip also cuts lineage (a durable
     * [[graft.Fence]]). [[read]] resolves the highest version — the
-    * store a subsequent ingest consumes. */
+    * store a subsequent ingest consumes. Versions that fell out of
+    * the [[KeepVersions]] window are deleted once the new write is
+    * durable. */
   def persist(df: DataFrame, path: String): DataFrame = {
     val p = s"$path/v${version.incrementAndGet()}"
     df.write.mode("overwrite").parquet(p)
+    retire(path, p).foreach { old =>
+      val hp = new org.apache.hadoop.fs.Path(old)
+      hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(hp, true): Unit
+    }
     df.sparkSession.read.parquet(p)
   }
 
@@ -126,6 +157,12 @@ object DedupManifest {
       sortKeys: Seq[String] = Nil): (String, DataFrame) = {
     val table = s"${tableBase}_v${version.incrementAndGet()}"
     Bucketing.writeBucketedMulti(df, table, bucketKeys, buckets, sortKeys)
+    // reclaim table versions past the retention window (same contract
+    // as [[persist]] — managed tables grew the warehouse unboundedly
+    // across repeated runs, the r14 advice)
+    retire(s"table:$tableBase", table).foreach { old =>
+      df.sparkSession.sql(s"DROP TABLE IF EXISTS $old"): Unit
+    }
     (table, df.sparkSession.table(table))
   }
 

@@ -236,4 +236,38 @@ class ManifestRoundTripSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", savedA)
     }
   }
+
+  test("version retention: a store keeps only the newest KeepVersions, " +
+      "the newest prior frame stays readable, read() resolves latest (r15)") {
+    // parquet store: three persists → exactly 2 version dirs remain
+    val store = tmp("manifest-retention")
+    val d1 = Seq((1L, 1L)).toDF("id", "lbl")
+    val f1 = DedupManifest.persist(d1, store)
+    val f2 = DedupManifest.persist(Seq((2L, 2L)).toDF("id", "lbl"), store)
+    // the newest PRIOR frame must survive its successor's persist —
+    // the chained-ingest shape (run k writes while reading run k-1)
+    assert(f1.count() == 1)
+    val f3 = DedupManifest.persist(Seq((3L, 3L)).toDF("id", "lbl"), store)
+    assert(f2.count() == 1 && f3.count() == 1)
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(dirs.size == DedupManifest.KeepVersions,
+      s"retention window violated: $dirs")
+    // read() resolves the latest surviving version
+    assert(DedupManifest.read(spark, store).as[(Long, Long)].collect()
+      .toSeq == Seq((3L, 3L)))
+    // bucketed store: three persists → exactly 2 catalog tables remain
+    val bdf = Seq((1L, "a", 0, 7L)).toDF("vec_id", "label", "band", "bv")
+    val (t1, _) = DedupManifest.persistBucketed(
+      bdf, "graft_spec_retention", Seq("label", "band", "bv"), 2)
+    val (t2, b2) = DedupManifest.persistBucketed(
+      bdf, "graft_spec_retention", Seq("label", "band", "bv"), 2)
+    val (t3, b3) = DedupManifest.persistBucketed(
+      bdf, "graft_spec_retention", Seq("label", "band", "bv"), 2)
+    assert(b2.count() == 1 && b3.count() == 1) // prior + current readable
+    val live = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_spec_retention")).toSet
+    assert(live == Set(t2, t3), s"expected {$t2, $t3}, catalog has $live")
+    assert(!live.contains(t1), s"superseded $t1 still in the warehouse")
+  }
 }
