@@ -80,8 +80,28 @@ object StreamingBitext {
   def candidates(spark: SparkSession, vectors: DataFrame,
       model: (Int, Map[Long, Array[(Long, Array[Double])]], Array[(Long, Array[Double])]),
       maxPerCluster: Int = 512, idleTimeout: Option[String] = None)
-      : Dataset[BitextCand] = {
+      : Dataset[BitextCand] =
+    candidatesCounted(spark, vectors, model, maxPerCluster, idleTimeout)._1
+
+  /** [[candidates]] plus its overflow DROP COUNTER (r14 advice: the
+    * maxPerCluster drop is the documented StreamingEmbedDedup
+    * overflow contract, but it was UNOBSERVABLE — a dropped newcomer
+    * pairs against residents yet silently never pairs with later
+    * arrivals, so an overflowing deployment's candidate set diverges
+    * from batch `q_mine_bitext` with no signal). The named
+    * accumulator ("graft.bitext.dropped", visible in the Spark UI /
+    * status API) counts dropped vectors, and each overflowing
+    * micro-batch group additionally logs one WARN line with the
+    * cluster id and its drop count. Task retries can overcount the
+    * accumulator (Spark's usual non-action-accumulator caveat) — it
+    * is a monitoring signal: nonzero means "grow maxPerCluster or
+    * re-quantize", exact magnitude is secondary. */
+  def candidatesCounted(spark: SparkSession, vectors: DataFrame,
+      model: (Int, Map[Long, Array[(Long, Array[Double])]], Array[(Long, Array[Double])]),
+      maxPerCluster: Int = 512, idleTimeout: Option[String] = None)
+      : (Dataset[BitextCand], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
+    val dropped = spark.sparkContext.longAccumulator("graft.bitext.dropped")
     val (bits, buckets, roots) = model
     val rows = vectors
       .select(col("vec_id"), col("label"),
@@ -93,10 +113,10 @@ object StreamingBitext {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    rows
+    val ds = rows
       .groupByKey { case (_, _, v) => assign(bits, buckets, roots, v) }
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        (_: Long, it: Iterator[(Long, Int, Array[Double])],
+        (key: Long, it: Iterator[(Long, Int, Array[Double])],
             state: GroupState[Cluster]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
@@ -118,6 +138,7 @@ object StreamingBitext {
                 else out += BitextCand(oid, id, c)
               }
             // deterministic processing order within the micro-batch
+            var droppedHere = 0L
             it.toSeq.sortBy(_._1).foreach { case (id, lb, v) =>
               if (!ids.contains(id) && !nIds.contains(id)) {
                 var i = 0
@@ -126,14 +147,25 @@ object StreamingBitext {
                 while (i < nIds.length) { pair(id, lb, v, nIds(i), nLbs(i), nVs(i)); i += 1 }
                 if (ids.length + nIds.length < maxPerCluster) {
                   nIds += id; nLbs += lb; nVs += v
-                } // overflow: drop-not-queue
+                } else droppedHere += 1 // overflow: drop-not-queue
               }
+            }
+            if (droppedHere > 0) {
+              // the stream/batch divergence signal (r14 advice): these
+              // vectors paired against residents but will never pair
+              // with later arrivals
+              dropped.add(droppedHere)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"bitext cluster $key overflowed maxPerCluster=$maxPerCluster: " +
+                  s"dropped $droppedHere vector(s) this micro-batch — " +
+                  "candidate set now diverges from the batch twin")
             }
             state.update(Cluster(ids ++ nIds, lbs ++ nLbs, vs ++ nVs))
             idleTimeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }
         })
+    (ds, dropped)
   }
 
   /** The margin finalization over the marked candidate set — the

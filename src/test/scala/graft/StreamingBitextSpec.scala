@@ -135,4 +135,39 @@ class StreamingBitextSpec extends AnyFunSuite {
         "replay emitted new candidates")
     } finally q.stop()
   }
+
+  test("maxPerCluster overflow is OBSERVABLE: the drop counter reports " +
+      "every vector the cap silently excluded from future pairing (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = SimilarityQueries.bitextModel(spark, TestSpark.Sf)
+    val mem = MemoryStream[(Long, Int, Array[Double])]
+    // cap 1: of n same-cluster arrivals, all but the first drop
+    val (ds, dropped) = StreamingBitext.candidatesCounted(spark,
+      mem.toDF.toDF("vec_id", "label", "embedding"), model, maxPerCluster = 1)
+    val q = ds.writeStream.format("memory").queryName("sbitext_drop")
+      .outputMode("append").start()
+    try {
+      // all vectors of ONE quantizer cluster — they key to one group
+      val (bits, buckets, roots) = model
+      val byCluster = vecs.groupBy(r => StreamingBitext.assign(bits, buckets, roots, r._3))
+      val (_, members) = byCluster.maxBy(_._2.size)
+      assert(members.size >= 3, "need an over-cap cluster or the test is vacuous")
+      mem.addData(members: _*)
+      q.processAllAvailable()
+      assert(dropped.value == members.size - 1,
+        s"expected ${members.size - 1} drops at cap 1, counter read ${dropped.value}")
+      // healthy path stays silent: re-run uncapped
+      val mem2 = MemoryStream[(Long, Int, Array[Double])]
+      val (ds2, dropped2) = StreamingBitext.candidatesCounted(spark,
+        mem2.toDF.toDF("vec_id", "label", "embedding"), model)
+      val q2 = ds2.writeStream.format("memory").queryName("sbitext_nodrop")
+        .outputMode("append").start()
+      try {
+        mem2.addData(members: _*)
+        q2.processAllAvailable()
+        assert(dropped2.value == 0,
+          s"uncapped run counted ${dropped2.value} drops")
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
