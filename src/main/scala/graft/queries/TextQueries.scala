@@ -1317,20 +1317,13 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-document bigram-LM scores (doc_id, lang, nb, um) — the Spark
-    * twin of [[bigramLmCtes]]'s `perdoc`. */
-  private def bigramDocScores(s: SparkSession, d: String): DataFrame = {
-    val w = t(s, d, "documents")
-      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
-    // guard: sequence(1, 0) is DESCENDING in Spark, so a 1-word doc
-    // would evaluate element_at(ws, 0) and throw; DuckDB's series is
-    // empty — filter keeps both engines at "no bigrams, doc absent"
-    val bg = w.where(size(col("ws")) >= 2)
-      .select(col("doc_id"), col("lang"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 1),
-        i => struct(element_at(col("ws"), i).as("p"),
-          element_at(col("ws"), i + 1).as("c")))).as("b"))
-      .select(col("doc_id"), col("lang"), col("b.p").as("p"), col("b.c").as("c"))
+  /** The stupid-backoff training counts over the `en` sub-corpus:
+    * (bc bigram counts, cc context counts, uc unigram counts, tot
+    * (n, v) scalars) — shared by [[bigramDocScores]] and the
+    * streaming twin's collected reference model so the two cannot
+    * train apart. */
+  private def lmCounts(w: DataFrame, bg: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val trb = bg.where(col("lang") === "en").select(col("p"), col("c"))
     val bc = trb.groupBy(col("p"), col("c")).agg(count(lit(1)).cast("long").as("nbc"))
     val cc = trb.groupBy(col("p")).agg(count(lit(1)).cast("long").as("ncc"))
@@ -1339,6 +1332,57 @@ object TextQueries {
     val uc = tru.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("nu"))
     val tot = tru.agg(count(lit(1)).cast("long").as("n"),
       countDistinct(col("tok")).cast("long").as("v"))
+    (bc, cc, uc, tot)
+  }
+
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+
+  /** Per-document bigrams of every ≥2-word document. Guard: sequence
+    * (1, 0) is DESCENDING in Spark, so a 1-word doc would evaluate
+    * element_at(ws, 0) and throw; DuckDB's series is empty — the
+    * filter keeps both engines at "no bigrams, doc absent". */
+  private def docBigrams(w: DataFrame): DataFrame =
+    w.where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("p"),
+          element_at(col("ws"), i + 1).as("c")))).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.p").as("p"), col("b.c").as("c"))
+
+  /** The trained LM as driver maps — the FIXED reference model the
+    * streaming ppl-band twin scores against (the StreamingBitext
+    * collected-quantizer stance; CCNet's own LM is likewise an
+    * offline prior-corpus artifact the scorer consumes). Returns
+    * (bc, cc, uc, n, v). Model-bounded driver state: bigram/unigram
+    * TYPE counts, guarded by the Sgns.MaxVocab rationale — a corpus
+    * whose type inventory outgrows the driver needs count-pruning
+    * upstream (CCNet prunes its KenLM the same way), loudly, before
+    * any allocation. */
+  private[graft] def bigramLmModelOf(s: SparkSession, d: String)
+      : (Map[(String, String), Long], Map[String, Long], Map[String, Long],
+        Long, Long) = {
+    val w = docWords(s, d)
+    val (bc, cc, uc, tot) = lmCounts(w, docBigrams(w))
+    val maxTypes = 1 << 21
+    val nBc = bc.count()
+    require(nBc <= maxTypes,
+      s"bigram LM model: $nBc bigram types exceed $maxTypes — count-prune " +
+        "the reference corpus before collecting a driver-side model")
+    val bcM = bc.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ccM = cc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ucM = uc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totR = tot.collect().head
+    (bcM, ccM, ucM, totR.getLong(0), totR.getLong(1))
+  }
+
+  /** Per-document bigram-LM scores (doc_id, lang, nb, um) — the Spark
+    * twin of [[bigramLmCtes]]'s `perdoc`. */
+  private def bigramDocScores(s: SparkSession, d: String): DataFrame = {
+    val w = docWords(s, d)
+    val bg = docBigrams(w)
+    val (bc, cc, uc, tot) = lmCounts(w, bg)
     val logp = round(
       when(col("nbc").isNotNull,
         log(col("nbc").cast("double") / col("ncc").cast("double")))
@@ -1375,20 +1419,14 @@ object TextQueries {
     * global running count into within-language ranks are a
     * |languages|-sized driver table (a domain constant, the KMeans
     * bound stance). */
-  private val qPplBand = Q("q_text_ppl_band",
-    s"""WITH $bigramLmCtes,
-      |ranked AS (
-      |  SELECT doc_id, lang, round(um, 4) AS avg_logp,
-      |    row_number() OVER (PARTITION BY lang
-      |      ORDER BY round(um, 4) DESC, doc_id) AS rn,
-      |    count(*) OVER (PARTITION BY lang) AS nl
-      |  FROM perdoc)
-      |SELECT doc_id, lang, avg_logp,
-      |  CASE CAST(3 * (rn - 1) // nl AS INT)
-      |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS band
-      |FROM ranked ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val perdoc = bigramDocScores(s, d)
-      .select(col("doc_id"), col("lang"), round(col("um"), 4).as("avg_logp"))
+  /** The tercile-banding TAIL over a scored frame (doc_id, lang,
+    * avg_logp) — extracted (r15) so the streaming twin's sweep IS
+    * this code (the `StreamingBitext.sweep ≡ bitextSweep` stance:
+    * stream and batch cannot fork in the banding math). Rank is the
+    * distributed two-phase scan, never a per-language window. */
+  private[graft] def pplBandTail(s: SparkSession, scored: DataFrame): DataFrame = {
+    val perdoc = scored
+      .select(col("doc_id"), col("lang"), col("avg_logp"))
       .withColumn("neg", -col("avg_logp"))
       .fenced() // ranked by the two-phase scan + banded
     // global running count over the (lang, −avg, doc_id) total order…
@@ -1411,6 +1449,22 @@ object TextQueries {
         when(band === 0, "head").when(band === 1, "middle")
           .otherwise("tail").as("band"))
       .orderBy(col("doc_id"))
+  }
+
+  private val qPplBand = Q("q_text_ppl_band",
+    s"""WITH $bigramLmCtes,
+      |ranked AS (
+      |  SELECT doc_id, lang, round(um, 4) AS avg_logp,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY round(um, 4) DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS nl
+      |  FROM perdoc)
+      |SELECT doc_id, lang, avg_logp,
+      |  CASE CAST(3 * (rn - 1) // nl AS INT)
+      |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS band
+      |FROM ranked ORDER BY doc_id""".stripMargin) { (s, d) =>
+    pplBandTail(s, bigramDocScores(s, d)
+      .select(col("doc_id"), col("lang"), round(col("um"), 4).as("avg_logp")))
   }
 
   /** Corpus NOVELTY decay — the diversity diagnostic a data-collection
