@@ -1524,9 +1524,158 @@ object TextQueries {
       .orderBy(col("decade"))
   }
 
+  /** CLASSIFIER EVALUATION — per-language ROC-AUC of the learned
+    * quality filter against the rule-based label, closing the
+    * train→apply→EVALUATE loop a production quality classifier lives
+    * in (the FineWeb/DCLM workflow: a cheap learned filter is
+    * accepted or retrained on how well it reproduces the reference
+    * labeling): score = the hashed-logreg integer margin (AUC is
+    * invariant under its monotone scaling, so ranking the EXACT
+    * integer numerator makes tie handling bit-portable), label =
+    * `q_text_quality`'s rule verdict. AUC is the tie-aware
+    * Mann-Whitney form (mid-ranks): with per-(lang, margin) group
+    * counts nt/np and cb = count of strictly-lower margins,
+    * 2·R₁ = Σ np·(2·cb + nt + 1) and
+    * AUC = (2R₁ − n₁(n₁+1)) / (2·n₁·n₀) — all-integer until the one
+    * final division (exact to ~10⁹ docs/language in 64-bit; the
+    * decimal upgrade is mechanical).
+    *
+    * Scale shape: ONE document scan computes (lang, margin, label);
+    * one map-side-combined groupBy to (lang, margin) group stats; the
+    * strictly-below count is [[graft.operators.PrefixSum.cumsumBy]]'s
+    * two-phase scan over the (lang, margin) total order — NEVER a
+    * per-language window (a monolingual crawl would funnel through
+    * one task); per-language offsets are a |languages|-sized driver
+    * table (the ppl-band stance); the finale is a |languages|-row
+    * aggregate. */
+  private val qQualityAuc = Q("q_quality_auc",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512) AS BIGINT) AS margin_num
+      |  FROM tk GROUP BY doc_id, lang),
+      |lbl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 500
+      |      AND len(list_filter(string_split(lower(text), ' '),
+      |                          x -> x IN ('the','a','of','and'))) > 0
+      |    THEN 1 ELSE 0 END AS p
+      |  FROM documents),
+      |g AS (
+      |  SELECT m.lang, m.margin_num, CAST(count(*) AS BIGINT) AS nt,
+      |    CAST(sum(l.p) AS BIGINT) AS np
+      |  FROM m JOIN lbl l ON l.doc_id = m.doc_id GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, nt, np,
+      |    CAST(coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY margin_num
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM g),
+      |s AS (
+      |  SELECT lang, CAST(sum(np * (2*cb + nt + 1)) AS BIGINT) AS r2,
+      |    CAST(sum(np) AS BIGINT) AS n1, CAST(sum(nt - np) AS BIGINT) AS n0
+      |  FROM c GROUP BY lang)
+      |SELECT lang, n1 AS n_pos, n0 AS n_neg,
+      |  round(CAST(r2 - n1*(n1+1) AS DOUBLE) / CAST(2*n1*n0 AS DOUBLE), 6) AS auc
+      |FROM s WHERE n1 > 0 AND n0 > 0 ORDER BY lang""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    val stops = countIn(ws, EnMarkers)
+    aucByLang(s, t(s, d, "documents").select(
+      col("lang"),
+      logregMarginNum(col("text")).as("margin_num"),
+      (size(ws).between(20, 500) && stops > 0).cast("long").as("p")))
+  }
+
+  /** The tie-aware rank AUC over a (lang, margin_num, p) frame —
+    * extracted so QualityEvalSpec can drive a synthetic TIED frame
+    * through the identical plan (the real corpus carries no
+    * cross-class margin tie at spec scale, so the mid-rank half-
+    * credit branch would otherwise go unexercised). */
+  private[graft] def aucByLang(s: SparkSession, scored: DataFrame): DataFrame = {
+    val g = scored.groupBy(col("lang"), col("margin_num"))
+      .agg(count(lit(1)).as("nt"), sum(col("p")).as("np"))
+    // strictly-below count via the two-phase scan over the composite
+    // (lang, margin) total order…
+    val ranked = graft.operators.PrefixSum.cumsumBy(
+      g, Seq("lang", "margin_num"), "nt", 8, "gcum")
+    // …minus per-language start offsets (|languages| driver rows)
+    val langCounts = g.groupBy(col("lang")).agg(sum(col("nt")).as("nl"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = langCounts.map(_._1)
+      .zip(langCounts.map(_._2).scanLeft(0L)(_ + _).init)
+    import s.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("lang", "off"))
+    val cb = col("gcum") - col("off") - col("nt")
+    ranked.join(offDf, "lang")
+      .groupBy(col("lang"))
+      .agg(sum(col("np") * (cb * 2L + col("nt") + 1L)).as("r2"),
+        sum(col("np")).as("n1"), sum(col("nt") - col("np")).as("n0"))
+      .where(col("n1") > 0L && col("n0") > 0L)
+      .select(col("lang"), col("n1").as("n_pos"), col("n0").as("n_neg"),
+        round((col("r2") - col("n1") * (col("n1") + 1L)).cast("double")
+          / (col("n1") * col("n0") * 2L).cast("double"), 6).as("auc"))
+      .orderBy(col("lang"))
+  }
+
+  /** CLASSIFIER CALIBRATION — the reliability table next to the AUC:
+    * documents bin into score DECILES (rank-based over the exact
+    * integer margin, ties broken by doc_id — both engines agree on
+    * every boundary) and each bin reports its observed positive rate
+    * under the rule label. A well-calibrated filter's rate climbs
+    * with the decile; a flat column at the top is the "confidently
+    * wrong" signature that sends a filter back to training.
+    *
+    * Scale shape: the global rank is the same two-phase scan as the
+    * AUC (corpus-total order (margin, doc_id) — no single-task
+    * window anywhere); the bin aggregate is 10 rows. */
+  private val qQualityCalib = Q("q_quality_calibration",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512) AS BIGINT) AS margin_num
+      |  FROM tk GROUP BY doc_id, lang),
+      |lbl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 500
+      |      AND len(list_filter(string_split(lower(text), ' '),
+      |                          x -> x IN ('the','a','of','and'))) > 0
+      |    THEN 1 ELSE 0 END AS p
+      |  FROM documents),
+      |r AS (
+      |  SELECT m.doc_id, m.margin_num, l.p,
+      |    row_number() OVER (ORDER BY m.margin_num, m.doc_id) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM m JOIN lbl l ON l.doc_id = m.doc_id)
+      |SELECT CAST(10 * (rn - 1) // n AS INT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(p) AS BIGINT) AS n_pos,
+      |  round(sum(p) / (count(*) * 1.0), 6) AS pos_rate
+      |FROM r GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
+    val ws = words(col("text"))
+    val stops = countIn(ws, EnMarkers)
+    val scored = t(s, d, "documents").select(
+      col("doc_id"),
+      logregMarginNum(col("text")).as("margin_num"),
+      (size(ws).between(20, 500) && stops > 0).cast("long").as("p"))
+      .withColumn("one", lit(1L))
+      .fenced() // ranked + counted
+    val n = scored.count()
+    val ranked = graft.operators.PrefixSum.cumsumBy(
+      scored, Seq("margin_num", "doc_id"), "one", 8, "rn")
+    ranked
+      .groupBy(((col("rn") - 1L) * 10L / n).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pos"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        round(col("n_pos") / (col("n_docs") * lit(1.0)), 6).as("pos_rate"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qMojibake, qReadability, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
-    qBoilerplate, qBigramLm, qPplBand, qNovelty)
+    qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib)
 }
