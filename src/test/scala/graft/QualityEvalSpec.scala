@@ -68,6 +68,41 @@ class QualityEvalSpec extends AnyFunSuite {
     assert(got("yy") == ((2L, 2L, 0.5)), s"yy: ${got("yy")}")
   }
 
+  test("evaluation over STREAMED marks: sweeping the streamed logreg " +
+      "scores against the rule labels equals batch q_quality_auc — the " +
+      "mark-then-sweep shape extends to classifier evaluation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.queries.TextQueries
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, String, String)]
+    // the MARK stage is the existing streamed scoring path (the
+    // q_quality_logreg projection under readStream — the
+    // StreamingLogregSpec contract); evaluation adds NO new stream op
+    val q = TextQueries.logregScore(mem.toDF.toDF("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("lang"), col("margin_num"))
+      .writeStream.format("memory").queryName("sauc_marks")
+      .outputMode("append").start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      val labels = SparkEntry.queries("q_text_quality")(spark, TestSpark.Sf)
+        .select(col("doc_id"), (col("quality") === "good").cast("long").as("p"))
+      val swept = TextQueries.aucByLang(spark,
+          spark.table("sauc_marks").join(labels, "doc_id")
+            .select(col("lang"), col("margin_num"), col("p")))
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val batch = SparkEntry.queries("q_quality_auc")(spark, TestSpark.Sf)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(batch.nonEmpty)
+      assert(swept == batch)
+    } finally q.stop()
+  }
+
   test("calibration deciles: equal-count bins covering the corpus, " +
       "rates consistent with their counts") {
     val rows = SparkEntry.queries("q_quality_calibration")(spark, TestSpark.Sf)
