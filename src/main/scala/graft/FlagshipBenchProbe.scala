@@ -9,14 +9,18 @@ package graft
   * delta is harness pressure (JIT/codegen cache + block-manager churn
   * across ~380 query executions per bench JVM), not a plan
   * regression. Results recorded in PLANS.md.
-  * Usage: runMain graft.FlagshipBenchProbe [sfDir] [n]
+  * Usage: runMain graft.FlagshipBenchProbe [sfDir] [n] [query...]
+  * (query names default to the round-5 drift trio; pass names to
+  * adjudicate any BenchGate flag in isolation)
   */
 object FlagshipBenchProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = if (args.length > 1) args(1).toInt else 5
     val spark = Sessions.local(logLevel = "ERROR")
-    val names = Seq("q_flagship", "q_flagship_hidx", "q_pagerank")
+    val names =
+      if (args.length > 2) args.drop(2).toSeq
+      else Seq("q_flagship", "q_flagship_hidx", "q_pagerank")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.001").count(): Unit // JIT/codegen warm
