@@ -537,6 +537,81 @@ object HeavyScaleProbe {
     require(exp < 1.0, f"biased walk hub wall exponent $exp%.2f >= 1.0")
   }
 
+  /** Monolingual-skew bound for the PrefixSum rank-scan family
+    * (round 15: q_quality_auc / q_quality_calibration /
+    * q_text_ppl_band all rank via
+    * [[graft.operators.PrefixSum.cumsumBy]]'s two-phase scan). The
+    * alternative those queries refuse — a per-language `row_number`
+    * window — funnels an entire language through ONE task, and a
+    * real crawl is DOMINATED by one language (CommonCrawl is ~45%
+    * English), so the skew case is the common case, not a corner.
+    * The two-phase scan range-partitions the composite (lang, score)
+    * order instead: a 100%-single-language frame still spreads
+    * across every range partition.
+    *
+    * Probe: an ALL-ONE-LANGUAGE synthetic scored frame at n = 10⁵
+    * and 10⁶ rows drives `TextQueries.aucByLang` — the family's
+    * shared rank tail (hash-spread integer margins ≈ 0.63·n distinct
+    * groups after (lang, margin) aggregation). AQE partition
+    * COALESCING is disabled for the probe: at synthetic-probe scale
+    * the whole group table is a few MB, so AQE legitimately merges
+    * every shuffle into ~one task — small-DATA behavior that would
+    * read exactly like the key funnel under test (the inverse of the
+    * walkHub case, where the coalesced floor was the bound). With
+    * coalescing pinned off, the bound tests the PARTITIONING
+    * structure itself — what survives to 100 TB, where AQE sizes
+    * partitions by bytes and never re-creates a key funnel. Pins at
+    * both sizes: max task shuffle-read records ≤ n/4 (the
+    * 8-range-partition scan slice ≈ 0.63·n/8 plus range-boundary
+    * skew slack — NEVER the whole language through one task, which
+    * reads ≥ 0.63·n), and wall exponent < 1.0 across the decade
+    * (group build + range scan are linear; per-job overhead
+    * amortizes). */
+  private def rankScanCheck(spark: SparkSession): Unit = {
+    def run(n: Long): (Double, Long, Long) = {
+      val scored = spark.range(n).select(
+        lit("xx").as("lang"),
+        pmod(graft.functions.PortableHash.md5Long(col("id").cast("string")),
+          lit(n)).as("margin_num"),
+        (col("id") % 3 === 0).cast("long").as("p"))
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val r = ev.taskMetrics.shuffleReadMetrics.recordsRead
+          var cur = maxTask.get
+          while (r > cur && !maxTask.compareAndSet(cur, r)) cur = maxTask.get
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val rows = graft.queries.TextQueries.aucByLang(spark, scored).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      var prev = -1L
+      while (maxTask.get != prev) { prev = maxTask.get; Thread.sleep(300) }
+      spark.sparkContext.removeSparkListener(listener)
+      (t, maxTask.get, rows)
+    }
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    val (t0, m0, r0, t1, m1, r1) =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        val (a, b, c) = run(100000)
+        val (d, e, f) = run(1000000)
+        (a, b, c, d, e, f)
+      } finally spark.conf.set(coalesceKey, saved)
+    val exp = math.log10(t1 / t0)
+    println(f"RANKSCAN 1-lang n=1e5: ${t0}%6.2f s maxtask=$m0%8d | " +
+      f"n=1e6: ${t1}%6.2f s maxtask=$m1%8d | wall_exp=$exp%5.2f")
+    require(r0 == 1 && r1 == 1, s"expected one language row, got $r0 / $r1")
+    for ((n, m) <- Seq((100000L, m0), (1000000L, m1)))
+      require(m <= n / 4,
+        s"n=$n: max task shuffle-read $m records > ${n / 4} — the rank " +
+          "scan is funneling the single language through one task")
+    require(exp < 1.0, f"rank scan wall exponent $exp%.2f >= 1.0")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(logLevel = "ERROR")
     synthesize(spark)
@@ -559,10 +634,13 @@ object HeavyScaleProbe {
       semVolumeCheck(spark)
       flipCheck(spark)
       walkHubCheck(spark)
+      rankScanCheck(spark)
     } else if (only.exists(_.startsWith("q_itemsets"))) {
       itemsetScaleCheck(spark)
     } else if (only("walk_hub")) {
       walkHubCheck(spark)
+    } else if (only("rank_scan")) {
+      rankScanCheck(spark)
     }
     spark.stop()
   }
