@@ -1,0 +1,251 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Fence.FenceOps
+
+/** UNIGRAM-LM tokenizer training (the SentencePiece unigram model,
+  * Kudo ACL'18, hard-EM variant) as a distributed operator — the
+  * second tokenizer family beside [[Bpe]], trained by EM instead of
+  * greedy merges: a vocabulary of candidate pieces carries a unigram
+  * log-probability table; the E-step segments every word by Viterbi
+  * under the current table; the M-step re-estimates piece
+  * probabilities from the segmentation counts; pruning decays the
+  * candidate set toward the target vocabulary (Kudo §3.2's shrink
+  * schedule, here 3/4 per round with the target as floor; single
+  * characters never prune, so every word stays encodable — the
+  * closure property).
+  *
+  * Distribution split — STRONGER than [[Bpe]]'s: BPE collapses the
+  * corpus to a TOP-V driver shortlist and loops there (the HF
+  * recipe), so its training statistic is truncated at V words. Here
+  * the distinct-word table NEVER leaves the cluster:
+  *
+  *  - the corpus-scale work per E-step is one `mapPartitions` Viterbi
+  *    pass over the distributed (word, freq) table (model broadcast
+  *    to tasks) + one map-side-combined piece-count aggregation;
+  *  - the driver holds ONLY the piece table (seed-size-bounded, the
+  *    KMeans-centroid / Sgns-vocab pattern, loud [[MaxPieces]] guard);
+  *  - seeding is one substring-explode aggregation over the word
+  *    table with a deterministic TakeOrdered shortlist (count desc,
+  *    piece asc) — never a full-vocabulary sort.
+  *
+  * Determinism is the exact-grid discipline ([[Sgns]]): piece
+  * log-probs live on the 6-decimal grid and ride into Viterbi as
+  * LONG MICROS, so the DP compares exact integers — bit-identical on
+  * any partitioning, any engine, any platform. Ties break by a total
+  * rule: higher score, then FEWER pieces, then the LONGER last piece
+  * (two candidates at one DP state never share start AND length, so
+  * the third key is total). UnigramLmSpec pins `fit` EXACTLY against
+  * a sequential in-memory reference and the closure/lossless
+  * properties; `q_unigram_seed` oracle-checks the distributed seed
+  * statistic, `q_unigram_encode` the corpus-wide apply (the
+  * q_bpe_merge / q_bpe_encode pairing).
+  */
+object UnigramLm {
+
+  /** Hard piece-table ceiling (the [[Sgns.MaxVocab]] stance): the
+    * driver holds one (piece, count, logp) row per candidate and
+    * every E-step broadcasts the table; a pathological seed fails
+    * LOUDLY with sizing arithmetic instead of an executor OOM. */
+  val MaxPieces: Int = 1 << 20
+
+  /** Trained model: pieces sorted ascending, log-probs on the
+    * 6-decimal grid (carried as micros for the exact DP). */
+  case class Model(pieces: Array[String], logp: Array[Double]) {
+    @transient lazy val micros: java.util.HashMap[String, java.lang.Long] = {
+      val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) {
+        m.put(pieces(i), math.round(logp(i) * 1e6)); i += 1
+      }
+      m
+    }
+    @transient lazy val maxPieceLen: Int =
+      if (pieces.isEmpty) 1 else pieces.iterator.map(_.length).max
+    /** UNK-as-char fallback cost: strictly worse than every real
+      * piece, so real pieces always win; only reachable for
+      * characters the training corpus never saw. */
+    @transient lazy val unkMicros: Long =
+      (if (logp.isEmpty) 0L else math.round(logp.min * 1e6)) - 1000000L
+  }
+
+  /** Driver/executor twin of the grid round (6 dp, HALF_UP over the
+    * shortest-decimal double representation — Spark's `round`). */
+  def round6(x: Double): Double =
+    new JBig(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+
+  /** Viterbi segmentation of one word: maximize Σ logp (exact
+    * micros); ties → fewer pieces, then the longer last piece.
+    * Pure function of (word, model): the E-step, the apply pass, and
+    * the spec's sequential reference all call THIS. */
+  def viterbi(w: String, model: Model): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val micros = model.micros
+    val maxLen = model.maxPieceLen
+    val score = new Array[Long](n + 1)
+    val count = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, Long.MinValue)
+    score(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (score(j) != Long.MinValue) {
+          val piece = w.substring(j, i)
+          val boxed = micros.get(piece)
+          val lp: Long =
+            if (boxed != null) boxed.longValue
+            else if (i - j == 1) model.unkMicros
+            else Long.MinValue
+          if (lp != Long.MinValue) {
+            val s = score(j) + lp
+            val c = count(j) + 1
+            // j ASCENDS, so piece length DESCENDS: an equal (s, c)
+            // never replaces the earlier longer-last-piece choice
+            if (s > score(i) || (s == score(i) && c < count(i))) {
+              score(i) = s; count(i) = c; back(i) = j
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val cuts = new Array[Int](count(n) + 1)
+    var at = n
+    var k = count(n)
+    while (at > 0) { cuts(k) = at; at = back(at); k -= 1 }
+    val out = Seq.newBuilder[String]
+    var p = 0
+    while (p < count(n)) { out += w.substring(cuts(p), cuts(p + 1)); p += 1 }
+    out.result()
+  }
+
+  /** Seed candidates: every substring of length 1..maxLen of the
+    * distributed (w, f) word table, counted with occurrence
+    * multiplicity × word frequency; shortlist = deterministic top
+    * `seedSize` by (count desc, piece asc) UNION all single
+    * characters (the closure floor — every word stays encodable no
+    * matter how hard the shortlist truncates). One aggregation + one
+    * TakeOrdered; the word table never collects. */
+  def seedCounts(words: DataFrame, maxLen: Int, seedSize: Int): DataFrame = {
+    val subs = substringCounts(words, maxLen)
+      .fenced() // top-K shortlist + single-char floor both read it
+    val top = subs.orderBy(col("cnt").desc, col("piece").asc).limit(seedSize)
+    val chars = subs.where(length(col("piece")) === 1)
+    top.union(chars).groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** The raw substring-count statistic the seed shortlists — one
+    * double explode + a map-side-combined aggregation over the (w, f)
+    * table; `q_unigram_seed` oracle-checks THIS distributively (the
+    * q_bpe_merge pairing). */
+  def substringCounts(words: DataFrame, maxLen: Int): DataFrame =
+    words
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("f"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+
+  /** Train over the DISTRIBUTED aggregated (w, f) distinct-word
+    * table: seed → `iters` hard-EM rounds (E: cluster-side Viterbi;
+    * M: re-count, floor single chars at 1, 3/4-shrink toward
+    * `targetV`) → final prune to `targetV` → normalize. */
+  def fit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
+      seedSize: Int = 4096): Model = {
+    require(targetV >= 1 && iters >= 1 && maxLen >= 1 && seedSize >= 1,
+      s"targetV=$targetV iters=$iters maxLen=$maxLen seedSize=$seedSize")
+    require(seedSize <= MaxPieces,
+      s"seed $seedSize exceeds MaxPieces=$MaxPieces: the driver holds one " +
+        "(piece, count, logp) row per candidate and every E-step " +
+        "broadcasts the table — shortlist harder upstream")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val wf = words.select(col("w").cast("string").as("w"),
+      col("f").cast("long").as("f"))
+      .where(length(col("w")) >= 1)
+      .fenced() // scanned every E-step
+    var table: Seq[(String, Long)] =
+      seedCounts(wf, maxLen, seedSize).as[(String, Long)].collect()
+        .toSeq.sortBy(_._1)
+    require(table.nonEmpty, "empty corpus: no seed pieces")
+    def toModel(t: Seq[(String, Long)]): Model = {
+      val total = t.iterator.map(_._2).sum.toDouble
+      val sorted = t.sortBy(_._1)
+      Model(sorted.map(_._1).toArray,
+        sorted.map { case (_, c) => round6(math.log(c / total)) }.toArray)
+    }
+    def pruneTo(t: Seq[(String, Long)], v: Int): Seq[(String, Long)] = {
+      val (chars, multi) = t.partition(_._1.length == 1)
+      chars ++ multi.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, v - chars.length))
+    }
+    def estep(m: Model): Map[String, Long] = {
+      val bc = spark.sparkContext.broadcast(m)
+      // the ONLY corpus-scale exchange per round: (piece)-keyed
+      // counts, map-side combined
+      val counts = wf.as[(String, Long)]
+        .mapPartitions { it =>
+          val model = bc.value
+          it.flatMap { case (w, f) => viterbi(w, model).map(_ -> f) }
+        }
+        .toDF("piece", "f")
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      bc.destroy()
+      counts
+    }
+    def mstep(t: Seq[(String, Long)], counts: Map[String, Long])
+        : Seq[(String, Long)] =
+      t.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        if (c > 0L) Some(p -> c)
+        else if (p.length == 1) Some(p -> 1L) // closure floor
+        else None
+      }
+    for (_ <- 1 to iters) {
+      table = mstep(table, estep(toModel(table)))
+      // Kudo's shrink schedule: 3/4 per round, floored at the target
+      table = pruneTo(table, math.max(targetV, table.length * 3 / 4))
+    }
+    // final vocabulary + one re-count so the shipped probabilities
+    // reflect the shipped vocabulary exactly
+    table = pruneTo(table, targetV)
+    toModel(mstep(table, estep(toModel(table))))
+  }
+
+  /** Corpus-wide apply: (doc_id, pieces array<string>, n_pieces) —
+    * embarrassingly parallel, zero shuffle, model once per task via
+    * closure; a per-partition memo collapses repeated words (Zipf
+    * makes the hit rate enormous). */
+  def encode(docs: DataFrame, textCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Seq[String]]()
+        it.map { case (id, text) =>
+          val ps = text.split(' ').toSeq.filter(_.nonEmpty).flatMap { w =>
+            var r = memo.get(w)
+            if (r == null) {
+              r = viterbi(w, model)
+              if (memo.size < (1 << 16)) memo.put(w, r)
+            }
+            r
+          }
+          (id, ps, ps.length)
+        }
+      }
+      .toDF("doc_id", "pieces", "n_pieces")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash
-import graft.operators.Bpe
+import graft.operators.{Bpe, UnigramLm}
 import graft.queries.Q.t
 import graft.Fence.FenceOps
 
@@ -919,6 +919,94 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The unigram tokenizer's operating point (q_unigram_seed /
+    * q_unigram_encode) — `private[graft]` so UnigramLmSpec trains the
+    * identical point (the SGNS constants stance). */
+  private[graft] val UniMaxLen = 6
+  private[graft] val UniTargetV = 512
+  private[graft] val UniIters = 2
+  private[graft] val UniSeed = 2048
+
+  /** The aggregated distinct-word table (w, f) the unigram trainer
+    * consumes — corpus-scale, stays distributed (see
+    * [[graft.operators.UnigramLm]]'s split). */
+  private[graft] def wordFreqOf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+
+  /** UNIGRAM-LM tokenizer SEED statistic (Kudo ACL'18 §3.2's candidate
+    * inventory): substring counts of length 1..[[UniMaxLen]] over the
+    * distinct-word table, occurrence multiplicity × word frequency —
+    * the distributively-computable training input `q_bpe_merge`
+    * oracle-checks for the BPE family, checked here for the unigram
+    * family. Top 30 by (cnt DESC, piece) — a TakeOrdered, never a
+    * full-vocabulary sort. */
+  private val qUnigramSeed = Q("q_unigram_seed",
+    s"""WITH wf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY w),
+      |subs AS (
+      |  SELECT substr(w, i, l) AS piece, f
+      |  FROM wf,
+      |       unnest(generate_series(1, length(w))) AS t(i),
+      |       unnest(generate_series(1, $UniMaxLen)) AS u(l)
+      |  WHERE i + l - 1 <= length(w))
+      |SELECT piece, CAST(sum(f) AS BIGINT) AS cnt
+      |FROM subs GROUP BY piece
+      |ORDER BY cnt DESC, piece LIMIT 30""".stripMargin) { (s, d) =>
+    UnigramLm.substringCounts(wordFreqOf(s, d), UniMaxLen)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(30)
+  }
+
+  /** UNIGRAM-LM tokenizer APPLY at corpus scale — the EM-trained
+    * (SentencePiece-style) counterpart of [[qBpeEncode]]:
+    * `operators.UnigramLm.fit` trains by distributed hard-EM (the
+    * distinct-word table never leaves the cluster — a STRONGER split
+    * than BPE's top-V driver shortlist; see the operator scaladoc),
+    * THIS runs the trained model over every document.
+    *
+    * Oracle stance = [[qBpeEncode]]'s: piece boundaries are an EM
+    * fixpoint, not SQL-expressible, so the entry emits the
+    * DuckDB-recomputable invariants plus Spark-computed verdicts —
+    *  - `n_chars` derived from the PIECES (length of their
+    *    concatenation) must equal the space-stripped text length:
+    *    segmentation is lossless in total mass;
+    *  - `lossless_ok`: the piece concatenation IS the space-stripped
+    *    lowercased text, per document;
+    *  - `vocab_ok`: every piece is in the trained vocabulary or is a
+    *    single character (the UNK-as-char fallback — closure makes it
+    *    unreachable when train and apply corpora coincide, as here);
+    *  - `compress_ok`: 1 ≤ n_pieces ≤ n_chars for non-empty docs.
+    * The raw piece stream and the EM math are spec-pinned
+    * (UnigramLmSpec: `fit` ≡ a sequential reference EXACTLY). */
+  private val qUnigramEncode = Q("q_unigram_encode",
+    """SELECT doc_id,
+      |  CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS n_chars,
+      |  true AS lossless_ok, true AS vocab_ok, true AS compress_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val model = UnigramLm.fit(wordFreqOf(s, d), targetV = UniTargetV,
+      iters = UniIters, maxLen = UniMaxLen, seedSize = UniSeed)
+    val vocabArr = array(model.pieces.map(lit(_)).toSeq: _*)
+    val joined = concat_ws("", col("pieces"))
+    val nChars = length(joined)
+    UnigramLm.encode(docs, "text", model)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        translate(lower(col("text")), " ", "").as("flat")), "doc_id")
+      .select(col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        (joined === col("flat")).as("lossless_ok"),
+        forall(col("pieces"),
+          p => array_contains(vocabArr, p) || length(p) === 1).as("vocab_ok"),
+        ((nChars === 0 && col("n_pieces") === 0) ||
+          (col("n_pieces") >= 1 && col("n_pieces") <= nChars)).as("compress_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed feature space for the learned quality filter: 256
     * buckets via the portable md5 digest. */
   private val LrDim = 256L
@@ -1677,5 +1765,6 @@ object TextQueries {
     qRepetition, qPii, qMojibake, qReadability, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
-    qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib)
+    qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib,
+    qUnigramSeed, qUnigramEncode)
 }
