@@ -165,7 +165,12 @@ object RandomWalk {
       val wt = when(col("dst") === col("prev"), wBack)
         .when(col("is_common"), wCommon)
         .otherwise(wFar)
-      val wWalk = Window.partitionBy(col("walk_id"))
+      // both window expressions share ONE (partition, order) spec —
+      // Spark then plans a single WindowExec with a single sort; the
+      // total rides an unbounded frame over the same ordering (an
+      // orderless spec would be a SECOND Window operator and a second
+      // pass over every per-walk candidate partition, round 15)
+      val wWalk = Window.partitionBy(col("walk_id")).orderBy(col("rank"))
       val cand = frontier
         .join(adj.select(col("node").as("cnode"), col("rank"), col("dst")),
           col("node") === col("cnode"))
@@ -173,9 +178,9 @@ object RandomWalk {
         .select(col("walk_id"), col("prev"), col("node"), col("rank"),
           col("dst"), wt.as("wt"))
       val picked = cand
-        .withColumn("cum",
-          sum(col("wt")).over(wWalk.orderBy(col("rank"))))
-        .withColumn("wtot", sum(col("wt")).over(wWalk))
+        .withColumn("cum", sum(col("wt")).over(wWalk))
+        .withColumn("wtot", sum(col("wt")).over(wWalk.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("r", pmod(h, col("wtot")))
         .where(col("cum") > col("r") && col("cum") - col("wt") <= col("r"))
       frontier = picked
