@@ -440,11 +440,17 @@ object DedupQueries {
     val full = docsQ.join(labels.hint("shuffle_merge"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("score"))
+    // ONE window spec for both expressions (round 15): the size rides
+    // an unbounded frame over the rank ordering, so Spark plans a
+    // single WindowExec / single sort over the corpus-scale cluster
+    // partitions instead of two passes
     val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
     full
       .select(col("doc_id"), col("cluster_id"), col("score"),
-        row_number().over(w.orderBy(col("score").desc, col("doc_id"))).as("rn"),
-        count(lit(1)).over(w).as("n_docs"))
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n_docs"))
       .where(col("rn") === 1)
       .select(col("cluster_id").cast("long").as("cluster_id"),
         col("doc_id").as("keep_id"), col("n_docs").cast("long").as("n_docs"),

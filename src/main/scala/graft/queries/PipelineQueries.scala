@@ -394,10 +394,13 @@ object PipelineQueries {
     // (lang, toks) histogram: |langs| × |distinct scores| rows — the
     // windows below run over THIS, not the corpus.
     val wDesc = Window.partitionBy(col("lang")).orderBy(col("toks").desc)
-    val wLang = Window.partitionBy(col("lang"))
+    // per-lang total via an unbounded frame over the SAME spec as the
+    // running sum — one WindowExec / one sort (round 15)
     val th = tok.groupBy(col("lang"), col("toks")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wDesc))
-      .withColumn("q", ceil(sum(col("cnt")).over(wLang) / lit(2.0)).cast("long"))
+      .withColumn("q", ceil(sum(col("cnt")).over(wDesc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+        / lit(2.0)).cast("long"))
       .where(col("cum") >= col("q") && col("cum") - col("cnt") < col("q"))
       .select(col("lang"), col("toks").as("t_toks"),
         (col("q") - (col("cum") - col("cnt"))).as("take"))
