@@ -118,13 +118,33 @@ object DedupManifest {
   def persist(df: DataFrame, path: String): DataFrame = {
     val p = s"$path/v${version.incrementAndGet()}"
     df.write.mode("overwrite").parquet(p)
+    reclaim(df, path, p)
+    df.sparkSession.read.parquet(p)
+  }
+
+  /** [[persist]] with a PARTITIONED layout — one directory per value
+    * of `partitionCols`, so a probe-style reader (IVF posting lists,
+    * per-cell manifests) reads ONLY the probed partitions via
+    * partition pruning instead of scanning the whole store: the
+    * nprobe/C read fraction that makes a persisted ANN index an
+    * INDEX at corpus scale rather than a filtered full scan. Same
+    * versioning + retention contract as [[persist]]. NOTE: partition
+    * columns come back at the END of the read schema with
+    * directory-inferred types — consumers re-select/cast. */
+  def persistPartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): DataFrame = {
+    val p = s"$path/v${version.incrementAndGet()}"
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(p)
+    reclaim(df, path, p)
+    df.sparkSession.read.parquet(p)
+  }
+
+  private def reclaim(df: DataFrame, path: String, p: String): Unit =
     retire(path, p).foreach { old =>
       val hp = new org.apache.hadoop.fs.Path(old)
       hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
         .delete(hp, true): Unit
     }
-    df.sparkSession.read.parquet(p)
-  }
 
   /** Read the LATEST version of a previously persisted manifest. */
   def read(s: SparkSession, path: String): DataFrame = {

@@ -918,6 +918,93 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** PERSISTED-IVF serving (round 15) — the index as a DURABLE store:
+    * the trained posting lists are written PARTITIONED BY cell id
+    * ([[graft.operators.DedupManifest.persistPartitioned]]) and the
+    * query path reads the store back with a literal cell filter, so
+    * the serving scan touches ONLY the probed cells' directories
+    * (static partition pruning — `PartitionFilters` on the scan, the
+    * PersistedIvfSpec pin). That is the property that makes IVF an
+    * INDEX at 100 TB: a query reads nprobe/C of the corpus from disk,
+    * not a full scan filtered in memory. Build-offline/serve-later is
+    * the deployment shape the in-memory [[knnIvfTrained]] cannot
+    * express.
+    *
+    * Probe selection runs DRIVER-SIDE over the k-bounded centroid
+    * table (|queries|·nprobe rows — the KMeans-centroid bound) with a
+    * sq-dist twin replicating the native [[graft.functions
+    * .GraftExpressions.sq_dist]] accumulation exactly (left-to-right
+    * double loop), and the same (d², cent_id) tie-break — so the
+    * persisted path returns the IDENTICAL rows to [[knnIvfTrained]]
+    * (spec-pinned row-for-row). Rerank is the shared exact-cosine
+    * top-k. */
+  private[graft] def knnIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupManifest, KMeans}
+    val spark = s
+    import spark.implicits._
+    val e = vectors(s, d).fenced() // assignment build + probe queries
+    val (assigned, cents, _) =
+      KMeans.fit(e.select(col("vec_id"), col("v")), k = IvfC, maxIter = 5)
+    val posting = e
+      .join(assigned.select(col("id").as("vec_id"), col("cluster").as("list")),
+        "vec_id")
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    val store = DedupManifest
+      .persistPartitioned(posting, DedupManifest.path(s, "ivf", d), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    // driver-side probe selection: the exact sq_dist twin (l→r double
+    // accumulation) + (d², cent_id) tie-break of the in-plan form
+    def d2(a: Seq[Double], b: Array[Double]): Double = {
+      var sAcc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val dd = a(i) - b(i); sAcc += dd * dd; i += 1 }
+      sAcc
+    }
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    val probes = queries.flatMap { case (q, qv) =>
+      cents.zipWithIndex
+        .map { case (c, j) => (d2(qv, c), j) }.sorted
+        .take(IvfNprobeTrained)
+        .map { case (_, j) => (q, j, qv) }
+    }
+    val cells = probes.map(_._2).distinct.sorted.toSeq
+    val probesDf = broadcast(probes.toSeq.toDF("q_id", "list", "qv"))
+    val cos = cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    store
+      .where(col("list").isin(cells: _*)) // static partition pruning
+      .join(probesDf, Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Oracle = [[qKnnIvfTrained]]'s guarantee stance: the persisted
+    * path's raw rows are spec-pinned IDENTICAL to the in-memory
+    * trained-IVF plan, and the oracle asserts the per-query recall
+    * verdict both engines can compute. */
+  private val qKnnIvfPersisted = Q("q_knn_ivf_persisted",
+    s"""WITH $vectorsCte
+       |SELECT vec_id AS q_id, CAST(5 AS INT) AS n_ret, true AS recall_ok
+       |FROM e WHERE vec_id < 10 ORDER BY q_id""".stripMargin) { (s, d) =>
+    val ivf = knnIvfPersisted(s, d).select(col("q_id"), col("n_id"))
+    val brute = qKnnBrute.fn(s, d).select(col("q_id"), col("n_id"))
+    val hits = ivf.join(brute, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    ivf.groupBy(col("q_id")).agg(count(lit(1)).as("n_ret"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_ret").cast("int").as("n_ret"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          >= lit(RecallFloor) * lit(5.0)).as("recall_ok"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding-space outlier detection — the quality gate a corpus
     * build runs before semantic dedup / ANN indexing: a vector far
     * from its label's centroid (corrupt embedding, mislabeled item,
@@ -1720,5 +1807,6 @@ object SimilarityQueries {
     qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
-    qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset)
+    qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
+    qKnnIvfPersisted)
 }
