@@ -985,6 +985,108 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** INCREMENTAL index maintenance (round 15) — the day-2 operation
+    * of [[knnIvfPersisted]]: vectors keep arriving after the index is
+    * built, and retraining + rewriting the whole store per batch is
+    * not an option at corpus scale. The classic base+delta shape:
+    *
+    *  - BASE: posting lists of the prior corpus (first 4/5 by id),
+    *    trained on the prior corpus, persisted partitioned by cell —
+    *    IMMUTABLE;
+    *  - DELTA: the new batch assigned to the FROZEN prior centroids
+    *    (an in-plan argmin over the broadcast k-bounded centroid
+    *    table — no retraining, the production contract), persisted
+    *    partitioned to its own store;
+    *  - SERVE: the probe scan UNIONS base and delta under the same
+    *    literal cell filter — BOTH sides partition-prune, so the
+    *    incremental index keeps the nprobe/C read fraction; a
+    *    periodic compaction (re-persist base ∪ delta as the next
+    *    base version) is the same persist call — cell membership is
+    *    already final at assignment time, so compaction moves files,
+    *    never answers.
+    *
+    * Assignment ties break by (d², cent_id) — identical driver-side
+    * (probe selection) and in-plan (delta assignment), so base+delta
+    * serving is spec-pinned IDENTICAL to a monolithic index built
+    * over the full corpus with the same frozen centroids. */
+  private[graft] def knnIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{DedupManifest, KMeans}
+    val spark = s
+    import spark.implicits._
+    val e = vectors(s, d).fenced() // prior train + delta assign + queries
+    val split = (4L * t(s, d, "embeddings").count() + 4L) / 5L
+    val prior = e.where(col("vec_id") < split)
+    val (assignedPrior, cents, _) =
+      KMeans.fit(prior.select(col("vec_id"), col("v")), k = IvfC, maxIter = 5)
+    val base = DedupManifest.persistPartitioned(
+      prior.join(assignedPrior.select(col("id").as("vec_id"),
+          col("cluster").as("list")), "vec_id")
+        .select(col("list").cast("int").as("list"), col("vec_id"), col("v")),
+      DedupManifest.path(s, "ivfbase", d), Seq("list"))
+    // delta: FROZEN-centroid assignment, in-plan argmin with the
+    // (d², cent_id) tie-break the probe selection uses
+    val centDf = broadcast(cents.toIndexedSeq.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toDF("cent_id", "cv").fenced())
+    val l2 = graft.functions.GraftExpressions.sq_dist(col("v"), col("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val delta = DedupManifest.persistPartitioned(
+      e.where(col("vec_id") >= split)
+        .crossJoin(centDf)
+        .withColumn("d2", l2)
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("cent_id").cast("int").as("list"), col("vec_id"), col("v")),
+      DedupManifest.path(s, "ivfdelta", d), Seq("list"))
+    def cells(st: DataFrame) =
+      st.select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    def d2Of(a: Seq[Double], b: Array[Double]): Double = {
+      var sAcc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val dd = a(i) - b(i); sAcc += dd * dd; i += 1 }
+      sAcc
+    }
+    val queries = e.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    val probes = queries.flatMap { case (q, qv) =>
+      cents.zipWithIndex
+        .map { case (c, j) => (d2Of(qv, c), j) }.sorted
+        .take(IvfNprobeTrained)
+        .map { case (_, j) => (q, j, qv) }
+    }
+    val probedCells = probes.map(_._2).distinct.sorted.toSeq
+    val probesDf = broadcast(probes.toSeq.toDF("q_id", "list", "qv"))
+    val cos = cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cells(base).union(cells(delta))
+      .where(col("list").isin(probedCells: _*)) // prunes BOTH stores
+      .join(probesDf, Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val qKnnIvfIncremental = Q("q_knn_ivf_incremental",
+    s"""WITH $vectorsCte
+       |SELECT vec_id AS q_id, CAST(5 AS INT) AS n_ret, true AS recall_ok
+       |FROM e WHERE vec_id < 10 ORDER BY q_id""".stripMargin) { (s, d) =>
+    val ivf = knnIvfIncremental(s, d).select(col("q_id"), col("n_id"))
+    val brute = qKnnBrute.fn(s, d).select(col("q_id"), col("n_id"))
+    val hits = ivf.join(brute, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    ivf.groupBy(col("q_id")).agg(count(lit(1)).as("n_ret"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_ret").cast("int").as("n_ret"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          >= lit(RecallFloor) * lit(5.0)).as("recall_ok"))
+      .orderBy(col("q_id"))
+  }
+
   /** Oracle = [[qKnnIvfTrained]]'s guarantee stance: the persisted
     * path's raw rows are spec-pinned IDENTICAL to the in-memory
     * trained-IVF plan, and the oracle asserts the per-query recall
@@ -1808,5 +1910,5 @@ object SimilarityQueries {
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
-    qKnnIvfPersisted)
+    qKnnIvfPersisted, qKnnIvfIncremental)
 }

@@ -46,4 +46,39 @@ class PersistedIvfSpec extends AnyFunSuite {
     assert(cellDirs.nonEmpty && cellDirs.size <= 16,
       s"unexpected cell layout: $cellDirs")
   }
+
+  test("incremental base+delta: the stores partition the corpus (base = " +
+      "prior ids, delta = new ids on frozen centroids), BOTH serving " +
+      "scans prune, and a rebuild serves identically") {
+    import graft.operators.DedupManifest
+    val r1 = SimilarityQueries.knnIvfIncremental(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val df2 = SimilarityQueries.knnIvfIncremental(spark, TestSpark.Sf)
+    val r2 = df2.as[(Long, Long, Int, Double)].collect().toSeq
+    assert(r1.nonEmpty && r1 == r2,
+      "a rebuild (fresh store versions) changed the served answers")
+    // both the base and the delta scan carry a nonempty partition filter
+    val plan = df2.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]".r.findAllIn(plan).size
+    assert(pruned >= 2, s"expected both stores pruned, found $pruned:\n$plan")
+    // store contents: base holds exactly the prior ids, delta exactly
+    // the new batch, disjoint, covering the corpus
+    val all = Tables(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val split = (4L * all.size + 4L) / 5L
+    val baseIds = DedupManifest.read(spark,
+        DedupManifest.path(spark, "ivfbase", TestSpark.Sf))
+      .select(col("vec_id")).as[Long].collect().toSet
+    val deltaIds = DedupManifest.read(spark,
+        DedupManifest.path(spark, "ivfdelta", TestSpark.Sf))
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(baseIds == all.filter(_ < split), "base != prior corpus")
+    assert(deltaIds == all.filter(_ >= split), "delta != new batch")
+    // new vectors are actually retrievable through the incremental
+    // index: serving with the delta REMOVED must lose at least one
+    // answer (the index didn't silently ignore the new batch)
+    assert(r1.exists { case (_, nId, _, _) => deltaIds.contains(nId) },
+      "no served neighbor comes from the delta — the new batch is " +
+        "invisible to queries (weak corpus? widen the check)")
+  }
 }
