@@ -938,34 +938,32 @@ object SimilarityQueries {
     * persisted path returns the IDENTICAL rows to [[knnIvfTrained]]
     * (spec-pinned row-for-row). Rerank is the shared exact-cosine
     * top-k. */
-  private[graft] def knnIvfPersisted(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.{DedupManifest, KMeans}
-    val spark = s
+  /** The exact sq_dist twin of [[graft.functions.GraftExpressions
+    * .sq_dist]] — left-to-right double accumulation, so driver-side
+    * probe selection and the in-plan assignment agree bit-for-bit. */
+  private[graft] def sqDistLocal(a: Seq[Double], b: Array[Double]): Double = {
+    var sAcc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val dd = a(i) - b(i); sAcc += dd * dd; i += 1 }
+    sAcc
+  }
+
+  /** The SHARED IVF serving tail: driver-side probe selection over
+    * the k-bounded centroid table ((d², cent_id) tie-break), a
+    * literal cell filter on the store scan (static partition pruning
+    * when the store is cell-partitioned), exact-cosine rerank,
+    * per-query top-5. Consumed by [[knnIvfPersisted]],
+    * [[knnIvfIncremental]] (base ∪ delta store), the compaction pin,
+    * and the streaming twin ([[graft.streaming.StreamingIvf]]) — one
+    * tail, so none of the four can drift. `queries` is the serving
+    * batch: |queries| is request-scale, never corpus-scale. */
+  private[graft] def ivfServe(store: DataFrame, cents: Array[Array[Double]],
+      queries: Array[(Long, Seq[Double])]): DataFrame = {
+    val spark = store.sparkSession
     import spark.implicits._
-    val e = vectors(s, d).fenced() // assignment build + probe queries
-    val (assigned, cents, _) =
-      KMeans.fit(e.select(col("vec_id"), col("v")), k = IvfC, maxIter = 5)
-    val posting = e
-      .join(assigned.select(col("id").as("vec_id"), col("cluster").as("list")),
-        "vec_id")
-      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
-    val store = DedupManifest
-      .persistPartitioned(posting, DedupManifest.path(s, "ivf", d), Seq("list"))
-      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
-    // driver-side probe selection: the exact sq_dist twin (l→r double
-    // accumulation) + (d², cent_id) tie-break of the in-plan form
-    def d2(a: Seq[Double], b: Array[Double]): Double = {
-      var sAcc = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val dd = a(i) - b(i); sAcc += dd * dd; i += 1 }
-      sAcc
-    }
-    val queries = e.where(col("vec_id") < 10)
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-      .collect().sortBy(_._1)
-    val probes = queries.flatMap { case (q, qv) =>
+    val probes = queries.sortBy(_._1).flatMap { case (q, qv) =>
       cents.zipWithIndex
-        .map { case (c, j) => (d2(qv, c), j) }.sorted
+        .map { case (c, j) => (sqDistLocal(qv, c), j) }.sorted
         .take(IvfNprobeTrained)
         .map { case (_, j) => (q, j, qv) }
     }
@@ -983,6 +981,40 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
         round(col("cos"), 6).as("sim"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Trained model + durable cell-partitioned store over the full
+    * corpus — the index-BUILD half of [[knnIvfPersisted]], shared
+    * with the streaming twin. */
+  private[graft] def ivfBuildStore(s: SparkSession, d: String)
+      : (DataFrame, Array[Array[Double]]) = {
+    import graft.operators.{DedupManifest, KMeans}
+    val e = vectors(s, d).fenced() // assignment build + probe queries
+    val (assigned, cents, _) =
+      KMeans.fit(e.select(col("vec_id"), col("v")), k = IvfC, maxIter = 5)
+    val posting = e
+      .join(assigned.select(col("id").as("vec_id"), col("cluster").as("list")),
+        "vec_id")
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    val store = DedupManifest
+      .persistPartitioned(posting, DedupManifest.path(s, "ivf", d), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    (store, cents)
+  }
+
+  /** The fixed serving query set of the knn family (vec_id < 10). */
+  private[graft] def ivfQueries(s: SparkSession, d: String)
+      : Array[(Long, Seq[Double])] = {
+    val spark = s
+    import spark.implicits._
+    vectors(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+  }
+
+  private[graft] def knnIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val (store, cents) = ivfBuildStore(s, d)
+    ivfServe(store, cents, ivfQueries(s, d))
   }
 
   /** INCREMENTAL index maintenance (round 15) — the day-2 operation
@@ -1040,35 +1072,9 @@ object SimilarityQueries {
       DedupManifest.path(s, "ivfdelta", d), Seq("list"))
     def cells(st: DataFrame) =
       st.select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
-    def d2Of(a: Seq[Double], b: Array[Double]): Double = {
-      var sAcc = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val dd = a(i) - b(i); sAcc += dd * dd; i += 1 }
-      sAcc
-    }
-    val queries = e.where(col("vec_id") < 10)
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-      .collect().sortBy(_._1)
-    val probes = queries.flatMap { case (q, qv) =>
-      cents.zipWithIndex
-        .map { case (c, j) => (d2Of(qv, c), j) }.sorted
-        .take(IvfNprobeTrained)
-        .map { case (_, j) => (q, j, qv) }
-    }
-    val probedCells = probes.map(_._2).distinct.sorted.toSeq
-    val probesDf = broadcast(probes.toSeq.toDF("q_id", "list", "qv"))
-    val cos = cosine(col("qv"), col("v"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cells(base).union(cells(delta))
-      .where(col("list").isin(probedCells: _*)) // prunes BOTH stores
-      .join(probesDf, Seq("list"))
-      .where(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 5)
-      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
-        round(col("cos"), 6).as("sim"))
-      .orderBy(col("q_id"), col("rn"))
+    // the shared serving tail over base ∪ delta: the literal cell
+    // filter prunes BOTH stores
+    ivfServe(cells(base).union(cells(delta)), cents, ivfQueries(s, d))
   }
 
   private val qKnnIvfIncremental = Q("q_knn_ivf_incremental",

@@ -81,4 +81,60 @@ class PersistedIvfSpec extends AnyFunSuite {
       "no served neighbor comes from the delta — the new batch is " +
         "invisible to queries (weak corpus? widen the check)")
   }
+
+  test("compaction is invisible to serving: base ∪ delta re-persisted " +
+      "as ONE store answers identically to the live base+delta union") {
+    import graft.operators.DedupManifest
+    val live = SimilarityQueries.knnIvfIncremental(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // cell membership is final at assignment time, so compaction is
+    // the same persist call over the union — file movement only
+    def cells(tag: String) = DedupManifest.read(spark,
+        DedupManifest.path(spark, tag, TestSpark.Sf))
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    val compacted = DedupManifest.persistPartitioned(
+        cells("ivfbase").union(cells("ivfdelta")),
+        DedupManifest.path(spark, "ivfcompact", TestSpark.Sf), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    // frozen centroids: re-derive the prior-trained model exactly as
+    // the incremental build does (KMeans is deterministic)
+    val split = (4L * Tables(spark, TestSpark.Sf, "embeddings").count() + 4L) / 5L
+    val prior = SimilarityQueries.vectors(spark, TestSpark.Sf)
+      .where(col("vec_id") < split)
+    val (_, cents, _) = graft.operators.KMeans.fit(
+      prior.select(col("vec_id"), col("v")), k = 16, maxIter = 5)
+    val served = SimilarityQueries.ivfServe(compacted, cents,
+        SimilarityQueries.ivfQueries(spark, TestSpark.Sf))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(live.nonEmpty && served == live,
+      "compaction changed served answers")
+  }
+
+  test("STREAMED serving over the persisted index equals the batch " +
+      "query across micro-batch splits (per-query independence — the " +
+      "StreamingRerank stance)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SimilarityQueries.knnIvfPersisted(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val qs = SimilarityQueries.ivfQueries(spark, TestSpark.Sf).toSeq
+    assert(qs.size >= 3, "need several queries or the split is vacuous")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sivf").toString
+    val q = graft.streaming.StreamingIvf.start(spark,
+        mem.toDF.toDF("vec_id", "v"), TestSpark.Sf, ckpt) { out =>
+      got ++= out.as[(Long, Long, Int, Double)].collect()
+    }
+    try {
+      qs.grouped(qs.size / 3 + 1).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      assert(got.sortBy(r => (r._1, r._3)).toSeq ==
+        batch.sortBy(r => (r._1, r._3)),
+        "streamed serving diverged from the batch index answers")
+    } finally q.stop()
+  }
 }
