@@ -217,14 +217,24 @@ class BenchGateSpec extends AnyFunSuite {
       info(f"single $single0%.0f→$single1%.0f ms (${singleRatio}%.2fx), " +
         f"parallel $par0%.0f→$par1%.0f ms (${parRatio}%.2fx) under " +
         f"${load.size} competitor threads on $cores cores")
-      // the lone spin still finds a free core: near-flat
-      assert(singleRatio < 1.3,
-        f"1-thread spin inflated ${singleRatio}%.2fx under partial-core load")
       // the cores-wide section shares cores with the competitor:
       // runnable/cores ≈ 1.75 → expect ≥ 1.1× (theory ~1.7×)
       assert(parRatio >= BenchGate.CalibCorroborationMin,
         f"parallel spin only ${parRatio}%.2fx under partial-core load — " +
           "the contention signal the gate keys on did not move")
+      // the property the gate NEEDS: the parallel signal is strictly
+      // more contention-sensitive than the lone spin. On a host with
+      // spare ADVERTISED cores the lone spin reads near-flat (the r14
+      // miss shape, ~1.0 vs par ~1.7); on a burstable VM whose
+      // effective capacity is below the advertised core count (the
+      // round-15 host: 32 advertised, ~2× oversubscribed) the
+      // competitor load saturates even the lone spin — both inflate,
+      // and the parallel section must still inflate MORE. Asserting
+      // `single < 1.3` would encode the host's spare capacity, which
+      // is not a property of the gate.
+      assert(parRatio > singleRatio,
+        f"parallel spin (${parRatio}%.2fx) did not inflate beyond the " +
+          f"1-thread spin (${singleRatio}%.2fx) — no added sensitivity")
     } finally {
       stop.set(true)
       load.foreach(_.join(2000))
