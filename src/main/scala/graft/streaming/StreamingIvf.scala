@@ -28,7 +28,16 @@ import graft.queries.SimilarityQueries
   * |batch queries|-scale against the pruned store scan — the
   * serving-latency shape of a production ANN stack: corpus work at
   * index-build time, per-query work proportional to the probed
-  * cells. */
+  * cells.
+  *
+  * Store-lifetime contract: the serving stream holds the store
+  * VERSION that existed at build time, and
+  * [[graft.operators.DedupManifest]] retention reclaims a version
+  * after TWO further persists of the same store path — so a serving
+  * stream outliving two index rebuilds in one session must be
+  * restarted onto the new version (a production deployment pins its
+  * own store path per index generation; the restart is clean, the
+  * operator is stateless). */
 object StreamingIvf {
 
   /** Build the index once, then serve each micro-batch of streaming
