@@ -18,6 +18,12 @@ object Bench {
     // full core — the r14 live miss), while a cores-wide section
     // inflates with the same runnable/cores ratio as the bench.
     val calibParStart = CalibProbe.msParallel()
+    // Memory-bandwidth streamers (round 16): the domain the ALU spins
+    // cannot see — the r15 driver run carried a real disturbance
+    // (query median 1.148x, stall 0.87) with calib_par reading 1.007;
+    // BenchGate corroborates on max(cpu, mem) when both sides carry
+    // the scalars.
+    val calibMemStart = CalibProbe.msMem()
     // Warm-up pass at the smallest SF: absorbs JIT + codegen compile
     // so the timed pass measures steady-state throughput.
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
@@ -112,8 +118,9 @@ object Bench {
       }
     val calibMs = math.min(calibStart, CalibProbe.ms())
     val calibParMs = math.min(calibParStart, CalibProbe.msParallel())
+    val calibMemMs = math.min(calibMemStart, CalibProbe.msMem())
     val streamingJson =
-      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f,"calib_ms":$calibMs%.1f,"calib_par_ms":$calibParMs%.1f"""
+      f""""streaming_eps":${streaming.eps}%.0f,"streaming_eps_min":${streaming.epsMin}%.0f,"streaming_eps_max":${streaming.epsMax}%.0f,"streaming_eps_windows":${streaming.seriesJson},"serving_eps_free":${serving.freeEps}%.0f,"serving_eps_stalled":${serving.stalledEps}%.0f,"serving_stall_ratio":${serving.ratio}%.2f,"serving_latency_p50_ms":${serving.p50Ms}%.2f,"serving_latency_p99_ms":${serving.p99Ms}%.2f,"calib_ms":$calibMs%.1f,"calib_par_ms":$calibParMs%.1f,"calib_mem_ms":$calibMemMs%.1f"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${arr(errors)},"flaky":${arr(flaky)},$streamingJson,"sf":"$sfDir"}"""
     // Persist the FULL per-query table in-repo: the driver's

@@ -106,15 +106,31 @@ object BenchGate {
   val CalibCorroborationMin = 1.1
 
   /** The calibration ratio (latest / canonical) the normalization
-    * decision keys on, with the scalar it came from: `calib_par_ms`
-    * preferred whenever BOTH sides carry it, `calib_ms` otherwise;
-    * None when either side lacks both (→ fail closed downstream). */
+    * decision keys on, with the scalar it came from.
+    *
+    * Round 16: the decision takes the MAX over the two PRIMARY
+    * scalars both artifacts carry — `calib_par_ms` (cores-wide ALU,
+    * CPU-scheduling pressure) and `calib_mem_ms` (DRAM streamers,
+    * memory-bandwidth pressure) — because host disturbance lives in
+    * either domain and the r15 driver run proved they are disjoint
+    * observables: query median 1.148× + stall 0.87 with calib_par
+    * 1.007 (the ALU spins CANNOT see a bandwidth/IO disturbance), so
+    * a gate keyed on the CPU spin alone fails a healthy build. A
+    * disturbance seen by EITHER probe corroborates; max also picks
+    * the rescale magnitude from the domain that actually moved.
+    * `calib_ms` (1-thread ALU) remains the fallback against pre-r15
+    * canonicals; None when either side lacks every scalar (→ fail
+    * closed downstream). */
   def pickCalibRatio(canonical: Map[String, Double],
-      latest: Map[String, Double]): Option[(Double, String)] =
-    Seq("calib_par_ms", "calib_ms").flatMap { k =>
+      latest: Map[String, Double]): Option[(Double, String)] = {
+    val primary = Seq("calib_par_ms", "calib_mem_ms").flatMap { k =>
       for { c <- canonical.get(k).filter(_ > 0); l <- latest.get(k) }
         yield (l / c, k)
-    }.headOption
+    }
+    if (primary.nonEmpty) Some(primary.maxBy(_._1))
+    else for { c <- canonical.get("calib_ms").filter(_ > 0)
+               l <- latest.get("calib_ms") } yield (l / c, "calib_ms")
+  }
 
   /** Ceiling for the serving hop's p99 publish→write latency — the
     * symmetric guard for the round-12 latency percentiles: canonical
@@ -268,10 +284,10 @@ object BenchGate {
   }
 
   /** The calibration scalars of a bench artifact (whichever of
-    * calib_ms / calib_par_ms are present). */
+    * calib_ms / calib_par_ms / calib_mem_ms are present). */
   def calibScalarsOf(path: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(Files.readAllBytes(Paths.get(path)))
-    Seq("calib_ms", "calib_par_ms")
+    Seq("calib_ms", "calib_par_ms", "calib_mem_ms")
       .flatMap(k => Option(root.get(k)).map(k -> _.asDouble()))
       .filter(_._2 > 0).toMap
   }

@@ -98,4 +98,84 @@ object CalibProbe {
     for (_ <- 1 to reps) best = math.min(best, oncePar(threads))
     best
   }
+
+  /** 64 MiB of longs per streamer thread — far past any LLC, so every
+    * pass streams from DRAM (cache-defeating by footprint, which is
+    * the property that matters for a BANDWIDTH probe; a prefetch-
+    * friendly stride is fine and even desirable — peak streaming is
+    * exactly what a bandwidth competitor degrades). */
+  private val MemWords = 1 << 23
+
+  /** Passes per timed section, sized so a section lands in the same
+    * ~100–300 ms window as the ALU spins. */
+  private val MemPasses = 12
+
+  /** One streaming pass set over `buf`: one load + one store per
+    * cache line (stride 8 longs = 64 B), xor-chained so the JIT can
+    * elide nothing — per 64 B of traffic the loop does ONE xor and
+    * ONE add, so wall time is memory-bound, not ALU-bound: the
+    * complement of [[once]], which never leaves registers. */
+  private def onceMem(buf: Array[Long], seed: Long): (Double, Long) = {
+    var acc = seed
+    val n = buf.length
+    val t0 = System.nanoTime()
+    var pass = 0
+    while (pass < MemPasses) {
+      var i = 0
+      while (i < n) {
+        acc ^= buf(i)
+        buf(i) = acc // dirty the line: write-back traffic too
+        i += 8
+      }
+      pass += 1
+    }
+    ((System.nanoTime() - t0) / 1e6, acc)
+  }
+
+  /** Min-of-`reps` MEMORY-BANDWIDTH calibration wall time in ms —
+    * `threads` concurrent DRAM streamers over private 64 MiB buffers,
+    * wall from first start to last join.
+    *
+    * The round-15 driver run's blind spot (r15 verdict item 1): query
+    * median 1.148× with an outlier cluster and a sunk stall ratio
+    * while BOTH ALU spins read quiet (calib_par 1.007) — a host
+    * disturbance in the memory/IO domain that no amount of ALU
+    * spinning can see, which BenchGate would therefore misread as an
+    * uncorroborated (= real) regression. This probe lives in that
+    * domain: a few streamer threads approach DRAM saturation, so any
+    * bandwidth competitor (another JVM's shuffle spill, a host
+    * neighbor's memcpy storm) directly stretches the section wall
+    * while leaving the register-resident spins untouched.
+    * BenchGateSpec's LIVE mem case pins exactly that separation.
+    *
+    * Default 4 threads: enough to approach the socket's streaming
+    * bandwidth (single-core streaming is typically 3–8× below it —
+    * an undersubscribed probe would leave headroom that absorbs the
+    * competitor instead of revealing it) while staying far below
+    * core count so CPU scheduling pressure does not masquerade as
+    * bandwidth pressure. */
+  def msMem(threads: Int = math.min(4, Runtime.getRuntime.availableProcessors()),
+      reps: Int = 3): Double = {
+    require(threads >= 1, s"threads=$threads")
+    // init pass doubles as page-in (the arrays are written once here,
+    // so the timed sections never fault)
+    val bufs = Array.fill(threads)(Array.fill(MemWords)(0x9e3779b97f4a7c15L))
+    def section(): Double = {
+      val folds = new Array[Long](threads)
+      val ts = (0 until threads).map { i =>
+        new Thread(() => folds(i) = onceMem(bufs(i), i + 1L)._2)
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      val t = (System.nanoTime() - t0) / 1e6
+      if (folds.foldLeft(0L)(_ ^ _) == 42L)
+        System.err.println("[calib] improbable fold")
+      t
+    }
+    section() // warm-up: JIT the streaming loop
+    var best = Double.MaxValue
+    for (_ <- 1 to reps) best = math.min(best, section())
+    best
+  }
 }

@@ -168,8 +168,8 @@ class BenchGateSpec extends AnyFunSuite {
     assert(b4.exists(_.contains("serving_stall_ratio")))
   }
 
-  test("calibration ratio keys on the PARALLEL scalar when both sides " +
-      "carry it, 1-thread fallback otherwise (r15)") {
+  test("calibration ratio keys on max(PARALLEL, MEM) when both sides " +
+      "carry them, 1-thread fallback otherwise (r15/r16)") {
     val canonBoth = Map("calib_ms" -> 85.0, "calib_par_ms" -> 200.0)
     // the r14 live-miss shape: single-thread spin flat (86/85 ≈ 1.01)
     // while the cores-wide section inflated 1.4× — the decision must
@@ -187,6 +187,47 @@ class BenchGateSpec extends AnyFunSuite {
     // a zero/garbage canonical scalar never divides
     assert(BenchGate.pickCalibRatio(Map("calib_par_ms" -> 0.0),
       Map("calib_par_ms" -> 100.0)).isEmpty)
+    // the r15 driver-run shape the mem scalar exists for: ALU spins
+    // quiet (par 1.01) while the bandwidth probe inflated 1.5× — the
+    // decision must see the 1.5, labeled as the mem scalar
+    val canonMem = canonBoth + ("calib_mem_ms" -> 300.0)
+    val latestMemHot = Map("calib_ms" -> 86.0, "calib_par_ms" -> 202.0,
+      "calib_mem_ms" -> 450.0)
+    assert(BenchGate.pickCalibRatio(canonMem, latestMemHot).exists {
+      case (r, k) => k == "calib_mem_ms" && math.abs(r - 1.5) < 1e-9 })
+    // CPU-domain disturbance still wins when it is the larger signal
+    val latestCpuHot = Map("calib_par_ms" -> 340.0, "calib_mem_ms" -> 330.0)
+    assert(BenchGate.pickCalibRatio(canonMem, latestCpuHot).exists {
+      case (r, k) => k == "calib_par_ms" && math.abs(r - 1.7) < 1e-9 })
+    // a canonical without the mem scalar (pre-r16) never blocks the
+    // parallel path
+    assert(BenchGate.pickCalibRatio(canonBoth, latestMemHot).exists {
+      case (r, k) => k == "calib_par_ms" && math.abs(r - 1.01) < 1e-9 })
+  }
+
+  /** Run a LIVE assertion block up to twice (r15 ADVICE: these cases
+    * compare two noisy wall-clock ratios measured on a possibly-busy
+    * host — one unlucky scheduling window must not flake the suite,
+    * while a real loss of signal still fails both attempts). */
+  private def retryOnce(attempt: () => Unit): Unit =
+    try attempt()
+    catch {
+      case e: org.scalatest.exceptions.TestFailedException =>
+        info(s"first attempt failed (${e.getMessage}); retrying once")
+        attempt()
+    }
+
+  /** Start `n` daemon competitor threads running `body(i)` until
+    * stopped; runs `during`, then joins the load. */
+  private def withCompetitors(n: Int)(body: (Int, java.util.concurrent.atomic.AtomicBoolean) => Long)(during: Int => Unit): Unit = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0)
+    val load = (1 to n).map { i =>
+      val t = new Thread(() => { sink.addAndGet(body(i, stop)): Unit })
+      t.setDaemon(true); t.start(); t
+    }
+    try during(load.size)
+    finally { stop.set(true); load.foreach(_.join(2000)) }
   }
 
   test("LIVE: partial-core competitor load inflates the parallel spin " +
@@ -199,45 +240,91 @@ class BenchGateSpec extends AnyFunSuite {
     // synthetic competitor: busy-spin on ~3/4 of the cores — the
     // partial-core contention shape (competitor < cores) the r14
     // 1-thread probe could not see
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val sink = new java.util.concurrent.atomic.AtomicLong(0)
-    val load = (1 to (3 * cores) / 4).map { i =>
-      val t = new Thread(() => {
-        var x = i.toLong
-        while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
-        sink.addAndGet(x): Unit
-      })
-      t.setDaemon(true); t.start(); t
+    withCompetitors((3 * cores) / 4) { (i, stop) =>
+      var x = i.toLong
+      while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+      x
+    } { n =>
+      retryOnce { () =>
+        val single1 = CalibProbe.ms()
+        val par1 = CalibProbe.msParallel()
+        val singleRatio = single1 / single0
+        val parRatio = par1 / par0
+        info(f"single $single0%.0f→$single1%.0f ms (${singleRatio}%.2fx), " +
+          f"parallel $par0%.0f→$par1%.0f ms (${parRatio}%.2fx) under " +
+          f"$n competitor threads on $cores cores")
+        // the cores-wide section shares cores with the competitor:
+        // runnable/cores ≈ 1.75 → expect ≥ 1.1× (theory ~1.7×)
+        assert(parRatio >= BenchGate.CalibCorroborationMin,
+          f"parallel spin only ${parRatio}%.2fx under partial-core load — " +
+            "the contention signal the gate keys on did not move")
+        // the property the gate NEEDS: the parallel signal is strictly
+        // more contention-sensitive than the lone spin. On a host with
+        // spare ADVERTISED cores the lone spin reads near-flat (the r14
+        // miss shape, ~1.0 vs par ~1.7); on a burstable VM whose
+        // effective capacity is below the advertised core count (the
+        // round-15 host: 32 advertised, ~2× oversubscribed) the
+        // competitor load saturates even the lone spin — both inflate,
+        // and the parallel section must still inflate MORE, by a margin
+        // above measurement noise (r15 ADVICE: a strict > between two
+        // noisy ratios flakes when both saturate to the same value).
+        // Asserting `single < 1.3` would encode the host's spare
+        // capacity, which is not a property of the gate.
+        assert(parRatio > singleRatio * 1.05,
+          f"parallel spin (${parRatio}%.2fx) did not inflate beyond the " +
+            f"1-thread spin (${singleRatio}%.2fx) by the 5%% noise margin " +
+            "— no added sensitivity")
+      }
     }
-    try {
-      val single1 = CalibProbe.ms()
-      val par1 = CalibProbe.msParallel()
-      val singleRatio = single1 / single0
-      val parRatio = par1 / par0
-      info(f"single $single0%.0f→$single1%.0f ms (${singleRatio}%.2fx), " +
-        f"parallel $par0%.0f→$par1%.0f ms (${parRatio}%.2fx) under " +
-        f"${load.size} competitor threads on $cores cores")
-      // the cores-wide section shares cores with the competitor:
-      // runnable/cores ≈ 1.75 → expect ≥ 1.1× (theory ~1.7×)
-      assert(parRatio >= BenchGate.CalibCorroborationMin,
-        f"parallel spin only ${parRatio}%.2fx under partial-core load — " +
-          "the contention signal the gate keys on did not move")
-      // the property the gate NEEDS: the parallel signal is strictly
-      // more contention-sensitive than the lone spin. On a host with
-      // spare ADVERTISED cores the lone spin reads near-flat (the r14
-      // miss shape, ~1.0 vs par ~1.7); on a burstable VM whose
-      // effective capacity is below the advertised core count (the
-      // round-15 host: 32 advertised, ~2× oversubscribed) the
-      // competitor load saturates even the lone spin — both inflate,
-      // and the parallel section must still inflate MORE. Asserting
-      // `single < 1.3` would encode the host's spare capacity, which
-      // is not a property of the gate.
-      assert(parRatio > singleRatio,
-        f"parallel spin (${parRatio}%.2fx) did not inflate beyond the " +
-          f"1-thread spin (${singleRatio}%.2fx) — no added sensitivity")
-    } finally {
-      stop.set(true)
-      load.foreach(_.join(2000))
+  }
+
+  test("LIVE: memory-bandwidth competitor load inflates the DRAM-streamer " +
+      "probe while the ALU spin stays comparatively flat (the r15 " +
+      "driver-run blind spot)") {
+    val cores = Runtime.getRuntime.availableProcessors()
+    assume(cores >= 8, s"needs a many-core host, have $cores")
+    // unloaded baselines
+    val single0 = CalibProbe.ms()
+    val mem0 = CalibProbe.msMem()
+    // synthetic competitor: DRAM streamers over private 64 MiB
+    // buffers — pure load/store pressure on the shared memory
+    // controller, near-zero ALU demand. 3/4 of the cores (capped):
+    // enough streams to saturate any socket's bandwidth, while total
+    // runnable threads stay under the core count so the lone ALU spin
+    // keeps a full core — the exact disturbance shape the r15 driver
+    // run carried (query median 1.148×, calib_par 1.007).
+    withCompetitors(math.min(24, (3 * cores) / 4)) { (i, stop) =>
+      val buf = new Array[Long](1 << 23) // 64 MiB, far past LLC
+      var acc = i.toLong
+      while (!stop.get()) {
+        var j = 0
+        while (j < buf.length) { acc ^= buf(j); buf(j) = acc; j += 8 }
+      }
+      acc
+    } { n =>
+      retryOnce { () =>
+        val single1 = CalibProbe.ms()
+        val mem1 = CalibProbe.msMem()
+        val singleRatio = single1 / single0
+        val memRatio = mem1 / mem0
+        info(f"single $single0%.0f→$single1%.0f ms (${singleRatio}%.2fx), " +
+          f"mem $mem0%.0f→$mem1%.0f ms (${memRatio}%.2fx) under " +
+          f"$n streamer threads on $cores cores")
+        // the probe's streamers now share DRAM bandwidth with the
+        // competitor → the section wall must stretch past the gate's
+        // corroboration threshold
+        assert(memRatio >= BenchGate.CalibCorroborationMin,
+          f"mem probe only ${memRatio}%.2fx under bandwidth load — the " +
+            "non-CPU contention signal the gate keys on did not move")
+        // and the ALU spin must NOT have seen the disturbance the mem
+        // probe saw — the separation that makes max(cpu, mem) a
+        // wider-spectrum corroborator, asserted with the same 5%
+        // noise margin as the parallel case
+        assert(memRatio > singleRatio * 1.05,
+          f"mem probe (${memRatio}%.2fx) did not inflate beyond the ALU " +
+            f"spin (${singleRatio}%.2fx) by the 5%% noise margin — the " +
+            "probe is not measuring the memory domain")
+      }
     }
   }
 }
