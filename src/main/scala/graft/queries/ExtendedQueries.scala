@@ -64,6 +64,37 @@ object ExtendedQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
   }
 
+  /** Interval (event-time band) join — the ATTRIBUTION shape: each
+    * click matches the same user's views in the preceding
+    * [[graft.streaming.StreamingJoin.WindowHours]]-hour window. The
+    * batch anchor of the watermarked stream–stream join twin: this
+    * query and `StreamingJoin.joined` share ONE join tail
+    * (`StreamingJoin.attach` — equi-key on user_id with the time
+    * band riding as a post-probe filter / state-cleanup bound), so
+    * the hash-checked batch semantics ARE the streaming semantics
+    * (StreamingJoinSpec pins accumulated stream output ≡ these rows
+    * across micro-batch splits and kill-restart).
+    *
+    * Scale shape: an equi-join on user_id — hash-partitioned both
+    * sides, no theta explosion; the band prunes post-probe. In the
+    * streaming form the same band bounds each side's state to
+    * (window + delay) × arrival-rate. */
+  private val qJoinInterval = Q("q_join_interval",
+    s"""SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       |  c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts
+       |FROM events c JOIN events v
+       |  ON c.user_id = v.user_id
+       | AND c.event_type = 'click' AND v.event_type = 'view'
+       | AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP
+       | AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP
+       |       - INTERVAL ${graft.streaming.StreamingJoin.WindowHours} HOUR
+       |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingJoin
+    val ev = t(s, d, "events")
+    StreamingJoin.attach(StreamingJoin.clicksOf(ev), StreamingJoin.viewsOf(ev))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** UDTF-class operator: explode tokens → global word frequency.
     * Map-side partial aggregation means the shuffle carries one row
     * per distinct word per partition, not one per token. */
@@ -423,5 +454,5 @@ object ExtendedQueries {
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
     qExplodePos, qWindowRange, qJoinBucketed, qJoinDpp, qTopkPerGroup,
-    qUnpivot, qSqlSubquery, qWindowNtile, qJoinNullsafe)
+    qUnpivot, qSqlSubquery, qWindowNtile, qJoinNullsafe, qJoinInterval)
 }

@@ -413,7 +413,11 @@ object SimilarityQueries {
     * volume factor that dominates at 100 TB of embeddings. Probe
     * ranking (top-nprobe over 10 query vectors) stays row_number —
     * constant-size. */
-  private val IvfC = 16
+  // private[graft]: PersistedIvfSpec re-derives the frozen-centroid
+  // model and must train with THIS k, not a duplicated literal (r15
+  // advice — a drifted copy would train a different model and fail
+  // the compaction pin for a confusing reason)
+  private[graft] val IvfC = 16
   private val IvfNprobe = 2
 
   /** Trained-IVF probe width — wider than the literal IVF's because
@@ -985,9 +989,16 @@ object SimilarityQueries {
 
   /** Trained model + durable cell-partitioned store over the full
     * corpus — the index-BUILD half of [[knnIvfPersisted]], shared
-    * with the streaming twin. */
-  private[graft] def ivfBuildStore(s: SparkSession, d: String)
-      : (DataFrame, Array[Array[Double]]) = {
+    * with the streaming twin.
+    *
+    * @param kind store path tag under the session manifest root —
+    *   the batch query uses the shared "ivf" store; a SERVING STREAM
+    *   passes its own generation tag (r15 advice: [[graft.operators
+    *   .DedupManifest]] retention reclaims a shared-path version
+    *   after two further persists, which would yank files out from
+    *   under a long-lived stream when the query-path store rebuilds) */
+  private[graft] def ivfBuildStore(s: SparkSession, d: String,
+      kind: String = "ivf"): (DataFrame, Array[Array[Double]]) = {
     import graft.operators.{DedupManifest, KMeans}
     val e = vectors(s, d).fenced() // assignment build + probe queries
     val (assigned, cents, _) =
@@ -997,7 +1008,7 @@ object SimilarityQueries {
         "vec_id")
       .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
     val store = DedupManifest
-      .persistPartitioned(posting, DedupManifest.path(s, "ivf", d), Seq("list"))
+      .persistPartitioned(posting, DedupManifest.path(s, kind, d), Seq("list"))
       .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
     (store, cents)
   }
@@ -1111,6 +1122,104 @@ object SimilarityQueries {
         (coalesce(col("n_hit"), lit(0L)).cast("double")
           >= lit(RecallFloor) * lit(5.0)).as("recall_ok"))
       .orderBy(col("q_id"))
+  }
+
+  // ---------------------------------------------- IVF maintenance policy
+
+  /** Rewrite a cell once its delta holds ≥ this fraction of the
+    * cell's postings: past it, the delta's extra file opens and
+    * merge-read overhead on every probe outweigh one rewrite. */
+  private[graft] val IvfCompactDeltaFrac = 0.25
+
+  /** …or once the delta has fragmented into this many files per cell
+    * (many small ingests), regardless of row fraction: probe cost at
+    * corpus scale is file-open-bound before it is row-bound. */
+  private[graft] val IvfCompactMaxDeltaFiles = 4L
+
+  /** Planner stand-in for the store's file granularity in the ○
+    * query's synthesized manifest (integer-exact on both engines). */
+  private val IvfRowsPerFile = 8L
+
+  /** The IVF maintenance DECISION operator (r15 verdict item 5) —
+    * the `q_compact_plan` analog for the ANN store: given the
+    * per-cell base/delta manifest (posting-row and file counts),
+    * emit the REWRITE SET a compaction job would execute — `rewrite`
+    * iff the cell has any delta AND (delta fraction ≥
+    * [[IvfCompactDeltaFrac]] OR delta files ≥
+    * [[IvfCompactMaxDeltaFiles]]). Pairs with the compaction
+    * EXECUTION pin: PersistedIvfSpec derives the manifest from the
+    * REAL base/delta stores, runs THIS planner, executes its rewrite
+    * set, and pins the partially-compacted store answer-identical to
+    * the live union (cell membership is final at assignment, so
+    * compaction moves files, never answers).
+    *
+    * Scale shape: the planner runs on METADATA cardinality — one row
+    * per cell (k-bounded), never a posting scan; the decision
+    * expression is pure per-row arithmetic. The frac comparison uses
+    * the same IEEE division on both engines (unrounded), so the
+    * boundary cannot fork; only the REPORTED fraction rounds. */
+  private[graft] def ivfCompactPlan(manifest: DataFrame): DataFrame = {
+    val frac = col("n_delta").cast("double") /
+      (col("n_base") + col("n_delta")).cast("double")
+    manifest.select(col("list"), col("n_base"), col("n_delta"),
+        col("files_base"), col("files_delta"),
+        round(frac, 4).as("delta_frac"),
+        when(col("n_delta") > 0L &&
+            (frac >= lit(IvfCompactDeltaFrac) ||
+              col("files_delta") >= lit(IvfCompactMaxDeltaFiles)),
+          lit("rewrite")).otherwise(lit("keep")).as("action"))
+      .orderBy(col("list"))
+  }
+
+  /** ○ anchor for [[ivfCompactPlan]]: the policy runs over a
+    * manifest BOTH engines synthesize from `embeddings` by public
+    * integer rules (cell = vec_id mod k; delta membership by a
+    * Knuth-hash rule whose rate RISES with the cell id, so the
+    * rewrite/keep boundary, the n_delta = 0 degenerate, and the
+    * file-count trigger are all exercised in one result; files =
+    * ⌈rows / [[IvfRowsPerFile]]⌉). The REAL store's manifest is not
+    * DuckDB-derivable (cells come from KMeans), so the policy logic
+    * is hash-checked here and the real-store integration is the
+    * PersistedIvfSpec execution pin — the q_knn_ivf_persisted
+    * split of guarantees. */
+  private val qIvfCompactPlan = Q("q_ivf_compact_plan",
+    s"""WITH m AS (
+       |  SELECT vec_id % $IvfC AS list,
+       |    CASE WHEN (vec_id * 2654435761) % 100 < (vec_id % $IvfC) * 5
+       |         THEN 1 ELSE 0 END AS is_delta
+       |  FROM embeddings),
+       |g AS (SELECT list,
+       |        CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+       |        CAST(sum(is_delta) AS BIGINT) AS n_delta
+       |      FROM m GROUP BY list),
+       |f AS (SELECT list, n_base, n_delta,
+       |        (n_base + ${IvfRowsPerFile - 1}) // $IvfRowsPerFile AS files_base,
+       |        (n_delta + ${IvfRowsPerFile - 1}) // $IvfRowsPerFile AS files_delta
+       |      FROM g)
+       |SELECT list, n_base, n_delta, files_base, files_delta,
+       |  round(n_delta / CAST(n_base + n_delta AS DOUBLE), 4) AS delta_frac,
+       |  CASE WHEN n_delta > 0
+       |        AND (n_delta / CAST(n_base + n_delta AS DOUBLE)
+       |               >= $IvfCompactDeltaFrac
+       |             OR files_delta >= $IvfCompactMaxDeltaFiles)
+       |       THEN 'rewrite' ELSE 'keep' END AS action
+       |FROM f ORDER BY list""".stripMargin) { (s, d) =>
+    val isDelta =
+      (col("vec_id") * lit(2654435761L)) % 100L < (col("vec_id") % IvfC) * 5L
+    val g = t(s, d, "embeddings")
+      .select((col("vec_id") % IvfC).as("list"),
+        when(isDelta, 1L).otherwise(0L).as("is_delta"))
+      .groupBy(col("list"))
+      .agg(sum(lit(1L) - col("is_delta")).as("n_base"),
+        sum(col("is_delta")).as("n_delta"))
+    // `div` ≙ DuckDB's `//`: exact integer ceiling-division (the
+    // q_compact_plan discipline — double `/` + cast would drift at
+    // the boundary once counts grow astronomically)
+    ivfCompactPlan(g.select(col("list"), col("n_base"), col("n_delta"),
+      expr(s"(n_base + ${IvfRowsPerFile - 1}) div $IvfRowsPerFile")
+        .as("files_base"),
+      expr(s"(n_delta + ${IvfRowsPerFile - 1}) div $IvfRowsPerFile")
+        .as("files_delta")))
   }
 
   /** Embedding-space outlier detection — the quality gate a corpus
@@ -1916,5 +2025,5 @@ object SimilarityQueries {
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
-    qKnnIvfPersisted, qKnnIvfIncremental)
+    qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan)
 }

@@ -1007,6 +1007,46 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** SOFT-EM unigram-LM apply (r15 verdict item 4 — Kudo ACL'18
+    * §3.1's expected-count E-step next to the shipped hard-EM
+    * variant): `operators.UnigramLm.softFit` trains by distributed
+    * forward-backward EM — per-word lattice posteriors computed in a
+    * fixed evaluation order through StrictMath-only kernels
+    * (bit-portable), quantized to integer micros BEFORE the
+    * corpus-scale sum (order-free) — then the trained model segments
+    * every document via the same Viterbi `encode` (SentencePiece's
+    * own train-soft/segment-Viterbi stance).
+    *
+    * Oracle stance = [[qUnigramEncode]]'s: the EM fixpoint is not
+    * SQL-expressible, so the entry emits the DuckDB-recomputable
+    * invariants plus Spark-computed verdicts; the soft-EM math is
+    * spec-pinned (UnigramLmSpec: `softFit` ≡ a sequential in-memory
+    * reference EXACTLY, and the soft model measurably differs from
+    * the hard model so the variant is not vacuous). */
+  private val qUnigramSoft = Q("q_unigram_soft",
+    """SELECT doc_id,
+      |  CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS n_chars,
+      |  true AS lossless_ok, true AS vocab_ok, true AS compress_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val model = UnigramLm.softFit(wordFreqOf(s, d), targetV = UniTargetV,
+      iters = UniIters, maxLen = UniMaxLen, seedSize = UniSeed)
+    val vocabArr = array(model.pieces.map(lit(_)).toSeq: _*)
+    val joined = concat_ws("", col("pieces"))
+    val nChars = length(joined)
+    UnigramLm.encode(docs, "text", model)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        translate(lower(col("text")), " ", "").as("flat")), "doc_id")
+      .select(col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        (joined === col("flat")).as("lossless_ok"),
+        forall(col("pieces"),
+          p => array_contains(vocabArr, p) || length(p) === 1).as("vocab_ok"),
+        ((nChars === 0 && col("n_pieces") === 0) ||
+          (col("n_pieces") >= 1 && col("n_pieces") <= nChars)).as("compress_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed feature space for the learned quality filter: 256
     * buckets via the portable md5 digest. */
   private val LrDim = 256L
@@ -1636,6 +1676,20 @@ object TextQueries {
     * one task); per-language offsets are a |languages|-sized driver
     * table (the ppl-band stance); the finale is a |languages|-row
     * aggregate. */
+  /** The shared evaluation GRAIN: one row per document with the
+    * exact-integer classifier margin and the rule label — the
+    * projection BOTH eval queries and the streaming twin's mark
+    * stage run (StreamingQualityEvalSpec pins the twin through this
+    * function, so the scorer cannot fork). Stateless per-row
+    * expressions only — streamable as-is. */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    val stops = countIn(ws, EnMarkers)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      logregMarginNum(col("text")).as("margin_num"),
+      (size(ws).between(20, 500) && stops > 0).cast("long").as("p"))
+  }
+
   private val qQualityAuc = Q("q_quality_auc",
     """WITH tk AS (
       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
@@ -1667,12 +1721,8 @@ object TextQueries {
       |SELECT lang, n1 AS n_pos, n0 AS n_neg,
       |  round(CAST(r2 - n1*(n1+1) AS DOUBLE) / CAST(2*n1*n0 AS DOUBLE), 6) AS auc
       |FROM s WHERE n1 > 0 AND n0 > 0 ORDER BY lang""".stripMargin) { (s, d) =>
-    val ws = words(col("text"))
-    val stops = countIn(ws, EnMarkers)
-    aucByLang(s, t(s, d, "documents").select(
-      col("lang"),
-      logregMarginNum(col("text")).as("margin_num"),
-      (size(ws).between(20, 500) && stops > 0).cast("long").as("p")))
+    aucByLang(s, qualityScored(t(s, d, "documents"))
+      .select(col("lang"), col("margin_num"), col("p")))
   }
 
   /** The tie-aware rank AUC over a (lang, margin_num, p) frame —
@@ -1680,9 +1730,19 @@ object TextQueries {
     * through the identical plan (the real corpus carries no
     * cross-class margin tie at spec scale, so the mid-rank half-
     * credit branch would otherwise go unexercised). */
-  private[graft] def aucByLang(s: SparkSession, scored: DataFrame): DataFrame = {
-    val g = scored.groupBy(col("lang"), col("margin_num"))
-      .agg(count(lit(1)).as("nt"), sum(col("p")).as("np"))
+  private[graft] def aucByLang(s: SparkSession, scored: DataFrame): DataFrame =
+    aucFromHistogram(s, scored.groupBy(col("lang"), col("margin_num"))
+      .agg(count(lit(1)).as("nt"), sum(col("p")).as("np")))
+
+  /** The AUC sweep over the (lang, margin_num, nt, np) HISTOGRAM —
+    * the grain the STREAMING twin maintains as state (tie-aware
+    * Mann-Whitney needs only per-(lang, margin) group counts, never
+    * per-doc ranks, so a live monitor carries domain-bounded state
+    * and this sweep is exact, not approximate). One function, three
+    * consumers: the ○ batch query, QualityEvalSpec's synthetic tied
+    * frame, and StreamingQualityEval's sweep. */
+  private[graft] def aucFromHistogram(s: SparkSession, g0: DataFrame): DataFrame = {
+    val g = g0
     // strictly-below count via the two-phase scan over the composite
     // (lang, margin) total order…
     val ranked = graft.operators.PrefixSum.cumsumBy(
@@ -1742,12 +1802,19 @@ object TextQueries {
       |  CAST(sum(p) AS BIGINT) AS n_pos,
       |  round(sum(p) / (count(*) * 1.0), 6) AS pos_rate
       |FROM r GROUP BY 1 ORDER BY decile""".stripMargin) { (s, d) =>
-    val ws = words(col("text"))
-    val stops = countIn(ws, EnMarkers)
-    val scored = t(s, d, "documents").select(
-      col("doc_id"),
-      logregMarginNum(col("text")).as("margin_num"),
-      (size(ws).between(20, 500) && stops > 0).cast("long").as("p"))
+    calibTail(s, qualityScored(t(s, d, "documents"))
+      .select(col("doc_id"), col("margin_num"), col("p")))
+  }
+
+  /** The reliability-decile sweep over a per-document
+    * (doc_id, margin_num, p) frame — the batch tail of
+    * `q_quality_calibration`, shared with the streaming twin's sweep
+    * (deciles need the (margin, doc_id) total order, which a
+    * (lang, margin) histogram cannot carry — the twin therefore
+    * keeps the PplBand-style marked store for THIS sweep and the
+    * histogram for the AUC). */
+  private[graft] def calibTail(s: SparkSession, perDoc: DataFrame): DataFrame = {
+    val scored = perDoc
       .withColumn("one", lit(1L))
       .fenced() // ranked + counted
     val n = scored.count()
@@ -1766,5 +1833,5 @@ object TextQueries {
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
     qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib,
-    qUnigramSeed, qUnigramEncode)
+    qUnigramSeed, qUnigramEncode, qUnigramSoft)
 }

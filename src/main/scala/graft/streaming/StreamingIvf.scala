@@ -7,9 +7,9 @@ import graft.queries.SimilarityQueries
 
 /** Streaming ANN SERVING over the persisted IVF index — the
   * [[StreamingRerank]] shape applied to the vector index: the index
-  * is built ONCE (trained centroids + the durable cell-partitioned
-  * posting store of `q_knn_ivf_persisted`), then every micro-batch
-  * of arriving query vectors runs the IDENTICAL shared serving tail
+  * is built ONCE (trained centroids + a durable cell-partitioned
+  * posting store), then every micro-batch of arriving query vectors
+  * runs the IDENTICAL shared serving tail
   * (`SimilarityQueries.ivfServe` — probe selection over the
   * k-bounded centroid table, literal cell filter pruning the store
   * scan, exact-cosine top-k).
@@ -18,7 +18,7 @@ import graft.queries.SimilarityQueries
   * PER-QUERY INDEPENDENT (the model and store are fixed at build
   * time; a query's answer never depends on other queries), so
   * serving any micro-batch split of a query set accumulates exactly
-  * the batch answers for those queries — StreamingIvfSpec pins the
+  * the batch answers for those queries — PersistedIvfSpec pins the
   * accumulated stream output row-for-row against
   * `knnIvfPersisted`'s.
   *
@@ -30,24 +30,49 @@ import graft.queries.SimilarityQueries
   * index-build time, per-query work proportional to the probed
   * cells.
   *
-  * Store-lifetime contract: the serving stream holds the store
-  * VERSION that existed at build time, and
-  * [[graft.operators.DedupManifest]] retention reclaims a version
-  * after TWO further persists of the same store path — so a serving
-  * stream outliving two index rebuilds in one session must be
-  * restarted onto the new version (a production deployment pins its
-  * own store path per index generation; the restart is clean, the
-  * operator is stateless). */
+  * Store-lifetime contract (r15 advice closed in r16): each stream
+  * builds its index under its OWN store generation (a fresh
+  * `ivfserveN` path tag), so [[graft.operators.DedupManifest]]'s
+  * retention of the SHARED `ivf` query-path store — which reclaims a
+  * version after two further persists of the same path, e.g. any two
+  * later `q_knn_ivf_persisted` runs — can never delete files under a
+  * running stream. The stream's own path sees exactly one persist
+  * for the stream's whole life, which retention never reclaims. */
 object StreamingIvf {
 
-  /** Build the index once, then serve each micro-batch of streaming
+  /** Ceiling on query vectors per micro-batch. Probe selection runs
+    * DRIVER-SIDE over the k-bounded centroid table (the design that
+    * makes per-query work nprobe/C of the store), which means each
+    * micro-batch of query vectors is collected — fine at serving
+    * rates, where queries are the small side by contract, but an
+    * unbounded producer (someone piping the CORPUS through the query
+    * stream) would pile vectors onto the driver. The loud-guard
+    * discipline of `Sgns.MaxVocab` / `UnigramLm.MaxPieces`: at the
+    * default 64-dim doubles, 2¹⁶ vectors ≈ 34 MB per batch — far
+    * above any serving burst, far below driver heap. */
+  val MaxBatchQueries: Int = 1 << 16
+
+  /** Per-stream store generation counter (see the store-lifetime
+    * contract above). */
+  private val gen = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Build the index once (under this stream's own store
+    * generation), then serve each micro-batch of streaming
     * (vec_id, v) query rows, handing every non-empty batch's top-k
-    * frame to `sink` (ordered by q_id, rn). */
+    * frame to `sink` (ordered by q_id, rn).
+    *
+    * @param maxBatchQueries the [[MaxBatchQueries]] ceiling —
+    *   parameterized so the guard spec can trip it at test scale;
+    *   production callers keep the default */
   def start(spark: SparkSession, queries: DataFrame, sfDir: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second"))(
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      maxBatchQueries: Int = MaxBatchQueries)(
       sink: DataFrame => Unit): StreamingQuery = {
-    val (store, cents) = SimilarityQueries.ivfBuildStore(spark, sfDir)
+    require(maxBatchQueries >= 1, s"maxBatchQueries=$maxBatchQueries")
+    val (store, cents) =
+      SimilarityQueries.ivfBuildStore(spark, sfDir,
+        kind = s"ivfserve${gen.incrementAndGet()}")
     store.count(): Unit // force the store write at build time
     queries.writeStream
       .outputMode("append")
@@ -55,9 +80,18 @@ object StreamingIvf {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions.col
+        // limit+1 bounds the collect itself: the guard must not OOM
+        // while measuring the violation it exists to prevent
         val qs = batch.select(col("vec_id").cast("long"), col("v"))
+          .limit(maxBatchQueries + 1)
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        require(qs.length <= maxBatchQueries,
+          s"query micro-batch exceeds StreamingIvf.MaxBatchQueries=" +
+            s"$maxBatchQueries vectors: probe selection collects each " +
+            "batch driver-side (the nprobe/C serving design); this is a " +
+            "serving stream, not a corpus channel — throttle the " +
+            "producer or split the batch upstream")
         if (qs.nonEmpty) sink(SimilarityQueries.ivfServe(store, cents, qs))
       }
       .start()

@@ -102,12 +102,79 @@ class PersistedIvfSpec extends AnyFunSuite {
     val prior = SimilarityQueries.vectors(spark, TestSpark.Sf)
       .where(col("vec_id") < split)
     val (_, cents, _) = graft.operators.KMeans.fit(
-      prior.select(col("vec_id"), col("v")), k = 16, maxIter = 5)
+      prior.select(col("vec_id"), col("v")),
+      k = SimilarityQueries.IvfC, maxIter = 5)
     val served = SimilarityQueries.ivfServe(compacted, cents,
         SimilarityQueries.ivfQueries(spark, TestSpark.Sf))
       .as[(Long, Long, Int, Double)].collect().toSeq
     assert(live.nonEmpty && served == live,
       "compaction changed served answers")
+  }
+
+  test("maintenance policy: the planner's rewrite set from the REAL " +
+      "base/delta manifest, executed, serves answer-identically (the " +
+      "decision half of the compaction pin)") {
+    import graft.operators.DedupManifest
+    val live = SimilarityQueries.knnIvfIncremental(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    def store(tag: String) = DedupManifest.read(spark,
+        DedupManifest.path(spark, tag, TestSpark.Sf))
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    val base = store("ivfbase")
+    val delta = store("ivfdelta")
+    // the REAL manifest: per-cell posting rows + the stores' actual
+    // per-cell parquet file counts (newest version)
+    def filesPerCell(tag: String): Map[Int, Long] = {
+      val root = new java.io.File(
+        DedupManifest.path(spark, tag, TestSpark.Sf))
+      val newest = root.listFiles().filter(_.isDirectory)
+        .filter(_.getName.matches("v\\d+")).maxBy(_.getName.drop(1).toLong)
+      newest.listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("list=")).map { d0 =>
+          d0.getName.stripPrefix("list=").toInt ->
+            d0.listFiles().count(_.getName.endsWith(".parquet")).toLong
+        }.toMap
+    }
+    val (fb, fd) = (filesPerCell("ivfbase"), filesPerCell("ivfdelta"))
+    def counts(st: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      st.groupBy(col("list")).agg(count(lit(1)).as("n"))
+        .as[(Int, Long)].collect().toMap
+    val (nb, nd) = (counts(base), counts(delta))
+    val manifest = (nb.keySet ++ nd.keySet).toSeq.sorted.map { c =>
+      (c, nb.getOrElse(c, 0L), nd.getOrElse(c, 0L),
+        fb.getOrElse(c, 0L), fd.getOrElse(c, 0L))
+    }.toDF("list", "n_base", "n_delta", "files_base", "files_delta")
+    val plan = SimilarityQueries.ivfCompactPlan(manifest)
+      .as[(Int, Long, Long, Long, Long, Double, String)].collect().toSeq
+    assert(plan.map(_._1).toSet == (nb.keySet ++ nd.keySet),
+      "the plan dropped or invented cells")
+    val rewrite = plan.filter(_._7 == "rewrite").map(_._1).toSet
+    assert(rewrite.nonEmpty,
+      "no cell flagged — the execution pin would be vacuous (at spec " +
+        "scale every delta cell fragments past the file trigger)")
+    // EXECUTE the rewrite set: flagged cells merge base+delta into
+    // the next base version; unflagged delta files stay where they are
+    val flagged = (c: org.apache.spark.sql.Column) =>
+      c.isin(rewrite.toSeq: _*)
+    val newBase = DedupManifest.persistPartitioned(
+        base.where(flagged(col("list")))
+          .union(delta.where(flagged(col("list"))))
+          .union(base.where(!flagged(col("list")))),
+        DedupManifest.path(spark, "ivfpolicy", TestSpark.Sf), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"), col("v"))
+    val split =
+      (4L * Tables(spark, TestSpark.Sf, "embeddings").count() + 4L) / 5L
+    val prior = SimilarityQueries.vectors(spark, TestSpark.Sf)
+      .where(col("vec_id") < split)
+    val (_, cents, _) = graft.operators.KMeans.fit(
+      prior.select(col("vec_id"), col("v")),
+      k = SimilarityQueries.IvfC, maxIter = 5)
+    val served = SimilarityQueries.ivfServe(
+        newBase.union(delta.where(!flagged(col("list")))), cents,
+        SimilarityQueries.ivfQueries(spark, TestSpark.Sf))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(live.nonEmpty && served == live,
+      "executing the maintenance plan changed served answers")
   }
 
   test("STREAMED serving over the persisted index equals the batch " +
@@ -135,6 +202,45 @@ class PersistedIvfSpec extends AnyFunSuite {
       assert(got.sortBy(r => (r._1, r._3)).toSeq ==
         batch.sortBy(r => (r._1, r._3)),
         "streamed serving diverged from the batch index answers")
+      // STORE-LIFETIME (r15 advice): the stream pinned its own store
+      // generation at build time; rebuilding the SHARED query-path
+      // store twice (two persists of the 'ivf' path — exactly the
+      // DedupManifest retention window) must not reclaim files under
+      // the running stream
+      got.clear()
+      SimilarityQueries.knnIvfPersisted(spark, TestSpark.Sf).count()
+      SimilarityQueries.knnIvfPersisted(spark, TestSpark.Sf).count()
+      mem.addData(qs.head)
+      q.processAllAvailable() // would die FileNotFoundException pre-fix
+      assert(q.exception.isEmpty,
+        s"stream died after shared-store rebuilds: ${q.exception}")
+      assert(got.sortBy(r => (r._1, r._3)).toSeq ==
+        batch.filter(_._1 == qs.head._1).sortBy(r => (r._1, r._3)),
+        "post-rebuild serving diverged")
+    } finally q.stop()
+  }
+
+  test("driver-batch guard: a query micro-batch past the cap fails " +
+      "LOUDLY naming MaxBatchQueries (serving stream, not a corpus " +
+      "channel)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val qs = SimilarityQueries.ivfQueries(spark, TestSpark.Sf).toSeq
+    assert(qs.size >= 4, "need enough queries to trip a small cap")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sivf-guard").toString
+    val q = graft.streaming.StreamingIvf.start(spark,
+        mem.toDF.toDF("vec_id", "v"), TestSpark.Sf, ckpt,
+        maxBatchQueries = 3) { _ => () }
+    try {
+      mem.addData(qs: _*) // one batch of > 3 vectors
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg != null && msg.contains("MaxBatchQueries"),
+        s"guard error does not name the knob: $msg")
     } finally q.stop()
   }
 }

@@ -68,7 +68,7 @@ class UnigramLmSpec extends AnyFunSuite {
     def micros(t: Seq[(String, Long)]): (Map[String, Long], Long) = {
       val total = t.map(_._2).sum.toDouble
       val m = t.map { case (p, c) =>
-        p -> math.round(UnigramLm.round6(math.log(c / total)) * 1e6) }.toMap
+        p -> math.round(UnigramLm.round6(StrictMath.log(c / total)) * 1e6) }.toMap
       (m, m.values.min - 1000000L)
     }
     def estep(t: Seq[(String, Long)]): Map[String, Long] = {
@@ -98,7 +98,7 @@ class UnigramLmSpec extends AnyFunSuite {
     val total = table.map(_._2).sum.toDouble
     val sorted = table.sortBy(_._1)
     (sorted.map(_._1),
-      sorted.map { case (_, c) => UnigramLm.round6(math.log(c / total)) })
+      sorted.map { case (_, c) => UnigramLm.round6(StrictMath.log(c / total)) })
   }
 
   private def corpusWf: Seq[(String, Long)] =
@@ -119,6 +119,100 @@ class UnigramLmSpec extends AnyFunSuite {
     // the trained vocabulary is multi-piece, not a char-only collapse
     assert(model.pieces.count(_.length > 1) > 10,
       s"only ${model.pieces.count(_.length > 1)} multi-char pieces survived")
+  }
+
+  /** Sequential soft-EM reference: the SHARED per-word lattice
+    * function (bit-portable by construction — fixed evaluation order,
+    * StrictMath kernels) with a plain sequential integer-micros
+    * aggregation; what the distributed path must reproduce EXACTLY is
+    * the cross-row arithmetic, which is order-free integer sums. */
+  private def refSoftFit(wf: Seq[(String, Long)], targetV: Int, iters: Int,
+      maxLen: Int, seedSize: Int): (Seq[String], Seq[Double]) = {
+    val words = wf.filter(_._1.nonEmpty)
+    val all = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- words; i <- 0 until w.length;
+           l <- 1 to math.min(maxLen, w.length - i)) {
+        val p = w.substring(i, i + l)
+        m(p) = m.getOrElse(p, 0L) + f
+      }
+      m.toMap
+    }
+    val top = all.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    val chars = all.toSeq.filter(_._1.length == 1)
+    var table: Seq[(String, Long)] = (top ++ chars).groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._2).max }.toSeq.sortBy(_._1)
+    def estep(t: Seq[(String, Long)]): Map[String, Long] = {
+      val m = UnigramLm.toModel(t)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- words; (p, um) <- UnigramLm.expectedCounts(w, m))
+        counts(p) = counts.getOrElse(p, 0L) + um * f
+      counts.toMap
+    }
+    def mstep(t: Seq[(String, Long)], c: Map[String, Long]) =
+      t.flatMap { case (p, _) =>
+        val n = c.getOrElse(p, 0L)
+        if (n > 0L) Some(p -> n)
+        else if (p.length == 1) Some(p -> 1L) else None
+      }
+    for (_ <- 1 to iters) {
+      table = mstep(table, estep(table))
+      table = UnigramLm.pruneTo(table,
+        math.max(targetV, table.length * 3 / 4))
+    }
+    table = UnigramLm.pruneTo(table, targetV)
+    val m = UnigramLm.toModel(mstep(table, estep(table)))
+    (m.pieces.toSeq, m.logp.toSeq)
+  }
+
+  test("distributed softFit equals the sequential soft-EM reference " +
+      "EXACTLY, and the soft model differs from the hard model " +
+      "(expected counts actually flowed)") {
+    val model = UnigramLm.softFit(
+      TextQueries.wordFreqOf(spark, TestSpark.Sf),
+      targetV = TextQueries.UniTargetV, iters = TextQueries.UniIters,
+      maxLen = TextQueries.UniMaxLen, seedSize = TextQueries.UniSeed)
+    val (refPieces, refLogp) = refSoftFit(corpusWf,
+      TextQueries.UniTargetV, TextQueries.UniIters,
+      TextQueries.UniMaxLen, TextQueries.UniSeed)
+    assert(model.pieces.toSeq == refPieces)
+    assert(model.logp.toSeq == refLogp)
+    assert(model.pieces.count(_.length > 1) > 10,
+      s"only ${model.pieces.count(_.length > 1)} multi-char pieces survived")
+    val hard = UnigramLm.fit(
+      TextQueries.wordFreqOf(spark, TestSpark.Sf),
+      targetV = TextQueries.UniTargetV, iters = TextQueries.UniIters,
+      maxLen = TextQueries.UniMaxLen, seedSize = TextQueries.UniSeed)
+    assert(model.pieces.toSeq != hard.pieces.toSeq ||
+        model.logp.toSeq != hard.logp.toSeq,
+      "soft and hard EM produced bit-identical models — the soft " +
+        "E-step is not actually soft")
+  }
+
+  test("per-word expected counts: posterior mass conserves and orders " +
+      "by path probability (independent of the lattice code path)") {
+    def m(entries: (String, Double)*) = UnigramLm.Model(
+      entries.map(_._1).sorted.toArray,
+      entries.sortBy(_._1).map(_._2).toArray)
+    // 'ab' has two segmentations: [ab] and [a][b]. The posterior is a
+    // 2-way softmax; expected counts must satisfy, up to the 1-micro
+    // grid: gamma(a) == gamma(b) (they ride the same path) and
+    // gamma(ab) + gamma(a) == 1 (the word is fully covered).
+    val counts = UnigramLm.expectedCounts("ab",
+      m("a" -> -1.0, "b" -> -1.5, "ab" -> -2.0)).toMap
+    assert(counts.keySet == Set("a", "b", "ab"))
+    assert(counts("a") == counts("b"))
+    assert(math.abs(counts("ab") + counts("a") - 1000000L) <= 1L)
+    // log P([ab]) = -2.0 vs log P([a][b]) = -2.5 → the one-piece path
+    // carries more posterior mass
+    assert(counts("ab") > counts("a"))
+    // flipping the balance flips the ordering
+    val c2 = UnigramLm.expectedCounts("ab",
+      m("a" -> -0.5, "b" -> -0.5, "ab" -> -2.0)).toMap
+    assert(c2("ab") < c2("a"))
+    // a Viterbi-invisible piece still accrues soft mass: every lattice
+    // edge with nonzero posterior appears
+    assert(counts.values.forall(_ > 0L))
   }
 
   test("tie-break contract: equal scores fall to fewer pieces, then to " +
