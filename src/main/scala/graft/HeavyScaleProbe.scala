@@ -134,7 +134,13 @@ object HeavyScaleProbe {
     // copies with per-copy degrees constant, so seeds AND per-step
     // candidate volume grow ~10× — the pass must scale linearly,
     // never with any cross-copy product
-    "q_graph_walks_biased")
+    "q_graph_walks_biased",
+    // round 16: the stream-stream join's batch anchor (equi-key
+    // interval join — disconnected per-copy user populations, match
+    // volume exactly 10×) and the soft-EM tokenizer (forward-backward
+    // E-steps over a 10×-vocabulary word table — the corpus-scale
+    // exchange must stay linear in distinct words)
+    "q_join_interval", "q_unigram_soft")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -148,7 +154,8 @@ object HeavyScaleProbe {
     "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
     "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
     "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0,
-    "q_mine_bitext" -> 1.0, "q_graph_walks_biased" -> 1.0)
+    "q_mine_bitext" -> 1.0, "q_graph_walks_biased" -> 1.0,
+    "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
@@ -254,7 +261,7 @@ object HeavyScaleProbe {
     // a dir left by an earlier round (before part.parquet existed)
     // must re-synthesize, and any future table addition re-triggers
     // automatically instead of silently serving a stale subset
-    val tables = Seq("documents", "embeddings", "lineitem", "part")
+    val tables = Seq("documents", "embeddings", "lineitem", "part", "events")
     val marker = java.nio.file.Paths.get(Dst, s"_DONE_${tables.mkString("_")}")
     if (java.nio.file.Files.exists(marker)) return
     val copies = spark.range(Copies).select(col("id").cast("int").as("cp"))
@@ -308,6 +315,26 @@ object HeavyScaleProbe {
       }.toIndexedSeq: _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$Dst/part.parquet")
+
+    // events: event_id AND user_id offset per copy — 10 disconnected
+    // user populations over the same time span, so the interval
+    // join's per-user match structure is constant while both sides
+    // grow 10× (match volume exactly 10×: the linear scale-up an
+    // equi-key interval join must track; a shared user space would
+    // instead inflate matches ~quadratically — a density stress, not
+    // a scale-up). ts survives as µs TimestampType (the Tables loader
+    // is type-guarded, so the replica loads unchanged).
+    val ev = Tables(spark, Src, "events")
+    val maxEvent = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    ev.crossJoin(copies)
+      .select(ev.columns.map {
+        case "event_id" => (col("event_id") + col("cp") * maxEvent).as("event_id")
+        case "user_id" => (col("user_id") + col("cp") * maxUser).as("user_id")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Dst/events.parquet")
 
     java.nio.file.Files.createFile(marker): Unit
   }

@@ -95,6 +95,33 @@ object ExtendedQueries {
       .orderBy(col("click_id"), col("view_id"))
   }
 
+  /** The AUDIT form of [[qJoinInterval]]: LEFT OUTER through the same
+    * shared tail — every click emits, unattributed clicks with a NULL
+    * view side (the funnel-leak measurement an attribution pipeline
+    * reports next to its matches). In the streaming twin the same
+    * `joinType` makes the null row emit only once the watermark
+    * proves no in-window view can still arrive — the late-data
+    * semantics StreamingJoinSpec pins. Presentation sort coalesces
+    * the nullable key to −1 so both engines order null rows
+    * identically (DuckDB sorts NULLS LAST, Spark NULLS FIRST — the
+    * documented cross-engine quirk). */
+  private val qJoinIntervalLeft = Q("q_join_interval_left",
+    s"""SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+       |  c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |  ON c.user_id = v.user_id
+       | AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP
+       | AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP
+       |       - INTERVAL ${graft.streaming.StreamingJoin.WindowHours} HOUR
+       |ORDER BY click_id, coalesce(view_id, -1)""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingJoin
+    val ev = t(s, d, "events")
+    StreamingJoin.attach(StreamingJoin.clicksOf(ev), StreamingJoin.viewsOf(ev),
+        joinType = "left_outer")
+      .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
+  }
+
   /** UDTF-class operator: explode tokens → global word frequency.
     * Map-side partial aggregation means the shuffle carries one row
     * per distinct word per partition, not one per token. */
@@ -454,5 +481,6 @@ object ExtendedQueries {
   val all: Seq[Q] = Seq(qAsof, qRange, qWordCount, qPivot,
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
     qExplodePos, qWindowRange, qJoinBucketed, qJoinDpp, qTopkPerGroup,
-    qUnpivot, qSqlSubquery, qWindowNtile, qJoinNullsafe, qJoinInterval)
+    qUnpivot, qSqlSubquery, qWindowNtile, qJoinNullsafe, qJoinInterval,
+    qJoinIntervalLeft)
 }

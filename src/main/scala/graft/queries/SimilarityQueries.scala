@@ -962,13 +962,14 @@ object SimilarityQueries {
     * tail, so none of the four can drift. `queries` is the serving
     * batch: |queries| is request-scale, never corpus-scale. */
   private[graft] def ivfServe(store: DataFrame, cents: Array[Array[Double]],
-      queries: Array[(Long, Seq[Double])]): DataFrame = {
+      queries: Array[(Long, Seq[Double])],
+      nprobe: Int = IvfNprobeTrained): DataFrame = {
     val spark = store.sparkSession
     import spark.implicits._
     val probes = queries.sortBy(_._1).flatMap { case (q, qv) =>
       cents.zipWithIndex
         .map { case (c, j) => (sqDistLocal(qv, c), j) }.sorted
-        .take(IvfNprobeTrained)
+        .take(nprobe)
         .map { case (_, j) => (q, j, qv) }
     }
     val cells = probes.map(_._2).distinct.sorted.toSeq
@@ -1220,6 +1221,66 @@ object SimilarityQueries {
         .as("files_base"),
       expr(s"(n_delta + ${IvfRowsPerFile - 1}) div $IvfRowsPerFile")
         .as("files_delta")))
+  }
+
+  /** The nprobe↔recall OPERATING CURVE (r16 — the "how nprobe trades
+    * recall at scale" half of the IVF lifecycle policy): serve the
+    * fixed query set at nprobe ∈ {1, 2, 4, 8, 16} against ONE
+    * persisted index build (the shared [[ivfServe]] tail — the same
+    * store scan, pruned to nprobe/C of the cells each time) and
+    * grade recall@5 against the in-plan exact top-k. The two
+    * guarantees a deployment sizes its probe width by, emitted as
+    * verdicts both engines can assert:
+    *
+    *  - `recall_ok`: mean recall clears a per-nprobe floor
+    *    (0.2/0.4/0.6/0.8), and at nprobe = C the recall is EXACTLY
+    *    1.0 — probing every cell makes the candidate set the full
+    *    corpus and the rerank shares the brute-force (cos DESC,
+    *    n_id) tie rule, so full-probe serving ≡ exact search is a
+    *    structural identity, not a measurement;
+    *  - `monotone_ok`: recall never decreases as nprobe widens
+    *    (candidate sets are nested — a supersets-only guarantee the
+    *    plan must not break).
+    *
+    * Scale shape: one index build; the five servings differ only in
+    * the literal cell filter (1/16 → 16/16 of the store read — the
+    * partition-pruning fraction IS the knob); the verdict aggregate
+    * is |nprobe|×|queries| rows, folded driver-side at 5 rows. */
+  private val qIvfNprobeRecall = Q("q_ivf_nprobe_recall",
+    """SELECT CAST(nprobe AS INT) AS nprobe, CAST(10 AS BIGINT) AS n_queries,
+      |  true AS recall_ok, true AS monotone_ok
+      |FROM (VALUES (1), (2), (4), (8), (16)) t(nprobe)
+      |ORDER BY nprobe""".stripMargin) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val (store, cents) = ivfBuildStore(s, d)
+    val qs = ivfQueries(s, d)
+    val brute = qKnnBrute.fn(s, d)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    val nprobes = Seq(1, 2, 4, 8, 16)
+    val served = nprobes.map { np =>
+      ivfServe(store, cents, qs, np)
+        .select(lit(np).as("nprobe"), col("q_id"), col("n_id"))
+    }.reduce(_ union _)
+    val graded = served
+      .join(broadcast(brute), Seq("q_id", "n_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // |nprobe| rows on the driver: the floor + nestedness verdicts
+    // need the cross-row comparison
+    val floors = Map(1 -> 0.2, 2 -> 0.4, 4 -> 0.6, 8 -> 0.8, 16 -> 1.0)
+    val recalls = graded.map { case (np, nRet, nHit) =>
+      (np, nHit.toDouble / nRet) }
+    val out = recalls.zip(0.0 +: recalls.map(_._2).init).map {
+      case ((np, r), prev) =>
+        (np, qs.length.toLong,
+          r >= floors(np) && (np != cents.length || r == 1.0),
+          r >= prev)
+    }
+    out.toSeq.toDF("nprobe", "n_queries", "recall_ok", "monotone_ok")
+      .orderBy(col("nprobe"))
   }
 
   /** Embedding-space outlier detection — the quality gate a corpus
@@ -2025,5 +2086,5 @@ object SimilarityQueries {
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
-    qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan)
+    qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall)
 }

@@ -65,14 +65,23 @@ object StreamingJoin {
     * band. In batch this plans as a hash/SMJ equi-join with the band
     * as a post-probe filter (the `q_join_range` shape); in streaming
     * the SAME condition is what lets Spark derive state-cleanup
-    * bounds for both sides. Output is unordered — the ○ query adds
-    * its presentation sort, the stream never sorts. */
+    * bounds for both sides. Output is unordered — the ○ queries add
+    * their presentation sort, the stream never sorts.
+    *
+    * `joinType` "left_outer" is the AUDIT form: every click emits,
+    * unattributed ones with a NULL view side. In streaming the outer
+    * row for an unmatched click emits only once the watermark proves
+    * no in-window view can still arrive — the late-data semantics
+    * StreamingJoinSpec pins (inner rows at match time, null rows
+    * after the watermark passes the click's window). */
   def attach(clicks: DataFrame, views: DataFrame,
-      windowHours: Int = WindowHours): DataFrame =
+      windowHours: Int = WindowHours,
+      joinType: String = "inner"): DataFrame =
     clicks.join(views,
         col("user_id") === col("v_user_id") &&
           col("view_ts") <= col("click_ts") &&
-          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowHours HOURS"))
+          col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowHours HOURS"),
+        joinType)
       .select(col("click_id"), col("view_id"), col("user_id"),
         col("click_ts"), col("view_ts"))
 
@@ -83,9 +92,10 @@ object StreamingJoin {
     * identically. */
   def joined(clickEvents: DataFrame, viewEvents: DataFrame,
       windowHours: Int = WindowHours,
-      delay: String = "1 minute"): DataFrame =
+      delay: String = "1 minute",
+      joinType: String = "inner"): DataFrame =
     attach(
       clicksOf(clickEvents).withWatermark("click_ts", delay),
       viewsOf(viewEvents).withWatermark("view_ts", delay),
-      windowHours)
+      windowHours, joinType)
 }

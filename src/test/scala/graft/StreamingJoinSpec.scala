@@ -87,6 +87,67 @@ class StreamingJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LEFT OUTER: unattributed clicks emit with a null view side only " +
+      "after the watermark proves no in-window view can arrive, and the " +
+      "accumulated result equals the batch left join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[Ev]
+    val viewsIn = MemoryStream[Ev]
+    val joined = StreamingJoin.joined(
+      clicksIn.toDF.toDF("event_id", "user_id", "ts", "event_type"),
+      viewsIn.toDF.toDF("event_id", "user_id", "ts", "event_type"),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("sjoin_left")
+      .outputMode("append").start()
+    try {
+      val d = events
+      val groups = d.grouped(d.length / 3 + 1).toSeq
+      groups.foreach { g =>
+        clicksIn.addData(g: _*)
+        viewsIn.addData(g: _*)
+        q.processAllAvailable()
+      }
+      def gotRows() = spark.table("sjoin_left")
+        .select(col("click_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val want = SparkEntry.queries("q_join_interval_left")(spark, TestSpark.Sf)
+        .select(col("click_id"), col("user_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val wantNulls = want.count(_._3 == -1L)
+      assert(wantNulls >= 5, s"batch anchor has $wantNulls unattributed " +
+        "clicks — too few to prove the outer path")
+      // BEFORE the watermark passes the tail of the data, the most
+      // recent unattributed clicks cannot have emitted their null row
+      // yet (emitting early would be a correctness bug: a view may
+      // still arrive) — so the stream so far holds FEWER null rows
+      // than the batch answer
+      val nullsSoFar = gotRows().count(_._3 == -1L)
+      assert(nullsSoFar < wantNulls,
+        "every null row emitted before the watermark closed the " +
+          "window — outer emission is not watermark-gated")
+      // drive the watermark past everything (sentinels on both sides,
+      // non-matching users; two advances — eviction/emission use the
+      // previous batch's watermark)
+      val tMax = d.map(_._3.getTime).max
+      for (day <- 1 to 2) {
+        clicksIn.addData((-1L, -1L,
+          new java.sql.Timestamp(tMax + day * 86400000L), "click"))
+        viewsIn.addData((-2L, -2L,
+          new java.sql.Timestamp(tMax + day * 86400000L), "view"))
+        q.processAllAvailable()
+      }
+      // now: accumulated ≡ batch left join, modulo the two sentinel
+      // clicks (user -1, which the batch frame does not contain —
+      // they emit their own null rows once the second sentinel's
+      // watermark passes the first's window)
+      val got = gotRows().filter(_._2 >= 0L)
+      assert(got.sorted == want.sorted,
+        "streamed left-outer join diverged from the batch tail")
+    } finally q.stop()
+  }
+
   test("kill mid-stream, restart from checkpoint: matches are exactly-once " +
       "across both sources (T6/T7 for the two-input state)") {
     // the two sides replay from separate files through separate
