@@ -598,8 +598,13 @@ object GraphQueries {
     * while Spark computes the real verdicts in-plan: every vector has
     * a finite positive norm, and the corpus-level separation holds
     * (mean cosine over co-occurring pairs exceeds mean cosine over
-    * hash-random self-excluded pairs — the property the embeddings
-    * exist to have; both means reduce as order-free decimal sums).
+    * hash-random NEGATIVE pairs — random partners that are actual
+    * co-occurrences are excluded from the null model, exactly as
+    * SGNS's own negative sampling excludes positives (r16; on a
+    * 4-node sf0.001 graph every random partner IS a neighbor and the
+    * old contrast was noise), and a clique corpus with no negative
+    * pair holds vacuously — the property the embeddings exist to
+    * have; both means reduce as order-free decimal sums).
     *
     * Scale shape: training is [[graft.operators.Sgns]]'s contract
     * (pair-table scans against broadcast V-bounded model tables; only
@@ -612,6 +617,18 @@ object GraphQueries {
     * separation verdicts computed in-plan (see [[qGraphEmbed]]'s
     * guarantee-stance contract). */
   private def sgnsEmbedQuery(s: SparkSession, rawPairs: DataFrame): DataFrame = {
+    val (_, emb, sepFrame) = sgnsTrainAndSep(s, rawPairs)
+    // coalesce(true): a clique corpus has no negative pair to
+    // contrast against — vacuous truth, per the sgnsTrainAndSep note
+    sgnsVerdict(emb,
+      sepFrame.select(coalesce(col("co") > col("rn"), lit(true)).as("sep_ok")))
+  }
+
+  /** Train at the shipped operating point and build the separation
+    * means frame (co-occurring vs hash-random mean cosine) — shared
+    * by the ○ queries and EmbedSepProbe's margin diagnostics. */
+  private[graft] def sgnsTrainAndSep(s: SparkSession, rawPairs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Sgns
     val pairs = rawPairs
       .groupBy(col("center"), col("context")).agg(sum(col("n_pairs")).as("wt"))
@@ -631,16 +648,34 @@ object GraphQueries {
       (n, model.nodes(((i + 1 +
         graft.functions.PortableHash.digest60(s"rnd:$n") % (v - 1)) % v).toInt))
     }.toSeq.toDF("node", "partner").fenced())
+    // …minus the random pairs that are actual co-occurrences (either
+    // orientation): the null model must be NEGATIVE pairs, exactly as
+    // SGNS's own negative sampling excludes positives. On a tiny
+    // graph (sf0.001: 4 nodes) every "random" partner IS a true
+    // neighbor — the old contrast compared two samples of the same
+    // population and its sign was noise (measured −0.008 on 13
+    // pairs; EmbedSepProbe).
+    val coSet = pairs.select(col("center").as("ca"), col("context").as("cb"))
+    val rndNeg = rnd.join(coSet,
+      (col("node") === col("ca") && col("partner") === col("cb")) ||
+        (col("node") === col("cb") && col("partner") === col("ca")),
+      "left_anti")
     val cosNat = graft.functions.GraftExpressions.cosine_sim(col("va"), col("vb"))
     def meanCos(pairDf: DataFrame, a: String, b: String, out: String) = pairDf
       .join(emb.select(col("node").as(a), col("vin").as("va")), a)
       .join(emb.select(col("node").as(b), col("vin").as("vb")), b)
       .agg((sum(round(cosNat, 6).cast("decimal(18,6)")).cast("double")
         / count(lit(1))).as(out))
-    val sep = meanCos(pairs.select(col("center"), col("context")),
+    // rn is NULL when no negative pair exists (the corpus is a
+    // clique at this scale) — separation is then undefined and the
+    // verdict downstream holds vacuously rather than reporting noise
+    val sepFrame = meanCos(pairs.select(col("center"), col("context")),
         "center", "context", "co")
-      .crossJoin(meanCos(rnd, "node", "partner", "rn"))
-      .select((col("co") > col("rn")).as("sep_ok"))
+      .crossJoin(meanCos(rndNeg, "node", "partner", "rn"))
+    (pairs, emb, sepFrame)
+  }
+
+  private def sgnsVerdict(emb: DataFrame, sep: DataFrame): DataFrame = {
     val normOk = graft.functions.GraftExpressions.dot_product(
       col("vin"), col("vin")) > 0.0
     emb.select(col("node"), normOk.as("norm_ok"))
