@@ -168,6 +168,73 @@ class BenchGateSpec extends AnyFunSuite {
     assert(b4.exists(_.contains("serving_stall_ratio")))
   }
 
+  test("per-query outlier cluster: calibration-corroborated disturbance " +
+      "demotes flags to notes, uncorroborated flags stand (r16 verdict item 1)") {
+    // the r16 driver-run shape: 3 queries 3.3–4.6× slower on paths no
+    // commit touched, the rest of the registry at parity
+    val canonical = (1 to 30).map(i => s"q$i" -> 1.0).toMap +
+      ("q_walk" -> 3.62) + ("q_sub" -> 1.28) + ("q_ivf" -> 1.70)
+    val sample = canonical +
+      ("q_walk" -> 12.95) + ("q_sub" -> 5.86) + ("q_ivf" -> 5.68)
+    // raw rule flags the trio
+    assert(BenchGate.regressions(canonical, sample).map(_.name).toSet ==
+      Set("q_walk", "q_sub", "q_ivf"))
+    // memory-domain disturbance corroborated (calib_mem 47→55 = 1.17×)
+    // → machine-adjudicated as contention: flags demote to notes that
+    // mandate a quiet re-measure
+    val (f1, n1) = BenchGate.adjudicatedRegressions(canonical, sample,
+      Some((55.0 / 47.0, "calib_mem_ms")))
+    assert(f1.isEmpty)
+    assert(n1.size == 3 && n1.forall(n =>
+      n.contains("DEMOTED") && n.contains("calib_mem_ms") &&
+        n.contains("re-measure")))
+    // quiet calibration → the cluster is CODE: every flag stands
+    val (f2, n2) = BenchGate.adjudicatedRegressions(canonical, sample,
+      Some((1.01, "calib_par_ms")))
+    assert(f2.map(_.name).toSet == Set("q_walk", "q_sub", "q_ivf") && n2.isEmpty)
+    // no calibration data → fail closed, flags stand
+    val (f3, _) = BenchGate.adjudicatedRegressions(canonical, sample, None)
+    assert(f3.size == 3)
+    // clean sample never produces flags or notes regardless of calib
+    val (f4, n4) = BenchGate.adjudicatedRegressions(canonical, canonical,
+      Some((1.5, "calib_mem_ms")))
+    assert(f4.isEmpty && n4.isEmpty)
+  }
+
+  test("serving rescale keys on the CPU-domain (par) ratio, not the " +
+      "corroboration max — a memory-domain disturbance cannot clear a " +
+      "real serving regression (r16 advice)") {
+    val canonical = (1 to 30).map(i => s"q$i" -> 1.0).toMap
+    val inflated = canonical.map { case (k, v) => k -> v * 1.2 }
+    val mr = BenchGate.medianRatio(canonical, inflated)
+    val sample = healthy + ("serving_eps_free" -> 9138.0)
+    // corroboration max = 1.75 but from the MEM domain; par quiet at
+    // 1.02: the thread-bound serving hop saw no scheduler pressure, so
+    // 9138 × 1.02 < 15k — the breach SURVIVES (old behavior would
+    // have rescaled by 1.75 and cleared it)
+    val (b1, _) = BenchGate.normalizedFloorBreaches(sample, mr,
+      calibRatio = Some(1.75), parRatio = Some(1.02))
+    assert(b1.exists(_.contains("serving_eps_free")))
+    // CPU-domain disturbance: par itself at 1.75 → rescale clears
+    val (b2, n2) = BenchGate.normalizedFloorBreaches(sample, mr,
+      calibRatio = Some(1.75), parRatio = Some(1.75))
+    assert(b2.isEmpty)
+    assert(n2.exists(n => n.contains("serving_eps_free") &&
+      n.contains("CPU-domain")))
+    // pre-r15 canonical (no par scalar either side) → the max is the
+    // only magnitude available: fallback preserved
+    val (b3, _) = BenchGate.normalizedFloorBreaches(sample, mr,
+      calibRatio = Some(1.75), parRatio = None)
+    assert(b3.isEmpty)
+    // parRatio helper extracts the CPU scalar specifically
+    assert(BenchGate.parCalibRatio(
+      Map("calib_par_ms" -> 200.0, "calib_mem_ms" -> 300.0),
+      Map("calib_par_ms" -> 204.0, "calib_mem_ms" -> 450.0))
+      .exists(r => math.abs(r - 1.02) < 1e-9))
+    assert(BenchGate.parCalibRatio(Map("calib_ms" -> 85.0),
+      Map("calib_par_ms" -> 204.0)).isEmpty)
+  }
+
   test("calibration ratio keys on max(PARALLEL, MEM) when both sides " +
       "carry them, 1-thread fallback otherwise (r15/r16)") {
     val canonBoth = Map("calib_ms" -> 85.0, "calib_par_ms" -> 200.0)
