@@ -122,6 +122,45 @@ object ExtendedQueries {
       .orderBy(col("click_id"), coalesce(col("view_id"), lit(-1L)))
   }
 
+  /** The INVENTORY form of [[qJoinInterval]]: FULL OUTER through the
+    * same shared tail (round 17 — completes the stream–stream join
+    * family: inner/left/full). Both null classes emit: unattributed
+    * clicks (null view side — the funnel leak) AND unclicked views
+    * (null click side — the wasted-impression inventory). The user
+    * key is `coalesce` of the two sides so a view-only row still
+    * carries its user (in the tail itself, so batch and stream
+    * cannot drift). In the streaming twin each null class is
+    * watermark-gated from its own side: a click's null row emits
+    * once the watermark passes `click_ts`, a view's once it passes
+    * `view_ts + window` — StreamingJoinSpec pins both gates and
+    * kill-restart exactly-once. Presentation sort coalesces BOTH
+    * nullable keys to −1 (the NULLS FIRST/LAST cross-engine quirk,
+    * now on either column).
+    *
+    * Scale shape: identical to the inner form — hash-partitioned
+    * equi-join on user_id, band as post-probe filter / state bound;
+    * full-outer adds no state (unmatched rows were already retained
+    * until eviction; they now emit instead of dropping at
+    * eviction). */
+  private val qJoinIntervalFull = Q("q_join_interval_full",
+    s"""SELECT c.event_id AS click_id, v.event_id AS view_id,
+       |  coalesce(c.user_id, v.user_id) AS user_id,
+       |  c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts
+       |FROM (SELECT * FROM events WHERE event_type = 'click') c
+       |FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+       |  ON c.user_id = v.user_id
+       | AND v.ts::TIMESTAMP <= c.ts::TIMESTAMP
+       | AND v.ts::TIMESTAMP >= c.ts::TIMESTAMP
+       |       - INTERVAL ${graft.streaming.StreamingJoin.WindowHours} HOUR
+       |ORDER BY coalesce(c.event_id, -1), coalesce(v.event_id, -1)""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingJoin
+    val ev = t(s, d, "events")
+    StreamingJoin.attach(StreamingJoin.clicksOf(ev), StreamingJoin.viewsOf(ev),
+        joinType = "full_outer")
+      .orderBy(coalesce(col("click_id"), lit(-1L)),
+        coalesce(col("view_id"), lit(-1L)))
+  }
+
   /** UDTF-class operator: explode tokens → global word frequency.
     * Map-side partial aggregation means the shuffle carries one row
     * per distinct word per partition, not one per token. */
@@ -482,5 +521,5 @@ object ExtendedQueries {
     qWindowRank, qWindowFirstLast, qArrayFuncs, qSetOps,
     qExplodePos, qWindowRange, qJoinBucketed, qJoinDpp, qTopkPerGroup,
     qUnpivot, qSqlSubquery, qWindowNtile, qJoinNullsafe, qJoinInterval,
-    qJoinIntervalLeft)
+    qJoinIntervalLeft, qJoinIntervalFull)
 }

@@ -73,7 +73,20 @@ object StreamingJoin {
     * row for an unmatched click emits only once the watermark proves
     * no in-window view can still arrive — the late-data semantics
     * StreamingJoinSpec pins (inner rows at match time, null rows
-    * after the watermark passes the click's window). */
+    * after the watermark passes the click's window).
+    *
+    * `joinType` "full_outer" (round 17) is the INVENTORY form: both
+    * null classes emit — unattributed clicks (null view side) AND
+    * unclicked views (null click side, the wasted-impression
+    * measurement). The output user key is `coalesce` of the two
+    * sides so a view-only row still carries its user — identical to
+    * the clicks-side key for inner/left (both present / left always
+    * present), so the shared tail stays ONE expression for all three
+    * forms. In streaming each null class is watermark-gated from its
+    * own side: a click's null row waits for the watermark to pass
+    * `click_ts` (no earlier view can arrive), a view's null row
+    * waits for it to pass `view_ts + window` (no later click can
+    * still claim the view). */
   def attach(clicks: DataFrame, views: DataFrame,
       windowHours: Int = WindowHours,
       joinType: String = "inner"): DataFrame =
@@ -82,7 +95,8 @@ object StreamingJoin {
           col("view_ts") <= col("click_ts") &&
           col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowHours HOURS"),
         joinType)
-      .select(col("click_id"), col("view_id"), col("user_id"),
+      .select(col("click_id"), col("view_id"),
+        coalesce(col("user_id"), col("v_user_id")).as("user_id"),
         col("click_ts"), col("view_ts"))
 
   /** The streaming form: watermark BOTH event streams, then the

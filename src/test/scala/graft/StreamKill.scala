@@ -39,6 +39,21 @@ object StreamKill {
         throw new AssertionError(
           s"no qualifying commit within ${timeoutSec}s — kill never landed")
       }
+    } catch {
+      // Our own stop() interrupts the stream thread; when the
+      // interrupt lands inside an RPC await (e.g. a state-store
+      // commit — seen first on the full-outer join, which holds the
+      // most state stores per batch) Spark cannot classify it as a
+      // benign stop and awaitTermination rethrows STREAM_FAILED
+      // wrapping the InterruptedException. That IS the kill landing,
+      // not a query failure — the restart assertions downstream still
+      // verify exactly-once against the checkpoint this run left.
+      case e: org.apache.spark.sql.streaming.StreamingQueryException
+          if rootCause(e).isInstanceOf[InterruptedException] => ()
     } finally spark.streams.removeListener(listener)
   }
+
+  @scala.annotation.tailrec
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null || (t.getCause eq t)) t else rootCause(t.getCause)
 }
