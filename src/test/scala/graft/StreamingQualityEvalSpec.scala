@@ -75,4 +75,73 @@ class StreamingQualityEvalSpec extends AnyFunSuite {
         s"histogram state $histRows rows != $pairCnt distinct pairs")
     } finally { qHist.stop(); qMarks.stop() }
   }
+
+  test("kill mid-stream, restart from checkpoint: the durable histogram " +
+      "store and marked store recover exactly-once and both swept " +
+      "verdicts equal batch (T6/T7 for the eval state)") {
+    import java.nio.file.Files
+    val d = docs
+    // replay source: the documents split across many parquet files,
+    // streamed one file per trigger — many batch boundaries for the
+    // kill to land between (text can carry tabs/newlines, so a
+    // line-based replay would need escaping; the parquet file source
+    // checkpoint-recovers its processed-file set just like offsets)
+    val srcDir = Files.createTempDirectory("sqe_src").toString
+    spark.createDataset(d).toDF("doc_id", "lang", "text")
+      .repartition(12).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val base = Files.createTempDirectory("sqe_restart").toString
+    val histDir = s"$base/hist"
+
+    // --- histogram leg: durable complete-mode replace store ---
+    def startHist() = StreamingQualityEval.attachHistogram(
+      StreamingQualityEval.marks(src), histDir, s"$base/hckpt")
+    def histDocs(): Long =
+      try StreamingQualityEval.readHistogram(spark, histDir)
+        .agg(sum(col("nt"))).as[Long].head()
+      catch { case _: Throwable => 0L }
+    val h1 = startHist()
+    StreamKill.afterCommit(spark, h1, () => histDocs() >= 3)
+    assert(histDocs() > 0, "kill landed before any histogram commit")
+    assert(histDocs() < d.size.toLong,
+      "drain completed before the kill — raise the file split count")
+    val h2 = startHist()
+    try h2.processAllAvailable() finally h2.stop()
+    // the recovered accumulation covers every document exactly once
+    assert(histDocs() == d.size.toLong,
+      "restart lost or double-counted documents in the histogram state")
+    val aucGot = StreamingQualityEval.sweepAuc(spark,
+        StreamingQualityEval.readHistogram(spark, histDir))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val aucWant = SparkEntry.queries("q_quality_auc")(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(aucWant.nonEmpty && aucGot == aucWant,
+      "restarted AUC sweep diverged from the batch evaluation")
+
+    // --- marked-store leg: epoch-idempotent append, same kill ---
+    def startMarks() = graft.streaming.Sinks.appendParquet(
+      StreamingQualityEval.marks(src), s"$base/marks", s"$base/mckpt")
+    def sunkMarks(): Long =
+      try spark.read.parquet(s"$base/marks").count()
+      catch { case _: Throwable => 0L }
+    val m1 = startMarks()
+    StreamKill.afterCommit(spark, m1, () => sunkMarks() >= 3)
+    assert(sunkMarks() > 0 && sunkMarks() < d.size.toLong,
+      "marks kill landed outside mid-stream")
+    val m2 = startMarks()
+    try m2.processAllAvailable() finally m2.stop()
+    val markedTbl = spark.read.parquet(s"$base/marks")
+    assert(markedTbl.count() == d.size.toLong &&
+      markedTbl.groupBy(col("doc_id")).count()
+        .where(col("count") > 1).isEmpty,
+      "restart lost or duplicated marked documents")
+    val calGot = StreamingQualityEval.sweepCalibration(spark, markedTbl)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val calWant = SparkEntry.queries("q_quality_calibration")(spark, TestSpark.Sf)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(calWant.size == 10 && calGot == calWant,
+      "restarted calibration sweep diverged from the batch deciles")
+  }
 }
