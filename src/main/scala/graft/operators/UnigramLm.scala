@@ -14,10 +14,11 @@ import graft.Fence.FenceOps
   * log-probability table; the E-step segments every word by Viterbi
   * under the current table; the M-step re-estimates piece
   * probabilities from the segmentation counts; pruning decays the
-  * candidate set toward the target vocabulary (Kudo §3.2's shrink
-  * schedule, here 3/4 per round with the target as floor; single
-  * characters never prune, so every word stays encodable — the
-  * closure property).
+  * candidate set toward the target vocabulary by LIKELIHOOD LOSS
+  * (Kudo §3.2's exact rule, [[pruneByLoss]] — round 17, replacing
+  * the count-based proxy; 3/4 per round with the target as floor;
+  * single characters never prune, so every word stays encodable —
+  * the closure property).
   *
   * Distribution split — STRONGER than [[Bpe]]'s: BPE collapses the
   * corpus to a TOP-V driver shortlist and loops there (the HF
@@ -82,7 +83,24 @@ object UnigramLm {
     * micros); ties → fewer pieces, then the longer last piece.
     * Pure function of (word, model): the E-step, the apply pass, and
     * the spec's sequential reference all call THIS. */
-  def viterbi(w: String, model: Model): Seq[String] = {
+  def viterbi(w: String, model: Model): Seq[String] =
+    viterbiImpl(w, model, excludeFullSpan = false)
+
+  /** The best segmentation of a PIECE's own surface string into
+    * OTHER pieces — the full-span edge (the piece segmenting as
+    * itself) excluded; always exists under the single-char closure.
+    * The alternative decomposition [[pruneByLoss]]'s likelihood
+    * delta is measured against (Kudo §3.2 / SentencePiece's
+    * `PruneSentencePieces` alternatives). */
+  private[graft] def altSegmentation(w: String, model: Model): Seq[String] = {
+    require(w.length >= 2,
+      s"altSegmentation('$w'): single characters have no alternative " +
+        "decomposition (and never prune — the closure floor)")
+    viterbiImpl(w, model, excludeFullSpan = true)
+  }
+
+  private def viterbiImpl(w: String, model: Model,
+      excludeFullSpan: Boolean): Seq[String] = {
     val n = w.length
     if (n == 0) return Seq.empty
     val micros = model.micros
@@ -96,7 +114,8 @@ object UnigramLm {
     while (i <= n) {
       var j = math.max(0, i - maxLen)
       while (j < i) {
-        if (score(j) != Long.MinValue) {
+        if (score(j) != Long.MinValue &&
+            !(excludeFullSpan && j == 0 && i == n)) {
           val piece = w.substring(j, i)
           val boxed = micros.get(piece)
           val lp: Long =
@@ -170,14 +189,59 @@ object UnigramLm {
         round6(StrictMath.log(c / total)) }.toArray)
   }
 
-  /** The shrink step (Kudo §3.2): keep the top `v` multi-char
-    * candidates by (count desc, piece asc); single characters never
-    * prune (closure). Shared hard/soft/spec. */
+  /** The count-based shrink step (the pre-r17 rule, kept as the
+    * seed-stage shortlist discipline and the spec's disagreement
+    * contrast): keep the top `v` multi-char candidates by
+    * (count desc, piece asc); single characters never prune
+    * (closure). */
   private[graft] def pruneTo(t: Seq[(String, Long)], v: Int)
       : Seq[(String, Long)] = {
     val (chars, multi) = t.partition(_._1.length == 1)
     chars ++ multi.sortBy { case (p, c) => (-c, p) }
       .take(math.max(0, v - chars.length))
+  }
+
+  /** The EXACT shrink rule (Kudo §3.2, round 17 — replaces the
+    * count-based proxy in BOTH EM variants): prune the pieces whose
+    * removal costs the corpus likelihood LEAST. For piece p with
+    * post-M-step count c(p), the likelihood delta of removing p is
+    * its occurrences re-segmenting as their best ALTERNATIVE
+    * decomposition ([[altSegmentation]] — the piece's own surface
+    * under the current model with the full-span edge excluded,
+    * SentencePiece's `PruneSentencePieces` alternatives):
+    *
+    *   loss(p) = c(p) × (logp(p) − Σ_{q ∈ alt(p)} logp(q))
+    *
+    * computed entirely on the integer-micros grid (log-probs are
+    * grid micros, counts are exact integers — hard-EM frequencies or
+    * soft-EM expected micros; the product goes through BigInt so no
+    * corpus scale can wrap the RANKING). Keep the top `v − |chars|`
+    * multi-char pieces by (loss desc, piece asc) — a total
+    * deterministic order; single characters never prune (closure).
+    * Like SentencePiece, the round prunes as a BATCH: alternatives
+    * are valued under the pre-prune model, so two pieces may each
+    * assume the other survives — the standard approximation, healed
+    * by the next E-step re-count.
+    *
+    * Driver-side cost: |table| ≤ [[MaxPieces]] tiny DPs over strings
+    * of ≤ maxLen chars — microseconds against the corpus-scale
+    * E-step. */
+  private[graft] def pruneByLoss(t: Seq[(String, Long)], v: Int)
+      : Seq[(String, Long)] = {
+    val (chars, multi) = t.partition(_._1.length == 1)
+    val keep = math.max(0, v - chars.length)
+    if (multi.length <= keep) return chars ++ multi
+    val m = toModel(t)
+    val micros = m.micros
+    def microsOf(q: String): Long = {
+      val b = micros.get(q)
+      if (b != null) b.longValue else m.unkMicros
+    }
+    val loss: Map[String, BigInt] = multi.map { case (p, c) =>
+      val altCost = altSegmentation(p, m).iterator.map(microsOf).sum
+      p -> (BigInt(c) * BigInt(microsOf(p) - altCost))
+    }.toMap
+    chars ++ multi.sortBy { case (p, _) => (-loss(p), p) }.take(keep)
   }
 
   /** Train over the DISTRIBUTED aggregated (w, f) distinct-word
@@ -228,11 +292,11 @@ object UnigramLm {
     for (_ <- 1 to iters) {
       table = mstep(table, estep(toModel(table)))
       // Kudo's shrink schedule: 3/4 per round, floored at the target
-      table = pruneTo(table, math.max(targetV, table.length * 3 / 4))
+      table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
     }
     // final vocabulary + one re-count so the shipped probabilities
     // reflect the shipped vocabulary exactly
-    table = pruneTo(table, targetV)
+    table = pruneByLoss(table, targetV)
     toModel(mstep(table, estep(toModel(table))))
   }
 
@@ -350,12 +414,14 @@ object UnigramLm {
     * `mapPartitions` forward-backward pass over the distributed
     * (w, f) table (model broadcast) + one map-side-combined integer
     * aggregation; the driver holds only the piece table. The per-row
-    * product `micros × f` stays in Long to f ≈ 1.4×10¹¹ occurrences
-    * of one word form (beyond any real corpus' single-form
-    * frequency); the cross-row SUM goes through decimal(38,0) —
-    * exact and overflow-free at any corpus size — and fails LOUDLY
-    * if a piece's total leaves the Long range the driver table
-    * carries. */
+    * product `micros × f` fits Long to f ≈ 1.4×10¹¹ occurrences of
+    * one word form (beyond any real corpus' single-form frequency)
+    * and goes through `Math.multiplyExact` so past that bound the
+    * task THROWS instead of wrapping silently (r16 advice — the
+    * documented bound is now enforced, not assumed); the cross-row
+    * SUM goes through decimal(38,0) — exact and overflow-free at any
+    * corpus size — and fails LOUDLY if a piece's total leaves the
+    * Long range the driver table carries. */
   def softFit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
       seedSize: Int = 4096): Model = {
     require(targetV >= 1 && iters >= 1 && maxLen >= 1 && seedSize >= 1,
@@ -380,7 +446,8 @@ object UnigramLm {
         .mapPartitions { it =>
           val model = bc.value
           it.flatMap { case (w, f) =>
-            expectedCounts(w, model).map { case (p, um) => (p, um * f) }
+            expectedCounts(w, model)
+              .map { case (p, um) => (p, Math.multiplyExact(um, f)) }
           }
         }
         .toDF("piece", "c")
@@ -408,9 +475,9 @@ object UnigramLm {
       }
     for (_ <- 1 to iters) {
       table = mstepSoft(table, estepSoft(toModel(table)))
-      table = pruneTo(table, math.max(targetV, table.length * 3 / 4))
+      table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
     }
-    table = pruneTo(table, targetV)
+    table = pruneByLoss(table, targetV)
     toModel(mstepSoft(table, estepSoft(toModel(table))))
   }
 

@@ -45,6 +45,40 @@ class UnigramLmSpec extends AnyFunSuite {
     cuts.zip(cuts.tail).map { case (a, b) => w.substring(a, b) }
   }
 
+  /** INDEPENDENT loss-based prune (Kudo §3.2 — the r17 exact shrink
+    * rule): alternative decompositions by exhaustive enumeration
+    * (candidate pieces are ≤ maxLen chars, so enumeration is cheap
+    * and shares no code with the operator's DP), loss on the same
+    * integer-micros grid, keep top (loss desc, piece asc), chars
+    * never prune. */
+  private def refPruneByLoss(t: Seq[(String, Long)], v: Int)
+      : Seq[(String, Long)] = {
+    val (chars, multi) = t.partition(_._1.length == 1)
+    val keep = math.max(0, v - chars.length)
+    if (multi.length <= keep) return chars ++ multi
+    val total = t.map(_._2).sum.toDouble
+    val micros = t.map { case (p, c) =>
+      p -> math.round(UnigramLm.round6(StrictMath.log(c / total)) * 1e6)
+    }.toMap
+    val unk = micros.values.min - 1000000L
+    def best(s: String, excludeWhole: Boolean): Option[Long] =
+      if (s.isEmpty) Some(0L)
+      else {
+        val opts = (1 to s.length).flatMap { l =>
+          if (excludeWhole && l == s.length) None
+          else micros.get(s.substring(0, l))
+            .orElse(if (l == 1) Some(unk) else None)
+            .flatMap(lp => best(s.substring(l), excludeWhole = false)
+              .map(lp + _))
+        }
+        opts.reduceOption(_ max _)
+      }
+    val loss = multi.map { case (p, c) =>
+      p -> (BigInt(c) * BigInt(micros(p) - best(p, excludeWhole = true).get))
+    }.toMap
+    chars ++ multi.sortBy { case (p, _) => (-loss(p), p) }.take(keep)
+  }
+
   /** Sequential reference trainer: same seed rule, same EM schedule,
     * same grid — built over collected word counts with plain
     * collections. */
@@ -84,16 +118,11 @@ class UnigramLmSpec extends AnyFunSuite {
         if (n > 0L) Some(p -> n)
         else if (p.length == 1) Some(p -> 1L) else None
       }
-    def pruneTo(t: Seq[(String, Long)], v: Int): Seq[(String, Long)] = {
-      val (cs, multi) = t.partition(_._1.length == 1)
-      cs ++ multi.sortBy { case (p, c) => (-c, p) }
-        .take(math.max(0, v - cs.length))
-    }
     for (_ <- 1 to iters) {
       table = mstep(table, estep(table))
-      table = pruneTo(table, math.max(targetV, table.length * 3 / 4))
+      table = refPruneByLoss(table, math.max(targetV, table.length * 3 / 4))
     }
-    table = pruneTo(table, targetV)
+    table = refPruneByLoss(table, targetV)
     table = mstep(table, estep(table))
     val total = table.map(_._2).sum.toDouble
     val sorted = table.sortBy(_._1)
@@ -146,7 +175,7 @@ class UnigramLmSpec extends AnyFunSuite {
       val m = UnigramLm.toModel(t)
       val counts = scala.collection.mutable.Map.empty[String, Long]
       for ((w, f) <- words; (p, um) <- UnigramLm.expectedCounts(w, m))
-        counts(p) = counts.getOrElse(p, 0L) + um * f
+        counts(p) = counts.getOrElse(p, 0L) + Math.multiplyExact(um, f)
       counts.toMap
     }
     def mstep(t: Seq[(String, Long)], c: Map[String, Long]) =
@@ -157,10 +186,10 @@ class UnigramLmSpec extends AnyFunSuite {
       }
     for (_ <- 1 to iters) {
       table = mstep(table, estep(table))
-      table = UnigramLm.pruneTo(table,
+      table = refPruneByLoss(table,
         math.max(targetV, table.length * 3 / 4))
     }
-    table = UnigramLm.pruneTo(table, targetV)
+    table = refPruneByLoss(table, targetV)
     val m = UnigramLm.toModel(mstep(table, estep(table)))
     (m.pieces.toSeq, m.logp.toSeq)
   }
@@ -213,6 +242,29 @@ class UnigramLmSpec extends AnyFunSuite {
     // a Viterbi-invisible piece still accrues soft mass: every lattice
     // edge with nonzero posterior appears
     assert(counts.values.forall(_ > 0L))
+  }
+
+  test("loss-based pruning (Kudo §3.2 exact) disagrees with the count " +
+      "proxy where it should: a low-count piece with no cheap " +
+      "alternative outranks a high-count piece that decomposes freely") {
+    // counts: a,b frequent → 'ab' (count 10) has a CHEAP alternative
+    // [a][b], so removing it barely costs likelihood; 'zz' (count 8)
+    // decomposes only as [z][z] with z rare → removing it is
+    // expensive. Count-ranking keeps ab; loss-ranking keeps zz.
+    val t = Seq("a" -> 100L, "b" -> 100L, "z" -> 1L, "zz" -> 8L, "ab" -> 10L)
+    val byCount = UnigramLm.pruneTo(t, 4).map(_._1).toSet
+    val byLoss = UnigramLm.pruneByLoss(t, 4).map(_._1).toSet
+    assert(byCount == Set("a", "b", "z", "ab"),
+      s"count proxy picked $byCount — the contrast fixture drifted")
+    assert(byLoss == Set("a", "b", "z", "zz"),
+      s"loss rule picked $byLoss — expected the expensive-to-remove zz")
+    // the independent enumeration reference agrees with the operator's
+    // DP on the same fixture
+    assert(refPruneByLoss(t, 4).map(_._1).toSet == byLoss)
+    // chars never prune even under a brutal target (closure floor)
+    assert(UnigramLm.pruneByLoss(t, 1).map(_._1).toSet == Set("a", "b", "z"))
+    // no-op when everything fits
+    assert(UnigramLm.pruneByLoss(t, 5).toSet == t.toSet)
   }
 
   test("tie-break contract: equal scores fall to fewer pieces, then to " +
