@@ -1186,7 +1186,7 @@ object SimilarityQueries {
   private val qIvfCompactPlan = Q("q_ivf_compact_plan",
     s"""WITH m AS (
        |  SELECT vec_id % $IvfC AS list,
-       |    CASE WHEN (vec_id * 2654435761) % 100 < (vec_id % $IvfC) * 5
+       |    CASE WHEN ((vec_id % 97) * 2654435761) % 100 < (vec_id % $IvfC) * 5
        |         THEN 1 ELSE 0 END AS is_delta
        |  FROM embeddings),
        |g AS (SELECT list,
@@ -1205,8 +1205,14 @@ object SimilarityQueries {
        |             OR files_delta >= $IvfCompactMaxDeltaFiles)
        |       THEN 'rewrite' ELSE 'keep' END AS action
        |FROM f ORDER BY list""".stripMargin) { (s, d) =>
+    // BOUNDED operands (r16 advice): vec_id reduces mod 97 BEFORE the
+    // Knuth multiply — the raw product wraps Spark's Long (silently)
+    // and errors DuckDB's BIGINT past vec_id ≈ 3.5e9, i.e. within
+    // corpus scale; 96 × 2654435761 ≈ 2.5e11 can never wrap either
+    // engine (the MultimodalQueries bounded-operand discipline)
     val isDelta =
-      (col("vec_id") * lit(2654435761L)) % 100L < (col("vec_id") % IvfC) * 5L
+      ((col("vec_id") % 97L) * lit(2654435761L)) % 100L <
+        (col("vec_id") % IvfC) * 5L
     val g = t(s, d, "embeddings")
       .select((col("vec_id") % IvfC).as("list"),
         when(isDelta, 1L).otherwise(0L).as("is_delta"))
@@ -1222,6 +1228,14 @@ object SimilarityQueries {
       expr(s"(n_delta + ${IvfRowsPerFile - 1}) div $IvfRowsPerFile")
         .as("files_delta")))
   }
+
+  /** Fixed dump root for [[qIvfNprobeRecall]]'s serving trace — the
+    * path its ORACLE reads back (a static SQL string cannot vary by
+    * SF, so the trace is keyed by corpus size in a subdirectory AND
+    * an `n_corpus` column the oracle filters on: concurrent sweeps
+    * at different SFs coexist, re-runs at one SF idempotently
+    * overwrite). */
+  private[graft] val IvfNprobeDumpDir = "/tmp/graft_oracle/ivf_nprobe_served"
 
   /** The nprobe↔recall OPERATING CURVE (r16 — the "how nprobe trades
     * recall at scale" half of the IVF lifecycle policy): serve the
@@ -1247,32 +1261,79 @@ object SimilarityQueries {
     * partition-pruning fraction IS the knob); the verdict aggregate
     * is |nprobe|×|queries| rows, folded driver-side at 5 rows. */
   private val qIvfNprobeRecall = Q("q_ivf_nprobe_recall",
-    """SELECT CAST(nprobe AS INT) AS nprobe, CAST(10 AS BIGINT) AS n_queries,
-      |  true AS recall_ok, true AS monotone_ok
-      |FROM (VALUES (1), (2), (4), (8), (16)) t(nprobe)
-      |ORDER BY nprobe""".stripMargin) { (s, d) =>
+    s"""WITH served AS (
+       |  SELECT nprobe, q_id, n_id
+       |  FROM read_parquet('$IvfNprobeDumpDir/*/*.parquet')
+       |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+       |$vectorsCte,
+       |qs AS (SELECT * FROM e WHERE vec_id < 10),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM qs q JOIN e c ON q.vec_id <> c.vec_id)
+       |  WHERE rn <= 5),
+       |graded AS (
+       |  SELECT s.nprobe, CAST(count(t.q_id) AS BIGINT) AS n_hit
+       |  FROM served s LEFT JOIN truth t
+       |    ON s.q_id = t.q_id AND s.n_id = t.n_id
+       |  GROUP BY s.nprobe),
+       |rec AS (
+       |  SELECT nprobe,
+       |    n_hit / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+       |  FROM graded)
+       |SELECT CAST(nprobe AS INT) AS nprobe,
+       |  CAST((SELECT count(*) FROM qs) AS BIGINT) AS n_queries,
+       |  (recall >= CASE nprobe WHEN 1 THEN 0.2 WHEN 2 THEN 0.4
+       |               WHEN 4 THEN 0.6 WHEN 8 THEN 0.8 ELSE 1.0 END
+       |   AND (nprobe <> $IvfC OR recall = 1.0)) AS recall_ok,
+       |  (recall >= coalesce(lag(recall) OVER (ORDER BY nprobe), 0.0))
+       |    AS monotone_ok
+       |FROM rec ORDER BY nprobe""".stripMargin) { (s, d) =>
     val spark = s
     import spark.implicits._
     val (store, cents) = ivfBuildStore(s, d)
     val qs = ivfQueries(s, d)
-    val brute = qKnnBrute.fn(s, d)
-      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     val nprobes = Seq(1, 2, 4, 8, 16)
     val served = nprobes.map { np =>
       ivfServe(store, cents, qs, np)
         .select(lit(np).as("nprobe"), col("q_id"), col("n_id"))
     }.reduce(_ union _)
-    val graded = served
+    // PORTABLE SERVING TRACE (r16 verdict item 6 — this query's
+    // oracle was the registry's only constants table, because the
+    // served lists depend on KMeans cells DuckDB cannot re-derive):
+    // dump the (nprobe, q_id, n_id) trace to a fixed location keyed
+    // by corpus size (so sweeps at different SFs never clobber each
+    // other), and let DuckDB grade it against ITS OWN brute-force
+    // truth — the verdicts below are now re-derived from data on
+    // both engines. The trace is |nprobe|×|queries|×k rows — request
+    // scale, never corpus scale.
+    val nCorpus = vectors(s, d).count()
+    served.withColumn("n_corpus", lit(nCorpus))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$IvfNprobeDumpDir/c$nCorpus")
+    // grade FROM the dump — the engine verdict consumes the same
+    // trace the oracle reads, so the two sides cannot see different
+    // servings
+    val trace = spark.read.parquet(s"$IvfNprobeDumpDir/c$nCorpus")
+    val brute = qKnnBrute.fn(s, d)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    // recall@5 denominator is the TRUTH-set size (r16 advice: the old
+    // returned-row denominator was precision — a narrow probe
+    // returning under k rows per query overstated recall)
+    val nTruth = brute.count()
+    val graded = trace
       .join(broadcast(brute), Seq("q_id", "n_id"), "left")
       .groupBy(col("nprobe"))
-      .agg(count(lit(1)).as("n_ret"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .as[(Int, Long, Long)].collect().sortBy(_._1)
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .as[(Int, Long)].collect().sortBy(_._1)
     // |nprobe| rows on the driver: the floor + nestedness verdicts
     // need the cross-row comparison
     val floors = Map(1 -> 0.2, 2 -> 0.4, 4 -> 0.6, 8 -> 0.8, 16 -> 1.0)
-    val recalls = graded.map { case (np, nRet, nHit) =>
-      (np, nHit.toDouble / nRet) }
+    val recalls = graded.map { case (np, nHit) =>
+      (np, nHit.toDouble / nTruth) }
     val out = recalls.zip(0.0 +: recalls.map(_._2).init).map {
       case ((np, r), prev) =>
         (np, qs.length.toLong,

@@ -37,7 +37,12 @@ import graft.queries.SimilarityQueries
   * version after two further persists of the same path, e.g. any two
   * later `q_knn_ivf_persisted` runs — can never delete files under a
   * running stream. The stream's own path sees exactly one persist
-  * for the stream's whole life, which retention never reclaims. */
+  * for the stream's whole life, which retention never reclaims —
+  * so the stream deletes its OWN store at query termination (r17,
+  * the r16 advice: a StreamingQueryListener hook, which can never
+  * race a reader because the only reader is the terminated query),
+  * keeping repeated stream starts in one session from accumulating
+  * orphaned store generations until JVM exit. */
 object StreamingIvf {
 
   /** Ceiling on query vectors per micro-batch. Probe selection runs
@@ -70,11 +75,11 @@ object StreamingIvf {
       maxBatchQueries: Int = MaxBatchQueries)(
       sink: DataFrame => Unit): StreamingQuery = {
     require(maxBatchQueries >= 1, s"maxBatchQueries=$maxBatchQueries")
+    val kind = s"ivfserve${gen.incrementAndGet()}"
     val (store, cents) =
-      SimilarityQueries.ivfBuildStore(spark, sfDir,
-        kind = s"ivfserve${gen.incrementAndGet()}")
+      SimilarityQueries.ivfBuildStore(spark, sfDir, kind = kind)
     store.count(): Unit // force the store write at build time
-    queries.writeStream
+    val q = queries.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -95,5 +100,30 @@ object StreamingIvf {
         if (qs.nonEmpty) sink(SimilarityQueries.ivfServe(store, cents, qs))
       }
       .start()
+    // Store-RECLAMATION half of the lifetime contract (r16 advice):
+    // each stream's single-persist generation is invisible to
+    // DedupManifest retention (which reclaims only after two FURTHER
+    // persists of the same path), so without this hook repeated
+    // stream starts in one session would accumulate orphaned store
+    // versions until JVM exit. The stream's store dies with the
+    // stream: once terminated, no batch can read it again (the
+    // serving tail lives inside this query), so deletion at
+    // onQueryTerminated can never race a reader.
+    val storePath = graft.operators.DedupManifest.path(spark, kind, sfDir)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          val p = new org.apache.hadoop.fs.Path(storePath)
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(p, true): Unit
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
   }
 }

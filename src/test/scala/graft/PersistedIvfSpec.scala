@@ -218,6 +218,23 @@ class PersistedIvfSpec extends AnyFunSuite {
         batch.filter(_._1 == qs.head._1).sortBy(r => (r._1, r._3)),
         "post-rebuild serving diverged")
     } finally q.stop()
+    // STORE-RECLAMATION (r16 advice): the stream's own single-persist
+    // generation is invisible to DedupManifest retention, so the
+    // stream must delete it at termination — otherwise repeated
+    // stream starts in one session accumulate orphaned stores until
+    // JVM exit. Termination listeners fire async: poll briefly.
+    def liveGens(): Seq[String] = {
+      val root = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-manifest/" +
+          spark.sparkContext.applicationId)
+      Option(root.listFiles()).toSeq.flatten.map(_.getName)
+        .filter(_.startsWith("ivfserve"))
+    }
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (liveGens().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(liveGens().isEmpty,
+      s"stopped stream left orphaned store generations: ${liveGens()}")
   }
 
   test("driver-batch guard: a query micro-batch past the cap fails " +

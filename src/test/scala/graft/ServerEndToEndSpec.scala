@@ -314,4 +314,34 @@ class ServerEndToEndSpec extends AnyFunSuite {
       es.stop()
     }
   }
+
+  test("attach batch guard: a micro-batch past the ceiling fails LOUDLY " +
+      "naming the knob, and a bounded batch still publishes (r16 item 5)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val es = EventServer.start()
+    try {
+      val mem = MemoryStream[String]
+      val q = es.attach(mem.toDF.toDF("value"),
+        java.nio.file.Files.createTempDirectory("srv-guard").toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"),
+        maxBatchEvents = 3)
+      try {
+        // a bounded batch flows
+        mem.addData((1 to 2).map(event): _*)
+        q.processAllAvailable()
+        assert(es.published >= 2L)
+        // a corpus-sized batch trips the guard with the knob's name
+        mem.addData((3 to 20).map(event): _*)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        def root(t: Throwable): Throwable =
+          if (t.getCause == null || (t.getCause eq t)) t else root(t.getCause)
+        val msg = root(e).getMessage
+        assert(msg.contains("MaxBatchEvents"),
+          s"guard failure does not name the knob: $msg")
+      } finally q.stop()
+    } finally es.stop()
+  }
 }
