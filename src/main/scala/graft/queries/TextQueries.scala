@@ -919,6 +919,119 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The WordPiece operating point (q_wordpiece_merge /
+    * q_wordpiece_encode) — `private[graft]` so WordPieceSpec trains
+    * the identical point (the SGNS constants stance). */
+  private[graft] val WpMerges = 200
+  private[graft] val WpTopV = 4096
+
+  /** One WORDPIECE merge-selection step — the distributed core of
+    * the third tokenizer family (Schuster & Nakajima 2012, the BERT
+    * tokenizer; `operators.WordPiece`): over BERT's
+    * continuation-marked symbol split (first char bare, the rest
+    * `##`-prefixed), count symbols and adjacent pairs weighted by
+    * word frequency and rank merge candidates by the LIKELIHOOD
+    * score cnt(ab)/(cnt(a)·cnt(b)) — the statistic that separates
+    * WordPiece from BPE's raw pair count (q_bpe_merge).
+    *
+    * Determinism/bounds: the emitted columns are exact BIGINTs
+    * (pair count + each side's symbol count — never their product,
+    * which would overflow BIGINT at 100 TB symbol counts); the
+    * ranking division runs on doubles built from those integers
+    * through one fixed expression, bit-identical on both engines.
+    * Scale shape = q_bpe_merge's: corpus collapses to the word-
+    * frequency table first (the only corpus-scale exchange), symbol
+    * and pair statistics are vocabulary-sized, the symbol-count
+    * join broadcasts (alphabet-cardinality build side), top-20 is a
+    * TakeOrdered. */
+  private val qWordpieceMerge = Q("q_wordpiece_merge",
+    """WITH wf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 1 GROUP BY w),
+      |sym AS (
+      |  SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+      |              ELSE '##' || substr(w, i, 1) END AS s, f
+      |  FROM wf, unnest(range(1, length(w) + 1)) AS t(i)),
+      |scnt AS (SELECT s, CAST(sum(f) AS BIGINT) AS c FROM sym GROUP BY s),
+      |pairs AS (
+      |  SELECT CASE WHEN i = 1 THEN substr(w, 1, 1)
+      |              ELSE '##' || substr(w, i, 1) END AS l,
+      |         '##' || substr(w, i + 1, 1) AS r, f
+      |  FROM wf, unnest(range(1, length(w))) AS t(i)),
+      |pcnt AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS cnt
+      |         FROM pairs GROUP BY l, r)
+      |SELECT p.l || ' ' || p.r AS pair, p.cnt,
+      |  sl.c AS c_left, sr.c AS c_right
+      |FROM pcnt p JOIN scnt sl ON p.l = sl.s JOIN scnt sr ON p.r = sr.s
+      |ORDER BY CAST(p.cnt AS DOUBLE) /
+      |  (CAST(sl.c AS DOUBLE) * CAST(sr.c AS DOUBLE)) DESC, pair
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val wf = wordFreqOf(s, d)
+    def symAt(i: Column): Column =
+      when(i === 1, col("w").substr(lit(1), lit(1)))
+        .otherwise(concat(lit("##"), col("w").substr(i, lit(1))))
+    val sym = wf
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        symAt(_))).as("s"), col("f"))
+      .groupBy(col("s")).agg(sum(col("f")).as("c"))
+    // length >= 2 keeps Spark's sequence ascending (sequence(1, 0)
+    // DESCENDS — the len-1 word trap); DuckDB's range(1, 1) is
+    // simply empty, so the SQL needs no filter
+    val pairs = wf.where(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(symAt(i).as("l"),
+          concat(lit("##"), col("w").substr(i + 1, lit(1))).as("r"))))
+        .as("p"), col("f"))
+      .select(col("p.l").as("l"), col("p.r").as("r"), col("f"))
+      .groupBy(col("l"), col("r")).agg(sum(col("f")).as("cnt"))
+    pairs
+      .join(broadcast(sym.select(col("s").as("l"), col("c").as("c_left"))), "l")
+      .join(broadcast(sym.select(col("s").as("r"), col("c").as("c_right"))), "r")
+      .select(concat_ws(" ", col("l"), col("r")).as("pair"),
+        col("cnt"), col("c_left"), col("c_right"))
+      .orderBy((col("cnt").cast("double") /
+        (col("c_left").cast("double") * col("c_right").cast("double"))).desc,
+        col("pair"))
+      .limit(20)
+  }
+
+  /** WordPiece APPLY at corpus scale — the serving half
+    * (q_wordpiece_merge oracle-checks the distributed training
+    * statistic; `operators.WordPiece.fit` trains; THIS runs BERT's
+    * greedy longest-match over every document). Oracle stance =
+    * [[qBpeEncode]]'s: MaxMatch boundaries aren't SQL-expressible,
+    * so the entry emits DuckDB-recomputable invariants plus
+    * Spark-computed verdicts — lossless (the `##`-stripped piece
+    * concatenation IS the space-stripped text; also proves no
+    * `[UNK]` fired, since `[UNK]` destroys the word's characters),
+    * vocab-closed, and compressive. The full-corpus alphabet floor
+    * in `WordPiece.fit` is what makes lossless a guarantee rather
+    * than an observation. */
+  private val qWordpieceEncode = Q("q_wordpiece_encode",
+    """SELECT doc_id,
+      |  CAST(length(replace(lower(text), ' ', '')) AS BIGINT) AS n_chars,
+      |  true AS lossless_ok, true AS vocab_ok, true AS compress_ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.WordPiece
+    val docs = t(s, d, "documents")
+    val model = WordPiece.fit(docs, "text", numMerges = WpMerges, topV = WpTopV)
+    val vocabArr = array(model.vocab.toSeq.sorted.map(lit(_)): _*)
+    val joined = concat_ws("",
+      transform(col("pieces"), p => regexp_replace(p, "^##", "")))
+    val nChars = length(joined)
+    WordPiece.encode(docs, "text", model)
+      .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+        translate(lower(col("text")), " ", "").as("flat")), "doc_id")
+      .select(col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        (joined === col("flat")).as("lossless_ok"),
+        forall(col("pieces"), p => array_contains(vocabArr, p)).as("vocab_ok"),
+        ((nChars === 0 && col("n_pieces") === 0) ||
+          (col("n_pieces") >= 1 && col("n_pieces") <= nChars)).as("compress_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The unigram tokenizer's operating point (q_unigram_seed /
     * q_unigram_encode) — `private[graft]` so UnigramLmSpec trains the
     * identical point (the SGNS constants stance). */
@@ -1833,5 +1946,6 @@ object TextQueries {
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
     qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib,
-    qUnigramSeed, qUnigramEncode, qUnigramSoft)
+    qUnigramSeed, qUnigramEncode, qUnigramSoft,
+    qWordpieceMerge, qWordpieceEncode)
 }
