@@ -140,7 +140,13 @@ object HeavyScaleProbe {
     // volume exactly 10×) and the soft-EM tokenizer (forward-backward
     // E-steps over a 10×-vocabulary word table — the corpus-scale
     // exchange must stay linear in distinct words)
-    "q_join_interval", "q_unigram_soft")
+    "q_join_interval", "q_unigram_soft",
+    // round 17: the WordPiece family — the merge-score statistic's
+    // corpus-scale exchange is the word-frequency collapse (10×
+    // distinct words under salting) with vocabulary-scale symbol/
+    // pair statistics after it, and the encode pass is a zero-
+    // shuffle scan whose wall must track the corpus linearly
+    "q_wordpiece_merge", "q_wordpiece_encode")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -155,7 +161,8 @@ object HeavyScaleProbe {
     "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
     "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0,
     "q_mine_bitext" -> 1.0, "q_graph_walks_biased" -> 1.0,
-    "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0)
+    "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0,
+    "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the

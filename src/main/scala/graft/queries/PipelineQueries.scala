@@ -553,6 +553,83 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 —
+    * "Doremi: optimizing data mixtures speeds up language model
+    * pretraining"), the one-shot closed form: full DoReMi runs
+    * exponentiated-gradient ascent on domain weights against a
+    * proxy model's per-domain EXCESS LOSS; with a STATIC excess
+    * signal the T-step EG update w ∝ u·exp(η·Σ excess) collapses to
+    * a single softmax over the excess vector, smoothed toward
+    * uniform — α_d = (1−s)·softmax(excess)_d + s/k (the paper's
+    * smoothing, s = 0.1, η folded into the static signal). The
+    * excess proxy here is the learned quality filter's per-domain
+    * margin deficit (max domain score − domain score, so the
+    * HARDEST domains upweight — DoReMi's core move), computed from
+    * exact integer margin/token sums so the double division is
+    * bit-identical on both engines.
+    *
+    * Determinism: domain scores are one double division from exact
+    * BIGINT sums; exp(excess) is quantized to the 12-decimal grid
+    * and summed as DECIMAL(38,12) (order-free — the k-row softmax
+    * denominator cannot drift with partitioning); the reported
+    * weight rounds at 6 dp.
+    *
+    * Scale shape (100 TB): ONE corpus-scale exchange — the per-doc
+    * margin aggregation is a stateless scan and the domain collapse
+    * is map-side combined to |domains| rows; everything after
+    * (window max, softmax, smoothing) is domain-cardinality
+    * arithmetic, the KMeans-centroid scale class. */
+  private val qMixtureDoremi = Q("q_mixture_doremi",
+    """WITH tk AS (
+      |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum((('0x'||substr(md5(w),1,15))::BIGINT % 256) * 2654435761 % 1024 - 512) AS BIGINT) AS margin_num,
+      |    CAST(count(*) AS BIGINT) AS n_tok
+      |  FROM tk GROUP BY doc_id, lang),
+      |dom AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(margin_num) AS BIGINT) AS s_margin,
+      |    CAST(sum(n_tok) AS BIGINT) AS s_tok
+      |  FROM m GROUP BY lang),
+      |sc AS (SELECT lang, n_docs,
+      |         CAST(s_margin AS DOUBLE) / (CAST(s_tok AS DOUBLE) * 1024.0)
+      |           AS score
+      |       FROM dom),
+      |ex AS (SELECT lang, n_docs, max(score) OVER () - score AS excess
+      |       FROM sc),
+      |wr AS (SELECT lang, n_docs, excess,
+      |         CAST(round(exp(excess), 12) AS DECIMAL(38,12)) AS w
+      |       FROM ex)
+      |SELECT lang, n_docs, round(excess, 6) AS excess,
+      |  round(0.9 * (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
+      |        + 0.1 / count(*) OVER (), 6) AS weight
+      |FROM wr ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned windows are safe HERE: they run over the
+    // |domains|-row aggregate, never the corpus (the rank-scan
+    // |languages| stance)
+    val w = Window.partitionBy()
+    val dom = TextQueries.logregScore(t(s, d, "documents"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("margin_num")).cast("long").as("s_margin"),
+        sum(col("n_tok")).cast("long").as("s_tok"))
+    val score = col("s_margin").cast("double") /
+      (col("s_tok").cast("double") * lit(1024.0))
+    val withEx = dom.select(col("lang"), col("n_docs"),
+      (max(score).over(w) - score).as("excess"))
+    val wq = withEx.select(col("lang"), col("n_docs"), col("excess"),
+      round(exp(col("excess")), 12).cast("decimal(38,12)").as("w"))
+    wq.select(col("lang"), col("n_docs"),
+        round(col("excess"), 6).as("excess"),
+        round(lit(0.9) * (col("w").cast("double") /
+            sum(col("w")).over(w).cast("double")) +
+          lit(0.1) / count(lit(1)).over(w), 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic train/val/test assignment (98/1/1) with a per-
     * source audit — the split every training build makes exactly once
     * and must be able to REPRODUCE forever after: membership is a
@@ -1342,6 +1419,6 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
-    qSplitTrain, qQualityKs, qQualityPsi, qChunkDocs, qChunkDedup, qRagRetrieve,
+    qSplitTrain, qMixtureDoremi, qQualityKs, qQualityPsi, qChunkDocs, qChunkDedup, qRagRetrieve,
     qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline, qRagRerank)
 }
