@@ -579,6 +579,42 @@ object PipelineQueries {
     * is map-side combined to |domains| rows; everything after
     * (window max, softmax, smoothing) is domain-cardinality
     * arithmetic, the KMeans-centroid scale class. */
+  /** The per-domain statistic DoReMi consumes — exact BIGINT sums
+    * over the shared logreg marks. As a STREAMING aggregation
+    * (complete mode) its state is |domains| rows; shared by the ○
+    * batch query and [[graft.streaming.StreamingDoremi]] so the two
+    * cannot drift. */
+  private[graft] def doremiDomainStats(marked: DataFrame): DataFrame =
+    marked.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("margin_num")).cast("long").as("s_margin"),
+        sum(col("n_tok")).cast("long").as("s_tok"))
+
+  /** The domain-cardinality DoReMi math (excess → grid-quantized
+    * softmax → uniform smoothing) over accumulated
+    * (lang, n_docs, s_margin, s_tok) stats — the SHARED sweep tail
+    * (the StreamingQualityEval split: mark at arrival, sweep with
+    * the batch function). */
+  private[graft] def doremiTail(dom: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // unpartitioned windows are safe HERE: they run over the
+    // |domains|-row aggregate, never the corpus (the rank-scan
+    // |languages| stance)
+    val w = Window.partitionBy()
+    val score = col("s_margin").cast("double") /
+      (col("s_tok").cast("double") * lit(1024.0))
+    dom.select(col("lang"), col("n_docs"),
+        (max(score).over(w) - score).as("excess"))
+      .select(col("lang"), col("n_docs"), col("excess"),
+        round(exp(col("excess")), 12).cast("decimal(38,12)").as("w"))
+      .select(col("lang"), col("n_docs"),
+        round(col("excess"), 6).as("excess"),
+        round(lit(0.9) * (col("w").cast("double") /
+            sum(col("w")).over(w).cast("double")) +
+          lit(0.1) / count(lit(1)).over(w), 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
   private val qMixtureDoremi = Q("q_mixture_doremi",
     """WITH tk AS (
       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
@@ -606,28 +642,7 @@ object PipelineQueries {
       |  round(0.9 * (CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS DOUBLE))
       |        + 0.1 / count(*) OVER (), 6) AS weight
       |FROM wr ORDER BY lang""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    // unpartitioned windows are safe HERE: they run over the
-    // |domains|-row aggregate, never the corpus (the rank-scan
-    // |languages| stance)
-    val w = Window.partitionBy()
-    val dom = TextQueries.logregScore(t(s, d, "documents"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum(col("margin_num")).cast("long").as("s_margin"),
-        sum(col("n_tok")).cast("long").as("s_tok"))
-    val score = col("s_margin").cast("double") /
-      (col("s_tok").cast("double") * lit(1024.0))
-    val withEx = dom.select(col("lang"), col("n_docs"),
-      (max(score).over(w) - score).as("excess"))
-    val wq = withEx.select(col("lang"), col("n_docs"), col("excess"),
-      round(exp(col("excess")), 12).cast("decimal(38,12)").as("w"))
-    wq.select(col("lang"), col("n_docs"),
-        round(col("excess"), 6).as("excess"),
-        round(lit(0.9) * (col("w").cast("double") /
-            sum(col("w")).over(w).cast("double")) +
-          lit(0.1) / count(lit(1)).over(w), 6).as("weight"))
-      .orderBy(col("lang"))
+    doremiTail(doremiDomainStats(TextQueries.logregScore(t(s, d, "documents"))))
   }
 
   /** Deterministic train/val/test assignment (98/1/1) with a per-
@@ -1340,9 +1355,13 @@ object PipelineQueries {
     * its query keeps cosine 0 (left join), not a dropped row —
     * rerank is a permutation of stage 1's candidate set, never a
     * filter. */
-  private val qRagRerank = Q("q_rag_rerank",
-    s"""WITH $bm25Ctes,
-       |cand AS (SELECT qid, doc_id, chunk_ix, sc FROM rk WHERE rnk <= $RerankCand),
+  /** The rerank CTE chain (cand → … → rr, reranked candidates with
+    * per-query ranks) on top of [[bm25Ctes]] — shared by
+    * q_rag_rerank (the ranking itself) and q_rag_eval (the ranking
+    * graded). NO stripMargin: embedded in templates that strip
+    * once. */
+  private def rerankCtes: String =
+    s"""cand AS (SELECT qid, doc_id, chunk_ix, sc FROM rk WHERE rnk <= $RerankCand),
        |cb AS (SELECT tk.doc_id, tk.chunk_ix,
        |         (${PortableHash.md5LongSql("term")} % $EmbDim) AS b,
        |         CAST(count(*) AS BIGINT) AS cn
@@ -1371,12 +1390,132 @@ object PipelineQueries {
        |           JOIN cnorm cn ON cn.doc_id = c.doc_id AND cn.chunk_ix = c.chunk_ix),
        |rr AS (SELECT qid, doc_id, chunk_ix, sc, cos, row_number() OVER
        |         (PARTITION BY qid ORDER BY cos DESC, doc_id, chunk_ix) AS rnk
-       |       FROM scored)
+       |       FROM scored)"""
+
+  private val qRagRerank = Q("q_rag_rerank",
+    s"""WITH $bm25Ctes,
+       |$rerankCtes
        |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, chunk_ix,
        |  round(cos, 6) AS cos, round(CAST(sc AS DOUBLE), 4) AS bm25
        |FROM rr WHERE rnk <= $RagTopK ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import s.implicits._
     rerankFor(RagQueries.toDF("qid", "term"), new RagIndex(s, d))
+  }
+
+  /** 1/log₂(rank+1) — the NDCG position discount, computed ONCE in
+    * Scala and rendered as a literal into BOTH engines' expressions
+    * (the lshBucketSql single-source-of-truth stance: a double
+    * literal's shortest decimal representation parses back to the
+    * identical double, so the two engines never compute a
+    * transcendental independently). */
+  private def ndcgDisc(r: Int): Double = 1.0 / (math.log(r + 1) / math.log(2.0))
+
+  private def ndcgDiscSqlCase(v: String): String =
+    (1 to RagTopK).map(r => s"WHEN $r THEN ${ndcgDisc(r)}")
+      .mkString(s"CASE $v ", " ", " ELSE 0.0 END")
+
+  /** Retrieval-quality EVALUATION — the grading half of the RAG
+    * family (q_rag_retrieve ranks, q_rag_rerank re-ranks, THIS
+    * grades the reranked ranking): per query, NDCG@[[RagTopK]] with
+    * FULL judgments (the ideal ranking draws from every relevant
+    * chunk in the corpus, not just the retrieved list) and MRR, the
+    * two metrics a retrieval benchmark (BEIR/MTEB-style) reports.
+    * Relevance is graded and deterministic: rel(q, chunk) = how many
+    * of the query's terms the chunk REPEATS (chunk tf ≥ 2; bare
+    * presence saturates on this corpus — every common term appears
+    * in ~80% of chunks, so a presence grade would score every
+    * ranking 1.0), 1..3 at the 3-term query set, gain = 2^rel − 1.
+    *
+    * Determinism: gains are exact integers; the position discount is
+    * a shared Scala-computed literal table ([[ndcgDisc]] — neither
+    * engine computes a log); each DCG term quantizes to the
+    * 12-decimal grid into DECIMAL(28,12) before the per-query sum
+    * (order-free), and the final NDCG division is one double op over
+    * identical decimals.
+    *
+    * Scale shape (100 TB): relevance judgments come from the SAME
+    * postings frame the BM25 index holds (an inverted-index
+    * candidate join — postings-bounded, never a corpus × queries
+    * product); the system list is |Q|·k rows; the ideal ranking is a
+    * per-query window over the judged set with WindowGroupLimit
+    * pruning to k per task. */
+  private val qRagEval = Q("q_rag_eval",
+    s"""WITH $bm25Ctes,
+       |$rerankCtes,
+       |rel AS (
+       |  SELECT q.qid, f.doc_id, f.chunk_ix, CAST(count(*) AS BIGINT) AS rel
+       |  FROM tf f JOIN qt q ON f.term = q.term
+       |  WHERE f.n >= 2
+       |  GROUP BY 1, 2, 3),
+       |gt AS (SELECT qid, doc_id, chunk_ix, rel,
+       |         CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END AS gain
+       |       FROM rel),
+       |sys AS (
+       |  SELECT r.qid, r.rnk, coalesce(g.gain, 0) AS gain,
+       |    coalesce(g.rel, 0) AS rel
+       |  FROM rr r LEFT JOIN gt g
+       |    ON g.qid = r.qid AND g.doc_id = r.doc_id AND g.chunk_ix = r.chunk_ix
+       |  WHERE r.rnk <= $RagTopK),
+       |dcg AS (SELECT qid,
+       |    sum(CAST(round(gain * ${ndcgDiscSqlCase("rnk")}, 12)
+       |        AS DECIMAL(28,12))) AS dcg
+       |  FROM sys GROUP BY 1),
+       |mrrt AS (SELECT qid, round(1.0 / min(rnk), 6) AS mrr
+       |         FROM sys WHERE rel >= 1 GROUP BY 1),
+       |ideal AS (SELECT qid, gain, row_number() OVER
+       |    (PARTITION BY qid ORDER BY rel DESC, doc_id, chunk_ix) AS irnk
+       |  FROM gt),
+       |idcg AS (SELECT qid,
+       |    sum(CAST(round(gain * ${ndcgDiscSqlCase("irnk")}, 12)
+       |        AS DECIMAL(28,12))) AS idcg
+       |  FROM ideal WHERE irnk <= $RagTopK GROUP BY 1),
+       |nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM gt GROUP BY 1)
+       |SELECT n.qid, n.n_rel,
+       |  round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg,
+       |  coalesce(m.mrr, 0.0) AS mrr
+       |FROM nrel n JOIN dcg d ON d.qid = n.qid JOIN idcg i ON i.qid = n.qid
+       |LEFT JOIN mrrt m ON m.qid = n.qid
+       |ORDER BY n.qid""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ix = new RagIndex(s, d)
+    val qt = RagQueries.toDF("qid", "term")
+    def discOf(rnk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (2 to RagTopK).foldLeft(when(rnk === 1, lit(ndcgDisc(1)))) {
+        case (acc, r) => acc.when(rnk === r, lit(ndcgDisc(r)))
+      }.otherwise(lit(0.0))
+    val gt = ix.tf.where(col("n") >= 2).join(broadcast(qt), "term")
+      .groupBy(col("qid"), col("doc_id"), col("chunk_ix"))
+      .agg(count(lit(1)).cast("long").as("rel"))
+      .withColumn("gain",
+        when(col("rel") === 1, 1L).when(col("rel") === 2, 3L).otherwise(7L))
+      .fenced() // consumed by sys grading, ideal ranking, and n_rel
+    val sys = rerankFor(qt, ix)
+      .select(col("qid"), col("doc_id"), col("chunk_ix"), col("rnk"))
+      .join(gt, Seq("qid", "doc_id", "chunk_ix"), "left_outer")
+      .select(col("qid"), col("rnk"),
+        coalesce(col("gain"), lit(0L)).as("gain"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val dcg = sys.groupBy(col("qid"))
+      .agg(sum(round(col("gain") * discOf(col("rnk")), 12)
+        .cast("decimal(28,12)")).as("dcg"))
+    val mrrt = sys.where(col("rel") >= 1).groupBy(col("qid"))
+      .agg(round(lit(1.0) / min(col("rnk")), 6).as("mrr"))
+    val idcg = gt
+      .withColumn("irnk", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("doc_id"), col("chunk_ix"))))
+      .where(col("irnk") <= RagTopK)
+      .groupBy(col("qid"))
+      .agg(sum(round(col("gain") * discOf(col("irnk")), 12)
+        .cast("decimal(28,12)")).as("idcg"))
+    val nrel = gt.groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    nrel.join(dcg, "qid").join(idcg, "qid")
+      .join(mrrt, Seq("qid"), "left_outer")
+      .select(col("qid"), col("n_rel"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .as("ndcg"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"))
+      .orderBy(col("qid"))
   }
 
   /** The full retrieve-then-rerank chain for an arbitrary query set —
@@ -1420,5 +1559,6 @@ object PipelineQueries {
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
     qSplitTrain, qMixtureDoremi, qQualityKs, qQualityPsi, qChunkDocs, qChunkDedup, qRagRetrieve,
-    qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline, qRagRerank)
+    qShuffleEpoch, qCurriculum, qLoaderPipeline, qWebPipeline, qRagRerank,
+    qRagEval)
 }
