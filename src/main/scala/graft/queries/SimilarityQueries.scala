@@ -2142,10 +2142,122 @@ object SimilarityQueries {
       .orderBy(col("list"), col("kind"), col("rank"))
   }
 
+  /** INT8 SCALAR QUANTIZATION of the embedding corpus with a
+    * measured serving-quality audit — the standard 8× memory move of
+    * a production ANN stack (FAISS SQ8 / vector-DB int8 codecs):
+    * per-vector absmax scale s = max|x|/127, codes = round(x/s)
+    * clamped to [−127, 127], then grade what quantization costs:
+    *
+    *  - `recall`: top-5 under QUANTIZED cosine vs the exact
+    *    brute-force top-5. The quantized score is
+    *    dot(codes)/(‖cq‖·‖cc‖) — the per-vector scales CANCEL in the
+    *    cosine, so the ranking core is pure small-integer arithmetic
+    *    (|code| ≤ 127, 64-dim dot ≤ 64·127² ≈ 10⁶ — exact in a
+    *    double on both engines, no transcendental drift possible);
+    *  - `mse`: per-query-vector reconstruction error Σ(x − c·s)²,
+    *    each term quantized to the 12-decimal grid into
+    *    DECIMAL(28,12) before the order-free sum.
+    *
+    * Scale shape (100 TB): quantization is a stateless per-row
+    * transform (zero shuffle — at corpus scale this pass rewrites
+    * the store at 1/8 the bytes); the recall audit is the
+    * request-scale kNN shape (query side broadcast, corpus streams
+    * once); the mse audit runs on the 10 serving queries only. */
+  private val qEmbedQuantize = Q("q_embed_quantize",
+    s"""WITH $vectorsCte,
+       |qz AS (SELECT vec_id, v, n2,
+       |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+       |             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+       |        END AS s
+       |       FROM e),
+       |cd AS (SELECT vec_id, v, n2, s,
+       |        list_transform(v,
+       |          x -> CAST(greatest(least(round(x / s), 127), -127) AS BIGINT)) AS c
+       |       FROM qz),
+       |cn AS (SELECT vec_id, c, list_dot_product(c, c) AS qn2 FROM cd),
+       |qs AS (SELECT vec_id AS q_id, c AS qc, qn2 AS qqn2
+       |       FROM cn WHERE vec_id < 10),
+       |top AS (SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, t.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qc, t.c)
+       |                   / (sqrt(CAST(q.qqn2 AS DOUBLE))
+       |                      * sqrt(CAST(t.qn2 AS DOUBLE))) DESC,
+       |                 t.vec_id) AS rn
+       |    FROM qs q JOIN cn t ON q.q_id <> t.vec_id)
+       |  WHERE rn <= 5),
+       |brute AS (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, t.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, t.v) / (sqrt(q.n2) * sqrt(t.n2)) DESC,
+       |                 t.vec_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < 10) q
+       |    JOIN e t ON q.vec_id <> t.vec_id)
+       |  WHERE rn <= 5),
+       |hits AS (SELECT t.q_id, CAST(count(b.n_id) AS BIGINT) AS n_hit
+       |         FROM top t LEFT JOIN brute b
+       |           ON b.q_id = t.q_id AND b.n_id = t.n_id
+       |         GROUP BY 1),
+       |u AS (SELECT vec_id, s, unnest(v) AS x, unnest(c) AS cc
+       |      FROM cd WHERE vec_id < 10),
+       |mse AS (SELECT vec_id AS q_id,
+       |    round(CAST(sum(CAST(round((x - cc * s) * (x - cc * s), 12)
+       |      AS DECIMAL(28,12))) AS DOUBLE), 10) AS mse
+       |  FROM u GROUP BY 1)
+       |SELECT h.q_id, h.n_hit, round(h.n_hit / 5.0, 4) AS recall, m.mse
+       |FROM hits h JOIN mse m ON m.q_id = h.q_id
+       |ORDER BY h.q_id""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val absMax = aggregate(col("v"), lit(0.0),
+      (a, x) => greatest(a, abs(x)))
+    val s0 = absMax / lit(127.0)
+    val cd = e
+      .withColumn("s", when(s0 === 0.0, lit(1.0)).otherwise(s0))
+      .withColumn("c", transform(col("v"),
+        x => greatest(least(round(x / col("s")), lit(127)), lit(-127))
+          .cast("long")))
+      .fenced() // quantized once; read by ranking, truth, and mse
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, t) => acc + t)
+    val cn = cd.select(col("vec_id"), col("c"),
+      intDot(col("c"), col("c")).as("qn2"))
+    val qs = cn.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"),
+        col("qn2").as("qqn2"))
+    val score = intDot(col("qc"), col("c")).cast("double") /
+      (sqrt(col("qqn2").cast("double")) * sqrt(col("qn2").cast("double")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(score.desc, col("vec_id"))
+    val top = cn.join(broadcast(qs), col("q_id") =!= col("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    val brute = qKnnBrute.fn(s, d).select(col("q_id"), col("n_id"),
+      lit(1L).as("hit"))
+    val hits = top.join(broadcast(brute), Seq("q_id", "n_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val mse = cd.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("s"),
+        explode(zip_with(col("v"), col("c"),
+          (x, cc) => struct(x.as("x"), cc.as("cc")))).as("t"))
+      .select(col("q_id"),
+        round((col("t.x") - col("t.cc") * col("s")) *
+          (col("t.x") - col("t.cc") * col("s")), 12)
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("q_id"))
+      .agg(round(sum(col("term")).cast("double"), 10).as("mse"))
+    hits.join(mse, "q_id")
+      .select(col("q_id"), col("n_hit"),
+        round(col("n_hit") / lit(5.0), 4).as("recall"), col("mse"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qDedupEmbedIncremental,
     qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
-    qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall)
+    qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall,
+    qEmbedQuantize)
 }
