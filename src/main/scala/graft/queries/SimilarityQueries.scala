@@ -2142,6 +2142,72 @@ object SimilarityQueries {
       .orderBy(col("list"), col("kind"), col("rank"))
   }
 
+  /** TWO-STAGE MATRYOSHKA SERVING (Kusupati et al., NeurIPS'22 MRL —
+    * the coarse-to-fine pattern every MRL deployment runs): stage 1
+    * ranks the corpus by the 16-dim PREFIX cosine (the cheap scan —
+    * at 100 TB this reads/computes 1/4 of the vector bytes; with an
+    * MRL-trained encoder the prefix is a faithful coarse embedding)
+    * and keeps 20 candidates per query; stage 2 re-scores ONLY those
+    * candidates with the exact full-dimension cosine and emits the
+    * top-5. Same emit-the-approximate-answer oracle stance as
+    * q_knn_lsh: DuckDB re-derives the identical two-stage result, so
+    * the hash checks the WHOLE architecture (prefix ranking,
+    * candidate cut, exact rerank, tie rules).
+    *
+    * Scale shape: stage 1 ships only (q_id, n_id, prefix-cos) into
+    * its per-query window (WindowGroupLimit prunes to 20 per task);
+    * stage 2 is a |Q|·20-row broadcast join back against the corpus
+    * for full vectors — candidate-bounded, never corpus × corpus.
+    * The window never carries vector payloads. */
+  private val qKnnMrl = Q("q_knn_mrl",
+    s"""WITH $vectorsCte,
+       |p AS (SELECT vec_id, v, n2, v[1:16] AS pv FROM e),
+       |qs AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2, v[1:16] AS qpv
+       |       FROM e WHERE vec_id < 10),
+       |c1 AS (SELECT q_id, n_id FROM (
+       |    SELECT q.q_id, t.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_dot_product(q.qpv, t.pv)
+       |                   / (sqrt(list_dot_product(q.qpv, q.qpv))
+       |                      * sqrt(list_dot_product(t.pv, t.pv))) DESC,
+       |                 t.vec_id) AS rn
+       |    FROM qs q JOIN p t ON q.q_id <> t.vec_id)
+       |  WHERE rn <= 20),
+       |f AS (SELECT c.q_id, c.n_id,
+       |        list_dot_product(q.qv, t.v) / (sqrt(q.qn2) * sqrt(t.n2)) AS cos
+       |      FROM c1 c
+       |      JOIN qs q ON q.q_id = c.q_id
+       |      JOIN p t ON t.vec_id = c.n_id),
+       |r AS (SELECT q_id, n_id, cos, row_number() OVER
+       |        (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn
+       |      FROM f)
+       |SELECT q_id, n_id, CAST(rn AS INT) AS rn, round(cos, 6) AS sim
+       |FROM r WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+    val e = vectors(s, d)
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        slice(col("v"), 1, 16).as("qpv"))
+    val pcos = cosine(col("qpv"), slice(col("v"), 1, 16))
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("n_id"))
+    val c1 = e.join(broadcast(qs.select(col("q_id"), col("qpv"))),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), pcos.as("pcos"))
+      .withColumn("rn", row_number().over(w1))
+      .where(col("rn") <= 20)
+      .select(col("q_id"), col("n_id"))
+    val cos = cosine(col("qv"), col("v"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("v"))
+      .join(broadcast(c1), "n_id")
+      .join(broadcast(qs.select(col("q_id"), col("qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** INT8 SCALAR QUANTIZATION of the embedding corpus with a
     * measured serving-quality audit — the standard 8× memory move of
     * a production ANN stack (FAISS SQ8 / vector-DB int8 codecs):
@@ -2259,5 +2325,5 @@ object SimilarityQueries {
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
     qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall,
-    qEmbedQuantize)
+    qEmbedQuantize, qKnnMrl)
 }
