@@ -1032,6 +1032,89 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-tokenizer corpus report behind [[qTokenizerCompare]] —
+    * (tokenizer, vocab_size, n_pieces, n_chars, chars_per_piece,
+    * verdicts), shared with TokenizerCompareSpec so the spec pins the
+    * SAME frame the ○ query projects. All four families train at
+    * their shipped operating points and encode the whole corpus in
+    * one plan. */
+  private[graft] def tokenizerReport(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Bpe, WordPiece}
+    val docs = t(s, d, "documents")
+    val corpus = docs.agg(
+      sum(length(translate(lower(col("text")), " ", ""))).cast("long")
+        .as("corpus_chars"),
+      sum(size(words(col("text")))).cast("long").as("corpus_words"))
+    def row(name: String, vocabSize: Long, encoded: DataFrame,
+        pieceCol: String, nCol: String): DataFrame =
+      encoded.agg(
+          sum(col(nCol)).cast("long").as("n_pieces"),
+          sum(length(concat_ws("",
+            transform(col(pieceCol), p => regexp_replace(p, "^##", "")))))
+            .cast("long").as("n_chars"))
+        .crossJoin(broadcast(corpus))
+        .select(lit(name).as("tokenizer"),
+          lit(vocabSize).as("vocab_size"),
+          col("n_pieces"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("n_pieces"), 4)
+            .as("chars_per_piece"),
+          (col("n_chars") === col("corpus_chars")).as("lossless_ok"),
+          (col("n_pieces") >= col("corpus_words") &&
+            col("n_pieces") <= col("corpus_chars")).as("bounds_ok"))
+    val bpe = Bpe.fit(docs, "text", numMerges = 200, topV = 4096)
+    val uni = UnigramLm.fit(wordFreqOf(s, d), UniTargetV, UniIters,
+      UniMaxLen, UniSeed)
+    val soft = UnigramLm.softFit(wordFreqOf(s, d), UniTargetV, UniIters,
+      UniMaxLen, UniSeed)
+    val wp = WordPiece.fit(docs, "text", WpMerges, WpTopV)
+    row("bpe", bpe.merges.map { case (a, b) => a + b }.distinct.size.toLong,
+        Bpe.encode(docs, "text", bpe), "tokens", "n_tokens")
+      .union(row("unigram", uni.pieces.length.toLong,
+        UnigramLm.encode(docs, "text", uni), "pieces", "n_pieces"))
+      .union(row("unigram_soft", soft.pieces.length.toLong,
+        UnigramLm.encode(docs, "text", soft), "pieces", "n_pieces"))
+      .union(row("wordpiece", wp.vocab.size.toLong,
+        WordPiece.encode(docs, "text", wp), "pieces", "n_pieces"))
+  }
+
+  /** TOKENIZER SELECTION REPORT — the comparison a data pipeline runs
+    * before committing 100 TB to one tokenization: all four shipped
+    * trainers (BPE, unigram hard-EM, unigram soft-EM, WordPiece) at
+    * their operating points, encoded corpus-wide in ONE plan, graded
+    * on the shared contract every family must satisfy — total
+    * character mass conserved (lossless: the `##`-stripped piece
+    * concatenation carries exactly the corpus' space-stripped
+    * characters) and piece counts bounded by [words, chars].
+    *
+    * Oracle stance: the model-dependent numbers (vocab sizes, piece
+    * counts, compression) are spec-pinned (TokenizerCompareSpec over
+    * the SAME shared frame); the ○ projection emits what DuckDB can
+    * re-derive — `n_chars` equals the corpus character mass COMPUTED
+    * INDEPENDENTLY by the oracle (a data-level equality per
+    * tokenizer, the strongest cross-engine claim available: an
+    * engine-side lossy encode changes n_chars and breaks the hash) —
+    * plus the two engine verdicts.
+    *
+    * Scale shape: the four trainings share the corpus statistics
+    * collapse class (word-frequency / alphabet aggregations — the
+    * only corpus-scale exchanges); the four encodes are zero-shuffle
+    * memoized scans; each report row is ONE map-side-combined
+    * aggregate. */
+  private val qTokenizerCompare = Q("q_tokenizer_compare",
+    """WITH c AS (
+      |  SELECT CAST(sum(length(replace(lower(text), ' ', ''))) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT t.tokenizer, c.n AS n_chars,
+      |  true AS lossless_ok, true AS bounds_ok
+      |FROM (VALUES ('bpe'), ('unigram'), ('unigram_soft'), ('wordpiece'))
+      |  t(tokenizer), c
+      |ORDER BY t.tokenizer""".stripMargin) { (s, d) =>
+    tokenizerReport(s, d)
+      .select(col("tokenizer"), col("n_chars"),
+        col("lossless_ok"), col("bounds_ok"))
+      .orderBy(col("tokenizer"))
+  }
+
   /** The unigram tokenizer's operating point (q_unigram_seed /
     * q_unigram_encode) — `private[graft]` so UnigramLmSpec trains the
     * identical point (the SGNS constants stance). */
@@ -1947,5 +2030,5 @@ object TextQueries {
     qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
     qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib,
     qUnigramSeed, qUnigramEncode, qUnigramSoft,
-    qWordpieceMerge, qWordpieceEncode)
+    qWordpieceMerge, qWordpieceEncode, qTokenizerCompare)
 }
