@@ -367,21 +367,54 @@ object BenchGate {
     * the calibration corroborates the DISTURBANCE, the magnitude
     * stays unjudgeable until a quiet window.
     *
+    * Round 18 (the r17 advice): calibration corroboration ALONE no
+    * longer demotes — a 1.1× probe reading is common on a busy host,
+    * so a SINGLE real code regression coinciding with mild noise
+    * would be permanently silenced on a chronically loaded machine.
+    * Demotion now additionally requires the flags to carry a
+    * contention SHAPE: either a multi-query cluster
+    * (≥ [[MinClusterFlags]] — the r16 incident shape: unrelated
+    * paths hit together, which a single-commit regression rarely
+    * produces) or the uniform median-inflation signature
+    * ([[medianRatio]] uniform ≥ [[ContentionMinRatio]] — the whole
+    * registry moved together). A lone flag with a parity median
+    * STANDS even on a disturbed host. And demotion is no longer
+    * silent-green: [[main]] exits with status 2 on a demoted run (a
+    * distinct non-ok), and `--record` refuses a disturbed sample
+    * outright — an adjudicated run can mandate a quiet re-measure
+    * but can never certify itself or become the canonical.
+    *
     * @return (surviving flags, adjudication notes) */
+  val MinClusterFlags = 3
+
   def adjudicatedRegressions(canonical: Map[String, Double],
       latest: Map[String, Double],
-      calibRatio: Option[(Double, String)]): (Seq[Flag], Seq[String]) = {
+      calibRatio: Option[(Double, String)],
+      mr: Option[(Double, Boolean)] = None): (Seq[Flag], Seq[String]) = {
     val flags = regressions(canonical, latest)
     if (flags.isEmpty) (flags, Nil)
     else calibRatio match {
       case Some((c, scalar)) if c >= CalibCorroborationMin =>
-        (Nil, flags.map { f =>
-          f"per-query flag DEMOTED (contention, machine-adjudicated): $f — " +
-            f"host disturbance corroborated by $scalar ${c}%.2fx ≥ " +
-            f"$CalibCorroborationMin%.2fx; re-measure at the next quiet " +
-            "window (runMain graft.OutlierRemeasure) before trusting " +
-            "this sample"
-        })
+        val medianSig =
+          mr.exists { case (m, uniform) => uniform && m >= ContentionMinRatio }
+        val cluster = flags.size >= MinClusterFlags
+        if (cluster || medianSig)
+          (Nil, flags.map { f =>
+            f"per-query flag DEMOTED (contention, machine-adjudicated): $f — " +
+              f"host disturbance corroborated by $scalar ${c}%.2fx ≥ " +
+              f"$CalibCorroborationMin%.2fx and " +
+              (if (cluster) s"a ${flags.size}-query cluster"
+               else "uniform median inflation") +
+              "; re-measure at the next quiet " +
+              "window (runMain graft.OutlierRemeasure) before trusting " +
+              "this sample"
+          })
+        else
+          (flags, Seq(f"calibration disturbed ($scalar ${c}%.2fx) but the " +
+            s"${flags.size} flag(s) carry no contention shape (cluster < " +
+            s"$MinClusterFlags, no uniform median signature) — " +
+            "indistinguishable from a real regression under mild noise: " +
+            "flags STAND (r17 advice)"))
       case _ => (flags, Nil)
     }
   }
@@ -393,6 +426,25 @@ object BenchGate {
     val canonicalPath =
       if (paths.length > 1) paths(1) else "bench/BENCH_canonical.json"
     if (record) {
+      // A disturbed sample can never become the canonical (r17
+      // advice): if the outgoing canonical exists and the fresh run's
+      // calibration reads disturbed against it, recording is refused
+      // — re-measure on a quiet window first. (A missing canonical —
+      // first record, or a deliberately retired one — records freely.)
+      if (Files.exists(Paths.get(canonicalPath))) {
+        pickCalibRatio(calibScalarsOf(canonicalPath),
+            calibScalarsOf(latestPath)) match {
+          case Some((r, k)) if r >= CalibCorroborationMin =>
+            println(f"BENCHGATE record REFUSED: $latestPath reads " +
+              f"$k ${r}%.2fx ≥ $CalibCorroborationMin%.2fx vs the " +
+              "outgoing canonical — a disturbed sample must not become " +
+              "the canonical; re-bench on a quiet window. (If the host " +
+              "epoch itself shifted, document it and retire the old " +
+              "canonical first.)")
+            sys.exit(1)
+          case _ => ()
+        }
+      }
       Files.copy(Paths.get(latestPath), Paths.get(canonicalPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       println(s"BENCHGATE recorded $latestPath as canonical $canonicalPath")
@@ -414,13 +466,23 @@ object BenchGate {
       println(f"BENCHGATE calibration: $k ratio $r%.2fx" +
         (if (k == "calib_ms") " (1-thread fallback — canonical lacks calib_par_ms)" else ""))
     }
-    val (flags, flagNotes) = adjudicatedRegressions(canonical, latest, picked)
+    val (flags, flagNotes) =
+      adjudicatedRegressions(canonical, latest, picked, mr)
     flagNotes.foreach(n => println(s"BENCHGATE note: $n"))
+    val demoted = flagNotes.exists(_.contains("DEMOTED"))
     val (breaches, contentionNotes) =
       normalizedFloorBreaches(scalarFields(latestPath), mr, picked.map(_._1),
         parCalibRatio(canonCalib, latestCalib))
     contentionNotes.foreach(n => println(s"BENCHGATE note: $n"))
-    if (flags.isEmpty && breaches.isEmpty) {
+    if (flags.isEmpty && breaches.isEmpty && demoted) {
+      // distinct NON-ok (r17 advice): a machine-adjudicated run is
+      // not a pass — it mandates a quiet re-measure and must never be
+      // mistaken for (or recorded as) a clean sample
+      println(s"BENCHGATE ADJUDICATED (not ok): per-query flags demoted as " +
+        "host contention — re-measure on a quiet window " +
+        "(runMain graft.OutlierRemeasure); this sample is not canonical-grade")
+      sys.exit(2)
+    } else if (flags.isEmpty && breaches.isEmpty) {
       println(f"BENCHGATE ok: ${latest.size} queries within ${RatioGate}x of canonical " +
         f"(${canonical.size} canonical entries); streaming/serving floors green")
     } else {

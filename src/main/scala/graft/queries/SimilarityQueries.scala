@@ -1310,10 +1310,33 @@ object SimilarityQueries {
     // truth — the verdicts below are now re-derived from data on
     // both engines. The trace is |nprobe|×|queries|×k rows — request
     // scale, never corpus scale.
+    //
+    // ATOMIC publish (r17 advice): mode('overwrite') straight onto
+    // the final path deletes before it writes, so a concurrent verify
+    // at the same corpus size could read zero/partial files; instead
+    // the trace lands in a dot-prefixed staging dir (invisible to the
+    // oracle's `*/*.parquet` glob — POSIX globs skip leading dots)
+    // and a filesystem RENAME publishes it whole. Sibling c<N> dumps
+    // from other corpus sizes are pruned once stale (mtime > 6 h —
+    // old enough that no live sweep still needs them) so /tmp never
+    // accumulates a dump per SF ever swept.
     val nCorpus = vectors(s, d).count()
+    val hconf = s.sessionState.newHadoopConf()
+    val finalPath = new org.apache.hadoop.fs.Path(s"$IvfNprobeDumpDir/c$nCorpus")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$IvfNprobeDumpDir/.tmp_c$nCorpus")
+    val dumpFs = finalPath.getFileSystem(hconf)
     served.withColumn("n_corpus", lit(nCorpus))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$IvfNprobeDumpDir/c$nCorpus")
+      .coalesce(1).write.mode("overwrite").parquet(tmpPath.toString)
+    dumpFs.delete(finalPath, true): Unit
+    require(dumpFs.rename(tmpPath, finalPath),
+      s"atomic publish failed: rename $tmpPath -> $finalPath")
+    val dumpRoot = new org.apache.hadoop.fs.Path(IvfNprobeDumpDir)
+    val staleCutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    dumpFs.listStatus(dumpRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n != s"c$nCorpus" && st.getModificationTime < staleCutoff)
+        dumpFs.delete(st.getPath, true): Unit
+    }
     // grade FROM the dump — the engine verdict consumes the same
     // trace the oracle reads, so the two sides cannot see different
     // servings

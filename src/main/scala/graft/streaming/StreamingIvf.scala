@@ -115,8 +115,15 @@ object StreamingIvf {
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryIdle(e: QueryIdleEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      // Match on runId, not id (r17 advice): a stream restarted from
+      // the same checkpoint KEEPS its id but gets a fresh runId — and
+      // the listener bus dispatches termination asynchronously, so a
+      // stale event from a killed run could otherwise fire a freshly
+      // registered listener, deleting the restarted stream's live
+      // store mid-serving (and deregistering its own cleanup, leaking
+      // the new generation). runId is unique per run by contract.
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
+        if (e.runId == q.runId) {
           val p = new org.apache.hadoop.fs.Path(storePath)
           p.getFileSystem(spark.sessionState.newHadoopConf())
             .delete(p, true): Unit

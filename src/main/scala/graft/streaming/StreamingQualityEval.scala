@@ -65,16 +65,21 @@ object StreamingQualityEval {
     * aggregation state itself is checkpoint-recovered (kill +
     * restart resumes the accumulation exactly where the last
     * committed batch left it), and [[readHistogram]] serves the
-    * newest COMMITTED snapshot (`_SUCCESS`-marked). Epochs older
-    * than the previous one are pruned after each successful write —
-    * the previous stays so a concurrent reader mid-read never loses
-    * its files. StreamingQualityEvalSpec pins kill-mid-stream →
-    * restart → swept AUC ≡ batch.
+    * newest COMMITTED snapshot (`_SUCCESS`-marked). Pruning keeps a
+    * THREE-epoch horizon (current + two predecessors — r17 advice:
+    * with only current+previous retained, a reader that selected the
+    * previous snapshot lost its files if two micro-batches committed
+    * while its read was in flight; the horizon now tolerates a read
+    * spanning two full trigger intervals, and a slower reader simply
+    * retries [[readHistogram]] — snapshots are cumulative, so any
+    * newer epoch answers the same question).
+    * StreamingQualityEvalSpec pins kill-mid-stream → restart →
+    * swept AUC ≡ batch.
     *
     * Scale stance: each snapshot is margin-domain (one (nt, np) row
     * per (lang, margin) pair — thousands of rows, never
     * corpus-scale), so the per-batch snapshot is a metadata-sized
-    * write, not a corpus copy, and retention holds the store at ≤2
+    * write, not a corpus copy, and retention holds the store at ≤3
     * snapshots. */
   def attachHistogram(marked: DataFrame, storeDir: String,
       checkpoint: String): StreamingQuery =
@@ -89,7 +94,7 @@ object StreamingQualityEval {
         fs.listStatus(dir).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith("epoch=") &&
-              name.stripPrefix("epoch=").toLong < epochId - 1)
+              name.stripPrefix("epoch=").toLong < epochId - 2)
             fs.delete(st.getPath, true): Unit
         }
       }.start()

@@ -201,6 +201,41 @@ class BenchGateSpec extends AnyFunSuite {
     assert(f4.isEmpty && n4.isEmpty)
   }
 
+  test("adjudication demands a contention SHAPE: a lone flag under mild " +
+      "calibration noise stands; the median signature re-enables it (r17 advice)") {
+    val canonical = (1 to 30).map(i => s"q$i" -> 1.0).toMap + ("q_bad" -> 1.0)
+    // a SINGLE query regressed 2× while the rest of the registry sits
+    // at parity — on a host whose mem probe happens to read 1.12×
+    // (common on a busy box), the old rule demoted this real
+    // regression; now it stands: no cluster, no median signature
+    val lone = canonical + ("q_bad" -> 2.0)
+    val mrParity = BenchGate.medianRatio(canonical, lone)
+    val (f1, n1) = BenchGate.adjudicatedRegressions(canonical, lone,
+      Some((1.12, "calib_mem_ms")), mrParity)
+    assert(f1.map(_.name) == Seq("q_bad"))
+    assert(n1.exists(_.contains("flags STAND")))
+    // same lone flag but the WHOLE registry uniformly inflated 1.3×
+    // (q_bad carried past the gate by contention): median signature +
+    // calibration → demote
+    val uniform = canonical.map { case (k, v) =>
+      k -> (if (k == "q_bad") v * 2.0 else v * 1.3) }
+    val mrU = BenchGate.medianRatio(canonical, uniform)
+    assert(mrU.exists { case (m, u) => u && m >= BenchGate.ContentionMinRatio })
+    val (f2, n2) = BenchGate.adjudicatedRegressions(canonical, uniform,
+      Some((1.3, "calib_par_ms")), mrU)
+    assert(f2.isEmpty && n2.exists(_.contains("uniform median inflation")))
+    // two flags (< MinClusterFlags) with a parity median still stand —
+    // a shared-helper regression touching two queries must not hide
+    val pair = canonical + ("q1" -> 2.0) + ("q2" -> 2.0)
+    val (f3, _) = BenchGate.adjudicatedRegressions(canonical, pair,
+      Some((1.12, "calib_mem_ms")), BenchGate.medianRatio(canonical, pair))
+    assert(f3.size == 2)
+    // at the cluster threshold the r16 shape demotes even with a
+    // parity median (the motivating incident: 3 unrelated paths hit
+    // together while the registry median sat at 1.0)
+    assert(BenchGate.MinClusterFlags == 3)
+  }
+
   test("serving rescale keys on the CPU-domain (par) ratio, not the " +
       "corroboration max — a memory-domain disturbance cannot clear a " +
       "real serving regression (r16 advice)") {
