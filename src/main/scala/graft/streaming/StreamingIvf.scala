@@ -68,16 +68,26 @@ object StreamingIvf {
     *
     * @param maxBatchQueries the [[MaxBatchQueries]] ceiling —
     *   parameterized so the guard spec can trip it at test scale;
-    *   production callers keep the default */
+    *   production callers keep the default
+    * @param quantized build and serve the INT8 posting store
+    *   ([[SimilarityQueries.ivfBuildStoreQ8]] — round 18, the r17
+    *   verdict's production ANN serving shape): each probe reads 8×
+    *   fewer store bytes (64 tinyint codes + one norm per posting
+    *   row, no double vectors), queries are driver-quantized with
+    *   the same codec, ranking is quantized cosine (scales cancel).
+    *   The store-lifetime/reclamation contract is identical — only
+    *   the build and serve tails swap. */
   def start(spark: SparkSession, queries: DataFrame, sfDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      maxBatchQueries: Int = MaxBatchQueries)(
+      maxBatchQueries: Int = MaxBatchQueries,
+      quantized: Boolean = false)(
       sink: DataFrame => Unit): StreamingQuery = {
     require(maxBatchQueries >= 1, s"maxBatchQueries=$maxBatchQueries")
     val kind = s"ivfserve${gen.incrementAndGet()}"
     val (store, cents) =
-      SimilarityQueries.ivfBuildStore(spark, sfDir, kind = kind)
+      if (quantized) SimilarityQueries.ivfBuildStoreQ8(spark, sfDir, kind = kind)
+      else SimilarityQueries.ivfBuildStore(spark, sfDir, kind = kind)
     store.count(): Unit // force the store write at build time
     val q = queries.writeStream
       .outputMode("append")
@@ -97,7 +107,9 @@ object StreamingIvf {
             "batch driver-side (the nprobe/C serving design); this is a " +
             "serving stream, not a corpus channel — throttle the " +
             "producer or split the batch upstream")
-        if (qs.nonEmpty) sink(SimilarityQueries.ivfServe(store, cents, qs))
+        if (qs.nonEmpty) sink(
+          if (quantized) SimilarityQueries.ivfServeQ8(store, cents, qs)
+          else SimilarityQueries.ivfServe(store, cents, qs))
       }
       .start()
     // Store-RECLAMATION half of the lifetime contract (r16 advice):

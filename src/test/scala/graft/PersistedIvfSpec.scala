@@ -237,6 +237,100 @@ class PersistedIvfSpec extends AnyFunSuite {
       s"stopped stream left orphaned store generations: ${liveGens()}")
   }
 
+  test("QUANTIZED posting store (r17 verdict item 1): codes round-trip " +
+      "the tinyint store bit-exactly, the driver query codec matches " +
+      "the in-plan codec, serving reads no double vectors and prunes, " +
+      "and store serving equals in-plan quantized answers row-for-row") {
+    import graft.queries.SimilarityQueries._
+    val (store, cents) = ivfBuildStoreQ8(spark, TestSpark.Sf, "ivfq8spec")
+    // 1. store contents ≡ the in-plan codec applied to the raw vectors
+    val raw = SimilarityQueries.vectors(spark, TestSpark.Sf)
+      .withColumn("sq", quantizeScale(col("v")))
+      .select(col("vec_id"), quantizeCodes(col("v"), col("sq")).as("cexp"))
+      .withColumn("qn2exp", intDot(col("cexp"), col("cexp")))
+    val joined = store
+      .select(col("vec_id"), col("c").cast("array<long>").as("cgot"),
+        col("qn2").as("qn2got"))
+      .join(raw, "vec_id")
+      .as[(Long, Seq[Long], Long, Seq[Long], Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, cgot, qn2got, cexp, qn2exp) =>
+      assert(cgot == cexp && qn2got == qn2exp,
+        s"store codes for vec $id diverge from the in-plan codec")
+    }
+    // 2. driver-side query quantization ≡ in-plan codec (the HALF_UP pin)
+    val qs = SimilarityQueries.ivfQueries(spark, TestSpark.Sf)
+    val inPlan = raw.where(col("vec_id") < 10)
+      .as[(Long, Seq[Long], Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    qs.foreach { case (id, qv) =>
+      assert(quantizeLocal(qv) == inPlan(id),
+        s"driver codec for query $id diverges from the in-plan codec")
+    }
+    // 3. serving: prunes to probed cells, reads only (codes, norm)
+    val served = ivfServeQ8(store, cents, qs)
+    val got = served.as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got.nonEmpty && got.map(_._1).distinct.size == qs.length)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      "quantized store scan did not partition-prune")
+    assert(plan.contains("tinyint"),
+      "store scan does not read the int8 codes column")
+    assert(!plan.contains("array<double>"),
+      "a double-vector column leaked into the quantized serving plan " +
+        "— the 8x read cut is not real:\n" + plan)
+    // 4. store serving ≡ in-plan quantized answers (same cells, codes
+    // recomputed from raw vectors — catches any write/read drift)
+    val inPlanStore = SimilarityQueries.vectors(spark, TestSpark.Sf)
+      .join(store.select(col("list"), col("vec_id")), "vec_id")
+      .withColumn("sq", quantizeScale(col("v")))
+      .withColumn("cl", quantizeCodes(col("v"), col("sq")))
+      .select(col("list"), col("vec_id"), col("cl").as("c"),
+        intDot(col("cl"), col("cl")).as("qn2"))
+    val inPlanServed = ivfServeQ8(inPlanStore, cents, qs)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(got == inPlanServed,
+      "quantized-store serving diverged from in-plan quantized answers")
+  }
+
+  test("STREAMED quantized serving equals the batch Q8 query across " +
+      "micro-batch splits, and recovers exactly-once through a " +
+      "mid-stream kill + checkpoint restart (T6/T7 for the Q8 store)") {
+    import java.nio.file.Files
+    val batch = graft.queries.SimilarityQueries.knnIvfQ8(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sortBy(r => (r._1, r._3))
+    val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf)
+    assert(qs.length >= 5, "need several queries for a mid-stream kill")
+    // replayable source: one query vector per file, one file per
+    // trigger — many batch boundaries for the kill to land between
+    val srcDir = Files.createTempDirectory("q8src").toString
+    spark.createDataset(qs.toSeq).toDF("vec_id", "v")
+      .repartition(qs.length).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("q8ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+    def start() = graft.streaming.StreamingIvf.start(spark, src,
+        TestSpark.Sf, ckpt, quantized = true) { out =>
+      got.synchronized {
+        got ++= out.as[(Long, Long, Int, Double)].collect(): Unit
+      }
+    }
+    val q1 = start()
+    StreamKill.afterCommit(spark, q1,
+      () => got.synchronized(got.map(_._1).distinct.size) >= 2)
+    val afterKill = got.synchronized(got.map(_._1).distinct.size)
+    assert(afterKill >= 1 && afterKill < qs.length,
+      s"kill landed outside mid-stream ($afterKill of ${qs.length} queries)")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // foreachBatch is at-least-once: a replayed boundary batch re-emits
+    // IDENTICAL rows (serving is deterministic), so distinct = exactly-once
+    val streamed = got.synchronized(got.distinct.toSeq).sortBy(r => (r._1, r._3))
+    assert(streamed == batch,
+      "kill+restart quantized serving diverged from the batch Q8 answers")
+  }
+
   test("driver-batch guard: a query micro-batch past the cap fails " +
       "LOUDLY naming MaxBatchQueries (serving stream, not a corpus " +
       "channel)") {
