@@ -146,7 +146,18 @@ object HeavyScaleProbe {
     // distinct words under salting) with vocabulary-scale symbol/
     // pair statistics after it, and the encode pass is a zero-
     // shuffle scan whose wall must track the corpus linearly
-    "q_wordpiece_merge", "q_wordpiece_encode")
+    "q_wordpiece_merge", "q_wordpiece_encode",
+    // round 18: the four-family tokenizer-selection report (one plan
+    // training BPE + unigram hard/soft EM + WordPiece and encoding
+    // the corpus four ways — its corpus-scale exchanges are the four
+    // word-frequency collapses, 10× distinct words under salting,
+    // with V-bounded driver state after each), and the two composed
+    // ANN architectures: IVFPQ (assignment + encode are corpus
+    // scans against broadcast models; ADC candidates are nprobe/C of
+    // the corpus; rerank is |Q|×shortlist) and the quantized posting
+    // store (KMeans build + int8 store persist + probe-pruned serve
+    // + the |Q|·N brute grade — all corpus-linear)
+    "q_tokenizer_compare", "q_knn_ivf_pq", "q_knn_ivf_q8")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -170,7 +181,9 @@ object HeavyScaleProbe {
     "q_dedup_contain" -> 1.0, "q_graph_kcore" -> 1.0,
     "q_mine_bitext" -> 1.0, "q_graph_walks_biased" -> 1.0,
     "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0,
-    "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0)
+    "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0,
+    "q_tokenizer_compare" -> 1.0, "q_knn_ivf_pq" -> 1.0,
+    "q_knn_ivf_q8" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
