@@ -2547,7 +2547,7 @@ object SimilarityQueries {
     * default); the rerank reads full vectors for |Q|×20 rows only —
     * candidate-bounded, never corpus-bounded. Windows carry scores,
     * never vector payloads (WindowGroupLimit prunes per task). */
-  private val qKnnIvfPq = Q("q_knn_ivf_pq",
+  private val ivfPqSql: String =
     s"""WITH $vectorsCte,
        |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
        |          FROM e WHERE vec_id < $IvfC),
@@ -2632,7 +2632,9 @@ object SimilarityQueries {
        |  (b.n_id IS NOT NULL) AS hit
        |FROM top t LEFT JOIN brute b ON b.q_id = t.q_id AND b.n_id = t.n_id
        |WHERE t.rn <= 5
-       |ORDER BY t.q_id, t.rn""".stripMargin) { (s, d) =>
+       |ORDER BY t.q_id, t.rn""".stripMargin
+
+  private val qKnnIvfPq = Q("q_knn_ivf_pq", ivfPqSql) { (s, d) =>
     val e = vectors(s, d).withColumn("n2", dot(col("v"), col("v")))
       .fenced() // read by assignment, probes, codes, LUT, rerank
     // stage 1a — coarse assignment: the qKnnIvf map-side argmax
@@ -2656,11 +2658,10 @@ object SimilarityQueries {
       .where(col("pr") <= IvfPqNprobe)
       .select(col("q_id"), col("cent_id").as("list"))
     // stage 2 — PQ encode: one corpus scan vs the broadcast codebook
-    def subspaces(src: DataFrame, idCol: String): DataFrame = src
-      .select(col(idCol), explode(array((0 until PqM).map(j =>
-        struct(lit(j).as("j"),
-          slice(col("v"), j * PqDsub + 1, PqDsub).as("xs"))): _*)).as("sp"))
-      .select(col(idCol), col("sp.j").as("j"), col("sp.xs").as("xs"))
+    // (pqSubspaces is shared with the persisted-PQ store builder, so
+    // the two encodes cannot drift)
+    def subspaces(src: DataFrame, idCol: String): DataFrame =
+      pqSubspaces(src, idCol)
     val csub = subspaces(e.where(col("vec_id") < PqK)
       .withColumnRenamed("vec_id", "cent_id"), "cent_id")
       .select(col("cent_id"), col("j"), col("xs").as("cs"),
@@ -2729,11 +2730,179 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** The PQ subspace explode shared by the in-plan IVFPQ and the
+    * persisted-PQ store builder. */
+  private def pqSubspaces(src: DataFrame, idCol: String): DataFrame = src
+    .select(col(idCol), explode(array((0 until PqM).map(j =>
+      struct(lit(j).as("j"),
+        slice(col("v"), j * PqDsub + 1, PqDsub).as("xs"))): _*)).as("sp"))
+    .select(col(idCol), col("sp.j").as("j"), col("sp.xs").as("xs"))
+
+  /** Left-to-right local dot — the driver twin of
+    * [[graft.functions.GraftExpressions.dot_product]] (same
+    * accumulation order, so driver-computed model values are
+    * bit-identical to the in-plan/oracle doubles). */
+  private[graft] def dotLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Driver twin of the cosine composition both engines use. */
+  private[graft] def cosLocal(a: Seq[Double], b: Seq[Double]): Double =
+    dotLocal(a, b) / (math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b)))
+
+  /** PERSISTED PQ posting store — the third store of the IVF
+    * lifecycle trilogy (full-precision `ivf`, int8 `ivfq8`, and now
+    * PQ codes): each posting row is (cell, vec_id, c0..c3 TINYINT,
+    * exact norm) — 4 code bytes per vector against 512 full-precision
+    * bytes, the 128× read cut that makes IVFPQ the at-scale default —
+    * persisted PARTITIONED BY cell. Assignment and codes are the
+    * IDENTICAL expressions of the in-plan [[qKnnIvfPq]], so serving
+    * from this store reproduces its answers bit-for-bit (that is the
+    * ○ query's oracle: the full ANSI IVFPQ plan). */
+  private[graft] def ivfBuildStorePq(s: SparkSession, d: String,
+      kind: String = "ivfpq"): DataFrame = {
+    import graft.operators.DedupManifest
+    val e = vectors(s, d).withColumn("n2", dot(col("v"), col("v"))).fenced()
+    val centsDf = broadcast(e.where(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val assigned = e.crossJoin(centsDf)
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nc"))).as("list"))
+    val csub = pqSubspaces(e.where(col("vec_id") < PqK)
+      .withColumnRenamed("vec_id", "cent_id"), "cent_id")
+      .select(col("cent_id"), col("j"), col("xs").as("cs"),
+        dot(col("xs"), col("xs")).as("cn2"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd"), col("cent_id"))
+    val code = pqSubspaces(e, "vec_id").join(broadcast(csub), "j")
+      .select(col("vec_id"), col("j"), col("cent_id"),
+        (col("cn2") - lit(2) * dot(col("xs"), col("cs"))).as("dd"))
+      .withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+    val cw = code.groupBy(col("vec_id")).agg(
+      max(when(col("j") === 0, col("cent_id"))).as("c0"),
+      max(when(col("j") === 1, col("cent_id"))).as("c1"),
+      max(when(col("j") === 2, col("cent_id"))).as("c2"),
+      max(when(col("j") === 3, col("cent_id"))).as("c3"))
+      .join(e.select(col("vec_id"), col("n2").as("xn2")), "vec_id")
+    val posting = assigned.join(cw, "vec_id")
+      .select(col("list").cast("int").as("list"), col("vec_id"),
+        col("c0").cast("tinyint").as("c0"), col("c1").cast("tinyint").as("c1"),
+        col("c2").cast("tinyint").as("c2"), col("c3").cast("tinyint").as("c3"),
+        col("xn2"))
+    DedupManifest
+      .persistPartitioned(posting, DedupManifest.path(s, kind, d), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"), col("xn2"))
+  }
+
+  /** Serve the fixed query set from the PERSISTED PQ store: model
+    * artifacts (centroids, codebook) load k-bounded driver-side — the
+    * production shape where the model ships with the index; the LUT
+    * is computed on the driver with the same left-to-right arithmetic
+    * as the oracle ([[dotLocal]]); candidates are the probed cells'
+    * code rows only (partition-pruned, 4 bytes + norm per row); the
+    * exact rerank POINT-READS the shortlist ids from the corpus
+    * (`vec_id IN (...)` pushed to the parquet scan — |Q|×shortlist
+    * ids, the fetch-by-id read every serving stack does last). */
+  private[graft] def ivfServePqStore(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = vectors(s, d)
+    val cents: Array[(Int, Seq[Double])] = e.where(col("vec_id") < IvfC)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).map { case (id, v) => (id.toInt, v) }
+    val codebook: Array[(Int, Int, Seq[Double])] =
+      pqSubspaces(e.where(col("vec_id") < PqK)
+          .withColumnRenamed("vec_id", "cent_id"), "cent_id")
+        .select(col("cent_id"), col("j"), col("xs"))
+        .as[(Long, Int, Seq[Double])]
+        .collect().map { case (c, j, cs) => (c.toInt, j, cs) }
+    val qs = ivfQueries(s, d)
+    // probe selection: (cosine DESC, cent_id) — identical doubles to
+    // the oracle's probe rule
+    val probes = qs.flatMap { case (q, qv) =>
+      cents.map { case (cid, cv) => (cosLocal(qv, cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+        .take(IvfPqNprobe).map { case (_, cid) => (q, cid) }
+    }
+    val cells = probes.map(_._2).distinct.sorted.toSeq
+    val probesDf = broadcast(probes.toSeq.toDF("q_id", "list"))
+    // driver LUT: |Q| × PqM × PqK entries, same l→r slice dots
+    val lutRows = for {
+      (q, qv) <- qs.toSeq
+      (cid, j, cs) <- codebook
+    } yield (q, j, cid,
+      dotLocal(qv.slice(j * PqDsub, j * PqDsub + PqDsub), cs))
+    val lutDf = lutRows.toDF("q_id", "j", "cent_id", "qdot").fenced()
+    def lutJ(j: Int): DataFrame = lutDf.where(col("j") === j)
+      .select(col("q_id").as(s"q$j"), col("cent_id").as(s"k$j"),
+        col("qdot").as(s"d$j"))
+    val qn2Df = broadcast(qs.toSeq
+      .map { case (q, qv) => (q, dotLocal(qv, qv)) }.toDF("qn_id", "qn2"))
+    val adc = store.where(col("list").isin(cells: _*)) // partition pruning
+      .join(probesDf, Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lutJ(0)), col("q_id") === col("q0") && col("c0") === col("k0"))
+      .join(broadcast(lutJ(1)), col("q_id") === col("q1") && col("c1") === col("k1"))
+      .join(broadcast(lutJ(2)), col("q_id") === col("q2") && col("c2") === col("k2"))
+      .join(broadcast(lutJ(3)), col("q_id") === col("q3") && col("c3") === col("k3"))
+      .join(qn2Df, col("q_id") === col("qn_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        ((col("d0") + col("d1") + col("d2") + col("d3"))
+          / (sqrt(col("qn2")) * sqrt(col("xn2")))).as("score"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    // request-scale collect (≤ |Q| × shortlist ids) enabling the
+    // point-read: without it the rerank would scan every corpus
+    // vector's bytes to join 640 rows
+    val shortRows = adc.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= IvfPqShortlist)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    val ids = shortRows.map(_._2).distinct.sorted.toSeq
+    val shortDf = broadcast(shortRows.toSeq.toDF("q_id", "n_id"))
+    val qvDf = broadcast(qs.toSeq.toDF("q_id", "qv"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val top = e.where(col("vec_id").isin(ids: _*)) // pushed point-read
+      .select(col("vec_id").as("n_id"), col("v"))
+      .join(shortDf, "n_id")
+      .join(qvDf, "q_id")
+      .select(col("q_id"), col("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= 5)
+    val brute = qKnnBrute.fn(s, d)
+      .select(col("q_id"), col("n_id"), lit(true).as("hitf"))
+    top.join(broadcast(brute), Seq("q_id", "n_id"), "left_outer")
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"),
+        coalesce(col("hitf"), lit(false)).as("hit"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** IVFPQ FROM THE PERSISTED STORE — same oracle as [[qKnnIvfPq]]:
+    * the store is built by the identical assignment/encode
+    * expressions, so serving from durable code rows must reproduce
+    * the in-plan ANSI-derived answer bit-for-bit; the DuckDB hash
+    * match IS the store round-trip proof (a data-level oracle
+    * covering tinyint code persistence, driver LUT arithmetic,
+    * partition-pruned candidate reads, and the point-read rerank). */
+  private val qKnnIvfPqStore = Q("q_knn_ivf_pq_store", ivfPqSql) { (s, d) =>
+    ivfServePqStore(s, d, ivfBuildStorePq(s, d))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qDedupEmbedIncremental,
     qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
     qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall,
-    qEmbedQuantize, qKnnMrl, qKnnIvfPq, qKnnIvfQ8)
+    qEmbedQuantize, qKnnMrl, qKnnIvfPq, qKnnIvfQ8, qKnnIvfPqStore)
 }
