@@ -2810,7 +2810,11 @@ object SimilarityQueries {
     * exact rerank POINT-READS the shortlist ids from the corpus
     * (`vec_id IN (...)` pushed to the parquet scan — |Q|×shortlist
     * ids, the fetch-by-id read every serving stack does last). */
-  private[graft] def ivfServePqStore(s: SparkSession, d: String,
+  /** The ADC shortlist FRAME over the persisted PQ store (lazy — the
+    * spec plan-checks it: partition-pruned store scan, tinyint code
+    * reads, no vector columns): probed cells only, driver-computed
+    * LUT, top-[[IvfPqShortlist]] per query by ADC score. */
+  private[graft] def ivfPqStoreShortlist(s: SparkSession, d: String,
       store: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -2859,12 +2863,22 @@ object SimilarityQueries {
           / (sqrt(col("qn2")) * sqrt(col("xn2")))).as("score"))
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
+    adc.withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= IvfPqShortlist)
+      .select(col("q_id"), col("n_id"))
+  }
+
+  private[graft] def ivfServePqStore(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = vectors(s, d)
+    val qs = ivfQueries(s, d)
     // request-scale collect (≤ |Q| × shortlist ids) enabling the
     // point-read: without it the rerank would scan every corpus
     // vector's bytes to join 640 rows
-    val shortRows = adc.withColumn("srn", row_number().over(wShort))
-      .where(col("srn") <= IvfPqShortlist)
-      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect()
+    val shortRows = ivfPqStoreShortlist(s, d, store)
+      .as[(Long, Long)].collect()
     val ids = shortRows.map(_._2).distinct.sorted.toSeq
     val shortDf = broadcast(shortRows.toSeq.toDF("q_id", "n_id"))
     val qvDf = broadcast(qs.toSeq.toDF("q_id", "qv"))

@@ -292,6 +292,45 @@ class PersistedIvfSpec extends AnyFunSuite {
       "quantized-store serving diverged from in-plan quantized answers")
   }
 
+  test("PERSISTED PQ store: serving equals the in-plan IVFPQ answer " +
+      "row-for-row, the candidate scan is partition-pruned and reads " +
+      "4 tinyint codes + a norm (never vectors), and the rerank is a " +
+      "pushed point-read") {
+    import graft.queries.SimilarityQueries
+    val inPlan = SparkEntry.queries("q_knn_ivf_pq")(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double, Boolean)].collect().toSeq
+    val store = SimilarityQueries.ivfBuildStorePq(spark, TestSpark.Sf, "ivfpqspec")
+    val served = SimilarityQueries.ivfServePqStore(spark, TestSpark.Sf, store)
+    val got = served.as[(Long, Long, Int, Double, Boolean)].collect().toSeq
+    assert(inPlan.nonEmpty && got == inPlan,
+      "PQ-store serving diverged from the in-plan IVFPQ answers")
+    // the ADC shortlist frame holds the store scan: pruned to probed
+    // cells, reading tinyint codes, never a vector column
+    val shortFrame = SimilarityQueries.ivfPqStoreShortlist(
+      spark, TestSpark.Sf, store)
+    shortFrame.count()
+    val shortPlan = shortFrame.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(shortPlan).isDefined,
+      "PQ store scan did not partition-prune to the probed cells")
+    assert(shortPlan.contains("tinyint"),
+      "candidate scan does not read the tinyint code columns")
+    assert(!shortPlan.contains("array<double>"),
+      "a vector column leaked into the ADC candidate path:\n" + shortPlan)
+    // the rerank's corpus access carries a pushed vec_id filter (the
+    // point-read), so no unfiltered full-vector scan exists
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*vec_id".r.findFirstIn(plan).isDefined ||
+      plan.contains("dynamicpruning") || plan.contains("In(vec_id"),
+      s"rerank corpus read carries no pushed vec_id filter:\n$plan")
+    // store schema: codes are 1 byte each — 4 bytes of payload per
+    // posting row vs 512 for full vectors
+    val codeFields = store.schema.fields
+      .filter(_.name.startsWith("c"))
+      .filter(_.dataType == org.apache.spark.sql.types.ByteType)
+    assert(codeFields.length == 4, s"expected 4 tinyint code columns, " +
+      s"got: ${store.schema.simpleString}")
+  }
+
   test("STREAMED quantized serving equals the batch Q8 query across " +
       "micro-batch splits, and recovers exactly-once through a " +
       "mid-stream kill + checkpoint restart (T6/T7 for the Q8 store)") {
