@@ -2815,7 +2815,8 @@ object SimilarityQueries {
     * reads, no vector columns): probed cells only, driver-computed
     * LUT, top-[[IvfPqShortlist]] per query by ADC score. */
   private[graft] def ivfPqStoreShortlist(s: SparkSession, d: String,
-      store: DataFrame): DataFrame = {
+      store: DataFrame,
+      qsIn: Array[(Long, Seq[Double])] = null): DataFrame = {
     val spark = s
     import spark.implicits._
     val e = vectors(s, d)
@@ -2828,7 +2829,7 @@ object SimilarityQueries {
         .select(col("cent_id"), col("j"), col("xs"))
         .as[(Long, Int, Seq[Double])]
         .collect().map { case (c, j, cs) => (c.toInt, j, cs) }
-    val qs = ivfQueries(s, d)
+    val qs = Option(qsIn).getOrElse(ivfQueries(s, d))
     // probe selection: (cosine DESC, cent_id) — identical doubles to
     // the oracle's probe rule
     val probes = qs.flatMap { case (q, qv) =>
@@ -2869,15 +2870,16 @@ object SimilarityQueries {
   }
 
   private[graft] def ivfServePqStore(s: SparkSession, d: String,
-      store: DataFrame): DataFrame = {
+      store: DataFrame,
+      qsIn: Array[(Long, Seq[Double])] = null): DataFrame = {
     val spark = s
     import spark.implicits._
     val e = vectors(s, d)
-    val qs = ivfQueries(s, d)
+    val qs = Option(qsIn).getOrElse(ivfQueries(s, d))
     // request-scale collect (≤ |Q| × shortlist ids) enabling the
     // point-read: without it the rerank would scan every corpus
     // vector's bytes to join 640 rows
-    val shortRows = ivfPqStoreShortlist(s, d, store)
+    val shortRows = ivfPqStoreShortlist(s, d, store, qs)
       .as[(Long, Long)].collect()
     val ids = shortRows.map(_._2).distinct.sorted.toSeq
     val shortDf = broadcast(shortRows.toSeq.toDF("q_id", "n_id"))

@@ -69,25 +69,35 @@ object StreamingIvf {
     * @param maxBatchQueries the [[MaxBatchQueries]] ceiling —
     *   parameterized so the guard spec can trip it at test scale;
     *   production callers keep the default
-    * @param quantized build and serve the INT8 posting store
-    *   ([[SimilarityQueries.ivfBuildStoreQ8]] — round 18, the r17
-    *   verdict's production ANN serving shape): each probe reads 8×
-    *   fewer store bytes (64 tinyint codes + one norm per posting
-    *   row, no double vectors), queries are driver-quantized with
-    *   the same codec, ranking is quantized cosine (scales cancel).
-    *   The store-lifetime/reclamation contract is identical — only
-    *   the build and serve tails swap. */
+    * @param mode the posting-store/serving pair (round 18 — the full
+    *   serving matrix over one stream contract):
+    *   - `"full"`: double vectors, exact-cosine rerank
+    *     ([[SimilarityQueries.ivfBuildStore]]/`ivfServe`);
+    *   - `"q8"`: int8 codes + norm, quantized-cosine ranking with
+    *     driver-quantized queries — 8× fewer store bytes per probe
+    *     (`ivfBuildStoreQ8`/`ivfServeQ8`);
+    *   - `"pq"`: 4 PQ code bytes + norm per row, driver-LUT ADC
+    *     shortlist + exact point-read rerank — the FAISS IVFPQ
+    *     serving shape (`ivfBuildStorePq`/`ivfServePqStore`).
+    *   The store-lifetime/reclamation contract is identical across
+    *   modes — only the build and serve tails swap. */
   def start(spark: SparkSession, queries: DataFrame, sfDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       maxBatchQueries: Int = MaxBatchQueries,
-      quantized: Boolean = false)(
+      mode: String = "full")(
       sink: DataFrame => Unit): StreamingQuery = {
     require(maxBatchQueries >= 1, s"maxBatchQueries=$maxBatchQueries")
+    require(Set("full", "q8", "pq")(mode),
+      s"mode=$mode (expected full | q8 | pq)")
     val kind = s"ivfserve${gen.incrementAndGet()}"
-    val (store, cents) =
-      if (quantized) SimilarityQueries.ivfBuildStoreQ8(spark, sfDir, kind = kind)
-      else SimilarityQueries.ivfBuildStore(spark, sfDir, kind = kind)
+    val (store, cents) = mode match {
+      case "q8" => SimilarityQueries.ivfBuildStoreQ8(spark, sfDir, kind = kind)
+      case "pq" =>
+        (SimilarityQueries.ivfBuildStorePq(spark, sfDir, kind = kind),
+          Array.empty[Array[Double]])
+      case _ => SimilarityQueries.ivfBuildStore(spark, sfDir, kind = kind)
+    }
     store.count(): Unit // force the store write at build time
     val q = queries.writeStream
       .outputMode("append")
@@ -107,9 +117,11 @@ object StreamingIvf {
             "batch driver-side (the nprobe/C serving design); this is a " +
             "serving stream, not a corpus channel — throttle the " +
             "producer or split the batch upstream")
-        if (qs.nonEmpty) sink(
-          if (quantized) SimilarityQueries.ivfServeQ8(store, cents, qs)
-          else SimilarityQueries.ivfServe(store, cents, qs))
+        if (qs.nonEmpty) sink(mode match {
+          case "q8" => SimilarityQueries.ivfServeQ8(store, cents, qs)
+          case "pq" => SimilarityQueries.ivfServePqStore(spark, sfDir, store, qs)
+          case _ => SimilarityQueries.ivfServe(store, cents, qs)
+        })
       }
       .start()
     // Store-RECLAMATION half of the lifetime contract (r16 advice):

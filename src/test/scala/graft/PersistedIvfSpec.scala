@@ -350,7 +350,7 @@ class PersistedIvfSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("q8ckpt").toString
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
     def start() = graft.streaming.StreamingIvf.start(spark, src,
-        TestSpark.Sf, ckpt, quantized = true) { out =>
+        TestSpark.Sf, ckpt, mode = "q8") { out =>
       got.synchronized {
         got ++= out.as[(Long, Long, Int, Double)].collect(): Unit
       }
@@ -368,6 +368,34 @@ class PersistedIvfSpec extends AnyFunSuite {
     val streamed = got.synchronized(got.distinct.toSeq).sortBy(r => (r._1, r._3))
     assert(streamed == batch,
       "kill+restart quantized serving diverged from the batch Q8 answers")
+  }
+
+  test("STREAMED PQ serving equals the batch store query across " +
+      "micro-batch splits (the serving-mode matrix's third mode " +
+      "through the one stream contract)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("q_knn_ivf_pq_store")(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double, Boolean)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf).toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Int, Double, Boolean)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sivfpq").toString
+    val q = graft.streaming.StreamingIvf.start(spark,
+        mem.toDF.toDF("vec_id", "v"), TestSpark.Sf, ckpt, mode = "pq") { out =>
+      got ++= out.as[(Long, Long, Int, Double, Boolean)].collect()
+    }
+    try {
+      qs.grouped(qs.size / 3 + 1).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      assert(got.sortBy(r => (r._1, r._3)).toSeq == batch,
+        "streamed PQ serving diverged from the batch store answers")
+    } finally q.stop()
   }
 
   test("driver-batch guard: a query micro-batch past the cap fails " +
