@@ -157,7 +157,11 @@ object HeavyScaleProbe {
     // the corpus; rerank is |Q|×shortlist) and the quantized posting
     // store (KMeans build + int8 store persist + probe-pruned serve
     // + the |Q|·N brute grade — all corpus-linear)
-    "q_tokenizer_compare", "q_knn_ivf_pq", "q_knn_ivf_q8")
+    "q_tokenizer_compare", "q_knn_ivf_pq", "q_knn_ivf_q8",
+    // round 18 (cont.): IVFPQ from the persisted code store — build
+    // is the same corpus scans; serving reads probed cells' 4-byte
+    // code rows + |Q|×64 point-reads
+    "q_knn_ivf_pq_store")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -183,7 +187,7 @@ object HeavyScaleProbe {
     "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0,
     "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0,
     "q_tokenizer_compare" -> 1.0, "q_knn_ivf_pq" -> 1.0,
-    "q_knn_ivf_q8" -> 1.0)
+    "q_knn_ivf_q8" -> 1.0, "q_knn_ivf_pq_store" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
