@@ -161,7 +161,11 @@ object HeavyScaleProbe {
     // round 18 (cont.): IVFPQ from the persisted code store — build
     // is the same corpus scans; serving reads probed cells' 4-byte
     // code rows + |Q|×64 point-reads
-    "q_knn_ivf_pq_store")
+    "q_knn_ivf_pq_store",
+    // round 18 (cont. 2): the serving-mode report — one shared
+    // candidate generation scored three ways + the |Q|·N brute grade;
+    // every stage corpus-linear
+    "q_ann_mode_compare")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -187,7 +191,8 @@ object HeavyScaleProbe {
     "q_join_interval" -> 1.0, "q_unigram_soft" -> 1.0,
     "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0,
     "q_tokenizer_compare" -> 1.0, "q_knn_ivf_pq" -> 1.0,
-    "q_knn_ivf_q8" -> 1.0, "q_knn_ivf_pq_store" -> 1.0)
+    "q_knn_ivf_q8" -> 1.0, "q_knn_ivf_pq_store" -> 1.0,
+    "q_ann_mode_compare" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the

@@ -2903,6 +2903,262 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** THE SERVING-MODE SELECTION REPORT (round 18 — the
+    * [[graft.queries.TextQueries]] q_tokenizer_compare stance applied
+    * to ANN serving): one plan serves the fixed query set through the
+    * three posting-row representations over the IDENTICAL probed
+    * candidate set (literal centroids, nprobe = [[IvfPqNprobe]]) and
+    * grades each against the brute truth —
+    *
+    *  - `ivf_full`: exact cosine over double vectors (512 B/vec);
+    *  - `ivf_q8`: quantized cosine over int8 codes + norm (72 B/vec —
+    *    the [[qEmbedQuantize]] codec, scales cancel);
+    *  - `ivf_pq`: ADC shortlist from 4 PQ codes + norm (12 B/vec),
+    *    exact rerank of the top-[[IvfPqShortlist]].
+    *
+    * The emitted (mode, bytes_per_vec, n_served, n_hit, recall) table
+    * is the store-sizing decision a deployment actually makes: how
+    * much recall each byte of posting row buys at a fixed probe
+    * width. Every stage is ANSI-derivable (literal centroids, the
+    * int8 codec, raw-vector codebooks), so DuckDB re-derives the
+    * whole three-way report and the hash checks all three serving
+    * stacks at once.
+    *
+    * Scale shape: ONE shared candidate generation (nprobe/C of the
+    * corpus, equi-join); each mode adds only its scoring pass over
+    * those candidates; windows carry scores, never vectors; the grade
+    * is |modes|×|Q|×k rows. */
+  private val qAnnModeCompare = Q("q_ann_mode_compare",
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
+       |          FROM e WHERE vec_id < $IvfC),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, cent_id AS list FROM asg WHERE arn = 1),
+       |prb AS (
+       |  SELECT e.vec_id AS q_id, cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, cv) / (sqrt(e.n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS pr
+       |  FROM e CROSS JOIN cents WHERE e.vec_id < 10),
+       |probes AS (SELECT q_id, cent_id AS list FROM prb WHERE pr <= $IvfPqNprobe),
+       |cand AS (SELECT p.q_id, a.vec_id AS n_id
+       |         FROM probes p JOIN assigned a ON a.list = p.list
+       |         WHERE a.vec_id <> p.q_id),
+       |truth AS (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < 10) q
+       |    JOIN e c ON q.vec_id <> c.vec_id)
+       |  WHERE rn <= 5),
+       |m1 AS (SELECT q_id, n_id FROM (
+       |    SELECT c.q_id, c.n_id,
+       |      row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY list_dot_product(q.v, t.v) / (sqrt(q.n2) * sqrt(t.n2)) DESC,
+       |                 c.n_id) AS rn
+       |    FROM cand c JOIN e q ON q.vec_id = c.q_id
+       |    JOIN e t ON t.vec_id = c.n_id)
+       |  WHERE rn <= 5),
+       |qz AS (SELECT vec_id,
+       |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+       |             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+       |        END AS s, v
+       |       FROM e),
+       |cn AS (SELECT vec_id,
+       |         list_transform(v,
+       |           x -> CAST(greatest(least(round(x / s), 127), -127) AS BIGINT)) AS c
+       |       FROM qz),
+       |cn2t AS (SELECT vec_id, c, list_dot_product(c, c) AS qn2 FROM cn),
+       |m2 AS (SELECT q_id, n_id FROM (
+       |    SELECT c.q_id, c.n_id,
+       |      row_number() OVER (PARTITION BY c.q_id
+       |        ORDER BY list_dot_product(cq.c, ct.c)
+       |                   / (sqrt(CAST(cq.qn2 AS DOUBLE))
+       |                      * sqrt(CAST(ct.qn2 AS DOUBLE))) DESC,
+       |                 c.n_id) AS rn
+       |    FROM cand c JOIN cn2t cq ON cq.vec_id = c.q_id
+       |    JOIN cn2t ct ON ct.vec_id = c.n_id)
+       |  WHERE rn <= 5),
+       |js AS (SELECT unnest([0,1,2,3]) AS j),
+       |sub AS (SELECT vec_id, j,
+       |          list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS xs
+       |        FROM e, js),
+       |csub AS (SELECT vec_id AS cent_id, j,
+       |           list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS cs,
+       |           list_dot_product(list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub),
+       |                            list_slice(v, j*$PqDsub+1, j*$PqDsub+$PqDsub)) AS cn2
+       |         FROM e, js WHERE vec_id < $PqK),
+       |dist AS (SELECT s.vec_id, s.j, c.cent_id,
+       |           c.cn2 - 2 * list_dot_product(s.xs, c.cs) AS dd
+       |         FROM sub s JOIN csub c ON s.j = c.j),
+       |code AS (SELECT vec_id, j, cent_id AS code FROM (
+       |           SELECT vec_id, j, cent_id,
+       |             row_number() OVER (PARTITION BY vec_id, j
+       |               ORDER BY dd, cent_id) AS rn
+       |           FROM dist) WHERE rn = 1),
+       |cw AS (SELECT c.vec_id,
+       |         max(CASE WHEN j = 0 THEN code END) AS c0,
+       |         max(CASE WHEN j = 1 THEN code END) AS c1,
+       |         max(CASE WHEN j = 2 THEN code END) AS c2,
+       |         max(CASE WHEN j = 3 THEN code END) AS c3,
+       |         any_value(e.n2) AS xn2
+       |       FROM code c JOIN e ON c.vec_id = e.vec_id
+       |       GROUP BY c.vec_id),
+       |lut AS (SELECT q.vec_id AS q_id, q.n2 AS qn2, c.j, c.cent_id,
+       |          list_dot_product(list_slice(q.v, c.j*$PqDsub+1, c.j*$PqDsub+$PqDsub),
+       |                           c.cs) AS qdot
+       |        FROM e q JOIN csub c ON true WHERE q.vec_id < 10),
+       |adc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |    (l0.qdot + l1.qdot + l2.qdot + l3.qdot)
+       |      / (sqrt(l0.qn2) * sqrt(x.xn2)) AS score
+       |  FROM cand cd JOIN cw x ON x.vec_id = cd.n_id
+       |  JOIN lut l0 ON l0.q_id = cd.q_id AND l0.j = 0 AND l0.cent_id = x.c0
+       |  JOIN lut l1 ON l1.q_id = cd.q_id AND l1.j = 1 AND l1.cent_id = x.c1
+       |  JOIN lut l2 ON l2.q_id = cd.q_id AND l2.j = 2 AND l2.cent_id = x.c2
+       |  JOIN lut l3 ON l3.q_id = cd.q_id AND l3.j = 3 AND l3.cent_id = x.c3),
+       |short AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, n_id) AS srn
+       |    FROM adc) WHERE srn <= $IvfPqShortlist),
+       |m3 AS (SELECT q_id, n_id FROM (
+       |    SELECT sh.q_id, sh.n_id,
+       |      row_number() OVER (PARTITION BY sh.q_id
+       |        ORDER BY list_dot_product(q.v, t.v) / (sqrt(q.n2) * sqrt(t.n2)) DESC,
+       |                 sh.n_id) AS rn
+       |    FROM short sh JOIN e q ON q.vec_id = sh.q_id
+       |    JOIN e t ON t.vec_id = sh.n_id)
+       |  WHERE rn <= 5),
+       |g AS (
+       |  SELECT 'ivf_full' AS mode, 512 AS bytes_per_vec, q_id, n_id FROM m1
+       |  UNION ALL SELECT 'ivf_q8', 72, q_id, n_id FROM m2
+       |  UNION ALL SELECT 'ivf_pq', 12, q_id, n_id FROM m3)
+       |SELECT g.mode, CAST(g.bytes_per_vec AS INT) AS bytes_per_vec,
+       |  CAST(count(*) AS BIGINT) AS n_served,
+       |  CAST(count(t.n_id) AS BIGINT) AS n_hit,
+       |  round(count(t.n_id)
+       |    / CAST((SELECT count(*) FROM truth) AS DOUBLE), 4) AS recall
+       |FROM g LEFT JOIN truth t ON t.q_id = g.q_id AND t.n_id = g.n_id
+       |GROUP BY 1, 2 ORDER BY mode""".stripMargin) { (s, d) =>
+    val e = vectors(s, d).withColumn("n2", dot(col("v"), col("v"))).fenced()
+    val centsDf = broadcast(e.where(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val assigned = e.crossJoin(centsDf)
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nc"))).as("list"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc").desc, col("cent_id"))
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(centsDf)
+      .withColumn("qc", cosine(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .where(col("pr") <= IvfPqNprobe)
+      .select(col("q_id"), col("cent_id").as("list"))
+    val cand = assigned.join(broadcast(probes), Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .fenced() // the shared candidate set, scored three ways
+    def top5(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("n_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5).select(col("q_id"), col("n_id"))
+    }
+    // mode 1: exact cosine over double vectors
+    val m1 = top5(cand
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("score")))
+    // mode 2: quantized cosine over int8 codes (the shared codec)
+    val cn = e.withColumn("s", quantizeScale(col("v")))
+      .withColumn("c", quantizeCodes(col("v"), col("s")))
+      .select(col("vec_id"), col("c"), intDot(col("c"), col("c")).as("qn2"))
+      .fenced()
+    val qscore = intDot(col("qc"), col("c")).cast("double") /
+      (sqrt(col("qqn2").cast("double")) * sqrt(col("qn2").cast("double")))
+    val m2 = top5(cand
+      .join(cn.select(col("vec_id").as("q_id"), col("c").as("qc"),
+        col("qn2").as("qqn2")), "q_id")
+      .join(cn.select(col("vec_id").as("n_id"), col("c"), col("qn2")), "n_id")
+      .select(col("q_id"), col("n_id"), qscore.as("score")))
+    // mode 3: PQ-ADC shortlist + exact rerank (the IVFPQ stack)
+    val csub = pqSubspaces(e.where(col("vec_id") < PqK)
+      .withColumnRenamed("vec_id", "cent_id"), "cent_id")
+      .select(col("cent_id"), col("j"), col("xs").as("cs"),
+        dot(col("xs"), col("xs")).as("cn2"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd"), col("cent_id"))
+    val code = pqSubspaces(e, "vec_id").join(broadcast(csub), "j")
+      .select(col("vec_id"), col("j"), col("cent_id"),
+        (col("cn2") - lit(2) * dot(col("xs"), col("cs"))).as("dd"))
+      .withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+    val cw = code.groupBy(col("vec_id")).agg(
+      max(when(col("j") === 0, col("cent_id"))).as("c0"),
+      max(when(col("j") === 1, col("cent_id"))).as("c1"),
+      max(when(col("j") === 2, col("cent_id"))).as("c2"),
+      max(when(col("j") === 3, col("cent_id"))).as("c3"))
+      .join(e.select(col("vec_id"), col("n2").as("xn2")), "vec_id")
+    val lut = pqSubspaces(e.where(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id"), "q_id")
+      .join(broadcast(csub), "j")
+      .select(col("q_id"), col("j"), col("cent_id"),
+        dot(col("xs"), col("cs")).as("qdot"))
+    def lutJ(j: Int): DataFrame = lut.where(col("j") === j)
+      .select(col("q_id").as(s"q$j"), col("cent_id").as(s"k$j"),
+        col("qdot").as(s"d$j"))
+    val qn2Df = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qn_id"), col("n2").as("qn2"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    val short = cand
+      .join(cw.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .join(broadcast(lutJ(0)), col("q_id") === col("q0") && col("c0") === col("k0"))
+      .join(broadcast(lutJ(1)), col("q_id") === col("q1") && col("c1") === col("k1"))
+      .join(broadcast(lutJ(2)), col("q_id") === col("q2") && col("c2") === col("k2"))
+      .join(broadcast(lutJ(3)), col("q_id") === col("q3") && col("c3") === col("k3"))
+      .join(broadcast(qn2Df), col("q_id") === col("qn_id"))
+      .select(col("q_id"), col("n_id"),
+        ((col("d0") + col("d1") + col("d2") + col("d3"))
+          / (sqrt(col("qn2")) * sqrt(col("xn2")))).as("score"))
+      .withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= IvfPqShortlist)
+      .select(col("q_id"), col("n_id"))
+    val m3 = top5(short
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("score")))
+    // grade all three against the brute truth
+    val brute = qKnnBrute.fn(s, d)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit")).fenced()
+    val nTruth = brute.count()
+    def graded(m: DataFrame, mode: String, bytes: Int): DataFrame =
+      m.select(lit(mode).as("mode"),
+        lit(bytes).cast("int").as("bytes_per_vec"), col("q_id"), col("n_id"))
+    val g = graded(m1, "ivf_full", 512)
+      .union(graded(m2, "ivf_q8", 72))
+      .union(graded(m3, "ivf_pq", 12))
+    g.join(broadcast(brute), Seq("q_id", "n_id"), "left_outer")
+      .groupBy(col("mode"), col("bytes_per_vec"))
+      .agg(count(lit(1)).as("n_served"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("mode"), col("bytes_per_vec"), col("n_served"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / lit(nTruth.toDouble), 4)
+          .as("recall"))
+      .orderBy(col("mode"))
+  }
+
   /** IVFPQ FROM THE PERSISTED STORE — same oracle as [[qKnnIvfPq]]:
     * the store is built by the identical assignment/encode
     * expressions, so serving from durable code rows must reproduce
@@ -2920,5 +3176,6 @@ object SimilarityQueries {
     qEmbedCov, qEmbedPca, qKnnIvfTrained, qEmbedOutlier, qDecontaminateSemantic,
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
     qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall,
-    qEmbedQuantize, qKnnMrl, qKnnIvfPq, qKnnIvfQ8, qKnnIvfPqStore)
+    qEmbedQuantize, qKnnMrl, qKnnIvfPq, qKnnIvfQ8, qKnnIvfPqStore,
+    qAnnModeCompare)
 }
