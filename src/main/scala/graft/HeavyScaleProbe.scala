@@ -165,7 +165,11 @@ object HeavyScaleProbe {
     // round 18 (cont. 2): the serving-mode report — one shared
     // candidate generation scored three ways + the |Q|·N brute grade;
     // every stage corpus-linear
-    "q_ann_mode_compare")
+    "q_ann_mode_compare",
+    // round 18 (cont. 3): residual IVFPQ — qKnnIvfPq plus one
+    // elementwise subtraction on the encode scan and a |Q|×nprobe
+    // coarse-dot table
+    "q_knn_ivf_pq_r")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -192,7 +196,7 @@ object HeavyScaleProbe {
     "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0,
     "q_tokenizer_compare" -> 1.0, "q_knn_ivf_pq" -> 1.0,
     "q_knn_ivf_q8" -> 1.0, "q_knn_ivf_pq_store" -> 1.0,
-    "q_ann_mode_compare" -> 1.0)
+    "q_ann_mode_compare" -> 1.0, "q_knn_ivf_pq_r" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
