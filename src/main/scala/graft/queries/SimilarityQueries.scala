@@ -3129,7 +3129,12 @@ object SimilarityQueries {
     *  - `ivf_q8`: quantized cosine over int8 codes + norm (72 B/vec —
     *    the [[qEmbedQuantize]] codec, scales cancel);
     *  - `ivf_pq`: ADC shortlist from 4 PQ codes + norm (12 B/vec),
-    *    exact rerank of the top-[[IvfPqShortlist]].
+    *    exact rerank of the top-[[IvfPqShortlist]];
+    *  - `ivf_pq_r`: the same 12 B/vec with RESIDUAL-encoded codebooks
+    *    ([[qKnnIvfPqR]], FAISS by_residual=true) — same bytes, higher
+    *    recall (0.90 vs 0.82 at sf0.01): the report's punchline is
+    *    that codebook design, not byte budget, closes most of the
+    *    PQ↔full gap.
     *
     * The emitted (mode, bytes_per_vec, n_served, n_hit, recall) table
     * is the store-sizing decision a deployment actually makes: how
@@ -3161,7 +3166,7 @@ object SimilarityQueries {
        |               cent_id) AS pr
        |  FROM e CROSS JOIN cents WHERE e.vec_id < 10),
        |probes AS (SELECT q_id, cent_id AS list FROM prb WHERE pr <= $IvfPqNprobe),
-       |cand AS (SELECT p.q_id, a.vec_id AS n_id
+       |cand AS (SELECT p.q_id, a.vec_id AS n_id, a.list
        |         FROM probes p JOIN assigned a ON a.list = p.list
        |         WHERE a.vec_id <> p.q_id),
        |truth AS (SELECT q_id, n_id FROM (
@@ -3251,10 +3256,70 @@ object SimilarityQueries {
        |    FROM short sh JOIN e q ON q.vec_id = sh.q_id
        |    JOIN e t ON t.vec_id = sh.n_id)
        |  WHERE rn <= 5),
+       |res AS (SELECT e.vec_id, a.list, e.n2,
+       |          list_transform(generate_series(1, ${PqM * PqDsub}),
+       |                         i -> e.v[i] - c.cv[i]) AS r
+       |        FROM e JOIN assigned a ON a.vec_id = e.vec_id
+       |        JOIN cents c ON c.cent_id = a.list),
+       |rsub AS (SELECT vec_id, j,
+       |           list_slice(r, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS xs
+       |         FROM res, js),
+       |crsub AS (SELECT vec_id AS cent_id, j,
+       |            list_slice(r, j*$PqDsub+1, j*$PqDsub+$PqDsub) AS cs,
+       |            list_dot_product(list_slice(r, j*$PqDsub+1, j*$PqDsub+$PqDsub),
+       |                             list_slice(r, j*$PqDsub+1, j*$PqDsub+$PqDsub)) AS cn2
+       |          FROM res, js WHERE vec_id < $PqK),
+       |rdist AS (SELECT s.vec_id, s.j, c.cent_id,
+       |            c.cn2 - 2 * list_dot_product(s.xs, c.cs) AS dd
+       |          FROM rsub s JOIN crsub c ON s.j = c.j),
+       |rcode AS (SELECT vec_id, j, cent_id AS code FROM (
+       |            SELECT vec_id, j, cent_id,
+       |              row_number() OVER (PARTITION BY vec_id, j
+       |                ORDER BY dd, cent_id) AS rn
+       |            FROM rdist) WHERE rn = 1),
+       |rcw AS (SELECT c.vec_id,
+       |          max(CASE WHEN j = 0 THEN code END) AS c0,
+       |          max(CASE WHEN j = 1 THEN code END) AS c1,
+       |          max(CASE WHEN j = 2 THEN code END) AS c2,
+       |          max(CASE WHEN j = 3 THEN code END) AS c3,
+       |          any_value(r2.n2) AS xn2
+       |        FROM rcode c JOIN res r2 ON c.vec_id = r2.vec_id
+       |        GROUP BY c.vec_id),
+       |rlut AS (SELECT q.vec_id AS q_id, q.n2 AS qn2, c.j, c.cent_id,
+       |           list_dot_product(list_slice(q.v, c.j*$PqDsub+1, c.j*$PqDsub+$PqDsub),
+       |                            c.cs) AS qdot
+       |         FROM e q JOIN crsub c ON true WHERE q.vec_id < 10),
+       |coarse AS (SELECT p.q_id, p.list, list_dot_product(q.v, c.cv) AS cdot
+       |           FROM probes p JOIN e q ON q.vec_id = p.q_id
+       |           JOIN cents c ON c.cent_id = p.list),
+       |radc AS (
+       |  SELECT cd.q_id, cd.n_id,
+       |    (co.cdot + l0.qdot + l1.qdot + l2.qdot + l3.qdot)
+       |      / (sqrt(l0.qn2) * sqrt(x.xn2)) AS score
+       |  FROM cand cd JOIN rcw x ON x.vec_id = cd.n_id
+       |  JOIN coarse co ON co.q_id = cd.q_id AND co.list = cd.list
+       |  JOIN rlut l0 ON l0.q_id = cd.q_id AND l0.j = 0 AND l0.cent_id = x.c0
+       |  JOIN rlut l1 ON l1.q_id = cd.q_id AND l1.j = 1 AND l1.cent_id = x.c1
+       |  JOIN rlut l2 ON l2.q_id = cd.q_id AND l2.j = 2 AND l2.cent_id = x.c2
+       |  JOIN rlut l3 ON l3.q_id = cd.q_id AND l3.j = 3 AND l3.cent_id = x.c3),
+       |rshort AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, n_id) AS srn
+       |    FROM radc) WHERE srn <= $IvfPqShortlist),
+       |m4 AS (SELECT q_id, n_id FROM (
+       |    SELECT sh.q_id, sh.n_id,
+       |      row_number() OVER (PARTITION BY sh.q_id
+       |        ORDER BY list_dot_product(q.v, t.v) / (sqrt(q.n2) * sqrt(t.n2)) DESC,
+       |                 sh.n_id) AS rn
+       |    FROM rshort sh JOIN e q ON q.vec_id = sh.q_id
+       |    JOIN e t ON t.vec_id = sh.n_id)
+       |  WHERE rn <= 5),
        |g AS (
        |  SELECT 'ivf_full' AS mode, 512 AS bytes_per_vec, q_id, n_id FROM m1
        |  UNION ALL SELECT 'ivf_q8', 72, q_id, n_id FROM m2
-       |  UNION ALL SELECT 'ivf_pq', 12, q_id, n_id FROM m3)
+       |  UNION ALL SELECT 'ivf_pq', 12, q_id, n_id FROM m3
+       |  UNION ALL SELECT 'ivf_pq_r', 12, q_id, n_id FROM m4)
        |SELECT g.mode, CAST(g.bytes_per_vec AS INT) AS bytes_per_vec,
        |  CAST(count(*) AS BIGINT) AS n_served,
        |  CAST(count(t.n_id) AS BIGINT) AS n_hit,
@@ -3281,8 +3346,8 @@ object SimilarityQueries {
       .select(col("q_id"), col("cent_id").as("list"))
     val cand = assigned.join(broadcast(probes), Seq("list"))
       .where(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"))
-      .fenced() // the shared candidate set, scored three ways
+      .select(col("q_id"), col("vec_id").as("n_id"), col("list"))
+      .fenced() // the shared candidate set, scored four ways
     def top5(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("score").desc, col("n_id"))
@@ -3353,7 +3418,63 @@ object SimilarityQueries {
       .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
       .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
       .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("score")))
-    // grade all three against the brute truth
+    // mode 4: residual-encoded PQ (by_residual=true — the qKnnIvfPqR
+    // architecture over the same candidates)
+    val res = e.join(assigned, "vec_id")
+      .join(centsDf.select(col("cent_id").as("list"), col("cv")), "list")
+      .select(col("vec_id"), col("list"), col("n2"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .fenced()
+    def resSub(src: DataFrame, idCol: String): DataFrame =
+      pqSubspaces(src.select(col(idCol), col("r").as("v")), idCol)
+    val crsub = resSub(res.where(col("vec_id") < PqK)
+      .withColumnRenamed("vec_id", "cent_id"), "cent_id")
+      .select(col("cent_id"), col("j"), col("xs").as("cs"),
+        dot(col("xs"), col("xs")).as("cn2"))
+    val rcode = resSub(res, "vec_id").join(broadcast(crsub), "j")
+      .select(col("vec_id"), col("j"), col("cent_id"),
+        (col("cn2") - lit(2) * dot(col("xs"), col("cs"))).as("dd"))
+      .withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+    val rcw = rcode.groupBy(col("vec_id")).agg(
+      max(when(col("j") === 0, col("cent_id"))).as("rc0"),
+      max(when(col("j") === 1, col("cent_id"))).as("rc1"),
+      max(when(col("j") === 2, col("cent_id"))).as("rc2"),
+      max(when(col("j") === 3, col("cent_id"))).as("rc3"))
+      .join(res.select(col("vec_id"), col("n2").as("rxn2")), "vec_id")
+    val rlut = pqSubspaces(e.where(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "q_id"), "q_id")
+      .join(broadcast(crsub), "j")
+      .select(col("q_id"), col("j"), col("cent_id"),
+        dot(col("xs"), col("cs")).as("qdot"))
+    def rlutJ(j: Int): DataFrame = rlut.where(col("j") === j)
+      .select(col("q_id").as(s"rq$j"), col("cent_id").as(s"rk$j"),
+        col("qdot").as(s"rd$j"))
+    val coarse = probes
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(centsDf.select(col("cent_id").as("list"), col("cv")), "list")
+      .select(col("q_id").as("co_q"), col("list").as("co_list"),
+        dot(col("qv"), col("cv")).as("cdot"))
+    val rshort = cand
+      .join(rcw.withColumnRenamed("vec_id", "n_id"), "n_id")
+      .join(broadcast(coarse),
+        col("q_id") === col("co_q") && col("list") === col("co_list"))
+      .join(broadcast(rlutJ(0)), col("q_id") === col("rq0") && col("rc0") === col("rk0"))
+      .join(broadcast(rlutJ(1)), col("q_id") === col("rq1") && col("rc1") === col("rk1"))
+      .join(broadcast(rlutJ(2)), col("q_id") === col("rq2") && col("rc2") === col("rk2"))
+      .join(broadcast(rlutJ(3)), col("q_id") === col("rq3") && col("rc3") === col("rk3"))
+      .join(broadcast(qn2Df), col("q_id") === col("qn_id"))
+      .select(col("q_id"), col("n_id"),
+        ((col("cdot") + col("rd0") + col("rd1") + col("rd2") + col("rd3"))
+          / (sqrt(col("qn2")) * sqrt(col("rxn2")))).as("score"))
+      .withColumn("srn", row_number().over(wShort))
+      .where(col("srn") <= IvfPqShortlist)
+      .select(col("q_id"), col("n_id"))
+    val m4 = top5(rshort
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("score")))
+    // grade all four against the brute truth
     val brute = qKnnBrute.fn(s, d)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit")).fenced()
     val nTruth = brute.count()
@@ -3363,6 +3484,7 @@ object SimilarityQueries {
     val g = graded(m1, "ivf_full", 512)
       .union(graded(m2, "ivf_q8", 72))
       .union(graded(m3, "ivf_pq", 12))
+      .union(graded(m4, "ivf_pq_r", 12))
     g.join(broadcast(brute), Seq("q_id", "n_id"), "left_outer")
       .groupBy(col("mode"), col("bytes_per_vec"))
       .agg(count(lit(1)).as("n_served"),

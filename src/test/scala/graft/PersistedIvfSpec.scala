@@ -398,6 +398,42 @@ class PersistedIvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("STREAMED PQ serving recovers exactly-once through a mid-stream " +
+      "kill + checkpoint restart (T6/T7 symmetry with the Q8 leg)") {
+    import java.nio.file.Files
+    val batch = SparkEntry.queries("q_knn_ivf_pq_store")(spark, TestSpark.Sf)
+      .as[(Long, Long, Int, Double, Boolean)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf)
+    assert(qs.length >= 5, "need several queries for a mid-stream kill")
+    val srcDir = Files.createTempDirectory("pqsrc").toString
+    spark.createDataset(qs.toSeq).toDF("vec_id", "v")
+      .repartition(qs.length).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("pqckpt").toString
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Int, Double, Boolean)]
+    def start() = graft.streaming.StreamingIvf.start(spark, src,
+        TestSpark.Sf, ckpt, mode = "pq") { out =>
+      got.synchronized {
+        got ++= out.as[(Long, Long, Int, Double, Boolean)].collect(): Unit
+      }
+    }
+    val q1 = start()
+    StreamKill.afterCommit(spark, q1,
+      () => got.synchronized(got.map(_._1).distinct.size) >= 2)
+    val afterKill = got.synchronized(got.map(_._1).distinct.size)
+    assert(afterKill >= 1 && afterKill < qs.length,
+      s"kill landed outside mid-stream ($afterKill of ${qs.length} queries)")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = got.synchronized(got.distinct.toSeq).sortBy(r => (r._1, r._3))
+    assert(streamed == batch,
+      "kill+restart PQ serving diverged from the batch store answers")
+  }
+
   test("driver-batch guard: a query micro-batch past the cap fails " +
       "LOUDLY naming MaxBatchQueries (serving stream, not a corpus " +
       "channel)") {
