@@ -1231,10 +1231,16 @@ object SimilarityQueries {
 
   /** Fixed dump root for [[qIvfNprobeRecall]]'s serving trace — the
     * path its ORACLE reads back (a static SQL string cannot vary by
-    * SF, so the trace is keyed by corpus size in a subdirectory AND
-    * an `n_corpus` column the oracle filters on: concurrent sweeps
-    * at different SFs coexist, re-runs at one SF idempotently
-    * overwrite). */
+    * SF, so the trace is keyed by an SF-identifying aggregate in a
+    * subdirectory AND a `corpus_key` column the oracle filters on:
+    * concurrent sweeps at different SFs coexist, re-runs at one SF
+    * idempotently overwrite). The key is the LINEITEM row count, not
+    * the embedding count — round 18: sf0.001 and sf0.01 ship the SAME
+    * 500-vector embeddings table, so an embedding-count key COLLIDED
+    * across SFs and any sf0.001 run (a bench warm-up, a spec) would
+    * silently overwrite the trace an sf0.01 oracle was about to
+    * grade; lineitem scales with SF (6k/60k/600k), so the key is
+    * collision-proof across every directory this engine sweeps. */
   private[graft] val IvfNprobeDumpDir = "/tmp/graft_oracle/ivf_nprobe_served"
 
   /** The nprobe↔recall OPERATING CURVE (r16 — the "how nprobe trades
@@ -1264,7 +1270,7 @@ object SimilarityQueries {
     s"""WITH served AS (
        |  SELECT nprobe, q_id, n_id
        |  FROM read_parquet('$IvfNprobeDumpDir/*/*.parquet')
-       |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+       |  WHERE corpus_key = (SELECT count(*) FROM lineitem)),
        |$vectorsCte,
        |qs AS (SELECT * FROM e WHERE vec_id < 10),
        |truth AS (
@@ -1320,12 +1326,14 @@ object SimilarityQueries {
     // from other corpus sizes are pruned once stale (mtime > 6 h —
     // old enough that no live sweep still needs them) so /tmp never
     // accumulates a dump per SF ever swept. (Shared [[publishTrace]].)
-    val nCorpus = vectors(s, d).count()
-    publishTrace(served, IvfNprobeDumpDir, nCorpus)
+    // Key = lineitem count (SF-identifying; embedding counts COLLIDE
+    // between sf0.001 and sf0.01 — see [[IvfNprobeDumpDir]])
+    val corpusKey = t(s, d, "lineitem").count()
+    publishTrace(served, IvfNprobeDumpDir, corpusKey)
     // grade FROM the dump — the engine verdict consumes the same
     // trace the oracle reads, so the two sides cannot see different
     // servings
-    val trace = spark.read.parquet(s"$IvfNprobeDumpDir/c$nCorpus")
+    val trace = spark.read.parquet(s"$IvfNprobeDumpDir/c$corpusKey")
     val brute = qKnnBrute.fn(s, d)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     // recall@5 denominator is the TRUTH-set size (r16 advice: the old
@@ -2430,27 +2438,27 @@ object SimilarityQueries {
   }
 
   /** Fixed dump root for [[qKnnIvfQ8]]'s serving trace (the
-    * [[IvfNprobeDumpDir]] protocol: keyed by corpus size, atomic
-    * rename publish, stale-sibling pruning). */
+    * [[IvfNprobeDumpDir]] protocol: keyed by the SF-identifying
+    * lineitem count, atomic rename publish, stale-sibling pruning). */
   private[graft] val IvfQ8DumpDir = "/tmp/graft_oracle/ivf_q8_served"
 
   /** Publish a serving trace for a DuckDB-graded oracle: staging dir
     * + atomic rename (no partial reads), stale sibling corpus dumps
     * pruned at 6 h (shared by the nprobe-recall and Q8 traces). */
-  private def publishTrace(df: DataFrame, root: String, nCorpus: Long): Unit = {
+  private def publishTrace(df: DataFrame, root: String, key: Long): Unit = {
     val s = df.sparkSession
     val hconf = s.sessionState.newHadoopConf()
-    val finalPath = new org.apache.hadoop.fs.Path(s"$root/c$nCorpus")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$root/.tmp_c$nCorpus")
+    val finalPath = new org.apache.hadoop.fs.Path(s"$root/c$key")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$root/.tmp_c$key")
     val fs = finalPath.getFileSystem(hconf)
-    df.withColumn("n_corpus", lit(nCorpus))
+    df.withColumn("corpus_key", lit(key))
       .coalesce(1).write.mode("overwrite").parquet(tmpPath.toString)
     fs.delete(finalPath, true): Unit
     require(fs.rename(tmpPath, finalPath),
       s"atomic publish failed: rename $tmpPath -> $finalPath")
     val staleCutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
-      if (st.getPath.getName != s"c$nCorpus" &&
+      if (st.getPath.getName != s"c$key" &&
           st.getModificationTime < staleCutoff)
         fs.delete(st.getPath, true): Unit
     }
@@ -2475,7 +2483,7 @@ object SimilarityQueries {
     s"""WITH served AS (
        |  SELECT q_id, n_id
        |  FROM read_parquet('$IvfQ8DumpDir/*/*.parquet')
-       |  WHERE n_corpus = (SELECT count(*) FROM embeddings)),
+       |  WHERE corpus_key = (SELECT count(*) FROM lineitem)),
        |$vectorsCte,
        |qs AS (SELECT * FROM e WHERE vec_id < 10),
        |truth AS (
@@ -2493,10 +2501,10 @@ object SimilarityQueries {
        |  ON t.q_id = s.q_id AND t.n_id = s.n_id
        |GROUP BY s.q_id ORDER BY s.q_id""".stripMargin) { (s, d) =>
     val served = knnIvfQ8(s, d).select(col("q_id"), col("n_id"))
-    val nCorpus = vectors(s, d).count()
-    publishTrace(served, IvfQ8DumpDir, nCorpus)
+    val corpusKey = t(s, d, "lineitem").count()
+    publishTrace(served, IvfQ8DumpDir, corpusKey)
     // grade FROM the dump — both engines consume the same trace
-    val trace = s.read.parquet(s"$IvfQ8DumpDir/c$nCorpus")
+    val trace = s.read.parquet(s"$IvfQ8DumpDir/c$corpusKey")
     val brute = qKnnBrute.fn(s, d)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
     trace.join(broadcast(brute), Seq("q_id", "n_id"), "left")
