@@ -338,6 +338,10 @@ object BenchGate {
       }
       .sortBy(-_.ratio)
 
+  /** Minimum simultaneous flags that read as a contention CLUSTER
+    * (the r16 incident shape) for [[adjudicatedRegressions]]. */
+  val MinClusterFlags = 3
+
   /** [[regressions]] with the calibration-corroborated contention
     * adjudication applied (round 17, the r16 verdict's item 1): the
     * r16 driver run carried a 3-query outlier cluster
@@ -385,8 +389,6 @@ object BenchGate {
     * but can never certify itself or become the canonical.
     *
     * @return (surviving flags, adjudication notes) */
-  val MinClusterFlags = 3
-
   def adjudicatedRegressions(canonical: Map[String, Double],
       latest: Map[String, Double],
       calibRatio: Option[(Double, String)],

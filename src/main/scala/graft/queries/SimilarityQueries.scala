@@ -2444,22 +2444,46 @@ object SimilarityQueries {
 
   /** Publish a serving trace for a DuckDB-graded oracle: staging dir
     * + atomic rename (no partial reads), stale sibling corpus dumps
-    * pruned at 6 h (shared by the nprobe-recall and Q8 traces). */
+    * pruned at 6 h (shared by the nprobe-recall and Q8/OPQ traces).
+    *
+    * The staging dir lives ONE LEVEL DEEPER than the published key
+    * dirs (`root/.stage/c<key>` — r18 advice): the oracles glob
+    * `root/&#42;/&#42;.parquet`, and DuckDB's glob DOES match
+    * dot-directories, so a sibling `root/.tmp_c<key>` staging write
+    * was readable mid-write (duplicate final+staging rows carrying
+    * the same corpus_key). At `root/.stage/c<key>/&#42;.parquet` the
+    * files sit at depth 3 — structurally outside any two-level glob,
+    * whatever the glob's dot semantics. The delete-then-rename gap on
+    * the FINAL dir remains (rename-onto-existing is not atomic on
+    * HDFS-style stores); it is key-scoped, so after the r18
+    * SF-keying fix only a concurrent same-SF reader can see it — the
+    * sweep protocol never runs two same-SF grades concurrently. */
   private def publishTrace(df: DataFrame, root: String, key: Long): Unit = {
     val s = df.sparkSession
     val hconf = s.sessionState.newHadoopConf()
     val finalPath = new org.apache.hadoop.fs.Path(s"$root/c$key")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$root/.tmp_c$key")
+    val stageRoot = new org.apache.hadoop.fs.Path(s"$root/.stage")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$root/.stage/c$key")
     val fs = finalPath.getFileSystem(hconf)
     df.withColumn("corpus_key", lit(key))
       .coalesce(1).write.mode("overwrite").parquet(tmpPath.toString)
+    // a pre-r19 run may have left a glob-visible `.tmp_c<key>` sibling
+    // carrying this corpus_key — remove it before the key goes live
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.tmp_c$key"), true): Unit
     fs.delete(finalPath, true): Unit
     require(fs.rename(tmpPath, finalPath),
       s"atomic publish failed: rename $tmpPath -> $finalPath")
     val staleCutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     fs.listStatus(new org.apache.hadoop.fs.Path(root)).foreach { st =>
-      if (st.getPath.getName != s"c$key" &&
-          st.getModificationTime < staleCutoff)
+      val nm = st.getPath.getName
+      if (nm == ".stage") {
+        // prune abandoned stagings (a crashed publish) by child mtime;
+        // never the live key's (it was just renamed away anyway)
+        fs.listStatus(stageRoot).foreach { c =>
+          if (c.getModificationTime < staleCutoff)
+            fs.delete(c.getPath, true): Unit
+        }
+      } else if (nm != s"c$key" && st.getModificationTime < staleCutoff)
         fs.delete(st.getPath, true): Unit
     }
   }
@@ -2809,6 +2833,61 @@ object SimilarityQueries {
         col("c0"), col("c1"), col("c2"), col("c3"), col("xn2"))
   }
 
+  /** PERSISTED RESIDUAL-PQ posting store (round 19 — the store for
+    * the mode [[qKnnIvfPqR]] measured as the operating point that
+    * matters: recall 0.90 at 12 B/vec): identical layout to
+    * [[ivfBuildStorePq]] (cell-partitioned, 4 TINYINT codes + exact
+    * norm per row), but the codes quantize the RESIDUAL
+    * r = v − centroid(cell) against the residual codebook — the
+    * FAISS by_residual=true encode, the same expressions as the
+    * in-plan ○ query, so store serving reproduces its answers
+    * bit-for-bit. */
+  private[graft] def ivfBuildStorePqR(s: SparkSession, d: String,
+      kind: String = "ivfpqr"): DataFrame = {
+    import graft.operators.DedupManifest
+    val e = vectors(s, d).withColumn("n2", dot(col("v"), col("v"))).fenced()
+    val centsDf = broadcast(e.where(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val assigned = e.crossJoin(centsDf)
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nc"))).as("list"))
+    val res = e.join(assigned, "vec_id")
+      .join(centsDf.select(col("cent_id").as("list"), col("cv")), "list")
+      .select(col("vec_id"), col("list"), col("n2"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .fenced() // encode scan + codebook both read it
+    def resSub(src: DataFrame, idCol: String): DataFrame =
+      pqSubspaces(src.select(col(idCol), col("r").as("v")), idCol)
+    val crsub = resSub(res.where(col("vec_id") < PqK)
+      .withColumnRenamed("vec_id", "cent_id"), "cent_id")
+      .select(col("cent_id"), col("j"), col("xs").as("cs"),
+        dot(col("xs"), col("xs")).as("cn2"))
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dd"), col("cent_id"))
+    val code = resSub(res, "vec_id").join(broadcast(crsub), "j")
+      .select(col("vec_id"), col("j"), col("cent_id"),
+        (col("cn2") - lit(2) * dot(col("xs"), col("cs"))).as("dd"))
+      .withColumn("rn", row_number().over(wCode))
+      .where(col("rn") === 1)
+    val posting = code.groupBy(col("vec_id")).agg(
+      max(when(col("j") === 0, col("cent_id"))).as("c0"),
+      max(when(col("j") === 1, col("cent_id"))).as("c1"),
+      max(when(col("j") === 2, col("cent_id"))).as("c2"),
+      max(when(col("j") === 3, col("cent_id"))).as("c3"))
+      .join(res.select(col("vec_id"), col("list"), col("n2").as("xn2")),
+        "vec_id")
+      .select(col("list").cast("int").as("list"), col("vec_id"),
+        col("c0").cast("tinyint").as("c0"), col("c1").cast("tinyint").as("c1"),
+        col("c2").cast("tinyint").as("c2"), col("c3").cast("tinyint").as("c3"),
+        col("xn2"))
+    DedupManifest
+      .persistPartitioned(posting, DedupManifest.path(s, kind, d), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"),
+        col("c0"), col("c1"), col("c2"), col("c3"), col("xn2"))
+  }
+
   /** Serve the fixed query set from the PERSISTED PQ store: model
     * artifacts (centroids, codebook) load k-bounded driver-side — the
     * production shape where the model ships with the index; the LUT
@@ -2822,9 +2901,23 @@ object SimilarityQueries {
     * spec plan-checks it: partition-pruned store scan, tinyint code
     * reads, no vector columns): probed cells only, driver-computed
     * LUT, top-[[IvfPqShortlist]] per query by ADC score. */
-  private[graft] def ivfPqStoreShortlist(s: SparkSession, d: String,
-      store: DataFrame,
-      qsIn: Array[(Long, Seq[Double])] = null): DataFrame = {
+  /** The driver-resident PQ serving model — what a production stack
+    * ships NEXT TO the posting store: the coarse centroids (probe
+    * selection + the residual coarse term) and the per-subspace
+    * codebook (LUT construction). k-bounded (IvfC + PqM×PqK rows),
+    * collected ONCE per index lifetime — never per batch (r18
+    * advice: the pq stream leg was re-collecting it every
+    * micro-batch). `residual` selects the FAISS by_residual=true
+    * ADC decomposition (coarse dot + residual LUT adds). */
+  private[graft] case class PqModel(
+      cents: Array[(Int, Seq[Double])],
+      codebook: Array[(Int, Int, Seq[Double])],
+      residual: Boolean)
+
+  /** Load the raw-codebook model ([[qKnnIvfPq]]'s): centroids = first
+    * [[IvfC]] vectors, codebook = subspace slices of the first
+    * [[PqK]] RAW vectors. */
+  private[graft] def loadPqModel(s: SparkSession, d: String): PqModel = {
     val spark = s
     import spark.implicits._
     val e = vectors(s, d)
@@ -2837,6 +2930,41 @@ object SimilarityQueries {
         .select(col("cent_id"), col("j"), col("xs"))
         .as[(Long, Int, Seq[Double])]
         .collect().map { case (c, j, cs) => (c.toInt, j, cs) }
+    PqModel(cents, codebook, residual = false)
+  }
+
+  /** Load the RESIDUAL-codebook model ([[qKnnIvfPqR]]'s, FAISS
+    * by_residual=true): codebook = subspace slices of the first
+    * [[PqK]] vectors' residuals r = v − centroid(assigned cell),
+    * derived DRIVER-SIDE with the same left-to-right arithmetic and
+    * the same (cos DESC, cent_id) assignment tie-break as the
+    * in-plan query — bit-identical doubles by construction. */
+  private[graft] def loadPqRModel(s: SparkSession, d: String): PqModel = {
+    val base = loadPqModel(s, d)
+    val spark = s
+    import spark.implicits._
+    val firstK = vectors(s, d).where(col("vec_id") < PqK)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+    val codebook = firstK.flatMap { case (id, v) =>
+      val (_, cv) = base.cents
+        .map { case (cid, c) => ((-cosLocal(v, c), cid), c) }
+        .minBy(_._1)
+      val r = v.indices.map(i => v(i) - cv(i))
+      (0 until PqM).map(j =>
+        (id.toInt, j, r.slice(j * PqDsub, j * PqDsub + PqDsub): Seq[Double]))
+    }
+    base.copy(codebook = codebook, residual = true)
+  }
+
+  private[graft] def ivfPqStoreShortlist(s: SparkSession, d: String,
+      store: DataFrame,
+      qsIn: Array[(Long, Seq[Double])] = null,
+      modelIn: PqModel = null): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val model = Option(modelIn).getOrElse(loadPqModel(s, d))
+    val cents = model.cents
     val qs = Option(qsIn).getOrElse(ivfQueries(s, d))
     // probe selection: (cosine DESC, cent_id) — identical doubles to
     // the oracle's probe rule
@@ -2850,7 +2978,7 @@ object SimilarityQueries {
     // driver LUT: |Q| × PqM × PqK entries, same l→r slice dots
     val lutRows = for {
       (q, qv) <- qs.toSeq
-      (cid, j, cs) <- codebook
+      (cid, j, cs) <- model.codebook
     } yield (q, j, cid,
       dotLocal(qv.slice(j * PqDsub, j * PqDsub + PqDsub), cs))
     val lutDf = lutRows.toDF("q_id", "j", "cent_id", "qdot").fenced()
@@ -2859,16 +2987,32 @@ object SimilarityQueries {
         col("qdot").as(s"d$j"))
     val qn2Df = broadcast(qs.toSeq
       .map { case (q, qv) => (q, dotLocal(qv, qv)) }.toDF("qn_id", "qn2"))
-    val adc = store.where(col("list").isin(cells: _*)) // partition pruning
+    // residual ADC: the per-(query, probed-cell) coarse dot joins in
+    // on (q_id, list) — |Q|×nprobe driver-computed rows
+    val centMap = cents.toMap
+    val coarseDf =
+      if (!model.residual) null
+      else broadcast(probes.toSeq
+        .map { case (q, cid) =>
+          val qv = qs.find(_._1 == q).get._2
+          (q, cid, dotLocal(qv, centMap(cid)))
+        }.toDF("co_q", "co_list", "cdot"))
+    val cand0 = store.where(col("list").isin(cells: _*)) // partition pruning
       .join(probesDf, Seq("list"))
       .where(col("q_id") =!= col("vec_id"))
+    val cand =
+      if (model.residual)
+        cand0.join(coarseDf,
+          col("q_id") === col("co_q") && col("list") === col("co_list"))
+      else cand0.withColumn("cdot", lit(0.0))
+    val adc = cand
       .join(broadcast(lutJ(0)), col("q_id") === col("q0") && col("c0") === col("k0"))
       .join(broadcast(lutJ(1)), col("q_id") === col("q1") && col("c1") === col("k1"))
       .join(broadcast(lutJ(2)), col("q_id") === col("q2") && col("c2") === col("k2"))
       .join(broadcast(lutJ(3)), col("q_id") === col("q3") && col("c3") === col("k3"))
       .join(qn2Df, col("q_id") === col("qn_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        ((col("d0") + col("d1") + col("d2") + col("d3"))
+        ((col("cdot") + col("d0") + col("d1") + col("d2") + col("d3"))
           / (sqrt(col("qn2")) * sqrt(col("xn2")))).as("score"))
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
@@ -2877,9 +3021,16 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_id"))
   }
 
-  private[graft] def ivfServePqStore(s: SparkSession, d: String,
+  /** GRADE-FREE PQ serving tail (r18 advice): shortlist + point-read
+    * exact rerank ONLY — no brute-force truth pass, no `hit` column —
+    * returning the (q_id, n_id, rn, sim) schema every other serving
+    * mode emits. This is the production serving path; the graded
+    * wrapper [[ivfServePqStore]] exists for the ○ queries whose
+    * oracle wants the recall verdict in-row. */
+  private[graft] def ivfServePqLean(s: SparkSession, d: String,
       store: DataFrame,
-      qsIn: Array[(Long, Seq[Double])] = null): DataFrame = {
+      qsIn: Array[(Long, Seq[Double])] = null,
+      modelIn: PqModel = null): DataFrame = {
     val spark = s
     import spark.implicits._
     val e = vectors(s, d)
@@ -2887,14 +3038,14 @@ object SimilarityQueries {
     // request-scale collect (≤ |Q| × shortlist ids) enabling the
     // point-read: without it the rerank would scan every corpus
     // vector's bytes to join 640 rows
-    val shortRows = ivfPqStoreShortlist(s, d, store, qs)
+    val shortRows = ivfPqStoreShortlist(s, d, store, qs, modelIn)
       .as[(Long, Long)].collect()
     val ids = shortRows.map(_._2).distinct.sorted.toSeq
     val shortDf = broadcast(shortRows.toSeq.toDF("q_id", "n_id"))
     val qvDf = broadcast(qs.toSeq.toDF("q_id", "qv"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id"))
-    val top = e.where(col("vec_id").isin(ids: _*)) // pushed point-read
+    e.where(col("vec_id").isin(ids: _*)) // pushed point-read
       .select(col("vec_id").as("n_id"), col("v"))
       .join(shortDf, "n_id")
       .join(qvDf, "q_id")
@@ -2902,11 +3053,20 @@ object SimilarityQueries {
         cosine(col("qv"), col("v")).as("cos"))
       .withColumn("rn", row_number().over(wTop))
       .where(col("rn") <= 5)
+      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private[graft] def ivfServePqStore(s: SparkSession, d: String,
+      store: DataFrame,
+      qsIn: Array[(Long, Seq[Double])] = null,
+      modelIn: PqModel = null): DataFrame = {
+    val top = ivfServePqLean(s, d, store, qsIn, modelIn)
     val brute = qKnnBrute.fn(s, d)
       .select(col("q_id"), col("n_id"), lit(true).as("hitf"))
     top.join(broadcast(brute), Seq("q_id", "n_id"), "left_outer")
-      .select(col("q_id"), col("n_id"), col("rn").cast("int").as("rn"),
-        round(col("cos"), 6).as("sim"),
+      .select(col("q_id"), col("n_id"), col("rn"), col("sim"),
         coalesce(col("hitf"), lit(false)).as("hit"))
       .orderBy(col("q_id"), col("rn"))
   }
@@ -3515,6 +3675,192 @@ object SimilarityQueries {
     ivfServePqStore(s, d, ivfBuildStorePq(s, d))
   }
 
+  /** The attribute predicate of [[qKnnFiltered]] — a literal metadata
+    * constraint (`label = 3`, ~10% selectivity on the fixture) so the
+    * whole pre-vs-post comparison stays ANSI-derivable. */
+  private[graft] val FltLabel = 3
+
+  /** Posting store WITH FILTERABLE METADATA — the production vector-
+    * store layout for attribute-filtered search: each posting row
+    * carries the attribute column next to the vector, so a predicate
+    * evaluates AT THE STORE SCAN (parquet row-group pruning at
+    * scale), composed with the cell partition pruning. Literal
+    * centroids ([[qKnnIvfPq]]'s stance) keep assignment
+    * oracle-derivable. */
+  private[graft] def ivfBuildStoreFlt(s: SparkSession, d: String,
+      kind: String = "ivfflt"): DataFrame = {
+    import graft.operators.DedupManifest
+    val e = vectors(s, d).withColumn("n2", dot(col("v"), col("v"))).fenced()
+    val centsDf = broadcast(e.where(col("vec_id") < IvfC)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val assigned = e.crossJoin(centsDf)
+      .withColumn("csim", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nc"))).as("list"))
+    val posting = e.join(assigned, "vec_id")
+      .select(col("list").cast("int").as("list"), col("vec_id"),
+        col("label"), col("v"))
+    DedupManifest
+      .persistPartitioned(posting, DedupManifest.path(s, kind, d), Seq("list"))
+      .select(col("list").cast("int").as("list"), col("vec_id"),
+        col("label"), col("v"))
+  }
+
+  /** The probed candidate frame over the filtered-store — (q_id,
+    * n_id, label, cos) for every posting row of the probed cells.
+    * `private[graft]` so FilteredAnnSpec plan-checks the PREFILTER
+    * leg built on it (PartitionFilters prune the cells, PushedFilters
+    * carry the label predicate). */
+  private[graft] def fltCandidates(s: SparkSession, d: String,
+      store: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val qs = ivfQueries(s, d)
+    val cents = loadPqModel(s, d).cents
+    val probes = qs.flatMap { case (q, qv) =>
+      cents.map { case (cid, cv) => (cosLocal(qv, cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+        .take(IvfPqNprobe).map { case (_, cid) => (q, cid, qv) }
+    }
+    val cells = probes.map(_._2).distinct.sorted.toSeq
+    val probesDf = broadcast(probes.toSeq.toDF("q_id", "list", "qv"))
+    store.where(col("list").isin(cells: _*)) // static partition pruning
+      .join(probesDf, Seq("list"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label"),
+        cosine(col("qv"), col("v")).as("cos"))
+  }
+
+  private def fltTop5(leg: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    leg.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+  }
+
+  /** ATTRIBUTE-FILTERED ANN — predicate + top-k over the persisted
+    * IVF store (round 19; the most common production vector-store
+    * operation after plain top-k), AS the pre-vs-post-filter decision
+    * report a deployment reads:
+    *
+    *  - `pre` (pre-filtering): the label predicate is pushed INTO the
+    *    posting-list scan — candidates are probed-cells ∩ label, and
+    *    the top-5 ranks only qualifying vectors. Never starves: it
+    *    returns 5 answers whenever the probed cells hold 5 qualifying
+    *    rows.
+    *  - `post` (post-filtering, the naive form): serve the UNFILTERED
+    *    top-5, then drop non-qualifying answers — the k·selectivity
+    *    starvation every vector-store doc warns about (at 10%
+    *    selectivity, ~0.5 survivors per query).
+    *
+    * Both legs grade against the FILTERED brute truth (exact top-5
+    * among `label = FltLabel`, the |Q|×|corpus∩label| baseline). The
+    * emitted per-query row (n_pre, pre_hit, n_post, post_hit,
+    * pre_wins) IS the decision: post ⊆ pre by construction (a
+    * qualifying answer in the unfiltered top-5 ranks ≤ 5 among
+    * qualifying candidates), so `pre_wins` must hold on every row —
+    * an invariant the oracle re-derives numerically.
+    *
+    * Scale shape: the store scan reads nprobe/C of the corpus WITH
+    * the attribute predicate applied at the scan (parquet min/max +
+    * dictionary row-group pruning on the attribute at 100 TB);
+    * windows rank |probed candidates| rows per query; the truth leg
+    * is |Q|-bounded broadcast against the label-pruned corpus scan;
+    * the report is |Q| rows. */
+  private val qKnnFiltered = Q("q_knn_filtered",
+    s"""WITH $vectorsCte,
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2
+       |          FROM e WHERE vec_id < $IvfC),
+       |asg AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) / (sqrt(n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS arn
+       |  FROM e CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, cent_id AS list FROM asg WHERE arn = 1),
+       |prb AS (
+       |  SELECT e.vec_id AS q_id, cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, cv) / (sqrt(e.n2) * sqrt(cn2)) DESC,
+       |               cent_id) AS pr
+       |  FROM e CROSS JOIN cents WHERE e.vec_id < 10),
+       |probes AS (SELECT q_id, cent_id AS list FROM prb WHERE pr <= $IvfPqNprobe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id, c.label,
+       |    list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+       |  FROM probes p JOIN assigned a ON a.list = p.list
+       |  JOIN e c ON c.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id),
+       |pre AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, n_id) AS rn
+       |    FROM cand WHERE label = $FltLabel) WHERE rn <= 5),
+       |post AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, label,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, n_id) AS rn
+       |    FROM cand) WHERE rn <= 5 AND label = $FltLabel),
+       |truth AS (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, c.v) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+       |                 c.vec_id) AS rn
+       |    FROM (SELECT * FROM e WHERE vec_id < 10) q
+       |    JOIN (SELECT * FROM e WHERE label = $FltLabel) c
+       |      ON q.vec_id <> c.vec_id)
+       |  WHERE rn <= 5),
+       |qs AS (SELECT vec_id AS q_id FROM e WHERE vec_id < 10),
+       |preg AS (SELECT p.q_id, CAST(count(*) AS INT) AS n_pre,
+       |    CAST(count(t.n_id) AS INT) AS pre_hit
+       |  FROM pre p LEFT JOIN truth t ON t.q_id = p.q_id AND t.n_id = p.n_id
+       |  GROUP BY p.q_id),
+       |postg AS (SELECT p.q_id, CAST(count(*) AS INT) AS n_post,
+       |    CAST(count(t.n_id) AS INT) AS post_hit
+       |  FROM post p LEFT JOIN truth t ON t.q_id = p.q_id AND t.n_id = p.n_id
+       |  GROUP BY p.q_id)
+       |SELECT q.q_id,
+       |  COALESCE(n_pre, 0) AS n_pre, COALESCE(pre_hit, 0) AS pre_hit,
+       |  COALESCE(n_post, 0) AS n_post, COALESCE(post_hit, 0) AS post_hit,
+       |  (COALESCE(pre_hit, 0) >= COALESCE(post_hit, 0)) AS pre_wins
+       |FROM qs q LEFT JOIN preg ON preg.q_id = q.q_id
+       |LEFT JOIN postg ON postg.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val store = ivfBuildStoreFlt(s, d)
+    val cand = fltCandidates(s, d, store)
+    val pre = fltTop5(cand.where(col("label") === FltLabel))
+      .select(col("q_id"), col("n_id"))
+    val post = fltTop5(cand).where(col("label") === FltLabel)
+      .select(col("q_id"), col("n_id"))
+    val qs = ivfQueries(s, d)
+    val qvDf = broadcast(qs.toSeq.toDF("tq_id", "tqv"))
+    val truth = fltTop5(vectors(s, d).where(col("label") === FltLabel)
+        .crossJoin(qvDf)
+        .where(col("tq_id") =!= col("vec_id"))
+        .select(col("tq_id").as("q_id"), col("vec_id").as("n_id"),
+          cosine(col("tqv"), col("v")).as("cos")))
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    def graded(leg: DataFrame, nCol: String, hitCol: String): DataFrame = leg
+      .join(broadcast(truth), Seq("q_id", "n_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).cast("int").as(nCol),
+        sum(coalesce(col("hit"), lit(0L))).cast("int").as(hitCol))
+    qs.map(_._1).toSeq.toDF("q_id")
+      .join(graded(pre, "n_pre", "pre_hit"), Seq("q_id"), "left_outer")
+      .join(graded(post, "n_post", "post_hit"), Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        coalesce(col("n_pre"), lit(0)).as("n_pre"),
+        coalesce(col("pre_hit"), lit(0)).as("pre_hit"),
+        coalesce(col("n_post"), lit(0)).as("n_post"),
+        coalesce(col("post_hit"), lit(0)).as("post_hit"),
+        (coalesce(col("pre_hit"), lit(0)) >=
+          coalesce(col("post_hit"), lit(0))).as("pre_wins"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Seq[Q] = Seq(qDedupEmbed, qDedupEmbedLsh, qDedupEmbedIncremental,
     qKnnBrute, qKnnLsh, qKnnIvf,
     qEmbedCentroid, qKnnPq, qKnnLshMulti, qDedupSemantic, qDedupSemanticXl,
@@ -3522,5 +3868,5 @@ object SimilarityQueries {
     qMineNegatives, qMineBitext, qEmbedCluster, qEmbedClusterXl, qSampleCoreset,
     qKnnIvfPersisted, qKnnIvfIncremental, qIvfCompactPlan, qIvfNprobeRecall,
     qEmbedQuantize, qKnnMrl, qKnnIvfPq, qKnnIvfQ8, qKnnIvfPqStore,
-    qAnnModeCompare, qKnnIvfPqR)
+    qAnnModeCompare, qKnnIvfPqR, qKnnFiltered)
 }

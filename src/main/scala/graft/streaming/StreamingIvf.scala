@@ -69,8 +69,8 @@ object StreamingIvf {
     * @param maxBatchQueries the [[MaxBatchQueries]] ceiling —
     *   parameterized so the guard spec can trip it at test scale;
     *   production callers keep the default
-    * @param mode the posting-store/serving pair (round 18 — the full
-    *   serving matrix over one stream contract):
+    * @param mode the posting-store/serving pair (rounds 18–19 — the
+    *   full serving matrix over one stream contract):
     *   - `"full"`: double vectors, exact-cosine rerank
     *     ([[SimilarityQueries.ivfBuildStore]]/`ivfServe`);
     *   - `"q8"`: int8 codes + norm, quantized-cosine ranking with
@@ -78,8 +78,18 @@ object StreamingIvf {
     *     (`ivfBuildStoreQ8`/`ivfServeQ8`);
     *   - `"pq"`: 4 PQ code bytes + norm per row, driver-LUT ADC
     *     shortlist + exact point-read rerank — the FAISS IVFPQ
-    *     serving shape (`ivfBuildStorePq`/`ivfServePqStore`).
-    *   The store-lifetime/reclamation contract is identical across
+    *     serving shape (`ivfBuildStorePq` + the grade-free
+    *     `ivfServePqLean` tail);
+    *   - `"pq_r"`: the same 12 B/vec with RESIDUAL-encoded codes
+    *     (FAISS by_residual=true — the measured recall winner of
+    *     `q_ann_mode_compare`: 0.90 vs 0.82 at equal bytes):
+    *     `ivfBuildStorePqR` + `ivfServePqLean` under the residual
+    *     [[SimilarityQueries.PqModel]].
+    *   Every mode emits the SAME (q_id, n_id, rn, sim) sink schema
+    *   (r18 advice — the pq leg used to add a grading `hit` column
+    *   and recompute the brute truth per micro-batch; serving is now
+    *   grade-free, model collected once at stream start). The
+    *   store-lifetime/reclamation contract is identical across
     *   modes — only the build and serve tails swap. */
   def start(spark: SparkSession, queries: DataFrame, sfDir: String,
       checkpoint: String,
@@ -88,15 +98,25 @@ object StreamingIvf {
       mode: String = "full")(
       sink: DataFrame => Unit): StreamingQuery = {
     require(maxBatchQueries >= 1, s"maxBatchQueries=$maxBatchQueries")
-    require(Set("full", "q8", "pq")(mode),
-      s"mode=$mode (expected full | q8 | pq)")
+    require(Set("full", "q8", "pq", "pq_r")(mode),
+      s"mode=$mode (expected full | q8 | pq | pq_r)")
     val kind = s"ivfserve${gen.incrementAndGet()}"
+    // index build + model load happen ONCE, at stream start: the
+    // per-batch closure touches only the (store, model) pair
     val (store, cents) = mode match {
       case "q8" => SimilarityQueries.ivfBuildStoreQ8(spark, sfDir, kind = kind)
       case "pq" =>
         (SimilarityQueries.ivfBuildStorePq(spark, sfDir, kind = kind),
           Array.empty[Array[Double]])
+      case "pq_r" =>
+        (SimilarityQueries.ivfBuildStorePqR(spark, sfDir, kind = kind),
+          Array.empty[Array[Double]])
       case _ => SimilarityQueries.ivfBuildStore(spark, sfDir, kind = kind)
+    }
+    val pqModel = mode match {
+      case "pq" => SimilarityQueries.loadPqModel(spark, sfDir)
+      case "pq_r" => SimilarityQueries.loadPqRModel(spark, sfDir)
+      case _ => null
     }
     store.count(): Unit // force the store write at build time
     val q = queries.writeStream
@@ -119,7 +139,8 @@ object StreamingIvf {
             "producer or split the batch upstream")
         if (qs.nonEmpty) sink(mode match {
           case "q8" => SimilarityQueries.ivfServeQ8(store, cents, qs)
-          case "pq" => SimilarityQueries.ivfServePqStore(spark, sfDir, store, qs)
+          case "pq" | "pq_r" =>
+            SimilarityQueries.ivfServePqLean(spark, sfDir, store, qs, pqModel)
           case _ => SimilarityQueries.ivfServe(store, cents, qs)
         })
       }

@@ -372,21 +372,27 @@ class PersistedIvfSpec extends AnyFunSuite {
 
   test("STREAMED PQ serving equals the batch store query across " +
       "micro-batch splits (the serving-mode matrix's third mode " +
-      "through the one stream contract)") {
+      "through the one stream contract), on the grade-free 4-column " +
+      "schema every mode now shares (r18 advice)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("q_knn_ivf_pq_store")(spark, TestSpark.Sf)
-      .as[(Long, Long, Int, Double, Boolean)].collect().toSeq
+      .select(col("q_id"), col("n_id"), col("rn"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
       .sortBy(r => (r._1, r._3))
     val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf).toSeq
     val mem = MemoryStream[(Long, Seq[Double])]
     val got = scala.collection.mutable
-      .ArrayBuffer.empty[(Long, Long, Int, Double, Boolean)]
+      .ArrayBuffer.empty[(Long, Long, Int, Double)]
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-sivfpq").toString
     val q = graft.streaming.StreamingIvf.start(spark,
         mem.toDF.toDF("vec_id", "v"), TestSpark.Sf, ckpt, mode = "pq") { out =>
-      got ++= out.as[(Long, Long, Int, Double, Boolean)].collect()
+      // the sink schema must MATCH full/q8's — exactly 4 columns,
+      // no grading column (r18 advice: pq used to emit 5)
+      assert(out.columns.toSeq == Seq("q_id", "n_id", "rn", "sim"),
+        s"pq sink schema diverged: ${out.columns.toSeq}")
+      got ++= out.as[(Long, Long, Int, Double)].collect()
     }
     try {
       qs.grouped(qs.size / 3 + 1).foreach { g =>
@@ -402,7 +408,8 @@ class PersistedIvfSpec extends AnyFunSuite {
       "kill + checkpoint restart (T6/T7 symmetry with the Q8 leg)") {
     import java.nio.file.Files
     val batch = SparkEntry.queries("q_knn_ivf_pq_store")(spark, TestSpark.Sf)
-      .as[(Long, Long, Int, Double, Boolean)].collect().toSeq
+      .select(col("q_id"), col("n_id"), col("rn"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
       .sortBy(r => (r._1, r._3))
     val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf)
     assert(qs.length >= 5, "need several queries for a mid-stream kill")
@@ -414,11 +421,11 @@ class PersistedIvfSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val ckpt = Files.createTempDirectory("pqckpt").toString
     val got = scala.collection.mutable
-      .ArrayBuffer.empty[(Long, Long, Int, Double, Boolean)]
+      .ArrayBuffer.empty[(Long, Long, Int, Double)]
     def start() = graft.streaming.StreamingIvf.start(spark, src,
         TestSpark.Sf, ckpt, mode = "pq") { out =>
       got.synchronized {
-        got ++= out.as[(Long, Long, Int, Double, Boolean)].collect(): Unit
+        got ++= out.as[(Long, Long, Int, Double)].collect(): Unit
       }
     }
     val q1 = start()
@@ -432,6 +439,108 @@ class PersistedIvfSpec extends AnyFunSuite {
     val streamed = got.synchronized(got.distinct.toSeq).sortBy(r => (r._1, r._3))
     assert(streamed == batch,
       "kill+restart PQ serving diverged from the batch store answers")
+  }
+
+  test("PERSISTED RESIDUAL-PQ store (r18 verdict item 1): store " +
+      "serving equals the in-plan q_knn_ivf_pq_r answers row-for-row, " +
+      "the candidate scan partition-prunes and reads tinyint codes " +
+      "only, and the driver residual model matches the in-plan " +
+      "codebook bit-for-bit") {
+    import graft.queries.SimilarityQueries
+    val inPlan = SparkEntry.queries("q_knn_ivf_pq_r")(spark, TestSpark.Sf)
+      .select(col("q_id"), col("n_id"), col("rn"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val store = SimilarityQueries.ivfBuildStorePqR(spark, TestSpark.Sf,
+      "ivfpqrspec")
+    val model = SimilarityQueries.loadPqRModel(spark, TestSpark.Sf)
+    val served = SimilarityQueries.ivfServePqLean(spark, TestSpark.Sf,
+      store, null, model)
+    val got = served.as[(Long, Long, Int, Double)].collect().toSeq
+    assert(inPlan.nonEmpty && got == inPlan,
+      "residual-PQ store serving diverged from the in-plan " +
+        "q_knn_ivf_pq_r answers")
+    // shortlist plan: pruned cells, tinyint codes, no vector columns
+    val shortFrame = SimilarityQueries.ivfPqStoreShortlist(
+      spark, TestSpark.Sf, store, null, model)
+    shortFrame.count()
+    val shortPlan = shortFrame.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(shortPlan).isDefined,
+      "residual-PQ store scan did not partition-prune to probed cells")
+    assert(shortPlan.contains("tinyint"),
+      "candidate scan does not read the tinyint code columns")
+    assert(!shortPlan.contains("array<double>"),
+      "a vector column leaked into the residual ADC path:\n" + shortPlan)
+  }
+
+  test("STREAMED RESIDUAL-PQ serving (mode pq_r — the mode the " +
+      "q_ann_mode_compare report recommends) equals the batch " +
+      "q_knn_ivf_pq_r rows across micro-batch splits on the shared " +
+      "4-column schema") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("q_knn_ivf_pq_r")(spark, TestSpark.Sf)
+      .select(col("q_id"), col("n_id"), col("rn"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf).toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Int, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sivfpqr").toString
+    val q = graft.streaming.StreamingIvf.start(spark,
+        mem.toDF.toDF("vec_id", "v"), TestSpark.Sf, ckpt, mode = "pq_r") { out =>
+      assert(out.columns.toSeq == Seq("q_id", "n_id", "rn", "sim"),
+        s"pq_r sink schema diverged: ${out.columns.toSeq}")
+      got ++= out.as[(Long, Long, Int, Double)].collect()
+    }
+    try {
+      qs.grouped(qs.size / 3 + 1).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+      assert(got.sortBy(r => (r._1, r._3)).toSeq == batch,
+        "streamed residual-PQ serving diverged from the batch " +
+          "q_knn_ivf_pq_r answers")
+    } finally q.stop()
+  }
+
+  test("STREAMED RESIDUAL-PQ serving recovers exactly-once through a " +
+      "mid-stream kill + checkpoint restart (the q8/pq standard " +
+      "applied to the recommended mode)") {
+    import java.nio.file.Files
+    val batch = SparkEntry.queries("q_knn_ivf_pq_r")(spark, TestSpark.Sf)
+      .select(col("q_id"), col("n_id"), col("rn"), col("sim"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    val qs = graft.queries.SimilarityQueries.ivfQueries(spark, TestSpark.Sf)
+    assert(qs.length >= 5, "need several queries for a mid-stream kill")
+    val srcDir = Files.createTempDirectory("pqrsrc").toString
+    spark.createDataset(qs.toSeq).toDF("vec_id", "v")
+      .repartition(qs.length).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("pqrckpt").toString
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, Long, Int, Double)]
+    def start() = graft.streaming.StreamingIvf.start(spark, src,
+        TestSpark.Sf, ckpt, mode = "pq_r") { out =>
+      got.synchronized {
+        got ++= out.as[(Long, Long, Int, Double)].collect(): Unit
+      }
+    }
+    val q1 = start()
+    StreamKill.afterCommit(spark, q1,
+      () => got.synchronized(got.map(_._1).distinct.size) >= 2)
+    val afterKill = got.synchronized(got.map(_._1).distinct.size)
+    assert(afterKill >= 1 && afterKill < qs.length,
+      s"kill landed outside mid-stream ($afterKill of ${qs.length} queries)")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = got.synchronized(got.distinct.toSeq).sortBy(r => (r._1, r._3))
+    assert(streamed == batch,
+      "kill+restart residual-PQ serving diverged from the batch answers")
   }
 
   test("driver-batch guard: a query micro-batch past the cap fails " +
