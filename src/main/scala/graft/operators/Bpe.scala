@@ -207,6 +207,96 @@ object Bpe {
     merges.result()
   }
 
+  /** BYTE-LEVEL alphabet (round 19 — the GPT-2/Llama-lineage remap,
+    * Radford et al. 2019 `bytes_to_unicode`): every possible byte maps
+    * to one printable BMP codepoint — the 188 "nice" printable bytes
+    * (0x21–0x7E, 0xA1–0xAC, 0xAE–0xFF) to themselves, the remaining
+    * 68 (controls, space, 0x7F, 0xAD) to 0x100+n in scan order. The
+    * map is a BIJECTION byte↔char, so BPE over remapped symbols is
+    * BPE over raw bytes: no OOV exists by construction (every input
+    * decomposes to single-byte symbols), and equality in remapped
+    * space IS byte equality — the property that makes losslessness
+    * provable for ARBITRARY input, mojibake included. */
+  private[graft] val ByteToChar: Array[Char] = {
+    val nice = (('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++
+      (0xAE to 0xFF)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (nice(b)) arr(b) = b.toChar
+      else { arr(b) = (0x100 + n).toChar; n += 1 }
+    }
+    arr
+  }
+
+  /** Inverse of [[ByteToChar]] (total on its range — remap output
+    * only ever contains mapped chars). */
+  private[graft] lazy val CharToByte: Map[Char, Int] =
+    ByteToChar.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** UTF-8 bytes of `s`, remapped char-per-byte. */
+  private[graft] def remapBytes(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(ByteToChar(b & 0xFF)))
+    sb.toString
+  }
+
+  /** Inverse of [[remapBytes]]: symbols back to raw bytes. */
+  private[graft] def unmapBytes(s: String): Array[Byte] =
+    s.toCharArray.map(c => CharToByte(c).toByte)
+
+  /** The byte-level corpus collapse: word frequency over RAW
+    * (case-preserving — losslessness over arbitrary input forbids
+    * the char-family's lowercasing) space-split words, each remapped
+    * to its byte symbols BEFORE the group-by, so the deterministic
+    * top-V cut (f DESC, w ASC) orders on the symbol strings the
+    * trainer actually consumes. Same scale shape as [[wordFreq]]:
+    * one map-side-combined collapse + a TakeOrdered shortlist. */
+  def wordFreqBytes(docs: DataFrame, textCol: String, topV: Int)
+      : Seq[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol)).as[String]
+      .flatMap(t => t.split(' ').iterator.filter(_.nonEmpty).map(remapBytes))
+      .toDF("w")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc).limit(topV)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Byte-level BPE training: [[wordFreqBytes]] collapse, then the
+    * IDENTICAL vocabulary-scale incremental merge loop — merges are
+    * pairs of byte-symbol strings. */
+  def fitBytes(docs: DataFrame, textCol: String, numMerges: Int,
+      topV: Int = 100000): Model = {
+    require(numMerges >= 1 && topV >= 1, s"numMerges=$numMerges topV=$topV")
+    Model(trainMerges(wordFreqBytes(docs, textCol, topV), numMerges))
+  }
+
+  /** Byte-level corpus apply: (doc_id, tokens, n_tokens, flat) —
+    * tokens are remapped byte-symbol strings (greedy lowest-rank
+    * merging, the same apply rule), `flat` is the remap of the
+    * space-stripped raw text so the caller can assert losslessness
+    * with a plain column equality (concat(tokens) === flat ⇔ the
+    * token stream carries exactly the input's non-space bytes —
+    * bijection, so remapped equality is byte equality). Zero-shuffle
+    * per-row pass, the [[encode]] shape. */
+  def encodeBytes(docs: DataFrame, textCol: String, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(' ').toSeq.filter(_.nonEmpty)
+            .flatMap(w => model.encodeWord(remapBytes(w)))
+          (id, toks, toks.length, remapBytes(text.replace(" ", "")))
+        }
+      }
+      .toDF("doc_id", "tokens", "n_tokens", "flat")
+  }
+
   /** Corpus-wide apply: (doc_id, tokens array<string>, n_tokens) —
     * embarrassingly parallel, zero shuffle; the model rides to each
     * partition once via task-closure serialization. */

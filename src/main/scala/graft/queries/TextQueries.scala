@@ -216,6 +216,31 @@ object TextQueries {
     m
   }
 
+  /** The deterministic mojibake-injection CTE shared by
+    * [[qMojibake]] and [[qBpeByte]] (the corpus fixture is pure
+    * ASCII, so multi-byte artifact text is injected per doc_id
+    * residue — identically on both engines, the [[qPii]] stance). */
+  private val MojibakePCte: String =
+    // NOTE: the `||` concatenations sit at line ENDS — this fragment
+    // interpolates into oracles that apply .stripMargin AFTER the
+    // splice, and a line-leading `||` would lose its first `|` there
+    """p AS (
+      |  SELECT doc_id, substr(text, 1, 40) ||
+      |    CASE WHEN doc_id % 6 = 1 THEN ' visit the cafÃ© today' ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 3 THEN ' donâ€™t stop' ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 4 THEN ' Ã¼ber alles Ã¼brig' ELSE '' END
+      |    AS t
+      |  FROM documents)""".stripMargin
+
+  /** Engine twin of [[MojibakePCte]]'s injected `t`. */
+  private def mojibakeInjected: Column = concat(
+    substring(col("text"), 1, 40),
+    when(pmod(col("doc_id"), lit(6)) === 1, " visit the cafÃ© today")
+      .otherwise(""),
+    when(pmod(col("doc_id"), lit(6)) === 3, " donâ€™t stop").otherwise(""),
+    when(pmod(col("doc_id"), lit(9)) === 4, " Ã¼ber alles Ã¼brig")
+      .otherwise(""))
+
   /** ENCODING-ARTIFACT (mojibake) detection + repair — the curation
     * pass every web-corpus build runs before tokenization (CCNet/
     * C4-class pipelines): text that went through a UTF-8→cp1252
@@ -233,13 +258,7 @@ object TextQueries {
     * shuffles at any corpus size (the oracle's ORDER BY is the only
     * sort). */
   private val qMojibake = Q("q_text_mojibake",
-    s"""WITH p AS (
-       |  SELECT doc_id, substr(text, 1, 40)
-       |    || CASE WHEN doc_id % 6 = 1 THEN ' visit the cafÃ© today' ELSE '' END
-       |    || CASE WHEN doc_id % 6 = 3 THEN ' donâ€™t stop' ELSE '' END
-       |    || CASE WHEN doc_id % 9 = 4 THEN ' Ã¼ber alles Ã¼brig' ELSE '' END
-       |    AS t
-       |  FROM documents),
+    s"""WITH $MojibakePCte,
        |n AS (SELECT doc_id, t,
        |${Mojibake.zipWithIndex.map { case ((bad, _), i) =>
            s"    (length(t) - length(replace(t, '$bad', ''))) // ${bad.length} AS c$i"
@@ -251,11 +270,7 @@ object TextQueries {
        |FROM n WHERE ${Mojibake.indices.map("c" + _).mkString(" + ")} > 0
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val id = col("doc_id")
-    val injected = concat(
-      substring(col("text"), 1, 40),
-      when(pmod(id, lit(6)) === 1, " visit the cafÃ© today").otherwise(""),
-      when(pmod(id, lit(6)) === 3, " donâ€™t stop").otherwise(""),
-      when(pmod(id, lit(9)) === 4, " Ã¼ber alles Ã¼brig").otherwise(""))
+    val injected = mojibakeInjected
     // LITERAL replace on both engines (Spark `replace` ≙ DuckDB
     // `replace`) — regexp_replace would diverge from the oracle the
     // moment an artifact contains a regex metacharacter
@@ -919,6 +934,60 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BYTE-LEVEL BPE apply (round 19 — the GPT-2/Llama-lineage
+    * tokenizer family member the char-level [[qBpeEncode]] is not):
+    * `operators.Bpe.fitBytes` trains merges over byte symbols under
+    * the printable-byte remap (`Bpe.ByteToChar`, the public
+    * `bytes_to_unicode` construction), `Bpe.encodeBytes` applies
+    * them corpus-wide. No OOV exists by construction — every input
+    * decomposes to single-byte symbols — so LOSSLESSNESS IS PROVABLE
+    * FOR ARBITRARY INPUT, and the query proves it on arbitrary
+    * input: it runs over the MOJIBAKE-INJECTED corpus (the
+    * [[qMojibake]] fixture — the raw corpus is pure ASCII, where
+    * bytes = chars and the byte-level claim would be vacuous), whose
+    * artifact sequences are multi-byte non-ASCII.
+    *
+    * Oracle stance = [[qBpeEncode]]'s guarantee pattern: token
+    * boundaries aren't SQL-expressible, so the entry emits the
+    * DuckDB-recomputable invariant — `n_bytes` derived from the
+    * TOKENS (symbol-count of their concatenation; the remap is
+    * char-per-byte, so symbols ARE bytes) must equal DuckDB's
+    * `strlen` of the space-stripped injected text — plus the three
+    * engine verdicts the oracle asserts as literals:
+    * `lossless_ok` (token concatenation ≡ remapped space-stripped
+    * input — a bijection, so remapped equality is byte equality),
+    * `vocab_ok` (closed vocabulary: single byte symbols + trained
+    * merge products), `compress_ok` (1 ≤ n_tokens ≤ n_bytes).
+    *
+    * Scale shape = the BPE family's: one map-side-combined
+    * word-frequency collapse + top-V TakeOrdered for training, a
+    * zero-shuffle per-row pass for encode. */
+  private val qBpeByte = Q("q_bpe_byte",
+    s"""WITH $MojibakePCte
+       |SELECT doc_id,
+       |  CAST(strlen(replace(t, ' ', '')) AS BIGINT) AS n_bytes,
+       |  true AS lossless_ok, true AS vocab_ok, true AS compress_ok
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), mojibakeInjected.as("t"))
+    val model = Bpe.fitBytes(docs, "t", numMerges = 200, topV = 4096)
+    val products = model.merges.map { case (a, b) => a + b }.distinct
+    val prodArr = array(products.map(lit(_)): _*)
+    val joined = concat_ws("", col("tokens"))
+    val nBytes = length(joined)
+    Bpe.encodeBytes(docs, "t", model)
+      .select(col("doc_id"),
+        nBytes.cast("long").as("n_bytes"),
+        (joined === col("flat")).as("lossless_ok"),
+        forall(col("tokens"),
+          tk => length(tk) === 1 || array_contains(prodArr, tk))
+          .as("vocab_ok"),
+        ((nBytes === 0 && col("n_tokens") === 0) ||
+          (col("n_tokens") >= 1 && col("n_tokens") <= nBytes))
+          .as("compress_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The WordPiece operating point (q_wordpiece_merge /
     * q_wordpiece_encode) — `private[graft]` so WordPieceSpec trains
     * the identical point (the SGNS constants stance). */
@@ -1061,7 +1130,32 @@ object TextQueries {
           (col("n_chars") === col("corpus_chars")).as("lossless_ok"),
           (col("n_pieces") >= col("corpus_words") &&
             col("n_pieces") <= col("corpus_chars")).as("bounds_ok"))
+    // the byte-level row grades against BYTE mass (its symbols are
+    // bytes, not lowercased chars) with raw-split word counts — and
+    // skips the `##`-strip of `row` ('#' = 0x23 maps to itself, so a
+    // byte token may legitimately START with "##")
+    val corpusB = docs.agg(
+      sum(octet_length(translate(col("text"), " ", ""))).cast("long")
+        .as("corpus_bytes"),
+      sum(size(filter(split(col("text"), " "), w => length(w) >= 1)))
+        .cast("long").as("corpus_words"))
+    def rowByte(name: String, vocabSize: Long, encoded: DataFrame)
+        : DataFrame =
+      encoded.agg(
+          sum(col("n_tokens")).cast("long").as("n_pieces"),
+          sum(length(concat_ws("", col("tokens")))).cast("long")
+            .as("n_chars"))
+        .crossJoin(broadcast(corpusB))
+        .select(lit(name).as("tokenizer"),
+          lit(vocabSize).as("vocab_size"),
+          col("n_pieces"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("n_pieces"), 4)
+            .as("chars_per_piece"),
+          (col("n_chars") === col("corpus_bytes")).as("lossless_ok"),
+          (col("n_pieces") >= col("corpus_words") &&
+            col("n_pieces") <= col("corpus_bytes")).as("bounds_ok"))
     val bpe = Bpe.fit(docs, "text", numMerges = 200, topV = 4096)
+    val bb = Bpe.fitBytes(docs, "text", numMerges = 200, topV = 4096)
     val uni = UnigramLm.fit(wordFreqOf(s, d), UniTargetV, UniIters,
       UniMaxLen, UniSeed)
     val soft = UnigramLm.softFit(wordFreqOf(s, d), UniTargetV, UniIters,
@@ -1069,6 +1163,9 @@ object TextQueries {
     val wp = WordPiece.fit(docs, "text", WpMerges, WpTopV)
     row("bpe", bpe.merges.map { case (a, b) => a + b }.distinct.size.toLong,
         Bpe.encode(docs, "text", bpe), "tokens", "n_tokens")
+      .union(rowByte("bpe_byte",
+        bb.merges.map { case (a, b) => a + b }.distinct.size.toLong,
+        Bpe.encodeBytes(docs, "text", bb)))
       .union(row("unigram", uni.pieces.length.toLong,
         UnigramLm.encode(docs, "text", uni), "pieces", "n_pieces"))
       .union(row("unigram_soft", soft.pieces.length.toLong,
@@ -1103,11 +1200,16 @@ object TextQueries {
   private val qTokenizerCompare = Q("q_tokenizer_compare",
     """WITH c AS (
       |  SELECT CAST(sum(length(replace(lower(text), ' ', ''))) AS BIGINT) AS n
+      |  FROM documents),
+      |cb AS (
+      |  SELECT CAST(sum(strlen(replace(text, ' ', ''))) AS BIGINT) AS n
       |  FROM documents)
-      |SELECT t.tokenizer, c.n AS n_chars,
+      |SELECT t.tokenizer,
+      |  CASE WHEN t.tokenizer = 'bpe_byte' THEN cb.n ELSE c.n END AS n_chars,
       |  true AS lossless_ok, true AS bounds_ok
-      |FROM (VALUES ('bpe'), ('unigram'), ('unigram_soft'), ('wordpiece'))
-      |  t(tokenizer), c
+      |FROM (VALUES ('bpe'), ('bpe_byte'), ('unigram'), ('unigram_soft'),
+      |      ('wordpiece'))
+      |  t(tokenizer), c, cb
       |ORDER BY t.tokenizer""".stripMargin) { (s, d) =>
     tokenizerReport(s, d)
       .select(col("tokenizer"), col("n_chars"),
@@ -2027,7 +2129,8 @@ object TextQueries {
   val all: Seq[Q] = Seq(qLangid, qQuality, qTokens, qFingerprint, qNormalize,
     qRepetition, qPii, qMojibake, qReadability, qTfidf,
     qBigrams, qUnigramLm, qPmi, qKeyness, qBm25, qZipf, qVocabCoverage,
-    qBpeMerge, qBpeEncode, qQualityLogreg, qQualityGate, qQualityAudit,
+    qBpeMerge, qBpeEncode, qBpeByte, qQualityLogreg, qQualityGate,
+    qQualityAudit,
     qBoilerplate, qBigramLm, qPplBand, qNovelty, qQualityAuc, qQualityCalib,
     qUnigramSeed, qUnigramEncode, qUnigramSoft,
     qWordpieceMerge, qWordpieceEncode, qTokenizerCompare)
