@@ -55,6 +55,136 @@ object PipelineQueries {
       .orderBy(col("seq_id"))
   }
 
+  /** Shard-sizing divisor for [[qPackBestfit]]: shards =
+    * max(4, ceil(n/256)) keeps per-shard document counts bounded as
+    * the corpus grows — the knob every per-shard sequential pass in
+    * the engine derives from the data (the `semC` pattern). */
+  private[graft] val PackShardDocs = 256L
+
+  /** Loud guard on a single pack shard (the
+    * [[graft.streaming.StreamingIvf.MaxBatchQueries]] discipline):
+    * shard sizing keeps groups ~[[PackShardDocs]]; a pathological
+    * hash pileup past this ceiling should fail naming the knob, not
+    * OOM an executor. */
+  private[graft] val PackMaxShardDocs: Int = 1 << 20
+
+  /** NO-SPLIT sequence packing — the production alternative to
+    * [[qPackSequences]]'s concat-and-chunk (which splits documents
+    * across training sequences, diluting attention): whole documents
+    * pack into [[SeqBudget]]-token bins by BEST-FIT-DECREASING
+    * (Krell et al. 2021's packing problem; BFD is the classic
+    * near-optimal greedy — ≤ 11/9·OPT + bins), run INDEPENDENTLY PER
+    * SHARD so the sequential fill never sees more than a bounded
+    * document group. Documents sort (toks DESC, doc_id) within their
+    * shard; each goes to the fullest bin that still fits (ties to
+    * the lowest bin id), else opens a new bin; oversized documents
+    * (toks > budget) get a dedicated overfull bin. The report emits
+    * per-bin occupancy plus the per-shard packing efficiency
+    * Σtokens/(bins·budget) — the number a pretraining build compares
+    * against concat-and-chunk's 1.0 to price the no-split property.
+    *
+    * Oracle: the IDENTICAL per-shard BFD as a recursive CTE whose
+    * state is the bin fill/count lists (lockstep recursion over the
+    * per-shard rank; oracle scale is fixture-bounded) — a FULL
+    * data-level re-derivation, bins and all, not just the verdict.
+    *
+    * Scale shape: one count + one hash-shard scan; the pack runs
+    * per-shard with ~[[PackShardDocs]]-bounded groups
+    * (embarrassingly parallel `flatMapGroups`, state = one bin list
+    * per live group); the report exchange carries bin-cardinality
+    * rows; the per-shard eff join is shard-cardinality. Nothing is
+    * corpus-sequential — the global-BFD alternative would collect n
+    * documents onto the driver. */
+  private val qPackBestfit = Q("q_pack_bestfit",
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT ${PortableHash.md5LongSql("CAST(doc_id AS VARCHAR)")} %
+       |      (SELECT CAST(GREATEST(4, CEIL(count(*) / $PackShardDocs.0)) AS BIGINT)
+       |       FROM documents) AS shard,
+       |    doc_id,
+       |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS toks
+       |  FROM documents),
+       |ranked AS (SELECT shard, toks,
+       |    row_number() OVER (PARTITION BY shard
+       |      ORDER BY toks DESC, doc_id) AS r
+       |  FROM tok),
+       |cnt AS (SELECT shard, max(r) AS n FROM ranked GROUP BY shard),
+       |fill AS (
+       |  SELECT shard, 0 AS r, CAST([] AS BIGINT[]) AS fills,
+       |    CAST([] AS BIGINT[]) AS nds
+       |  FROM (SELECT DISTINCT shard FROM ranked)
+       |  UNION ALL
+       |  SELECT f.shard, f.r + 1,
+       |    CASE WHEN mx IS NULL THEN list_append(f.fills, d.toks)
+       |         ELSE f.fills[1:list_position(f.fills, mx)-1]
+       |           || [mx + d.toks]
+       |           || f.fills[list_position(f.fills, mx)+1:] END,
+       |    CASE WHEN mx IS NULL THEN list_append(f.nds, 1::BIGINT)
+       |         ELSE f.nds[1:list_position(f.fills, mx)-1]
+       |           || [f.nds[list_position(f.fills, mx)] + 1]
+       |           || f.nds[list_position(f.fills, mx)+1:] END
+       |  FROM fill f JOIN ranked d ON d.shard = f.shard AND d.r = f.r + 1,
+       |  LATERAL (SELECT list_max(
+       |    list_filter(f.fills, x -> x + d.toks <= $SeqBudget)) AS mx) m),
+       |final AS (SELECT f.shard, f.fills, f.nds
+       |  FROM fill f JOIN cnt c ON c.shard = f.shard AND f.r = c.n),
+       |bins AS (SELECT f.shard AS shard, i - 1 AS bin_id,
+       |    f.nds[i] AS n_docs, f.fills[i] AS n_tokens
+       |  FROM final f, unnest(generate_series(1, len(f.fills))) AS t(i)),
+       |eff AS (SELECT shard, sum(n_tokens) / (count(*) * $SeqBudget.0) AS sheff
+       |  FROM bins GROUP BY shard)
+       |SELECT b.shard, CAST(b.bin_id AS BIGINT) AS bin_id, b.n_docs,
+       |  b.n_tokens, round(b.n_tokens / $SeqBudget.0, 4) AS fill_pct,
+       |  round(e.sheff, 4) AS shard_eff
+       |FROM bins b JOIN eff e ON e.shard = b.shard
+       |ORDER BY b.shard, b.bin_id""".stripMargin) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val docs = t(s, d, "documents")
+    val n = docs.count()
+    val shards = math.max(4L, (n + PackShardDocs - 1) / PackShardDocs)
+    val tok = docs.select(
+      (PortableHash.md5Long(col("doc_id").cast("string")) % shards)
+        .as("shard"),
+      col("doc_id").cast("long").as("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    val packed = tok.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.toArray.sortBy { case (_, id, l) => (-l, id) }
+        require(ds.length <= PackMaxShardDocs,
+          s"pack shard $shard holds ${ds.length} documents, past " +
+            s"PipelineQueries.PackMaxShardDocs=$PackMaxShardDocs — " +
+            "shard sizing (PackShardDocs) should have bounded this; " +
+            "re-derive shards or raise the guard deliberately")
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val nds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.foreach { case (_, _, l) =>
+          var best = -1
+          var i = 0
+          while (i < fills.length) {
+            if (fills(i) + l <= SeqBudget &&
+                (best < 0 || fills(i) > fills(best))) best = i
+            i += 1
+          }
+          if (best < 0) { fills += l; nds += 1L }
+          else { fills(best) += l; nds(best) += 1L }
+        }
+        fills.indices.iterator.map(b =>
+          (shard, b.toLong, nds(b), fills(b)))
+      }
+      .toDF("shard", "bin_id", "n_docs", "n_tokens")
+      .fenced() // bins feed both the report rows and the eff rollup
+    val eff = packed.groupBy(col("shard"))
+      .agg((sum(col("n_tokens")).cast("double") /
+        (count(lit(1)) * lit(SeqBudget.toDouble))).as("sheff"))
+    packed.join(eff, "shard")
+      .select(col("shard"), col("bin_id"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / lit(SeqBudget.toDouble), 4)
+          .as("fill_pct"),
+        round(col("sheff"), 4).as("shard_eff"))
+      .orderBy(col("shard"), col("bin_id"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word 3-gram with the held-out set (source `src0`), with the
     * overlap count. The join key is the 60-bit portable shingle
@@ -1555,7 +1685,8 @@ object PipelineQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(qPackSequences, qDecontaminate, qSampleStratified,
+  val all: Seq[Q] = Seq(qPackSequences, qPackBestfit, qDecontaminate,
+    qSampleStratified,
     qMixtureUpsample, qDedupIncremental, qDedupBloom, qTokenBudget,
     qQualityQuantile, qSampleWeighted, qSampleImportance, qMixtureTemperature,
     qSplitTrain, qMixtureDoremi, qQualityKs, qQualityPsi, qChunkDocs, qChunkDedup, qRagRetrieve,
