@@ -169,7 +169,17 @@ object HeavyScaleProbe {
     // round 18 (cont. 3): residual IVFPQ — qKnnIvfPq plus one
     // elementwise subtraction on the encode scan and a |Q|×nprobe
     // coarse-dot table
-    "q_knn_ivf_pq_r")
+    "q_knn_ivf_pq_r",
+    // round 19: attribute-filtered ANN (store build + label-pruned
+    // probe scan + a |Q|×|corpus∩label| filtered brute grade — all
+    // corpus-linear), OPQ-rotated residual IVFPQ (qKnnIvfPqR plus a
+    // d²-sized moment aggregate and one stateless rotation scan),
+    // byte-level BPE (one word-frequency collapse + a zero-shuffle
+    // encode pass over the injected corpus), and per-shard BFD
+    // packing (hash-shard scan + bounded sequential groups + a
+    // bin-cardinality report exchange; shards scale ∝ n so per-group
+    // work is constant)
+    "q_knn_filtered", "q_knn_ivf_opq", "q_bpe_byte", "q_pack_bestfit")
 
   /** Queries whose sf1 wall growth must stay sub-linear-ish — the
     * round-10 additions ship with a hard bound, not just a printout. */
@@ -196,7 +206,9 @@ object HeavyScaleProbe {
     "q_wordpiece_merge" -> 1.0, "q_wordpiece_encode" -> 1.0,
     "q_tokenizer_compare" -> 1.0, "q_knn_ivf_pq" -> 1.0,
     "q_knn_ivf_q8" -> 1.0, "q_knn_ivf_pq_store" -> 1.0,
-    "q_ann_mode_compare" -> 1.0, "q_knn_ivf_pq_r" -> 1.0)
+    "q_ann_mode_compare" -> 1.0, "q_knn_ivf_pq_r" -> 1.0,
+    "q_knn_filtered" -> 1.0, "q_knn_ivf_opq" -> 1.0,
+    "q_bpe_byte" -> 1.0, "q_pack_bestfit" -> 1.0)
 
   /** Direct pair-volume growth bound for the kNN-graph candidate
     * generator: counts the ACTUAL candidate pairs at sf0.1 and the
