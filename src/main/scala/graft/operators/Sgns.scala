@@ -31,9 +31,11 @@ import graft.Fence.FenceOps
   *
   *  - the pair table is fenced once; each iteration scans it,
   *    explodes k+1 (positive + k negative) examples per pair
-  *    map-side, and joins the V-bounded model tables BROADCAST;
-  *  - the only exchanges are the two (node, dim)-bounded gradient
-  *    frames, map-side combined;
+  *    map-side, and joins the V-bounded model table BROADCAST (one
+  *    relation, both sides as a struct — the second probe reuses the
+  *    first's exchange);
+  *  - the only exchange is the (node × side)-keyed gradient frame
+  *    (dim components as columns), map-side combined;
   *  - the driver update is O(V·dim) doubles.
   *
   * Determinism is the exact-decimal discipline: model weights live on
@@ -145,12 +147,48 @@ object Sgns {
     // total mass — the loss monitor normalizer only
     val nAll = massIn.values.sum.toDouble
     val losses = Seq.newBuilder[Double]
+    // The per-iteration plan is model-scale (the corpus-scale work is
+    // fenced above): AQE's value here is nil — its per-exchange
+    // re-plan + extra job dominate the tiny stages it would optimize —
+    // so the training loop runs with AQE off and restores the session
+    // setting after (r19; values are unaffected: every aggregate in
+    // the loop is an order-free exact-decimal sum, and InvarianceProbe
+    // pins the registry bit-identical across partitioning/AQE
+    // changes). Scale note: the gradient exchange then lands on
+    // spark.sql.shuffle.partitions as-configured instead of AQE
+    // coalescing — at the 2²⁰-node cap that frame is ~2 M rows, fine
+    // at any sane setting.
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    // With AQE off the gradient exchange lands on the static shuffle
+    // partition count; size it from the MODEL (the only thing that
+    // crosses it — 2·V groups of ~150 B), not from a constant: ~400 k
+    // groups per partition ≈ 60 MB, so 1 partition locally and a
+    // handful at the 2²⁰-node cap.
+    conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, 2L * v / 400000L + 1).toString)
+    try {
     for (_ <- 1 to iters) {
-      def vecDf(m: Array[Array[Double]], vcol: String) = broadcast(
-        nodes.indices.map(i => (nodes(i), m(i).toSeq)).toDF("vnode", vcol))
+      // ONE broadcast per iteration, not two: both model sides ride a
+      // single (vnode, vio = in ++ out) relation; the two probe joins
+      // build on the identical subtree and key (vnode), so the second
+      // join reuses the first's broadcast exchange (ReusedExchange —
+      // r19; separate in/out relations cost a second broadcast build
+      // job every iteration). A flat array (not a struct) keeps nested
+      // column pruning from specializing the build per side, which
+      // would defeat the reuse; each side is a `slice`.
+      val mdf = nodes.indices
+        .map(i => (nodes(i), (in(i) ++ out(i)).toSeq))
+        .toDF("vnode", "vio")
       val examples = skeleton
-        .join(vecDf(in, "vin"), col("center") === col("vnode")).drop("vnode")
-        .join(vecDf(out, "vout"), col("x") === col("vnode")).drop("vnode")
+        .join(broadcast(mdf), col("center") === col("vnode"))
+        .select(col("center"), col("x"), col("y"), col("wt"),
+          slice(col("vio"), 1, dim).as("vin"))
+        .join(broadcast(mdf), col("x") === col("vnode"))
+        .select(col("center"), col("x"), col("y"), col("wt"), col("vin"),
+          slice(col("vio"), dim + 1, dim).as("vout"))
       val m = GraftExpressions.dot_product(col("vin"), col("vout"))
       val prob = lit(1.0) / (lit(1.0) + exp(-m))
       val scored = examples
@@ -170,36 +208,49 @@ object Sgns {
       // ride a 2-way struct explode off the same scored rows (a union
       // would recompute the scored subtree per branch), and the loss
       // piggybacks as a second aggregate emitted once per example
-      // (side = in, j = 0). The per-iteration wall is pure job
-      // overhead at model scale, so actions are the cost unit.
+      // (side = in). The per-iteration wall is pure job overhead at
+      // model scale, so actions are the cost unit. Gradient components
+      // aggregate as dim COLUMNS over (side, gn) groups, not as a
+      // posexplode to (side, gn, j) rows (r19): the addend set per
+      // component is identical — (e × wt) × c_j in the same decimal
+      // types, order-free — but the aggregate sees dim× fewer rows and
+      // the exchange dim× fewer groups, and the decimal grid makes the
+      // regrouping provably invisible.
+      val gradCols = (0 until dim).map { j =>
+        sum(((col("e") * col("wt").cast("decimal(12,0)"))
+          * element_at(col("sx.vec"), j + 1).cast("decimal(12,6)"))
+          .cast("decimal(38,12)")).as(s"g$j")
+      } :+ sum(when(col("sx.side") === "in", col("ll"))).as("lp")
       val rows = scored
         .select(col("e"), col("wt"), col("ll"), explode(array(
           struct(lit("in").as("side"), col("center").as("gn"),
             col("vout").as("vec")),
           struct(lit("out").as("side"), col("x").as("gn"),
             col("vin").as("vec")))).as("sx"))
-        .select(col("sx.side").as("side"), col("sx.gn").as("gn"),
-          col("e"), col("wt"), col("ll"),
-          posexplode(col("sx.vec")).as(Seq("j", "c")))
-        .groupBy(col("side"), col("gn"), col("j"))
-        .agg(sum(((col("e") * col("wt").cast("decimal(12,0)"))
-            * col("c").cast("decimal(12,6)")).cast("decimal(38,12)")).as("g"),
-          sum(when(col("side") === "in" && col("j") === 0, col("ll"))).as("lp"))
+        .groupBy(col("sx.side").as("side"), col("sx.gn").as("gn"))
+        .agg(gradCols.head, gradCols.tail: _*)
         .collect()
       def side(tag: String) = rows.iterator
         .filter(_.getString(0) == tag)
-        .map(r => (r.getLong(1), r.getInt(2)) -> r.getDecimal(3).doubleValue)
+        .flatMap { r =>
+          val gn = r.getLong(1)
+          (0 until dim).iterator.map(j => (gn, j) -> r.getDecimal(2 + j).doubleValue)
+        }
         .toMap
       val (gIn, gOut) = (side("in"), side("out"))
       losses += rows.iterator
-        .filter(r => r.getString(0) == "in" && r.getInt(2) == 0 && !r.isNullAt(4))
-        .map(_.getDecimal(4).doubleValue).sum / nAll
+        .filter(r => r.getString(0) == "in" && !r.isNullAt(2 + dim))
+        .map(_.getDecimal(2 + dim).doubleValue).sum / nAll
       in = Array.tabulate(v, dim)((i, j) =>
         round6(in(i)(j) - lr * gIn.getOrElse((nodes(i), j), 0.0)
           / massIn.getOrElse(nodes(i), 1L).toDouble))
       out = Array.tabulate(v, dim)((i, j) =>
         round6(out(i)(j) - lr * gOut.getOrElse((nodes(i), j), 0.0)
           / massOut.getOrElse(nodes(i), 1L).toDouble))
+    }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      conf.set("spark.sql.shuffle.partitions", shufBefore)
     }
     (Model(dim, nodes, in, out), losses.result())
   }

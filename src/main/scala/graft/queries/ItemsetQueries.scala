@@ -80,12 +80,17 @@ object ItemsetQueries {
       .stripMargin
 
   /** Engine prefix: the F₁ rank dictionary `(tok, r)` (broadcast-
-    * tiny by the minsup argument), per-doc sorted rank arrays
-    * `(doc_id, rs)`, and the 1-row minsup frame. The rank array frame
-    * is fenced: pairs, triples and rules all re-derive from it, and
-    * the frequent-1 aggregation underneath would otherwise re-scan
-    * the corpus per consumer. The rank window runs over the
-    * dimension-sized F₁ frame, never the corpus. */
+    * tiny by the minsup argument), WEIGHTED distinct baskets
+    * `(rs, cnt)` — identical sorted rank arrays collapsed with their
+    * document multiplicity, so the combinatorial pair/triple explode
+    * below runs once per DISTINCT basket and every support is a
+    * `sum(cnt)` instead of a `count(*)` (r19: boilerplate-heavy
+    * corpora repeat baskets; the collapse is a node-scale exchange
+    * that can only shrink the explode) — and the 1-row minsup frame.
+    * The basket frame is fenced: pairs, triples and rules all
+    * re-derive from it, and the frequent-1 aggregation underneath
+    * would otherwise re-scan the corpus per consumer. The rank window
+    * runs over the dimension-sized F₁ frame, never the corpus. */
   private def freqRanked(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val toks = t(s, d, "documents")
@@ -118,8 +123,34 @@ object ItemsetQueries {
       .join(broadcast(dict.select("tok", "r")), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("r"))).as("rs"))
+      .groupBy(col("rs"))
+      .agg(count(lit(1)).as("cnt"))
       .fenced()
     (rs, dict, minsup)
+  }
+
+  /** Spread the basket frame across tasks before a combinatorial
+    * explode. The basket frame is BYTE-tiny (sorted rank arrays), so
+    * AQE's byte-advisory coalescing packs it into one partition — and
+    * the C(m,r) explode then runs as a single straggler task (measured
+    * 5.3 s for ~9 M exploded triples at sf0.1, r19). Partitioning must
+    * follow the EXPLODED work, which the byte stats cannot see: derive
+    * it from Σ C(len(rs), r) — one cheap driver action against the
+    * fenced node-scale frame (the PageRank `deg.count()` precedent) —
+    * at ~500 k exploded rows per task, capped at the scheduler's
+    * parallelism (more tasks than cores only adds scheduling overhead;
+    * the explode streams into a spillable partial agg, so per-task
+    * memory is bounded regardless of partition size). */
+  private def spreadForExplode(rs: DataFrame, arity: Int): DataFrame = {
+    val m = size(col("rs")).cast("long")
+    // column `/` is double division — keep the falling factorial in
+    // long arithmetic and divide by the constant driver-side
+    val work = if (arity == 2) m * (m - 1) else m * (m - 1) * (m - 2)
+    val total = Option(rs.agg(sum(work)).head.get(0))
+      .fold(0L)(_.asInstanceOf[Long]) / (if (arity == 2) 2 else 6)
+    val cores = rs.sparkSession.sparkContext.defaultParallelism
+    val parts = math.max(1L, math.min(cores.toLong, total / 500000L + 1)).toInt
+    if (parts <= 1) rs else rs.repartition(parts, col("rs"))
   }
 
   /** Packed ordered pairs (rank_a < rank_b) of one sorted rank array,
@@ -140,11 +171,13 @@ object ItemsetQueries {
           a * B * B + b * B + c)))))
 
   /** Packed frequent pairs `(pk, support)` — the F₂ pass. One
-    * long-keyed exchange, map-side combined to ≤ C(|F₁|,2) keys. */
+    * long-keyed exchange, map-side combined to ≤ C(|F₁|,2) keys;
+    * support sums the collapsed-basket multiplicities. */
   private def freqPairsPacked(rs: DataFrame, minsup: DataFrame): DataFrame =
-    rs.select(explode(pairPacks(col("rs"))).as("pk"))
+    spreadForExplode(rs, 2)
+      .select(col("cnt"), explode(pairPacks(col("rs"))).as("pk"))
       .groupBy(col("pk"))
-      .agg(count(lit(1)).as("support"))
+      .agg(sum(col("cnt")).as("support"))
       .crossJoin(broadcast(minsup))
       .where(col("support") >= col("minsup"))
       .select("pk", "support")
@@ -214,10 +247,11 @@ object ItemsetQueries {
       .join(p2.select(col("a").as("b"), col("b").as("c")),
         Seq("b", "c"), "left_semi")
       .select((col("a") * B * B + col("b") * B + col("c")).as("tk"))
-    val counted = rs.select(explode(triplePacks(col("rs"))).as("tk"))
+    val counted = spreadForExplode(rs, 3)
+      .select(col("cnt"), explode(triplePacks(col("rs"))).as("tk"))
       .join(broadcast(cands), Seq("tk"), "left_semi")
       .groupBy(col("tk"))
-      .agg(count(lit(1)).as("support"))
+      .agg(sum(col("cnt")).as("support"))
       .crossJoin(broadcast(minsup))
       .where(col("support") >= col("minsup"))
     val a = decode(counted, dict, shiftright(col("tk"), 40), "item_a")
