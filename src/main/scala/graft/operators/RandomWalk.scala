@@ -66,22 +66,76 @@ object RandomWalk {
         .cast("long").as("rank"))
 
   /** Shared fenced adjacency build: (adj, deg) where adj =
-    * (node, rank, dst, dst_degree) and deg = (node, degree). The edge
-    * build runs ONCE (degree and the enriched rows both derive from
-    * the checkpoint — computing either from the raw edges would
-    * re-run the corpus-scale edge build). */
-  private def buildAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    * (node, rank, dst, dst_degree, dst_dead) and deg =
+    * (node, degree). The edge build runs ONCE (degree and the
+    * enriched rows both derive from the checkpoint — computing either
+    * from the raw edges would re-run the corpus-scale edge build).
+    *
+    * DEAD-END nodes (reachable or seeded, but no out-edges) get a
+    * synthetic SELF-LOOP row `(node, rank=1, dst=node, dst_degree=1,
+    * dst_dead=true)` (r19): the step loop below is a single linear
+    * chain of INNER joins that accumulates each walk's path in an
+    * array column, and the self-loop keeps a finished walk's row
+    * alive through the remaining steps WITHOUT appending (the `dead`
+    * flag gates the append). The alternative — a LEFT join per step —
+    * would pin the corpus-scale adjacency as the only broadcastable
+    * side (BroadcastHashJoin LeftOuter builds right), exactly the
+    * wrong side at 100 TB; the self-loop keeps every step an inner
+    * equi-join whose frontier side stays the broadcast candidate.
+    * Real rows pointing AT a dead node carry `dst_degree = 1` (never
+    * null) + `dst_dead = true`, so `pmod(h, degree) + 1 = 1` always
+    * matches and no row ever falls out of the chain. */
+  private def buildAdjacency(edges: DataFrame,
+      seeds: DataFrame): (DataFrame, DataFrame) = {
     val raw = rankedAdjacency(edges)
       .select(col("src").as("node"), col("rank"), col("dst"))
       .fenced()
     val deg = raw.groupBy(col("node")).agg(max(col("rank")).as("degree"))
+    // nodes a walk can STAND ON with no way out: any dst or seed node
+    // that never occurs as a src — node-scale, computed once
+    val dead = raw.select(col("dst").as("node"))
+      .union(seeds.select(col("node"))).distinct()
+      .join(deg.select(col("node")), Seq("node"), "left_anti")
     val adj = raw
       .join(deg.select(col("node").as("dst"), col("degree").as("dst_degree")),
         Seq("dst"), "left")
-      .select(col("node"), col("rank"), col("dst"), col("dst_degree"))
+      .select(col("node"), col("rank"), col("dst"),
+        coalesce(col("dst_degree"), lit(1L)).as("dst_degree"),
+        col("dst_degree").isNull.as("dst_dead"))
+      .union(dead.select(col("node"), lit(1L).as("rank"),
+        col("node").as("dst"), lit(1L).as("dst_degree"),
+        lit(true).as("dst_dead")))
       .fenced() // reused by every step
     (adj, deg)
   }
+
+  /** Per-step join-side decision, made ONCE per walk build — the
+    * [[PageRank]] broadcast-vs-co-partition precedent, with a third
+    * rung. The planner cannot make this choice well: the frontier's
+    * row count is INVARIANT across steps (exactly one row per walk,
+    * dead or alive — the self-loop design), but a join chain's
+    * multiplicative cardinality estimates flip the build side
+    * mid-chain (measured r19: static planning broadcast the
+    * 2.4 M-row adjacency at steps 3..5 and the 100-row frontier at
+    * steps 1..2 — five separate corpus-side builds). Measured ladder:
+    *
+    *  1. adjacency fits the broadcast budget → broadcast ADJ in every
+    *     step: ONE build, reused by all steps (identical subtree), and
+    *     each step streams only the frontier — per-step cost is a
+    *     frontier-sized probe job. (Broadcasting the FRONTIER instead
+    *     re-streams the whole adjacency per step: measured 3.3–6.8 s
+    *     executor time per step at sf0.1.)
+    *  2. adjacency too big, seed set fits → broadcast the frontier
+    *     (the adjacency streams once per step — unavoidable once it
+    *     cannot be resident).
+    *  3. neither fits → leave the planner its shuffle strategies.
+    *
+    * Budgets: adjacency rows ≈ 5 longs (~40 B serialized) → 4 M rows
+    * ≈ 160 MB, the [[PageRank.MaxBroadcastNodes]] ballpark; frontier
+    * rows ≈ (4+len) longs against the same ~64 MB class budget. */
+  private val MaxBroadcastAdjRows = 4000000L
+  private def frontierFits(seeds: DataFrame, len: Int): Boolean =
+    seeds.count() <= 8000000L / (len + 4)
 
   /** The walk corpus `(walk_id, step, node)`, step 0..len, one walk
     * per seed row.
@@ -95,25 +149,41 @@ object RandomWalk {
     *                 `stepHash(w, t) mod degree` */
   def walks(edges: DataFrame, seeds: DataFrame, len: Int,
       stepHash: (Column, Int) => Column): DataFrame = {
-    val (adj, deg) = buildAdjacency(edges)
+    // ONE linear join chain with an accumulated `path` array column,
+    // exploded once at the end (r19) — the previous form emitted a
+    // UNION of per-step frontiers, and union branches share no
+    // subtrees: branch t re-planned and re-ran the whole t-join chain
+    // (O(len²) joins / adjacency scans, plan size O(len²)). Here each
+    // step is ONE inner equi-join on the fenced adjacency; finished
+    // walks ride their self-loop row (see [[buildAdjacency]]) with
+    // `dead` gating the append, so no LEFT join and no branch ever
+    // enters the plan. The path column is ≤ len+1 longs per walk —
+    // trivially small next to the join machinery it replaces.
+    val (adj, deg) = buildAdjacency(edges, seeds)
+    val adjSmall = adj.count() <= MaxBroadcastAdjRows
+    val bcastFrontier = !adjSmall && frontierFits(seeds, len)
+    val adjSide = if (adjSmall) broadcast(adj) else adj
     var frontier = seeds.select(col("walk_id"), col("node"))
-      .join(deg, Seq("node"), "left") // (walk_id, node, degree)
-    val steps = Seq.newBuilder[DataFrame]
-    steps += frontier.select(col("walk_id"), lit(0L).as("step"), col("node"))
+      .join(deg, Seq("node"), "left")
+      .select(col("walk_id"), col("node"),
+        coalesce(col("degree"), lit(1L)).as("degree"),
+        col("degree").isNull.as("dead"),
+        array(col("node")).as("path"))
     for (st <- 1 to len) {
       val h = stepHash(col("walk_id"), st)
-      // dead ends (no out-edges → degree null) end their walk: the
-      // arrival row above still emitted, no further steps
-      frontier = frontier.where(col("degree").isNotNull)
+      val stepped = frontier
         .select(col("walk_id"), col("node"),
-          (pmod(h, col("degree")) + 1L).as("rank"))
-        .join(adj, Seq("node", "rank"))
+          (pmod(h, col("degree")) + 1L).as("rank"), col("dead"), col("path"))
+      frontier = (if (bcastFrontier) broadcast(stepped) else stepped)
+        .join(adjSide, Seq("node", "rank"))
         .select(col("walk_id"), col("dst").as("node"),
-          col("dst_degree").as("degree"))
-      steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"),
-        col("node"))
+          col("dst_degree").as("degree"), col("dst_dead").as("dead"),
+          when(col("dead"), col("path"))
+            .otherwise(concat(col("path"), array(col("dst")))).as("path"))
     }
-    steps.result().reduce(_ union _)
+    frontier.select(col("walk_id"), posexplode(col("path")))
+      .select(col("walk_id"), col("pos").cast("long").as("step"),
+        col("col").as("node"))
   }
 
   /** SECOND-ORDER biased walks (node2vec, Grover & Leskovec KDD'16):
@@ -144,22 +214,41 @@ object RandomWalk {
       wBack: Long = 4L, wCommon: Long = 2L, wFar: Long = 1L): DataFrame = {
     require(len >= 1 && wBack > 0 && wCommon > 0 && wFar > 0,
       s"len=$len weights=($wBack,$wCommon,$wFar)")
-    val (adj, deg) = buildAdjacency(edges)
+    // Same linear path-accumulator chain as [[walks]] (r19 — one plan,
+    // no per-step union branches re-running their whole prefix chain);
+    // finished walks ride the synthetic self-loop row as a single
+    // always-picked candidate (cum = wtot = wt > r ≥ 0), `dead` gates
+    // the append. The path column multiplies through the candidate
+    // explode (deg(cur) copies of ≤ len+1 longs per visit) — bounded
+    // by the walk length, small next to the candidate row itself.
+    val (adj, deg) = buildAdjacency(edges, seeds)
+    val adjSmall = adj.count() <= MaxBroadcastAdjRows
+    val bcastFrontier = !adjSmall && frontierFits(seeds, len)
+    def fr(df: DataFrame): DataFrame =
+      if (bcastFrontier) broadcast(df) else df
+    def adjSide(df: DataFrame): DataFrame =
+      if (adjSmall) broadcast(df) else df
     // membership side for the α classes: is (prev → dst) an edge?
+    // (synthetic self-loop rows ride along: they can only match a
+    // candidate whose prev is a dead node, and a walk never MOVES out
+    // of a dead node — its sole self-loop candidate hits the
+    // dst === prev branch before is_common is consulted)
     val memb = adj.select(col("node").as("prev"), col("dst"),
       lit(true).as("is_common"))
-    val steps = Seq.newBuilder[DataFrame]
     val seeded = seeds.select(col("walk_id"), col("node"))
       .join(deg, Seq("node"), "left")
-    steps += seeded.select(col("walk_id"), lit(0L).as("step"), col("node"))
     // step 1: uniform first-order (no prev yet — the node2vec start)
     val h1 = stepHash(col("walk_id"), 1)
-    var frontier = seeded.where(col("degree").isNotNull)
+    var frontier = fr(seeded
       .select(col("walk_id"), col("node"),
-        (pmod(h1, col("degree")) + 1L).as("rank"))
-      .join(adj, Seq("node", "rank"))
-      .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"))
-    steps += frontier.select(col("walk_id"), lit(1L).as("step"), col("node"))
+        (pmod(h1, coalesce(col("degree"), lit(1L))) + 1L).as("rank"),
+        col("degree").isNull.as("dead"),
+        array(col("node")).as("path")))
+      .join(adjSide(adj), Seq("node", "rank"))
+      .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"),
+        col("dst_dead").as("dead"),
+        when(col("dead"), col("path"))
+          .otherwise(concat(col("path"), array(col("dst")))).as("path"))
     for (st <- 2 to len) {
       val h = stepHash(col("walk_id"), st)
       val wt = when(col("dst") === col("prev"), wBack)
@@ -171,12 +260,12 @@ object RandomWalk {
       // orderless spec would be a SECOND Window operator and a second
       // pass over every per-walk candidate partition, round 15)
       val wWalk = Window.partitionBy(col("walk_id")).orderBy(col("rank"))
-      val cand = frontier
-        .join(adj.select(col("node").as("cnode"), col("rank"), col("dst")),
-          col("node") === col("cnode"))
-        .join(memb, Seq("prev", "dst"), "left")
+      val cand = fr(frontier)
+        .join(adjSide(adj.select(col("node").as("cnode"), col("rank"),
+          col("dst"), col("dst_dead"))), col("node") === col("cnode"))
+        .join(adjSide(memb), Seq("prev", "dst"), "left")
         .select(col("walk_id"), col("prev"), col("node"), col("rank"),
-          col("dst"), wt.as("wt"))
+          col("dst"), col("dst_dead"), col("dead"), col("path"), wt.as("wt"))
       val picked = cand
         .withColumn("cum", sum(col("wt")).over(wWalk))
         .withColumn("wtot", sum(col("wt")).over(wWalk.rowsBetween(
@@ -184,10 +273,13 @@ object RandomWalk {
         .withColumn("r", pmod(h, col("wtot")))
         .where(col("cum") > col("r") && col("cum") - col("wt") <= col("r"))
       frontier = picked
-        .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"))
-      steps += frontier.select(col("walk_id"), lit(st.toLong).as("step"),
-        col("node"))
+        .select(col("walk_id"), col("node").as("prev"), col("dst").as("node"),
+          col("dst_dead").as("dead"),
+          when(col("dead"), col("path"))
+            .otherwise(concat(col("path"), array(col("dst")))).as("path"))
     }
-    steps.result().reduce(_ union _)
+    frontier.select(col("walk_id"), posexplode(col("path")))
+      .select(col("walk_id"), col("pos").cast("long").as("step"),
+        col("col").as("node"))
   }
 }
