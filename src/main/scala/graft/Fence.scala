@@ -84,8 +84,33 @@ object Fence {
     case _ => ds.localCheckpoint()
   }
 
+  /** Fence `ds` hash-partitioned by `keys` into `n` partitions with
+    * the layout VISIBLE to downstream planning. Under AQE the
+    * checkpoint capture reports `UnknownPartitioning` (the adaptive
+    * plan's partitioning is not resolvable at capture time — measured
+    * r19, PartProbe), so every downstream groupBy/join re-exchanges a
+    * frame that is already laid out correctly. Disabling AQE for JUST
+    * the repartition+checkpoint action records the exact
+    * `hashpartitioning(keys, n)` on the LogicalRDD; consumers (with
+    * AQE back on) then satisfy any ClusteredDistribution over a
+    * superset of `keys` exchange-free. The iterative operators use
+    * this to buy out their per-round aggregate exchanges with ONE
+    * up-front exchange. `n` must be chosen scale-adaptively by the
+    * caller (rows-per-partition targets, never a local constant) —
+    * with AQE off for the fence there is no coalescing safety net. */
+  def partitioned[T](ds: Dataset[T], n: Int,
+      keys: org.apache.spark.sql.Column*): Dataset[T] = {
+    val conf = ds.sparkSession.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try Fence(ds.repartition(n, keys: _*))
+    finally conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
   /** `df.fenced()` — drop-in for `df.localCheckpoint()` call sites. */
   implicit final class FenceOps[T](private val ds: Dataset[T]) extends AnyVal {
     def fenced(): Dataset[T] = Fence(ds)
+    def fencedBy(n: Int, keys: org.apache.spark.sql.Column*): Dataset[T] =
+      Fence.partitioned(ds, n, keys: _*)
   }
 }

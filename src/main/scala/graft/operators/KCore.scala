@@ -48,6 +48,12 @@ object KCore {
         .join(nodes.select(col("id").as("did")), col("dst") === col("did"), "left_semi")
         .groupBy(col("src")).agg(count(lit(1)).as("d"))
 
+    // each round's fence carries (id, d) — d is the node's degree
+    // within the PRE-filter set, so at the fixpoint (filter removes
+    // nothing, next ≡ nodes) it IS the in-core degree: the converged
+    // round's frame is the final answer and the old post-loop
+    // `degrees(nodes)` pass (two corpus-scale semi-joins + agg, just
+    // to recompute numbers already on the fence) disappears (r19).
     var nodes = e.select(col("src").as("id")).distinct().fenced()
     var size = nodes.count()
     var converged = false
@@ -55,7 +61,7 @@ object KCore {
     while (!converged && iters < maxIters) {
       val next = degrees(nodes)
         .where(col("d") >= k)
-        .select(col("src").as("id"))
+        .select(col("src").as("id"), col("d"))
         .fenced()
       val nextSize = next.count()
       converged = nextSize == size
@@ -66,6 +72,6 @@ object KCore {
       if (size == 0) converged = true
     }
     require(converged, s"k-core peeling did not converge in $maxIters rounds")
-    degrees(nodes).select(col("src").as("id"), col("d").as("core_degree"))
+    nodes.select(col("id"), col("d").as("core_degree"))
   }
 }

@@ -95,29 +95,33 @@ object KTruss {
       (s, ori)
     }
 
-    var e = e0
-    var size = e.count()
+    // each round's fence carries (u, v, support) — support is counted
+    // within the PRE-filter edge set, so at the fixpoint (filter
+    // removes nothing, next ≡ e) it IS the in-truss support: the
+    // converged round's frame is the final answer and the old
+    // post-loop `support(e)` pass (a full oriented triangle
+    // enumeration — the most expensive plan in the operator — just to
+    // recompute numbers already on the fence) disappears (r19).
+    // rounds carry the fenced (u, v, support) survivor frame; the
+    // next round's enumeration uses its (u, v) projection
+    var cur: DataFrame = e0 // (u, v) pre-round-1; the loop always runs
+    var size = e0.count()
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val (s, ori) = support(e)
-      val next = s.where(col("support") >= k - 2)
-        .select(col("u"), col("v"))
-        .fenced()
+      val (s, ori) = support(cur.select(col("u"), col("v")))
+      val next = s.where(col("support") >= k - 2).fenced()
       val nextSize = next.count()
       free(ori) // survivors materialized; this round's fence is spent
       converged = nextSize == size
-      free(e) // superseded (e0's dependents — deg0, round-1 ori — are
-      // themselves fenced eagerly, so freeing it is safe too)
-      e = next
+      if (iters > 0) free(cur) // superseded round fence (e0 itself
+      // stays: deg0 and every round's orientation derive from it)
+      cur = next
       size = nextSize
       iters += 1
       if (size == 0) converged = true
     }
     require(converged, s"k-truss peeling did not converge in $maxIters rounds")
-    // one triangle pass over the FIXPOINT edge set (its own fence
-    // backs the plan); the filter is a no-op at the fixpoint by
-    // definition, kept as a safety net
-    support(e)._1.where(col("support") >= k - 2)
+    cur
   }
 }

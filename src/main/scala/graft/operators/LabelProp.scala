@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Fence
 import graft.Fence.FenceOps
 
 /** Synchronous label propagation (Raghavan et al. 2007, the LPA
@@ -39,12 +40,22 @@ object LabelProp {
     val useBroadcast = broadcastLabels.getOrElse {
       nodes.count() <= PageRank.MaxBroadcastNodes
     }
-    // broadcast path: use the caller's (contractually pre-cached)
-    // frame as-is — re-checkpointing it would materialize the
-    // corpus-scaled edge table a second time. Only the co-partition
-    // path derives a NEW layout worth fencing.
-    val ed = if (useBroadcast) edges
-             else edges.repartition(col("src")).fenced()
+    // Both paths now derive a layout worth fencing (r19). Broadcast
+    // path: hash by DST via Fence.partitioned — the broadcast probe
+    // join preserves the visible layout, hashpartitioning(dst)
+    // satisfies both per-round grouping distributions ((dst, lab) ⊇
+    // {dst} and (dst)), so every round's two aggregates run one-phase
+    // with ZERO exchanges. The old as-is reuse of the caller's frame
+    // saved one edge-scale materialization but paid an EDGE-scale
+    // (dst, lab) exchange per round — the pre-convergence (dst, lab)
+    // key space is the edge count, so rounds × edge-scale shuffles
+    // against one up-front exchange is a clear trade at any scale.
+    // The edge count that sizes the layout is one trivial job against
+    // the caller's already-fenced frame.
+    val ed = if (useBroadcast)
+      Fence.partitioned(edges,
+        PageRank.edgeParts(edges.sparkSession, edges.count()), col("dst"))
+    else edges.repartition(col("src")).fenced()
     var lab: DataFrame = nodes.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to rounds) {
       val l = if (useBroadcast) broadcast(lab) else lab.hint("shuffle_merge")

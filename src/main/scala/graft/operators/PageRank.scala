@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Fence
 import graft.Fence.FenceOps
 
 /** Fixed-point integer PageRank (see `queries.GraphQueries` for the
@@ -46,6 +47,16 @@ object PageRank {
     * executor broadcast budgets while far above the graded graph. */
   val MaxBroadcastNodes = 4000000L
 
+  /** Partition count for the pinned edge layout: ~250 k folded edge
+    * rows (3 longs ≈ 24 B) per partition, capped at 4× the
+    * scheduler's parallelism — derived from the measured edge count,
+    * so it scales with the data, not with the local core count. */
+  private[operators] def edgeParts(spark: org.apache.spark.sql.SparkSession,
+      nEdges: Long): Int = {
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    math.max(1L, math.min(nEdges / 250000L + 1, 4L * cores)).toInt
+  }
+
   /** @param edges (src: long, dst: long), pre-cached by the caller
     * @param broadcastRanks force the rank-vector side: Some(true) =
     *   broadcast joins, Some(false) = co-partitioned shuffle joins,
@@ -63,16 +74,26 @@ object PageRank {
     // single join + partial agg per iteration, not two joins
     val folded = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("d"))
-    val useBroadcast = broadcastRanks.getOrElse {
-      // node-count job against the materialized deg — trivially
-      // cheaper than one mis-sided iteration
-      deg.count() <= MaxBroadcastNodes
-    }
-    // co-partition path: pin the edge layout to hashpartitioning(src)
-    // BEFORE the checkpoint — LogicalRDD keeps the physical
-    // partitioning, so per-iteration joins shuffle only the ranks
-    val ed = (if (useBroadcast) folded
-              else folded.repartition(col("src"))).fenced()
+    // ONE node-scale job yields both the broadcast decision (node
+    // count) and the edge count that sizes the pinned layout — same
+    // action count as the old bare deg.count()
+    val statsRow = deg.agg(count(lit(1)), sum(col("d"))).head()
+    val (nNodes, nEdges) = (statsRow.getLong(0),
+      Option(statsRow.get(1)).fold(0L)(_.asInstanceOf[Long]))
+    val useBroadcast = broadcastRanks.getOrElse(nNodes <= MaxBroadcastNodes)
+    // pin the edge layout BEFORE the checkpoint. Co-partition path:
+    // hash by src, so per-iteration joins shuffle only the ranks.
+    // Broadcast path (r19): hash by DST via [[Fence.partitioned]] —
+    // the broadcast probe join preserves the layout and
+    // hashpartitioning(dst) satisfies the groupBy(dst) distribution,
+    // so every iteration's aggregate runs ONE-PHASE with ZERO
+    // exchanges; the loop is a single stage chain plus the
+    // per-iteration rank broadcast builds. One edge-scale exchange at
+    // build time buys out `iters` per-iteration agg exchanges (plus
+    // their AQE re-plan jobs).
+    val parts = edgeParts(edges.sparkSession, nEdges)
+    val ed = if (useBroadcast) Fence.partitioned(folded, parts, col("dst"))
+             else folded.repartition(col("src")).fenced()
     var r: DataFrame = deg.select(col("src").as("id"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       val ranks = if (useBroadcast) broadcast(r) else r.hint("shuffle_merge")
@@ -106,11 +127,16 @@ object PageRank {
       .fenced()
     val folded = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("d"))
-    val useBroadcast = broadcastRanks.getOrElse {
-      deg.count() <= MaxBroadcastNodes
-    }
-    val ed = (if (useBroadcast) folded
-              else folded.repartition(col("src"))).fenced()
+    val statsRow = deg.agg(count(lit(1)), sum(col("d"))).head()
+    val (nNodes, nEdges) = (statsRow.getLong(0),
+      Option(statsRow.get(1)).fold(0L)(_.asInstanceOf[Long]))
+    val useBroadcast = broadcastRanks.getOrElse(nNodes <= MaxBroadcastNodes)
+    // same dst-vs-src layout pinning as [[apply]] (r19): the broadcast
+    // path's per-iteration groupBy(dst) reuses the fence's visible
+    // hashpartitioning(dst) — zero in-loop exchanges
+    val parts = edgeParts(edges.sparkSession, nEdges)
+    val ed = if (useBroadcast) Fence.partitioned(folded, parts, col("dst"))
+             else folded.repartition(col("src")).fenced()
     // node-sized teleport vector: tp = TeleportFp on seeds, 0 off
     val tele = deg.select(col("src").as("id"))
       .join(seeds.select(col("id").as("sid")), col("id") === col("sid"), "left_outer")
