@@ -66,9 +66,12 @@ object ConnectedComponents {
       df.select(least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
         .where(col("lo") =!= col("hi")).distinct()
+    // NOT fenced (r19): consumed exactly once, by the final label
+    // join — a fence here paid a materialization job for zero reuse
+    // (the callers' edge frames are themselves fenced, so the single
+    // evaluation scans checkpoint blocks, not a live plan)
     val nodes = edges.select(col(cols(0)).as("id"))
       .union(edges.select(col(cols(1)).as("id"))).distinct()
-      .fenced()
     var e = canon(edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
       .fenced()
     var eCount = e.count()
@@ -83,7 +86,18 @@ object ConnectedComponents {
         .agg(min(least(col("v"), col("u"))).as("m"))
       val large = nbrs.join(mins, "u").where(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
-      val afterLarge = canon(large).fenced()
+      // NOT fenced, NOT pinned (r19 measured): a Fence.partitioned pin
+      // over this LIVE join/distinct subtree would run it with AQE
+      // off, losing runtime broadcast-join conversion (sort-merge
+      // blowup far beyond the one exchange a pin saves); and the
+      // plain fence paid a materialization job per round for reuse
+      // the planner already provides — both small-star consumers of
+      // this subtree reference the SAME canonical exchange under
+      // canon's distinct, so within the round's single fenced plan it
+      // materializes once (ReusedExchange; the post-exchange dedup
+      // agg re-runs per consumer, a streaming pass over exchange
+      // output that costs less than the fence job it replaces).
+      val afterLarge = canon(large)
       // small-star over the contracted edges
       val nbrs2 = afterLarge.select(col("hi").as("u"), col("lo").as("v"))
       val mins2 = nbrs2.groupBy(col("u"))
@@ -112,7 +126,6 @@ object ConnectedComponents {
       // Dataset.unpersist is a no-op on localCheckpoint frames — free
       // the superseded rounds' blocks through the bridge shim
       free(e)
-      free(afterLarge)
       e = next
     }
     // star graphs: every hi links directly to its component minimum
@@ -128,23 +141,52 @@ object ConnectedComponents {
   def resolve(edges: DataFrame): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.toSeq}")
+    val spark = edges.sparkSession
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val bi0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .fenced()
-    var labels = bi.select(col("src").as("id")).distinct()
+    var labels = bi0.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .fenced()
+    // broadcast-vs-planner ladder (the PageRank seam, r19): when the
+    // label vector fits the broadcast budget, pin the edge table to
+    // hashpartitioning(src) — the per-round broadcast probe preserves
+    // it, groupBy(src) runs one-phase with ZERO exchanges, and each
+    // round is exactly three jobs (two node-scale broadcast builds +
+    // the fence). Both ladder counts are one trivial job each against
+    // already-fenced frames; beyond the ceiling the planner keeps its
+    // shuffle strategies on the unpinned frame (unchanged behavior).
+    val nNodes = labels.count()
+    val small = nNodes <= PageRank.MaxBroadcastNodes
+    val bi =
+      if (small)
+        graft.Fence.partitioned(bi0,
+          PageRank.edgeParts(spark, bi0.count()), col("src"))
+      else bi0
+    if (small) free(bi0) // superseded by the pinned copy (labels is
+    // itself fenced eagerly, so nothing still derives from bi0)
     var changed = 1L
     while (changed > 0) {
-      val nbrMin = bi.join(labels, col("dst") === col("id"))
+      // convergence probe piggybacks on the fence materialization as
+      // an accumulator bump (r19) instead of a separate aggregate
+      // action (2 jobs/round under AQE). Accumulator exactness at the
+      // ZERO boundary is all the loop needs: task retries can only
+      // OVER-count (acc ≥ true moved-count), and when the true count
+      // is 0 no task anywhere sees moved=1, so acc==0 ⟺ converged —
+      // the iterate/stop decision is identical to the old sum(moved)
+      // and the labels themselves never depend on the counter.
+      val acc = spark.sparkContext.longAccumulator
+      val bump = udf((m: Long) => { acc.add(m); m }).asNondeterministic()
+      val l = if (small) broadcast(labels) else labels
+      val nbrMin = bi.join(l, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nl"))
       val next = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("nxt"))
       val stepped = next.select(col("id"), col("nxt").as("lbl"),
-        (col("nxt") =!= col("lbl")).cast("long").as("moved"))
+        bump((col("nxt") =!= col("lbl")).cast("long")).as("moved"))
         .fenced()
-      changed = stepped.agg(coalesce(sum(col("moved")), lit(0L))).head().getLong(0)
+      changed = acc.value
       free(labels) // superseded checkpoint — free its blocks
       labels = stepped.select(col("id"), col("lbl"))
     }

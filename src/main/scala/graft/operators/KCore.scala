@@ -41,7 +41,17 @@ object KCore {
   def apply(edges: DataFrame, k: Int, maxIters: Int = 32): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.toSeq}")
-    val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")).fenced()
+    // pin the edge fence to hashpartitioning(src): the per-round
+    // degree count groups by src and both membership semi-joins are
+    // broadcast-side probes that preserve the layout, so every round's
+    // aggregate runs one-phase with zero exchanges (r19). The pin
+    // costs one fence of the raw frame to learn the edge count that
+    // sizes the layout (the PageRank rows-per-partition rule), then
+    // the pinned copy; the raw fence is freed immediately.
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")).fenced()
+    val e = graft.Fence.partitioned(e0,
+      PageRank.edgeParts(edges.sparkSession, e0.count()), col("src"))
+    free(e0)
 
     def degrees(nodes: DataFrame): DataFrame =
       e.join(nodes, col("src") === col("id"), "left_semi")
