@@ -90,32 +90,53 @@ object KMeans {
     var moved = Double.MaxValue
     var iter = 0
     var assigned: DataFrame = null
-    while (iter < maxIter && moved > tol) {
-      assigned = assign(src, centroids)
-      // one aggregation computes BOTH the new centroids and the
-      // objective: (cluster, dim) sums/counts + per-row distance sum
-      val stats = assigned
-        .select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
-          // d2 is per-row; counted once per row via dim 0 only
-          sum(when(col("dim") === 0, col("d2")).otherwise(0.0)).as("sd2"))
-        .collect()
-      wcss += stats.map(_.getAs[Double]("sd2")).sum
-      val next = Array.ofDim[Double](k, centroids(0).length)
-      val counts = Array.ofDim[Long](k)
-      stats.foreach { r =>
-        val c = r.getAs[Int]("cluster"); val d = r.getAs[Int]("dim")
-        next(c)(d) = r.getAs[Double]("sx")
-        counts(c) = r.getAs[Long]("n")
+    // The per-iteration stats collect is MODEL-scale past its map-side
+    // partial agg — the exchange carries ≤ k·dim groups per map
+    // partition no matter the corpus size — so AQE's per-exchange
+    // re-plan + extra job per iteration buys nothing (the Sgns r19
+    // precedent). The loop runs with AQE off and a model-derived
+    // static partition count (k·dim groups, one partition per ~400 k —
+    // i.e. 1 for any sane k·dim), session settings restored after.
+    // Every aggregate here keys (cluster, dim) to a single reducer
+    // whose partial-combine order is the map-id order either way, so
+    // the collected sums are unchanged.
+    val conf = vecs.sparkSession.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, k.toLong * centroids(0).length / 400000L + 1).toString)
+    try {
+      while (iter < maxIter && moved > tol) {
+        assigned = assign(src, centroids)
+        // one aggregation computes BOTH the new centroids and the
+        // objective: (cluster, dim) sums/counts + per-row distance sum
+        val stats = assigned
+          .select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
+            // d2 is per-row; counted once per row via dim 0 only
+            sum(when(col("dim") === 0, col("d2")).otherwise(0.0)).as("sd2"))
+          .collect()
+        wcss += stats.map(_.getAs[Double]("sd2")).sum
+        val next = Array.ofDim[Double](k, centroids(0).length)
+        val counts = Array.ofDim[Long](k)
+        stats.foreach { r =>
+          val c = r.getAs[Int]("cluster"); val d = r.getAs[Int]("dim")
+          next(c)(d) = r.getAs[Double]("sx")
+          counts(c) = r.getAs[Long]("n")
+        }
+        (0 until k).foreach { c =>
+          if (counts(c) > 0) (0 until next(c).length).foreach(d => next(c)(d) /= counts(c))
+          else next(c) = centroids(c) // empty cluster keeps its centroid
+        }
+        moved = (0 until k).map(c => sqDist(centroids(c), next(c))).max
+        centroids = next
+        iter += 1
       }
-      (0 until k).foreach { c =>
-        if (counts(c) > 0) (0 until next(c).length).foreach(d => next(c)(d) /= counts(c))
-        else next(c) = centroids(c) // empty cluster keeps its centroid
-      }
-      moved = (0 until k).map(c => sqDist(centroids(c), next(c))).max
-      centroids = next
-      iter += 1
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      conf.set("spark.sql.shuffle.partitions", shufBefore)
     }
     (assign(src, centroids).select(col("id"), col("cluster")), centroids, wcss.result())
   }

@@ -1334,8 +1334,13 @@ object SimilarityQueries {
     // trace the oracle reads, so the two sides cannot see different
     // servings
     val trace = spark.read.parquet(s"$IvfNprobeDumpDir/c$corpusKey")
+    // fenced (r19): the truth set is consumed TWICE below — the
+    // denominator count and the grading join's broadcast build — and
+    // each evaluation of the un-fenced plan re-ran the full
+    // brute-force kNN (corpus scan + per-query window)
     val brute = qKnnBrute.fn(s, d)
       .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      .fenced()
     // recall@5 denominator is the TRUTH-set size (r16 advice: the old
     // returned-row denominator was precision — a narrow probe
     // returning under k rows per query overstated recall)
