@@ -776,4 +776,61 @@ object GraftExpressions {
 
   def sq_dist(a: Column, b: Column): Column =
     bridge.column(SqDist(bridge.expression(a), bridge.expression(b)))
+
+  /** vec_lookup(key) — model-vector fetch from a BROADCAST variable
+    * (r19, the SGNS per-iteration model side). The model table used
+    * to reach the examples through a broadcast JOIN, which costs one
+    * broadcast-exchange build JOB per iteration plus the join
+    * machinery; a `SparkContext.broadcast` handle ships with the task
+    * binary for free (no job — executors fetch blocks once), and the
+    * lookup is one hash probe per row, whole-stage-codegen'd. The
+    * broadcast (not a plan-embedded literal/reference array) is what
+    * keeps this scale-safe: a 2²⁰-node model is ~130 MB that must NOT
+    * ride every task closure.
+    *
+    * Total-lookup contract (= the inner join it replaces, where every
+    * key is in the vocabulary by construction): a missing key THROWS
+    * — a silent null would train on a zero vector and corrupt the
+    * model with no error anywhere (the PlaneBits strictness stance).
+    * The caller owns the broadcast lifecycle (destroy after the
+    * iteration's action). */
+  case class BcVecLookup(child: Expression,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[java.lang.Long, Array[Double]]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def nullSafeEval(k: Any): Any =
+      vecLookupKernel(bc.value, k.asInstanceOf[java.lang.Long])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("vecBc", bc,
+        "org.apache.spark.broadcast.Broadcast")
+      val mapVar = ctx.addMutableState("java.util.HashMap", "vecMap",
+        v => s"$v = (java.util.HashMap) $bcRef.value();")
+      nullSafeCodeGen(ctx, ev, k =>
+        s"""
+           |${ev.value} = graft.functions.GraftExpressions.vecLookupKernel(
+           |  $mapVar, $k);
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Shared kernel of [[BcVecLookup]] (interpreted AND generated). */
+  def vecLookupKernel(map: java.util.HashMap[java.lang.Long, Array[Double]],
+      k: Long): ArrayData = {
+    val arr = map.get(k)
+    if (arr == null)
+      throw new IllegalArgumentException(s"vec_lookup: key $k not in model")
+    new GenericArrayData(arr)
+  }
+
+  def vec_lookup(key: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[java.lang.Long, Array[Double]]]): Column =
+    bridge.column(BcVecLookup(bridge.expression(key), bc))
 }

@@ -70,6 +70,11 @@ object KTruss {
       val dv = deg0.select(col("n").as("v"), col("d").as("dv"))
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
+      // NOT pinned (r19 measured): Fence.partitioned would run this
+      // live join subtree with AQE off — losing runtime broadcast
+      // conversion costs far more than the one wedge-join exchange a
+      // src pin would save; a pin is only safe over an already-fenced
+      // LogicalRDD.
       val ori = e.join(du, "u").join(dv, "v")
         .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"),

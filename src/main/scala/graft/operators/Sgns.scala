@@ -171,24 +171,31 @@ object Sgns {
       math.max(1L, 2L * v / 400000L + 1).toString)
     try {
     for (_ <- 1 to iters) {
-      // ONE broadcast per iteration, not two: both model sides ride a
-      // single (vnode, vio = in ++ out) relation; the two probe joins
-      // build on the identical subtree and key (vnode), so the second
-      // join reuses the first's broadcast exchange (ReusedExchange —
-      // r19; separate in/out relations cost a second broadcast build
-      // job every iteration). A flat array (not a struct) keeps nested
-      // column pruning from specializing the build per side, which
-      // would defeat the reuse; each side is a `slice`.
-      val mdf = nodes.indices
-        .map(i => (nodes(i), (in(i) ++ out(i)).toSeq))
-        .toDF("vnode", "vio")
+      // ZERO broadcast-exchange builds per iteration (r19, second
+      // cut): the model reaches the examples as a
+      // `SparkContext.broadcast` HashMap probed by a codegen'd
+      // lookup expression ([[GraftExpressions.vec_lookup]]) instead
+      // of a broadcast JOIN. The join cost one broadcast-build JOB
+      // per iteration; the broadcast variable ships with the task
+      // binary for free and each side is one hash probe per row. The
+      // inner join it replaces matched every row (center/x are in the
+      // vocabulary by construction), so the total-lookup expression
+      // is row-for-row identical — and it THROWS on a miss rather
+      // than training on a silent null. Both sides ride ONE map of
+      // concatenated (in ++ out) vectors; each side is a `slice`.
+      // The handle is destroyed right after the iteration's single
+      // action so executor storage stays one model copy, not iters.
+      val mmap = new java.util.HashMap[java.lang.Long, Array[Double]](2 * v)
+      nodes.indices.foreach { i =>
+        mmap.put(nodes(i), in(i) ++ out(i)): Unit
+      }
+      val mbc = spark.sparkContext.broadcast(mmap)
+      val vio = (k: org.apache.spark.sql.Column) =>
+        GraftExpressions.vec_lookup(k, mbc)
       val examples = skeleton
-        .join(broadcast(mdf), col("center") === col("vnode"))
         .select(col("center"), col("x"), col("y"), col("wt"),
-          slice(col("vio"), 1, dim).as("vin"))
-        .join(broadcast(mdf), col("x") === col("vnode"))
-        .select(col("center"), col("x"), col("y"), col("wt"), col("vin"),
-          slice(col("vio"), dim + 1, dim).as("vout"))
+          slice(vio(col("center")), 1, dim).as("vin"),
+          slice(vio(col("x")), dim + 1, dim).as("vout"))
       val m = GraftExpressions.dot_product(col("vin"), col("vout"))
       val prob = lit(1.0) / (lit(1.0) + exp(-m))
       val scored = examples
@@ -230,6 +237,7 @@ object Sgns {
         .groupBy(col("sx.side").as("side"), col("sx.gn").as("gn"))
         .agg(gradCols.head, gradCols.tail: _*)
         .collect()
+      mbc.destroy() // iteration's one action done; drop the model copy
       def side(tag: String) = rows.iterator
         .filter(_.getString(0) == tag)
         .flatMap { r =>
