@@ -84,6 +84,29 @@ object Fence {
     case _ => ds.localCheckpoint()
   }
 
+  /** Fence `df` AND return its row count, both from the fence's ONE
+    * materializing job (r19 optimization round). The iterative
+    * operators' per-round shape was fence + `count()` — the count a
+    * second, separately planned Catalyst action (~170 ms planning
+    * floor, JobFloor) over a frame whose cardinality the fence job
+    * just computed. Local mode rides
+    * `bridge.localCheckpointWithCount` (the Dataset.checkpoint
+    * construction with the eager materialization as `rdd.count()`);
+    * reliable mode keeps `Dataset.checkpoint` untouched and counts
+    * the checkpoint FILES with one plain RDD job (no Catalyst
+    * aggregate, no recompute — an in-job count there would be
+    * recomputed when the end-of-job hook writes the files). Results
+    * are the standard fence contract either way; FenceSpec pins the
+    * frame AND count across modes. */
+  def withCount(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Long) = mode(df) match {
+    case "reliable" =>
+      val f = apply(df)
+      (f, org.apache.spark.sql.graft.bridge.fencedRowCount(f))
+    case _ =>
+      org.apache.spark.sql.graft.bridge.localCheckpointWithCount(df)
+  }
+
   /** Fence `ds` hash-partitioned by `keys` into `n` partitions with
     * the layout VISIBLE to downstream planning. Under AQE the
     * checkpoint capture reports `UnknownPartitioning` (the adaptive

@@ -72,9 +72,11 @@ object ConnectedComponents {
     // evaluation scans checkpoint blocks, not a live plan)
     val nodes = edges.select(col(cols(0)).as("id"))
       .union(edges.select(col(cols(1)).as("id"))).distinct()
-    var e = canon(edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
-      .fenced()
-    var eCount = e.count()
+    // fence + count ride ONE job (r19 optimization round,
+    // Fence.withCount): the count was a second planned action per
+    // frame whose answer the fence's materializing job had computed
+    var (e, eCount) = graft.Fence.withCount(
+      canon(edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))))
     var stable = false
     while (!stable) {
       // large-star over the bidirectional neighbor list: per-u minimum
@@ -106,16 +108,15 @@ object ConnectedComponents {
       val small = withMin2
         .select(col("v").as("src"), col("m").as("dst"))
         .union(mins2.select(col("u").as("src"), col("m").as("dst")))
-      val next = canon(small).fenced()
       // termination = symmetric difference empty. Count-gated: equal
-      // cardinality is a NECESSARY condition for set equality, and a
-      // count over the just-checkpointed frame is a trivial job,
+      // cardinality is a NECESSARY condition for set equality, and
+      // the count rides the round's fence job itself (withCount),
       // while the full probe (full-outer join with presence markers,
       // limit-1 scan for any one-sided row — exact because both sets
       // are canonical + deduped) shuffles the whole edge set. Rounds
       // that still contract (count changed) skip the join entirely;
       // only count-stable rounds pay for the exact check.
-      val nextCount = next.count()
+      val (next, nextCount) = graft.Fence.withCount(canon(small))
       stable = nextCount == eCount &&
         next.select(col("lo"), col("hi"), lit(1).as("in_next"))
           .join(e.select(col("lo"), col("hi"), lit(1).as("in_prev")),
@@ -143,11 +144,14 @@ object ConnectedComponents {
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.toSeq}")
     val spark = edges.sparkSession
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
-    val bi0 = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .fenced()
-    var labels = bi0.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .fenced()
+    // both entry fences carry their row counts out of their own
+    // materializing jobs (withCount, r19 optimization round) — the
+    // ladder's two sizing counts were two extra planned actions
+    val (bi0, biCount) = graft.Fence.withCount(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))))
+    var (labels, nNodes) = graft.Fence.withCount(
+      bi0.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     // broadcast-vs-planner ladder (the PageRank seam, r19): when the
     // label vector fits the broadcast budget, pin the edge table to
     // hashpartitioning(src) — the per-round broadcast probe preserves
@@ -156,12 +160,11 @@ object ConnectedComponents {
     // the fence). Both ladder counts are one trivial job each against
     // already-fenced frames; beyond the ceiling the planner keeps its
     // shuffle strategies on the unpinned frame (unchanged behavior).
-    val nNodes = labels.count()
     val small = nNodes <= PageRank.MaxBroadcastNodes
     val bi =
       if (small)
         graft.Fence.partitioned(bi0,
-          PageRank.edgeParts(spark, bi0.count()), col("src"))
+          PageRank.edgeParts(spark, biCount), col("src"))
       else bi0
     if (small) free(bi0) // superseded by the pinned copy (labels is
     // itself fenced eagerly, so nothing still derives from bi0)

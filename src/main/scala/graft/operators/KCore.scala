@@ -48,9 +48,12 @@ object KCore {
     // costs one fence of the raw frame to learn the edge count that
     // sizes the layout (the PageRank rows-per-partition rule), then
     // the pinned copy; the raw fence is freed immediately.
-    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")).fenced()
+    // the sizing count rides the raw fence's own job (withCount, r19
+    // optimization round) instead of a second planned action
+    val (e0, eCount) = graft.Fence.withCount(
+      edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst")))
     val e = graft.Fence.partitioned(e0,
-      PageRank.edgeParts(edges.sparkSession, e0.count()), col("src"))
+      PageRank.edgeParts(edges.sparkSession, eCount), col("src"))
     free(e0)
 
     def degrees(nodes: DataFrame): DataFrame =
@@ -64,16 +67,16 @@ object KCore {
     // round's frame is the final answer and the old post-loop
     // `degrees(nodes)` pass (two corpus-scale semi-joins + agg, just
     // to recompute numbers already on the fence) disappears (r19).
-    var nodes = e.select(col("src").as("id")).distinct().fenced()
-    var size = nodes.count()
+    var (nodes, size) = graft.Fence.withCount(
+      e.select(col("src").as("id")).distinct())
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      val next = degrees(nodes)
-        .where(col("d") >= k)
-        .select(col("src").as("id"), col("d"))
-        .fenced()
-      val nextSize = next.count()
+      // per-round fence + convergence count in ONE job (withCount)
+      val (next, nextSize) = graft.Fence.withCount(
+        degrees(nodes)
+          .where(col("d") >= k)
+          .select(col("src").as("id"), col("d")))
       converged = nextSize == size
       free(nodes)
       nodes = next

@@ -49,7 +49,10 @@ object KTruss {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     val cols = edges.columns
     require(cols.length == 2, s"edges must have exactly 2 columns, got ${cols.toSeq}")
-    val e0 = edges.select(col(cols(0)).as("u"), col(cols(1)).as("v")).fenced()
+    // entry fence + its sizing count ride one job (withCount, r19
+    // optimization round)
+    val (e0, e0Count) = graft.Fence.withCount(
+      edges.select(col(cols(0)).as("u"), col(cols(1)).as("v")))
 
     // frozen orientation order: (initial degree, id) — carried as
     // columns and compared lexicographically, never a global rank
@@ -110,13 +113,14 @@ object KTruss {
     // rounds carry the fenced (u, v, support) survivor frame; the
     // next round's enumeration uses its (u, v) projection
     var cur: DataFrame = e0 // (u, v) pre-round-1; the loop always runs
-    var size = e0.count()
+    var size = e0Count
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       val (s, ori) = support(cur.select(col("u"), col("v")))
-      val next = s.where(col("support") >= k - 2).fenced()
-      val nextSize = next.count()
+      // per-round fence + convergence count in ONE job (withCount)
+      val (next, nextSize) = graft.Fence.withCount(
+        s.where(col("support") >= k - 2))
       free(ori) // survivors materialized; this round's fence is spent
       converged = nextSize == size
       if (iters > 0) free(cur) // superseded round fence (e0 itself

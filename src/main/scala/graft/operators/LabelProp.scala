@@ -36,9 +36,12 @@ object LabelProp {
     * @return (id: long, lab: long) — final label per node */
   def apply(edges: DataFrame, rounds: Int,
       broadcastLabels: Option[Boolean] = None): DataFrame = {
-    val nodes = edges.select(col("src").as("id")).distinct().fenced()
+    // fence + ladder count in one job (withCount, r19 optimization
+    // round); when the caller pins the ladder the count is free
+    val (nodes, nNodes) = Fence.withCount(
+      edges.select(col("src").as("id")).distinct())
     val useBroadcast = broadcastLabels.getOrElse {
-      nodes.count() <= PageRank.MaxBroadcastNodes
+      nNodes <= PageRank.MaxBroadcastNodes
     }
     // Both paths now derive a layout worth fencing (r19). Broadcast
     // path: hash by DST via Fence.partitioned — the broadcast probe

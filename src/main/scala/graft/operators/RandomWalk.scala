@@ -86,7 +86,7 @@ object RandomWalk {
     * null) + `dst_dead = true`, so `pmod(h, degree) + 1 = 1` always
     * matches and no row ever falls out of the chain. */
   private def buildAdjacency(edges: DataFrame,
-      seeds: DataFrame): (DataFrame, DataFrame) = {
+      seeds: DataFrame): (DataFrame, Long, DataFrame) = {
     val raw = rankedAdjacency(edges)
       .select(col("src").as("node"), col("rank"), col("dst"))
       .fenced()
@@ -96,7 +96,9 @@ object RandomWalk {
     val dead = raw.select(col("dst").as("node"))
       .union(seeds.select(col("node"))).distinct()
       .join(deg.select(col("node")), Seq("node"), "left_anti")
-    val adj = raw
+    // the fence's own job also yields the adjacency row count that
+    // drives the broadcast ladder (withCount, r19 optimization round)
+    val (adj, nAdj) = graft.Fence.withCount(raw
       .join(deg.select(col("node").as("dst"), col("degree").as("dst_degree")),
         Seq("dst"), "left")
       .select(col("node"), col("rank"), col("dst"),
@@ -104,9 +106,8 @@ object RandomWalk {
         col("dst_degree").isNull.as("dst_dead"))
       .union(dead.select(col("node"), lit(1L).as("rank"),
         col("node").as("dst"), lit(1L).as("dst_degree"),
-        lit(true).as("dst_dead")))
-      .fenced() // reused by every step
-    (adj, deg)
+        lit(true).as("dst_dead")))) // reused by every step
+    (adj, nAdj, deg)
   }
 
   /** Per-step join-side decision, made ONCE per walk build — the
@@ -159,8 +160,8 @@ object RandomWalk {
     // `dead` gating the append, so no LEFT join and no branch ever
     // enters the plan. The path column is ≤ len+1 longs per walk —
     // trivially small next to the join machinery it replaces.
-    val (adj, deg) = buildAdjacency(edges, seeds)
-    val adjSmall = adj.count() <= MaxBroadcastAdjRows
+    val (adj, nAdj, deg) = buildAdjacency(edges, seeds)
+    val adjSmall = nAdj <= MaxBroadcastAdjRows
     val bcastFrontier = !adjSmall && frontierFits(seeds, len)
     val adjSide = if (adjSmall) broadcast(adj) else adj
     var frontier = seeds.select(col("walk_id"), col("node"))
@@ -221,8 +222,8 @@ object RandomWalk {
     // the append. The path column multiplies through the candidate
     // explode (deg(cur) copies of ≤ len+1 longs per visit) — bounded
     // by the walk length, small next to the candidate row itself.
-    val (adj, deg) = buildAdjacency(edges, seeds)
-    val adjSmall = adj.count() <= MaxBroadcastAdjRows
+    val (adj, nAdj, deg) = buildAdjacency(edges, seeds)
+    val adjSmall = nAdj <= MaxBroadcastAdjRows
     val bcastFrontier = !adjSmall && frontierFits(seeds, len)
     def fr(df: DataFrame): DataFrame =
       if (bcastFrontier) broadcast(df) else df

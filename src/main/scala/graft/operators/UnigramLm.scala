@@ -244,14 +244,24 @@ object UnigramLm {
     chars ++ multi.sortBy { case (p, _) => (-loss(p), p) }.take(keep)
   }
 
-  /** Train over the DISTRIBUTED aggregated (w, f) distinct-word
-    * table: seed → `iters` hard-EM rounds (E: cluster-side Viterbi;
-    * M: re-count, floor single chars at 1, 3/4-shrink toward
-    * `targetV`) → final prune to `targetV` → normalize. */
-  def fit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
-      seedSize: Int = 4096): Model = {
-    require(targetV >= 1 && iters >= 1 && maxLen >= 1 && seedSize >= 1,
-      s"targetV=$targetV iters=$iters maxLen=$maxLen seedSize=$seedSize")
+  /** Pre-computed shared trainer inputs: the fenced (w, f) table and
+    * the collected seed candidate table. [[fit]]/[[softFit]] build
+    * this internally; a caller training BOTH variants at one
+    * operating point (q_tokenizer_compare) calls [[prepare]] once and
+    * passes it to [[fitPrepared]]/[[softFitPrepared]] — the wf
+    * projection+fence, the substring-explode seed aggregation, and
+    * the TakeOrdered seed collect are IDENTICAL in both trainers by
+    * construction (the seed cut is a total deterministic order:
+    * cnt DESC, piece ASC over a grouped table), so sharing is
+    * result-invisible and saves one corpus-scale fence plus one
+    * corpus-scale seed aggregation per extra variant (r19
+    * optimization round, guide §1.2: don't compute things twice). */
+  case class Prepared(wf: DataFrame, seed: Seq[(String, Long)])
+
+  /** Build [[Prepared]]: project+fence the word table, seed once. */
+  def prepare(words: DataFrame, maxLen: Int, seedSize: Int): Prepared = {
+    require(maxLen >= 1 && seedSize >= 1,
+      s"maxLen=$maxLen seedSize=$seedSize")
     require(seedSize <= MaxPieces,
       s"seed $seedSize exceeds MaxPieces=$MaxPieces: the driver holds one " +
         "(piece, count, logp) row per candidate and every E-step " +
@@ -262,10 +272,57 @@ object UnigramLm {
       col("f").cast("long").as("f"))
       .where(length(col("w")) >= 1)
       .fenced() // scanned every E-step
-    var table: Seq[(String, Long)] =
+    val table: Seq[(String, Long)] =
       seedCounts(wf, maxLen, seedSize).as[(String, Long)].collect()
         .toSeq.sortBy(_._1)
     require(table.nonEmpty, "empty corpus: no seed pieces")
+    Prepared(wf, table)
+  }
+
+  /** The EM loops' session shape (r19 optimization round, the
+    * Sgns/KMeans precedent): every E-step is a corpus-scale scan of
+    * the FENCED wf whose exchange carries only map-side-combined
+    * (piece, count) partials — a MODEL-scale frame — so AQE's
+    * per-exchange re-plan + extra job per E-step buys nothing. Run
+    * the loop AQE-off with the shuffle partition count derived from
+    * the MODEL (≤ MaxPieces groups of tens of bytes ⇒ 1 partition at
+    * any sane seed; scale-adaptive by construction), restore the
+    * session settings after. Counts are order-free exact-integer /
+    * exact-decimal sums, so the regrouping cannot move a bit. */
+  private def withModelScaleSession[A](spark: org.apache.spark.sql.SparkSession,
+      seedSize: Int)(body: => A): A = {
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    val shufBefore = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions",
+      math.max(1, seedSize / 400000 + 1).toString)
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      conf.set("spark.sql.shuffle.partitions", shufBefore)
+    }
+  }
+
+  /** Train over the DISTRIBUTED aggregated (w, f) distinct-word
+    * table: seed → `iters` hard-EM rounds (E: cluster-side Viterbi;
+    * M: re-count, floor single chars at 1, 3/4-shrink toward
+    * `targetV`) → final prune to `targetV` → normalize. */
+  def fit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
+      seedSize: Int = 4096): Model = {
+    require(targetV >= 1 && iters >= 1,
+      s"targetV=$targetV iters=$iters")
+    fitPrepared(prepare(words, maxLen, seedSize), targetV, iters)
+  }
+
+  /** [[fit]] body over a [[Prepared]] input — identical semantics. */
+  private[graft] def fitPrepared(prep: Prepared, targetV: Int,
+      iters: Int): Model = {
+    require(targetV >= 1 && iters >= 1, s"targetV=$targetV iters=$iters")
+    val wf = prep.wf
+    val spark = wf.sparkSession
+    import spark.implicits._
+    var table: Seq[(String, Long)] = prep.seed
     def estep(m: Model): Map[String, Long] = {
       val bc = spark.sparkContext.broadcast(m)
       // the ONLY corpus-scale exchange per round: (piece)-keyed
@@ -289,15 +346,17 @@ object UnigramLm {
         else if (p.length == 1) Some(p -> 1L) // closure floor
         else None
       }
-    for (_ <- 1 to iters) {
-      table = mstep(table, estep(toModel(table)))
-      // Kudo's shrink schedule: 3/4 per round, floored at the target
-      table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
+    withModelScaleSession(spark, table.length) {
+      for (_ <- 1 to iters) {
+        table = mstep(table, estep(toModel(table)))
+        // Kudo's shrink schedule: 3/4 per round, floored at the target
+        table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
+      }
+      // final vocabulary + one re-count so the shipped probabilities
+      // reflect the shipped vocabulary exactly
+      table = pruneByLoss(table, targetV)
+      toModel(mstep(table, estep(toModel(table))))
     }
-    // final vocabulary + one re-count so the shipped probabilities
-    // reflect the shipped vocabulary exactly
-    table = pruneByLoss(table, targetV)
-    toModel(mstep(table, estep(toModel(table))))
   }
 
   /** log-sum-exp of two log-domain values — the fixed two-operand
@@ -424,22 +483,20 @@ object UnigramLm {
     * Long range the driver table carries. */
   def softFit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
       seedSize: Int = 4096): Model = {
-    require(targetV >= 1 && iters >= 1 && maxLen >= 1 && seedSize >= 1,
-      s"targetV=$targetV iters=$iters maxLen=$maxLen seedSize=$seedSize")
-    require(seedSize <= MaxPieces,
-      s"seed $seedSize exceeds MaxPieces=$MaxPieces: the driver holds one " +
-        "(piece, count, logp) row per candidate and every E-step " +
-        "broadcasts the table — shortlist harder upstream")
-    val spark = words.sparkSession
+    require(targetV >= 1 && iters >= 1,
+      s"targetV=$targetV iters=$iters")
+    softFitPrepared(prepare(words, maxLen, seedSize), targetV, iters)
+  }
+
+  /** [[softFit]] body over a [[Prepared]] input — identical
+    * semantics. */
+  private[graft] def softFitPrepared(prep: Prepared, targetV: Int,
+      iters: Int): Model = {
+    require(targetV >= 1 && iters >= 1, s"targetV=$targetV iters=$iters")
+    val wf = prep.wf
+    val spark = wf.sparkSession
     import spark.implicits._
-    val wf = words.select(col("w").cast("string").as("w"),
-      col("f").cast("long").as("f"))
-      .where(length(col("w")) >= 1)
-      .fenced() // scanned every E-step
-    var table: Seq[(String, Long)] =
-      seedCounts(wf, maxLen, seedSize).as[(String, Long)].collect()
-        .toSeq.sortBy(_._1)
-    require(table.nonEmpty, "empty corpus: no seed pieces")
+    var table: Seq[(String, Long)] = prep.seed
     def estepSoft(m: Model): Map[String, Long] = {
       val bc = spark.sparkContext.broadcast(m)
       val counts = wf.as[(String, Long)]
@@ -473,12 +530,14 @@ object UnigramLm {
         else if (p.length == 1) Some(p -> 1L) // closure floor (1 micro)
         else None
       }
-    for (_ <- 1 to iters) {
-      table = mstepSoft(table, estepSoft(toModel(table)))
-      table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
+    withModelScaleSession(spark, table.length) {
+      for (_ <- 1 to iters) {
+        table = mstepSoft(table, estepSoft(toModel(table)))
+        table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
+      }
+      table = pruneByLoss(table, targetV)
+      toModel(mstepSoft(table, estepSoft(toModel(table))))
     }
-    table = pruneByLoss(table, targetV)
-    toModel(mstepSoft(table, estepSoft(toModel(table))))
   }
 
   /** Corpus-wide apply: (doc_id, pieces array<string>, n_pieces) —

@@ -108,8 +108,18 @@ object WordPiece {
   def fit(docs: DataFrame, textCol: String, numMerges: Int,
       topV: Int = 100000): Model = {
     require(numMerges >= 1 && topV >= 1, s"numMerges=$numMerges topV=$topV")
-    val merges = trainMerges(Bpe.wordFreq(docs, textCol, topV), numMerges)
-    val chars = alphabet(docs, textCol)
+    fitWf(Bpe.wordFreq(docs, textCol, topV), alphabet(docs, textCol),
+      numMerges)
+  }
+
+  /** [[fit]] body over a pre-collected word-frequency shortlist and
+    * character inventory — identical semantics; lets a caller that
+    * trains BPE and WordPiece at the SAME (textCol, topV) operating
+    * point (q_tokenizer_compare) run the corpus collapse once (r19
+    * optimization round). */
+  private[graft] def fitWf(wf: Seq[(String, Long)], chars: Seq[String],
+      numMerges: Int): Model = {
+    val merges = trainMerges(wf, numMerges)
     Model(chars.toSet ++ chars.map("##" + _) ++
       merges.map { case (a, b) => product(a, b) })
   }

@@ -1098,11 +1098,16 @@ object PipelineQueries {
     val st: DataFrame = dl.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("len")).cast("long").as("toklen"))
     /** Hashed bag-of-words chunk vectors (bucket = digest mod
-      * [[EmbDim]]) and their exact integer norms. */
-    lazy val cb: DataFrame = tk
+      * [[EmbDim]]) and their exact integer norms. Derived from the
+      * FENCED postings, not from a second corpus-scale chunk+explode
+      * pass (r19 optimization round, guide §1.2): per (doc, chunk,
+      * bucket), Σ n over the bucket's terms ≡ the raw term-instance
+      * count — both order-free exact long sums, so the frame is
+      * bit-identical while the whole tk re-scan disappears. */
+    lazy val cb: DataFrame = tf
       .groupBy(col("doc_id"), col("chunk_ix"),
         (PortableHash.md5Long(col("term")) % EmbDim).as("b"))
-      .agg(count(lit(1)).cast("long").as("cn"))
+      .agg(sum(col("n")).cast("long").as("cn"))
       .fenced() // reused: dots + chunk norms
     lazy val cnorm: DataFrame = cb.groupBy(col("doc_id"), col("chunk_ix"))
       .agg(sum(col("cn") * col("cn")).cast("long").as("n2c"))

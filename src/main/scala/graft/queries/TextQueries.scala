@@ -1154,13 +1154,22 @@ object TextQueries {
           (col("n_chars") === col("corpus_bytes")).as("lossless_ok"),
           (col("n_pieces") >= col("corpus_words") &&
             col("n_pieces") <= col("corpus_bytes")).as("bounds_ok"))
-    val bpe = Bpe.fit(docs, "text", numMerges = 200, topV = 4096)
+    // Shared corpus statistics (r19 optimization round, guide §1.2 —
+    // don't compute identical collapses per family): BPE and
+    // WordPiece train at the SAME (textCol, topV) point, so ONE
+    // wordFreq collapse feeds both (fit ≡ trainMerges∘wordFreq /
+    // fitWf∘wordFreq by construction); the two unigram variants seed
+    // identically (total deterministic cut), so ONE prepare() — wf
+    // fence + substring-explode seed — feeds both EM loops. Models
+    // are bit-identical to the per-family trainings.
+    val wfTop = Bpe.wordFreq(docs, "text", topV = 4096)
+    val bpe = Bpe.Model(Bpe.trainMerges(wfTop, numMerges = 200))
     val bb = Bpe.fitBytes(docs, "text", numMerges = 200, topV = 4096)
-    val uni = UnigramLm.fit(wordFreqOf(s, d), UniTargetV, UniIters,
-      UniMaxLen, UniSeed)
-    val soft = UnigramLm.softFit(wordFreqOf(s, d), UniTargetV, UniIters,
-      UniMaxLen, UniSeed)
-    val wp = WordPiece.fit(docs, "text", WpMerges, WpTopV)
+    val prep = UnigramLm.prepare(wordFreqOf(s, d), UniMaxLen, UniSeed)
+    val uni = UnigramLm.fitPrepared(prep, UniTargetV, UniIters)
+    val soft = UnigramLm.softFitPrepared(prep, UniTargetV, UniIters)
+    val wp = WordPiece.fitWf(wfTop, WordPiece.alphabet(docs, "text"),
+      WpMerges)
     row("bpe", bpe.merges.map { case (a, b) => a + b }.distinct.size.toLong,
         Bpe.encode(docs, "text", bpe), "tokens", "n_tokens")
       .union(rowByte("bpe_byte",

@@ -34,6 +34,36 @@ class FenceSpec extends AnyFunSuite {
     assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
   }
 
+  test("withCount: frame ≡ plain fence, count exact, in BOTH modes") {
+    import graft.Fence.FenceOps
+    import org.apache.spark.sql.functions._
+    // a frame with a shuffle + filter so the fenced plan is not a
+    // trivial scan (the shape the iterative operators fence)
+    def frame() = spark.range(0, 1000).toDF("id")
+      .select(col("id"), pmod(col("id") * 37, lit(101)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .where(col("k") % 2 === 0)
+    val expectRows = frame().collect().map(_.toString).sorted.toIndexedSeq
+    for (mode <- Seq("local", "reliable")) {
+      spark.conf.set("spark.graft.fence", mode)
+      try {
+        val (fenced, n) = Fence.withCount(frame())
+        assert(n == expectRows.length.toLong,
+          s"$mode: withCount count $n != ${expectRows.length}")
+        val got = fenced.collect().map(_.toString).sorted.toIndexedSeq
+        assert(got == expectRows, s"$mode: withCount frame diverged")
+        // the frame is a real fence: lineage cut to a LogicalRDD leaf,
+        // reusable and freeable like any .fenced() output
+        val rdds = fenced.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.LogicalRDD => r
+        }
+        assert(rdds.nonEmpty, s"$mode: withCount did not produce a LogicalRDD")
+        assert(fenced.schema == frame().schema, s"$mode: schema changed")
+        org.apache.spark.sql.graft.bridge.freeLocalCheckpoint(fenced)
+      } finally spark.conf.unset("spark.graft.fence")
+    }
+  }
+
   test("freeing a superseded reliable fence deletes its checkpoint files") {
     import graft.Fence.FenceOps
     spark.conf.set("spark.graft.fence", "reliable")
