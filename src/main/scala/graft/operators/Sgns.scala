@@ -94,10 +94,14 @@ object Sgns {
     require(dim >= 2 && iters >= 1 && negK >= 1, s"dim=$dim iters=$iters negK=$negK")
     val spark = pairs.sparkSession
     import spark.implicits._
+    // NOT fenced (r19 optimization round): the iterations scan the
+    // SKELETON fence below, and p0 itself is read only by the vocab
+    // collect and the skeleton build — a cast projection evaluated
+    // twice. Caller contract: `pairs` must be cheap to rescan (the
+    // one caller, sgnsTrainAndSep, passes a fenced frame).
     val p0 = pairs.toDF("center", "context", "wt")
       .select(col("center").cast("long"), col("context").cast("long"),
         col("wt").cast("long"))
-      .fenced() // scanned every iteration
     // vocabulary: sorted distinct nodes — model-sized driver state
     // (the KMeans-centroid pattern)
     val nodes = p0.select(col("center").as("n"))
@@ -111,8 +115,11 @@ object Sgns {
         s"(~${2L * v * dim * 8 / (1 << 20)} MiB of raw vector payload at " +
         s"dim=$dim) — beyond this the full-batch-broadcast formulation is " +
         "the wrong tool; shard the model or train on a pair-table subset")
+    // LocalRelation straight into the broadcast build — fencing a
+    // driver-local V-sized seq cost a materialization job for nothing
+    // (r19 optimization round)
     val idxDf = broadcast(nodes.zipWithIndex
-      .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("nidx", "nnode").fenced())
+      .map { case (n, i) => (i.toLong, n) }.toSeq.toDF("nidx", "nnode"))
     var in = Array.tabulate(v, dim)((i, j) => initComponent(nodes(i), "in", j))
     var out = Array.tabulate(v, dim)((i, j) => initComponent(nodes(i), "out", j))
     // the example SKELETON (center, x, y, wt) — negatives are a pure
@@ -138,14 +145,16 @@ object Sgns {
     // corpus-size-free (a global-mass normalizer shrinks every step
     // as the corpus grows — the full-batch trap). Exact integers,
     // bounded driver state (V-sized, like the centroids).
-    val massRows = skeleton.select(lit("in").as("side"), col("center").as("gn"), col("wt"))
-      .union(skeleton.select(lit("out").as("side"), col("x").as("gn"), col("wt")))
-      .groupBy(col("side"), col("gn")).agg(sum(col("wt")).as("mw"))
-      .as[(String, Long, Long)].collect()
-    val massIn = massRows.collect { case ("in", n, m) => n -> m }.toMap
-    val massOut = massRows.collect { case ("out", n, m) => n -> m }.toMap
-    // total mass — the loss monitor normalizer only
-    val nAll = massIn.values.sum.toDouble
+    // Computed from ITERATION 1's gradient collect instead of its own
+    // pre-loop action (r19 optimization round): the iteration agg
+    // groups by exactly (side, gn) over the same fenced skeleton, so
+    // an extra `sum(wt)` column IS the old mass aggregate — identical
+    // exact-integer sums, one fewer corpus-frame action. Mass is only
+    // CONSUMED after the collect (update normalization, loss
+    // monitor), so first-iteration availability is sufficient.
+    var massIn: Map[Long, Long] = null
+    var massOut: Map[Long, Long] = null
+    var nAll = 0.0
     val losses = Seq.newBuilder[Double]
     // The per-iteration plan is model-scale (the corpus-scale work is
     // fenced above): AQE's value here is nil — its per-exchange
@@ -227,7 +236,8 @@ object Sgns {
         sum(((col("e") * col("wt").cast("decimal(12,0)"))
           * element_at(col("sx.vec"), j + 1).cast("decimal(12,6)"))
           .cast("decimal(38,12)")).as(s"g$j")
-      } :+ sum(when(col("sx.side") === "in", col("ll"))).as("lp")
+      } :+ sum(when(col("sx.side") === "in", col("ll"))).as("lp") :+
+        sum(col("wt")).as("mw") // per-(side, gn) mass — see above
       val rows = scored
         .select(col("e"), col("wt"), col("ll"), explode(array(
           struct(lit("in").as("side"), col("center").as("gn"),
@@ -238,6 +248,14 @@ object Sgns {
         .agg(gradCols.head, gradCols.tail: _*)
         .collect()
       mbc.destroy() // iteration's one action done; drop the model copy
+      if (massIn == null) { // iteration-invariant — read once (iter 1)
+        def massOf(tag: String) = rows.iterator
+          .filter(_.getString(0) == tag)
+          .map(r => r.getLong(1) -> r.getLong(2 + dim + 1)).toMap
+        massIn = massOf("in")
+        massOut = massOf("out")
+        nAll = massIn.values.sum.toDouble
+      }
       def side(tag: String) = rows.iterator
         .filter(_.getString(0) == tag)
         .flatMap { r =>

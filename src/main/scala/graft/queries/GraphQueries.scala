@@ -639,15 +639,17 @@ object GraphQueries {
     val spark = s
     import spark.implicits._
     val v = model.nodes.length
+    // driver-local V-sized relations go STRAIGHT into their broadcast
+    // builds — fencing each cost a materialization job for nothing
+    // (r19 optimization round; LocalRelation is already driver-held)
     val emb = broadcast(model.nodes.indices
-      .map(i => (model.nodes(i), model.in(i).toSeq)).toDF("node", "vin")
-      .fenced())
+      .map(i => (model.nodes(i), model.in(i).toSeq)).toDF("node", "vin"))
     // hash-random self-excluded partner per node (V-bounded model
     // state, like the centroid tables)
     val rnd = broadcast(model.nodes.zipWithIndex.map { case (n, i) =>
       (n, model.nodes(((i + 1 +
         graft.functions.PortableHash.digest60(s"rnd:$n") % (v - 1)) % v).toInt))
-    }.toSeq.toDF("node", "partner").fenced())
+    }.toSeq.toDF("node", "partner"))
     // …minus the random pairs that are actual co-occurrences (either
     // orientation): the null model must be NEGATIVE pairs, exactly as
     // SGNS's own negative sampling excludes positives. On a tiny
