@@ -788,27 +788,33 @@ object GraftExpressions {
     * keeps this scale-safe: a 2²⁰-node model is ~130 MB that must NOT
     * ride every task closure.
     *
+    * The expression reads the broadcast through a mutable
+    * [[VecBcHolder]] (r19 third cut) so ONE planned-and-codegen'd
+    * plan serves every training iteration: the holder rides the
+    * codegen references array, which the scheduler re-serializes into
+    * the task binary at every job submission, so re-executing the
+    * same RDD picks up the handle the driver swapped in — no
+    * per-iteration Catalyst re-plan, no plan-embedded model copy.
+    *
     * Total-lookup contract (= the inner join it replaces, where every
     * key is in the vocabulary by construction): a missing key THROWS
     * — a silent null would train on a zero vector and corrupt the
     * model with no error anywhere (the PlaneBits strictness stance).
     * The caller owns the broadcast lifecycle (destroy after the
-    * iteration's action). */
-  case class BcVecLookup(child: Expression,
-      bc: org.apache.spark.broadcast.Broadcast[
-        java.util.HashMap[java.lang.Long, Array[Double]]])
+    * iteration's action, re-point the holder before the next). */
+  case class BcVecLookup(child: Expression, holder: VecBcHolder)
       extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
     override def nullSafeEval(k: Any): Any =
-      vecLookupKernel(bc.value, k.asInstanceOf[java.lang.Long])
+      vecLookupKernel(holder.bc.value, k.asInstanceOf[java.lang.Long])
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val bcRef = ctx.addReferenceObj("vecBc", bc,
-        "org.apache.spark.broadcast.Broadcast")
+      val hRef = ctx.addReferenceObj("vecHolder", holder,
+        "graft.functions.VecBcHolder")
       val mapVar = ctx.addMutableState("java.util.HashMap", "vecMap",
-        v => s"$v = (java.util.HashMap) $bcRef.value();")
+        v => s"$v = (java.util.HashMap) $hRef.bc().value();")
       nullSafeCodeGen(ctx, ev, k =>
         s"""
            |${ev.value} = graft.functions.GraftExpressions.vecLookupKernel(
@@ -829,8 +835,15 @@ object GraftExpressions {
     new GenericArrayData(arr)
   }
 
-  def vec_lookup(key: Column,
-      bc: org.apache.spark.broadcast.Broadcast[
-        java.util.HashMap[java.lang.Long, Array[Double]]]): Column =
-    bridge.column(BcVecLookup(bridge.expression(key), bc))
+  def vec_lookup(key: Column, holder: VecBcHolder): Column =
+    bridge.column(BcVecLookup(bridge.expression(key), holder))
+}
+
+/** Mutable broadcast slot for [[GraftExpressions.BcVecLookup]] — the
+  * driver re-points `bc` between jobs (each SGNS iteration) and the
+  * per-job task-binary re-serialization carries the new stub to the
+  * executors. Top-level class so generated Java can name its type. */
+final class VecBcHolder extends Serializable {
+  @volatile var bc: org.apache.spark.broadcast.Broadcast[
+    java.util.HashMap[java.lang.Long, Array[Double]]] = null
 }

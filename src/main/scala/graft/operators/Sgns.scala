@@ -29,13 +29,17 @@ import graft.Fence.FenceOps
   * executors hold nothing iterative, the driver holds only the
   * model):
   *
-  *  - the pair table is fenced once; each iteration scans it,
-  *    explodes k+1 (positive + k negative) examples per pair
-  *    map-side, and joins the V-bounded model table BROADCAST (one
-  *    relation, both sides as a struct — the second probe reuses the
-  *    first's exchange);
-  *  - the only exchange is the (node × side)-keyed gradient frame
-  *    (dim components as columns), map-side combined;
+  *  - the example skeleton (pair table exploded to k+1 positive +
+  *    negative examples) is fenced once; ONE narrow
+  *    planned-and-codegen'd plan scans it every iteration, probing
+  *    the V-bounded model as a `SparkContext.broadcast` HashMap via
+  *    [[GraftExpressions.vec_lookup]] through a mutable holder, so no
+  *    per-iteration Catalyst re-plan and no broadcast-build job;
+  *  - there is NO exchange: each partition folds its rows into
+  *    (node × side)-bounded exact-decimal gradient partials (the same
+  *    map-side combine the old grouped sum did) and the driver merges
+  *    them order-free as task results arrive — the same bytes the old
+  *    exchange moved into its single reducer;
   *  - the driver update is O(V·dim) doubles.
   *
   * Determinism is the exact-decimal discipline: model weights live on
@@ -156,117 +160,128 @@ object Sgns {
     var massOut: Map[Long, Long] = null
     var nAll = 0.0
     val losses = Seq.newBuilder[Double]
-    // The per-iteration plan is model-scale (the corpus-scale work is
-    // fenced above): AQE's value here is nil — its per-exchange
-    // re-plan + extra job dominate the tiny stages it would optimize —
-    // so the training loop runs with AQE off and restores the session
-    // setting after (r19; values are unaffected: every aggregate in
-    // the loop is an order-free exact-decimal sum, and InvarianceProbe
-    // pins the registry bit-identical across partitioning/AQE
-    // changes). Scale note: the gradient exchange then lands on
-    // spark.sql.shuffle.partitions as-configured instead of AQE
-    // coalescing — at the 2²⁰-node cap that frame is ~2 M rows, fine
-    // at any sane setting.
-    val conf = spark.conf
-    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    // With AQE off the gradient exchange lands on the static shuffle
-    // partition count; size it from the MODEL (the only thing that
-    // crosses it — 2·V groups of ~150 B), not from a constant: ~400 k
-    // groups per partition ≈ 60 MB, so 1 partition locally and a
-    // handful at the 2²⁰-node cap.
-    conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, 2L * v / 400000L + 1).toString)
-    try {
+    // ONE planned-and-codegen'd plan serves ALL iterations (r19 third
+    // cut). The per-iteration Catalyst action was the dominant cost —
+    // each collect() paid the ~170 ms analyze/optimize/codegen floor
+    // (JobFloor) for a plan whose ONLY change was the fresh broadcast
+    // handle. The model now reaches the fixed plan through a mutable
+    // [[graft.functions.VecBcHolder]] riding the codegen references
+    // array: the scheduler re-serializes the task binary at every job
+    // submission, so re-executing the SAME RDD each iteration reads
+    // the handle the driver just swapped in.
+    //
+    // The grouped-sum Exchange is gone with it — necessarily:
+    // re-executing an RDD that contains a shuffle would silently
+    // REUSE the first run's map outputs (MapOutputTracker keys them
+    // by shuffle id), so the re-executed plan must stay NARROW. Each
+    // partition folds its rows into per-node gradient partials (exact
+    // java BigDecimal adds over the SAME decimal(38,12) addends the
+    // old in-plan sum consumed — the projection below still computes
+    // them in codegen'd Catalyst decimal arithmetic), and rdd.reduce
+    // merges the (side, node)-bounded partials on the driver as task
+    // results arrive. Decimal/long addition is exact and order-free,
+    // so the regrouping — partition-local fold, arbitrary driver
+    // merge order — is provably invisible: the trained weights stay
+    // bit-identical (SgnsSpec pins them against the sequential
+    // reference). Scale shape unchanged: what crosses the wire is the
+    // same per-map-partition group partials the old exchange moved
+    // into its single reducer, and the driver holds one merged
+    // V-bounded frame — exactly what it was about to collect anyway.
+    // The old loop's AQE-off/static-shuffle-partition session toggle
+    // is obsolete (no exchange remains) and is gone too.
+    val holder = new graft.functions.VecBcHolder
+    val vio = (k: org.apache.spark.sql.Column) =>
+      GraftExpressions.vec_lookup(k, holder)
+    val examples = skeleton
+      .select(col("center"), col("x"), col("y"), col("wt"),
+        slice(vio(col("center")), 1, dim).as("vin"),
+        slice(vio(col("x")), dim + 1, dim).as("vout"))
+    val m = GraftExpressions.dot_product(col("vin"), col("vout"))
+    val prob = lit(1.0) / (lit(1.0) + exp(-m))
+    val scored = examples
+      .select(col("center"), col("x"), col("wt"), col("vin"), col("vout"),
+        round(prob - col("y"), 6).cast("decimal(12,6)").as("e"),
+        // monitoring only (exact-decimal addends keep the total
+        // order-free too); clamp keeps saturation finite
+        ((-(col("y") * log(greatest(prob, lit(1e-12))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - prob, lit(1e-12)))))
+          * col("wt")).cast("decimal(38,12)").as("ll"))
+    // gradient contribution: multiply (e × wt) FIRST — (12,6)×(12,0)
+    // = (25,6), then ×(12,6) = (38,12), exactly the 38-precision
+    // cap. The naive left-assoc (e×c)×wt hits (25,12)×(20,0) = 46
+    // > 38 and Spark silently SHRINKS the scale to fit — off the
+    // exact grid.
+    // ONE job and ONE pass per iteration: both gradient sides ride a
+    // 2-way struct explode off the same scored rows (a union would
+    // recompute the scored subtree per branch); gradient components
+    // stay dim COLUMNS per (side, node) group (the addend set per
+    // component is unchanged); the loss rides along emitted once per
+    // example (in side only), and the per-(side, node) example mass
+    // is the plain wt column folded into the same partials.
+    val proj = scored
+      .select(col("e"), col("wt"), col("ll"), explode(array(
+        struct(lit(true).as("isin"), col("center").as("gn"),
+          col("vout").as("vec")),
+        struct(lit(false).as("isin"), col("x").as("gn"),
+          col("vin").as("vec")))).as("sx"))
+      .select(Seq(col("sx.isin").as("isin"), col("sx.gn").as("gn")) ++
+        (0 until dim).map { j =>
+          ((col("e") * col("wt").cast("decimal(12,0)"))
+            * element_at(col("sx.vec"), j + 1).cast("decimal(12,6)"))
+            .cast("decimal(38,12)").as(s"a$j")
+        } ++ Seq(when(col("sx.isin"), col("ll")).as("lp"), col("wt")): _*)
+    // physical planning + codegen happen here, ONCE
+    val rowRdd = proj.queryExecution.toRdd
+    val d = dim
+    val partials = rowRdd.mapPartitions { it =>
+      val inM = scala.collection.mutable.HashMap.empty[Long, GradAcc]
+      val outM = scala.collection.mutable.HashMap.empty[Long, GradAcc]
+      var lp = java.math.BigDecimal.ZERO
+      it.foreach { row =>
+        val tgt = if (row.getBoolean(0)) inM else outM
+        val acc = tgt.getOrElseUpdate(row.getLong(1), new GradAcc(d))
+        var j = 0
+        while (j < d) {
+          acc.g(j) = acc.g(j).add(row.getDecimal(2 + j, 38, 12).toJavaBigDecimal)
+          j += 1
+        }
+        if (!row.isNullAt(2 + d))
+          lp = lp.add(row.getDecimal(2 + d, 38, 12).toJavaBigDecimal)
+        acc.wt += row.getLong(3 + d)
+      }
+      Iterator.single((inM, outM, lp))
+    }
     for (_ <- 1 to iters) {
-      // ZERO broadcast-exchange builds per iteration (r19, second
-      // cut): the model reaches the examples as a
-      // `SparkContext.broadcast` HashMap probed by a codegen'd
-      // lookup expression ([[GraftExpressions.vec_lookup]]) instead
-      // of a broadcast JOIN. The join cost one broadcast-build JOB
-      // per iteration; the broadcast variable ships with the task
-      // binary for free and each side is one hash probe per row. The
-      // inner join it replaces matched every row (center/x are in the
-      // vocabulary by construction), so the total-lookup expression
-      // is row-for-row identical — and it THROWS on a miss rather
-      // than training on a silent null. Both sides ride ONE map of
+      // fresh broadcast per iteration (the only thing that changes);
+      // destroyed right after the job so executor storage stays one
+      // model copy, not iters. Both sides ride ONE map of
       // concatenated (in ++ out) vectors; each side is a `slice`.
-      // The handle is destroyed right after the iteration's single
-      // action so executor storage stays one model copy, not iters.
       val mmap = new java.util.HashMap[java.lang.Long, Array[Double]](2 * v)
       nodes.indices.foreach { i =>
         mmap.put(nodes(i), in(i) ++ out(i)): Unit
       }
-      val mbc = spark.sparkContext.broadcast(mmap)
-      val vio = (k: org.apache.spark.sql.Column) =>
-        GraftExpressions.vec_lookup(k, mbc)
-      val examples = skeleton
-        .select(col("center"), col("x"), col("y"), col("wt"),
-          slice(vio(col("center")), 1, dim).as("vin"),
-          slice(vio(col("x")), dim + 1, dim).as("vout"))
-      val m = GraftExpressions.dot_product(col("vin"), col("vout"))
-      val prob = lit(1.0) / (lit(1.0) + exp(-m))
-      val scored = examples
-        .select(col("center"), col("x"), col("wt"), col("vin"), col("vout"),
-          round(prob - col("y"), 6).cast("decimal(12,6)").as("e"),
-          // monitoring only (decimal sum keeps it order-free too);
-          // clamp keeps saturation finite
-          ((-(col("y") * log(greatest(prob, lit(1e-12))) +
-            (lit(1.0) - col("y")) * log(greatest(lit(1.0) - prob, lit(1e-12)))))
-            * col("wt")).cast("decimal(38,12)").as("ll"))
-      // gradient contribution: multiply (e × wt) FIRST — (12,6)×(12,0)
-      // = (25,6), then ×(12,6) = (38,12), exactly the 38-precision
-      // cap. The naive left-assoc (e×c)×wt hits (25,12)×(20,0) = 46
-      // > 38 and Spark silently SHRINKS the scale to fit — off the
-      // exact grid.
-      // ONE action and ONE pass per iteration: both gradient sides
-      // ride a 2-way struct explode off the same scored rows (a union
-      // would recompute the scored subtree per branch), and the loss
-      // piggybacks as a second aggregate emitted once per example
-      // (side = in). The per-iteration wall is pure job overhead at
-      // model scale, so actions are the cost unit. Gradient components
-      // aggregate as dim COLUMNS over (side, gn) groups, not as a
-      // posexplode to (side, gn, j) rows (r19): the addend set per
-      // component is identical — (e × wt) × c_j in the same decimal
-      // types, order-free — but the aggregate sees dim× fewer rows and
-      // the exchange dim× fewer groups, and the decimal grid makes the
-      // regrouping provably invisible.
-      val gradCols = (0 until dim).map { j =>
-        sum(((col("e") * col("wt").cast("decimal(12,0)"))
-          * element_at(col("sx.vec"), j + 1).cast("decimal(12,6)"))
-          .cast("decimal(38,12)")).as(s"g$j")
-      } :+ sum(when(col("sx.side") === "in", col("ll"))).as("lp") :+
-        sum(col("wt")).as("mw") // per-(side, gn) mass — see above
-      val rows = scored
-        .select(col("e"), col("wt"), col("ll"), explode(array(
-          struct(lit("in").as("side"), col("center").as("gn"),
-            col("vout").as("vec")),
-          struct(lit("out").as("side"), col("x").as("gn"),
-            col("vin").as("vec")))).as("sx"))
-        .groupBy(col("sx.side").as("side"), col("sx.gn").as("gn"))
-        .agg(gradCols.head, gradCols.tail: _*)
-        .collect()
-      mbc.destroy() // iteration's one action done; drop the model copy
+      holder.bc = spark.sparkContext.broadcast(mmap)
+      val (inG, outG, lpTot) = partials.reduce {
+        case ((a1, b1, l1), (a2, b2, l2)) =>
+          mergeInto(a1, a2, d); mergeInto(b1, b2, d); (a1, b1, l1.add(l2))
+      }
+      holder.bc.destroy() // iteration's one job done; drop the model copy
       if (massIn == null) { // iteration-invariant — read once (iter 1)
-        def massOf(tag: String) = rows.iterator
-          .filter(_.getString(0) == tag)
-          .map(r => r.getLong(1) -> r.getLong(2 + dim + 1)).toMap
-        massIn = massOf("in")
-        massOut = massOf("out")
+        massIn = massOf(inG)
+        massOut = massOf(outG)
         nAll = massIn.values.sum.toDouble
       }
-      def side(tag: String) = rows.iterator
-        .filter(_.getString(0) == tag)
-        .flatMap { r =>
-          val gn = r.getLong(1)
-          (0 until dim).iterator.map(j => (gn, j) -> r.getDecimal(2 + j).doubleValue)
-        }
-        .toMap
-      val (gIn, gOut) = (side("in"), side("out"))
-      losses += rows.iterator
-        .filter(r => r.getString(0) == "in" && !r.isNullAt(2 + dim))
-        .map(_.getDecimal(2 + dim).doubleValue).sum / nAll
+      def side(mg: scala.collection.mutable.HashMap[Long, GradAcc]) =
+        mg.iterator.flatMap { case (gn, acc) =>
+          (0 until dim).iterator.map(j => (gn, j) -> acc.g(j).doubleValue)
+        }.toMap
+      val (gIn, gOut) = (side(inG), side(outG))
+      // loss monitor: exact-decimal total, one double conversion at
+      // the end (order-free; may differ in the last ulp from the
+      // pre-r19 per-group double summation — monitoring only, never
+      // consumed by a query; SgnsSpec pins count + monotonic
+      // decrease, not exact loss values)
+      losses += lpTot.doubleValue / nAll
       in = Array.tabulate(v, dim)((i, j) =>
         round6(in(i)(j) - lr * gIn.getOrElse((nodes(i), j), 0.0)
           / massIn.getOrElse(nodes(i), 1L).toDouble))
@@ -274,10 +289,34 @@ object Sgns {
         round6(out(i)(j) - lr * gOut.getOrElse((nodes(i), j), 0.0)
           / massOut.getOrElse(nodes(i), 1L).toDouble))
     }
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      conf.set("spark.sql.shuffle.partitions", shufBefore)
-    }
     (Model(dim, nodes, in, out), losses.result())
   }
+
+  /** Per-node gradient partial: exact decimal component sums plus the
+    * node's example mass. Task-local accumulator; merged exactly
+    * ([[mergeInto]]) — decimal/long adds are order-free. */
+  private[graft] final class GradAcc(dim: Int) extends Serializable {
+    val g: Array[java.math.BigDecimal] =
+      Array.fill(dim)(java.math.BigDecimal.ZERO)
+    var wt: Long = 0L
+  }
+
+  /** Merge partial `b` into `a` (exact adds; arbitrary order). */
+  private[graft] def mergeInto(
+      a: scala.collection.mutable.HashMap[Long, GradAcc],
+      b: scala.collection.mutable.HashMap[Long, GradAcc], d: Int): Unit =
+    b.foreach { case (gn, acc2) =>
+      a.get(gn) match {
+        case Some(acc1) =>
+          var j = 0
+          while (j < d) { acc1.g(j) = acc1.g(j).add(acc2.g(j)); j += 1 }
+          acc1.wt += acc2.wt
+        case None => a.update(gn, acc2)
+      }
+    }
+
+  /** The per-node example-mass map out of a merged gradient frame. */
+  private def massOf(
+      mg: scala.collection.mutable.HashMap[Long, GradAcc]): Map[Long, Long] =
+    mg.iterator.map { case (gn, acc) => gn -> acc.wt }.toMap
 }
