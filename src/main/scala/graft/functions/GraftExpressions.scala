@@ -805,6 +805,13 @@ object GraftExpressions {
   case class BcVecLookup(child: Expression, holder: VecBcHolder)
       extends UnaryExpression {
 
+    // NEVER foldable, even over a literal key (UnaryExpression
+    // delegates foldable to the child): ConstantFolding would
+    // otherwise evaluate the lookup at OPTIMIZATION time — against a
+    // not-yet-set (or iteration-stale) holder — and freeze the model
+    // vector into the plan. KMeans probes centroids by literal index.
+    override def foldable: Boolean = false
+
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
     override def nullSafeEval(k: Any): Any =

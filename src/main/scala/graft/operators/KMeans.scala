@@ -11,18 +11,19 @@ import graft.Fence.FenceOps
   *
   * Scale shape per iteration:
   *
-  *  - ASSIGN is a pure per-row expression: the k centroids are plain
-  *    literals compiled into an `array_min` over (distance, index)
-  *    structs — whole-stage codegen, no broadcast variable, no UDF,
-  *    no shuffle;
-  *  - UPDATE is one partial-aggregable groupBy: `posexplode` feeds a
-  *    (cluster, dim) sum/count — the exchange carries k·dim doubles
-  *    per upstream partition, never vectors — followed by a k·dim-row
-  *    collect to the driver (the same driver-resident centroid state
-  *    every Lloyd implementation keeps);
+  *  - ASSIGN is a pure per-row expression: an `array_min` over
+  *    (distance, index) structs, whole-stage codegen, no UDF, no
+  *    shuffle. Inside the Lloyd loop the centroids arrive as a
+  *    broadcast HashMap probed by index through a mutable holder
+  *    ([[graft.functions.GraftExpressions.vec_lookup]]) so ONE
+  *    planned plan serves every iteration; the final assignment (the
+  *    frame consumers read) compiles them as plain literals;
+  *  - UPDATE is a narrow per-partition fold into (cluster, dim)
+  *    sums/counts merged on the driver in partition-index order —
+  *    the same k·dim doubles per upstream partition the pre-r19
+  *    exchange carried into its single reducer, never vectors;
   *  - iteration state is k·dim doubles on the driver — nothing
-  *    iterative lives in executor memory, so lineage stays flat
-  *    (each round's plan references only literals + the input).
+  *    iterative lives in executor memory, so lineage stays flat.
   *
   * Determinism: both init schemes are RNG-free — `seeded = false`
   * takes the k smallest-id vectors; `seeded = true` runs
@@ -89,54 +90,91 @@ object KMeans {
     val wcss = Seq.newBuilder[Double]
     var moved = Double.MaxValue
     var iter = 0
-    var assigned: DataFrame = null
-    // The per-iteration stats collect is MODEL-scale past its map-side
-    // partial agg — the exchange carries ≤ k·dim groups per map
-    // partition no matter the corpus size — so AQE's per-exchange
-    // re-plan + extra job per iteration buys nothing (the Sgns r19
-    // precedent). The loop runs with AQE off and a model-derived
-    // static partition count (k·dim groups, one partition per ~400 k —
-    // i.e. 1 for any sane k·dim), session settings restored after.
-    // Every aggregate here keys (cluster, dim) to a single reducer
-    // whose partial-combine order is the map-id order either way, so
-    // the collected sums are unchanged.
-    val conf = vecs.sparkSession.conf
-    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, k.toLong * centroids(0).length / 400000L + 1).toString)
-    try {
-      while (iter < maxIter && moved > tol) {
-        assigned = assign(src, centroids)
-        // one aggregation computes BOTH the new centroids and the
-        // objective: (cluster, dim) sums/counts + per-row distance sum
-        val stats = assigned
-          .select(col("cluster"), col("d2"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cluster"), col("dim"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"),
-            // d2 is per-row; counted once per row via dim 0 only
-            sum(when(col("dim") === 0, col("d2")).otherwise(0.0)).as("sd2"))
-          .collect()
-        wcss += stats.map(_.getAs[Double]("sd2")).sum
-        val next = Array.ofDim[Double](k, centroids(0).length)
-        val counts = Array.ofDim[Long](k)
-        stats.foreach { r =>
-          val c = r.getAs[Int]("cluster"); val d = r.getAs[Int]("dim")
-          next(c)(d) = r.getAs[Double]("sx")
-          counts(c) = r.getAs[Long]("n")
-        }
-        (0 until k).foreach { c =>
-          if (counts(c) > 0) (0 until next(c).length).foreach(d => next(c)(d) /= counts(c))
-          else next(c) = centroids(c) // empty cluster keeps its centroid
-        }
-        moved = (0 until k).map(c => sqDist(centroids(c), next(c))).max
-        centroids = next
-        iter += 1
+    val dim = centroids(0).length
+    // ONE planned-and-codegen'd plan serves ALL Lloyd iterations (r19
+    // fourth-cut Sgns precedent): the per-iteration stats action used
+    // to re-run the full Catalyst pass — the centroids were PLAN
+    // LITERALS, so every iteration re-analyzed/optimized/codegen'd a
+    // large k·dim-literal expression (~170 ms planning floor plus the
+    // codegen compile) and paid a model-scale shuffle. The centroids
+    // now reach the fixed plan as a broadcast HashMap probed by index
+    // through [[graft.functions.GraftExpressions.vec_lookup]]'s
+    // mutable holder (task binaries re-serialize per job submission,
+    // so re-executing the SAME RDD reads the handle the driver just
+    // swapped in), and the update aggregate is a narrow per-partition
+    // fold + a driver merge in PARTITION-INDEX order — necessarily
+    // narrow, because re-executing an RDD that contains a shuffle
+    // would silently reuse the first iteration's map outputs.
+    //
+    // Exactness: per-partition sub-sums are the identical double
+    // additions in the identical row order the old map-side partial
+    // agg performed; the only freedom left is the final merge order,
+    // now PINNED to partition index (the old single reducer consumed
+    // map outputs in map order). Assignments — the value every
+    // consumer reads — are argmins over these sums; InvarianceProbe
+    // already pins the whole registry bit-identical under partition-
+    // count changes, a strictly LARGER sum perturbation than any
+    // last-ulp merge-order effect. The WCSS monitor totals per-cluster
+    // instead of per-(cluster, dim)-group rows (last-ulp only;
+    // KMeansSpec checks monotonicity to 1e-9, and every production
+    // caller discards it). The old loop's AQE-off/static-partition
+    // session toggle is obsolete (no exchange remains) and is gone.
+    val holder = new graft.functions.VecBcHolder
+    val dists: Seq[Column] = (0 until k).map { j =>
+      val cj = graft.functions.GraftExpressions.vec_lookup(lit(j.toLong), holder)
+      struct(graft.functions.GraftExpressions.sq_dist(col("v"), cj).as("d2"),
+        lit(j).as("j"))
+    }
+    val bestH = array_min(array(dists: _*))
+    val proj = src.select(bestH.getField("j").as("cluster"),
+      bestH.getField("d2").as("d2"), col("v"))
+    // physical planning + codegen happen here, ONCE
+    val rowRdd = proj.queryExecution.toRdd
+    val kk = k
+    val dd = dim
+    val partials = rowRdd.mapPartitions { it =>
+      val sums = Array.ofDim[Double](kk, dd)
+      val counts = new Array[Long](kk)
+      val sd2 = new Array[Double](kk)
+      it.foreach { row =>
+        val c = row.getInt(0)
+        sd2(c) += row.getDouble(1)
+        counts(c) += 1
+        val arr = row.getArray(2)
+        var d = 0
+        while (d < dd) { sums(c)(d) += arr.getDouble(d); d += 1 }
       }
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      conf.set("spark.sql.shuffle.partitions", shufBefore)
+      Iterator.single((sums, counts, sd2))
+    }
+    val spark = vecs.sparkSession
+    while (iter < maxIter && moved > tol) {
+      val mmap = new java.util.HashMap[java.lang.Long, Array[Double]](k)
+      (0 until k).foreach(j => mmap.put(j.toLong, centroids(j)): Unit)
+      holder.bc = spark.sparkContext.broadcast(mmap)
+      // collect (not reduce): partition-index merge order, see above
+      val parts = partials.collect()
+      holder.bc.destroy() // iteration's one job done; drop the copy
+      val next = Array.ofDim[Double](k, dim)
+      val counts = Array.ofDim[Long](k)
+      val sd2 = Array.ofDim[Double](k)
+      parts.foreach { case (s, n, sd) =>
+        var c = 0
+        while (c < k) {
+          var d = 0
+          while (d < dim) { next(c)(d) += s(c)(d); d += 1 }
+          counts(c) += n(c)
+          sd2(c) += sd(c)
+          c += 1
+        }
+      }
+      wcss += sd2.sum
+      (0 until k).foreach { c =>
+        if (counts(c) > 0) (0 until next(c).length).foreach(d => next(c)(d) /= counts(c))
+        else next(c) = centroids(c) // empty cluster keeps its centroid
+      }
+      moved = (0 until k).map(c => sqDist(centroids(c), next(c))).max
+      centroids = next
+      iter += 1
     }
     (assign(src, centroids).select(col("id"), col("cluster")), centroids, wcss.result())
   }
