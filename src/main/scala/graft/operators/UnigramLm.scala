@@ -27,7 +27,9 @@ import graft.Fence.FenceOps
   *
   *  - the corpus-scale work per E-step is one `mapPartitions` Viterbi
   *    pass over the distributed (word, freq) table (model broadcast
-  *    to tasks) + one map-side-combined piece-count aggregation;
+  *    to tasks through a re-pointed [[graft.BcSlot]], so ONE planned
+  *    RDD serves every round) folding per-partition piece counts —
+  *    the map-side combine — merged exactly on the driver;
   *  - the driver holds ONLY the piece table (seed-size-bounded, the
   *    KMeans-centroid / Sgns-vocab pattern, loud [[MaxPieces]] guard);
   *  - seeding is one substring-explode aggregation over the word
@@ -279,31 +281,6 @@ object UnigramLm {
     Prepared(wf, table)
   }
 
-  /** The EM loops' session shape (r19 optimization round, the
-    * Sgns/KMeans precedent): every E-step is a corpus-scale scan of
-    * the FENCED wf whose exchange carries only map-side-combined
-    * (piece, count) partials — a MODEL-scale frame — so AQE's
-    * per-exchange re-plan + extra job per E-step buys nothing. Run
-    * the loop AQE-off with the shuffle partition count derived from
-    * the MODEL (≤ MaxPieces groups of tens of bytes ⇒ 1 partition at
-    * any sane seed; scale-adaptive by construction), restore the
-    * session settings after. Counts are order-free exact-integer /
-    * exact-decimal sums, so the regrouping cannot move a bit. */
-  private def withModelScaleSession[A](spark: org.apache.spark.sql.SparkSession,
-      seedSize: Int)(body: => A): A = {
-    val conf = spark.conf
-    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
-    val shufBefore = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions",
-      math.max(1, seedSize / 400000 + 1).toString)
-    try body
-    finally {
-      conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      conf.set("spark.sql.shuffle.partitions", shufBefore)
-    }
-  }
-
   /** Train over the DISTRIBUTED aggregated (w, f) distinct-word
     * table: seed → `iters` hard-EM rounds (E: cluster-side Viterbi;
     * M: re-count, floor single chars at 1, 3/4-shrink toward
@@ -323,20 +300,38 @@ object UnigramLm {
     val spark = wf.sparkSession
     import spark.implicits._
     var table: Seq[(String, Long)] = prep.seed
+    // ONE planned plan + ONE closure for ALL E-steps (r19, the
+    // Sgns/KMeans one-plan precedent): the model reaches the fixed
+    // mapPartitions closure through a mutable [[graft.BcSlot]] — the
+    // scheduler re-serializes the task binary per job submission, so
+    // re-executing the SAME RDD each round reads the handle the
+    // driver just swapped in, with no per-round Catalyst pass. The
+    // (piece, count) aggregation is a narrow per-partition fold
+    // merged on the driver — exact long adds, order-free, so counts
+    // are bit-identical to the old grouped sum (and the re-executed
+    // plan must stay narrow anyway: an in-plan shuffle would reuse
+    // the first round's map outputs). What crosses the wire is the
+    // same ≤ seed-size map-side-combined partials the old exchange
+    // moved. The old AQE-off/static-partition session toggle is
+    // obsolete with the exchange gone.
+    val slot = new graft.BcSlot[Model]
+    val wfRdd = wf.as[(String, Long)].rdd // planned once
+    val countPartials = wfRdd.mapPartitions { it =>
+      val model = slot.bc.value
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { case (w, f) =>
+        viterbi(w, model).foreach(p => m.update(p, m.getOrElse(p, 0L) + f))
+      }
+      Iterator.single(m)
+    }
     def estep(m: Model): Map[String, Long] = {
-      val bc = spark.sparkContext.broadcast(m)
-      // the ONLY corpus-scale exchange per round: (piece)-keyed
-      // counts, map-side combined
-      val counts = wf.as[(String, Long)]
-        .mapPartitions { it =>
-          val model = bc.value
-          it.flatMap { case (w, f) => viterbi(w, model).map(_ -> f) }
-        }
-        .toDF("piece", "f")
-        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
-        .as[(String, Long)].collect().toMap
-      bc.destroy()
-      counts
+      slot.bc = spark.sparkContext.broadcast(m)
+      val merged = countPartials.reduce { (a, b) =>
+        b.foreach { case (p, c) => a.update(p, a.getOrElse(p, 0L) + c) }
+        a
+      }
+      slot.bc.destroy()
+      merged.toMap
     }
     def mstep(t: Seq[(String, Long)], counts: Map[String, Long])
         : Seq[(String, Long)] =
@@ -346,17 +341,15 @@ object UnigramLm {
         else if (p.length == 1) Some(p -> 1L) // closure floor
         else None
       }
-    withModelScaleSession(spark, table.length) {
-      for (_ <- 1 to iters) {
-        table = mstep(table, estep(toModel(table)))
-        // Kudo's shrink schedule: 3/4 per round, floored at the target
-        table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
-      }
-      // final vocabulary + one re-count so the shipped probabilities
-      // reflect the shipped vocabulary exactly
-      table = pruneByLoss(table, targetV)
-      toModel(mstep(table, estep(toModel(table))))
+    for (_ <- 1 to iters) {
+      table = mstep(table, estep(toModel(table)))
+      // Kudo's shrink schedule: 3/4 per round, floored at the target
+      table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
     }
+    // final vocabulary + one re-count so the shipped probabilities
+    // reflect the shipped vocabulary exactly
+    table = pruneByLoss(table, targetV)
+    toModel(mstep(table, estep(toModel(table))))
   }
 
   /** log-sum-exp of two log-domain values — the fixed two-operand
@@ -471,16 +464,17 @@ object UnigramLm {
     *
     * Distribution split — identical to [[fit]]'s: per round, ONE
     * `mapPartitions` forward-backward pass over the distributed
-    * (w, f) table (model broadcast) + one map-side-combined integer
-    * aggregation; the driver holds only the piece table. The per-row
-    * product `micros × f` fits Long to f ≈ 1.4×10¹¹ occurrences of
-    * one word form (beyond any real corpus' single-form frequency)
-    * and goes through `Math.multiplyExact` so past that bound the
-    * task THROWS instead of wrapping silently (r16 advice — the
-    * documented bound is now enforced, not assumed); the cross-row
-    * SUM goes through decimal(38,0) — exact and overflow-free at any
-    * corpus size — and fails LOUDLY if a piece's total leaves the
-    * Long range the driver table carries. */
+    * (w, f) table (model via the re-pointed broadcast slot) folding
+    * per-partition integer piece counts, merged on the driver; the
+    * driver holds only the piece table. The per-row product
+    * `micros × f` fits Long to f ≈ 1.4×10¹¹ occurrences of one word
+    * form (beyond any real corpus' single-form frequency) and goes
+    * through `Math.multiplyExact` so past that bound the task THROWS
+    * instead of wrapping silently (r16 advice — the documented bound
+    * is now enforced, not assumed); the cross-row SUM accumulates in
+    * BigInteger — exact and overflow-free at any corpus size — and
+    * fails LOUDLY if a piece's total leaves the Long range the
+    * driver table carries. */
   def softFit(words: DataFrame, targetV: Int, iters: Int = 3, maxLen: Int = 6,
       seedSize: Int = 4096): Model = {
     require(targetV >= 1 && iters >= 1,
@@ -497,30 +491,39 @@ object UnigramLm {
     val spark = wf.sparkSession
     import spark.implicits._
     var table: Seq[(String, Long)] = prep.seed
-    def estepSoft(m: Model): Map[String, Long] = {
-      val bc = spark.sparkContext.broadcast(m)
-      val counts = wf.as[(String, Long)]
-        .mapPartitions { it =>
-          val model = bc.value
-          it.flatMap { case (w, f) =>
-            expectedCounts(w, model)
-              .map { case (p, um) => (p, Math.multiplyExact(um, f)) }
-          }
+    // same one-plan E-step shape as [[fitPrepared]] (see the comment
+    // there); partials accumulate in BigInteger — exact at any
+    // intermediate magnitude like the old decimal(38,0) sum — and the
+    // per-piece Long-range guard is applied to the merged totals,
+    // unchanged
+    val slot = new graft.BcSlot[Model]
+    val wfRdd = wf.as[(String, Long)].rdd // planned once
+    val countPartials = wfRdd.mapPartitions { it =>
+      val model = slot.bc.value
+      val m = scala.collection.mutable.HashMap
+        .empty[String, java.math.BigInteger]
+      it.foreach { case (w, f) =>
+        expectedCounts(w, model).foreach { case (p, um) =>
+          val c = java.math.BigInteger.valueOf(Math.multiplyExact(um, f))
+          m.update(p, m.get(p).fold(c)(_.add(c)))
         }
-        .toDF("piece", "c")
-        .groupBy(col("piece"))
-        .agg(sum(col("c").cast("decimal(38,0)")).as("cnt"))
-        .as[(String, java.math.BigDecimal)].collect()
-        .map { case (p, c) =>
-          val bi = c.toBigIntegerExact
-          require(bi.bitLength() < 64,
-            s"soft-EM expected-count micros for piece '$p' exceed Long " +
-              s"($bi): widen the driver table to BigInt before training " +
-              "at this corpus scale")
-          p -> bi.longValueExact()
-        }.toMap
-      bc.destroy()
-      counts
+      }
+      Iterator.single(m)
+    }
+    def estepSoft(m: Model): Map[String, Long] = {
+      slot.bc = spark.sparkContext.broadcast(m)
+      val merged = countPartials.reduce { (a, b) =>
+        b.foreach { case (p, c) => a.update(p, a.get(p).fold(c)(_.add(c))) }
+        a
+      }
+      slot.bc.destroy()
+      merged.iterator.map { case (p, bi) =>
+        require(bi.bitLength() < 64,
+          s"soft-EM expected-count micros for piece '$p' exceed Long " +
+            s"($bi): widen the driver table to BigInt before training " +
+            "at this corpus scale")
+        p -> bi.longValueExact()
+      }.toMap
     }
     def mstepSoft(t: Seq[(String, Long)], counts: Map[String, Long])
         : Seq[(String, Long)] =
@@ -530,14 +533,12 @@ object UnigramLm {
         else if (p.length == 1) Some(p -> 1L) // closure floor (1 micro)
         else None
       }
-    withModelScaleSession(spark, table.length) {
-      for (_ <- 1 to iters) {
-        table = mstepSoft(table, estepSoft(toModel(table)))
-        table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
-      }
-      table = pruneByLoss(table, targetV)
-      toModel(mstepSoft(table, estepSoft(toModel(table))))
+    for (_ <- 1 to iters) {
+      table = mstepSoft(table, estepSoft(toModel(table)))
+      table = pruneByLoss(table, math.max(targetV, table.length * 3 / 4))
     }
+    table = pruneByLoss(table, targetV)
+    toModel(mstepSoft(table, estepSoft(toModel(table))))
   }
 
   /** Corpus-wide apply: (doc_id, pieces array<string>, n_pieces) —
